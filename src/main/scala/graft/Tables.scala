@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for all graft operators.
+  *
+  * Conventions that make the DuckDB-oracle hash compare deterministic
+  * (see SURVEY.md §5.3):
+  *   - every query ends in a total-order `orderBy`;
+  *   - double aggregations go through exact DECIMAL(18,4) so the sum is
+  *     associative (identical across engine / partitioning / thread count);
+  *   - timestamps are emitted as epoch integers, never raw timestamps
+  *     (`events.ts` is ns-precision parquet: Spark truncates to µs,
+  *     DuckDB keeps ns — FIXTURES.md §1).
+  */
+object Tables {
+  /** Driver-contract query shape: (session, sf-dir) => result. */
+  type Q = (SparkSession, String) => DataFrame
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark refuses by
+    * default; read the raw int64 (legacy flag) and derive `ts_us` (epoch
+    * µs, exact integer division — double division would lose precision
+    * above 2^53). Downstream operators use ts_us only. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+  }
+
+  /** Exact decimal view of a double column; sums over it are
+    * order-insensitive, hence reproducible across engines. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** round(sum(decimal) as double, 2) — deterministic money sum.
+    * Rounding happens on the DECIMAL (HALF_UP in both engines), never on
+    * a double: Spark rounds a double's shortest decimal repr while DuckDB
+    * rounds its exact binary value, so round(double) can disagree. */
+  def dsum2(c: Column): Column = round(sum(dec(c)), 2).cast("double")
+
+  /** Deterministic average: exact decimal sum, then one IEEE division —
+    * both engines divide identical operands, so the raw double matches
+    * bit-for-bit; no rounding needed (or safe — see dsum2). */
+  def davg6(c: Column): Column = sum(dec(c)).cast("double") / count(lit(1))
+
+  /** Deterministic rounded product of two ≤2-decimal doubles. */
+  def dmul2(a: Column, b: Column): Column = round(dec(a) * dec(b), 2).cast("double")
+
+  /** Epoch microseconds of a timestamp column (Spark-side µs domain). */
+  def epochUs(c: Column): Column = unix_micros(c)
+
+  /** Epoch seconds (floor) of a timestamp column. */
+  def epochS(c: Column): Column = unix_timestamp(c)
+
+  /** DuckDB SQL fragment: epoch µs of the ns-precision events.ts
+    * truncated exactly the way Spark truncates (floor to µs). */
+  def duckTsUs(col: String): String = s"(epoch_ns($col) // 1000)"
+
+  /** DuckDB SQL fragment: epoch seconds (floor) of a ns timestamp. */
+  def duckTsS(col: String): String = s"(epoch_ns($col) // 1000000000)"
+
+  /** DuckDB SQL fragment: epoch seconds of a µs-precision timestamp. */
+  def duckUsS(col: String): String = s"(epoch_us($col) // 1000000)"
+}

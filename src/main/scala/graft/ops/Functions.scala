@@ -1,0 +1,239 @@
+package graft.ops
+
+import graft.Tables._
+import graft.expr.Sanitize
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface: string/date/math/array/map/json functions plus
+  * the ingestion-derived projections (SURVEY.md §2b).
+  *
+  * Everything here is org.apache.spark.sql.functions built-ins (codegen'd,
+  * whole-stage-compatible) — no UDFs in the hot path. The sanitize operator
+  * (reference child.py:20-33) lives in [[graft.expr.Sanitize]].
+  */
+object Functions {
+
+  /** Derive server_folder / file_name / file_type from a URL — the
+    * reference's core projection (child.py:16-18 host_port folder,
+    * child.py:131-132 extension, 'none' when absent). URLs are built
+    * deterministically from the documents table, then parsed back with
+    * parse_url — the derive path a real ingest manifest would run. */
+  private def projDerive: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val ext = element_at(array(lit("txt"), lit("zip"), lit("pdf"), lit("")),
+      (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+    val url = concat(
+      lit("sftp://host"), pmod(col("doc_id"), lit(20)),
+      lit(".example.com:"), (lit(22) + pmod(col("doc_id"), lit(3))),
+      lit("/data/"), col("source"), lit("/file_"), col("doc_id"),
+      when(ext === "", lit("")).otherwise(concat(lit("."), ext)))
+    val fileName = element_at(split(col("url"), "/"), -1)
+    docs
+      .select(col("doc_id"), url.as("url"))
+      .select(
+        col("doc_id"), col("url"),
+        // parse_url(PORT) yields null for non-http schemes, so the port
+        // comes from a regex (the reference defaults 21/22 the same way,
+        // child.py:16-18).
+        concat_ws("_", parse_url(col("url"), lit("HOST")),
+          regexp_extract(col("url"), "://[^:/]+:([0-9]+)/", 1)).as("server_folder"),
+        fileName.as("file_name"),
+        when(fileName.contains("."),
+          element_at(split(fileName, "\\."), -1)).otherwise("none").as("file_type"))
+      .orderBy("doc_id")
+  }
+
+  /** String kernel: case, substring, length, pad, concat, regex, LIKE
+    * (sanitize family, child.py:20-33). */
+  private def fnString: Q = (s, d) =>
+    t(s, d, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        lower(col("p_type")).as("ltype"),
+        substring(col("p_name"), 1, 5).as("prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "*").as("devoweled"),
+        lpad(col("p_brand"), 12, ".").as("padded"),
+        col("p_name").like("%r%").as("has_r"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"))
+      .orderBy("p_partkey")
+
+  /** Date/time kernel: extract, trunc, diff, add_months, epoch
+    * (R10/R13 epoch handling, child.py:58,105). Truncated timestamps are
+    * emitted as epoch seconds — never raw timestamps (oracle parity). */
+  private def fnDate: Q = (s, d) =>
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        epochS(date_trunc("month", col("o_orderdate"))).as("month_start_s"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_95"),
+        epochS(add_months(col("o_orderdate"), 3).cast("timestamp")).as("plus3m_s"),
+        epochS(col("o_orderdate")).as("od_s"))
+      .orderBy("o_orderkey")
+
+  /** Math kernel: arithmetic, round/abs/ceil/floor, pmod, power, sqrt
+    * (round-robin `i % BATCH_SIZE`, main.py:75). */
+  private def fnMath: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        dmul2(col("l_extendedprice"), col("l_discount")).as("disc_amt"),
+        abs(col("l_quantity") - 25).as("qty_dev"),
+        ceil(col("l_extendedprice") / 1000).cast("long").as("price_k_ceil"),
+        floor(col("l_extendedprice") / 1000).cast("long").as("price_k_floor"),
+        pmod(col("l_orderkey"), lit(7)).as("bucket"),
+        // x*x and sqrt are IEEE-exact single ops on identical inputs —
+        // raw doubles match the oracle bitwise; no round (see dsum2 note).
+        (col("l_discount") * col("l_discount")).as("disc_sq"),
+        sqrt(col("l_quantity")).as("qty_sqrt"))
+      .orderBy("l_orderkey", "l_linenumber", "disc_amt", "qty_dev", "bucket")
+
+  /** Array kernel: split/size/contains/distinct + higher-order
+    * transform/aggregate (zip member list, child.py:94-121). */
+  private def fnArray: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .select(
+        col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        array_contains(col("tokens"), "spark").as("has_spark"),
+        size(array_distinct(col("tokens"))).cast("long").as("n_uniq"),
+        aggregate(transform(col("tokens"), x => length(x).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("total_len"),
+        concat_ws("|", slice(col("tokens"), 1, 3)).as("first3"))
+      .orderBy("doc_id")
+
+  /** Map kernel: construct, extract, keys (blob metadata map,
+    * child.py:200-204). Output is scalar so the oracle stays relational. */
+  private def fnMap: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        map(lit("lang"), col("lang"), lit("src"), col("source"),
+          lit("len"), col("n_chars").cast("string")).as("meta"))
+      .select(
+        col("doc_id"),
+        element_at(col("meta"), "lang").as("m_lang"),
+        element_at(col("meta"), "src").as("m_src"),
+        element_at(col("meta"), "len").cast("long").as("m_len"),
+        size(map_keys(col("meta"))).cast("long").as("n_keys"),
+        concat_ws(",", map_keys(col("meta"))).as("keys_csv"))
+      .orderBy("doc_id")
+
+  /** JSON kernel: extract typed values from events.props. */
+  private def fnJson: Q = (s, d) =>
+    events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+        get_json_object(col("props"), "$.k").isNotNull.as("has_k"))
+      .orderBy("event_id")
+
+  /** Filename sanitize (child.py:20-33; pins from tests/test_basic.py:18-80)
+    * applied to adversarial names synthesized from the documents table. */
+  private def fnSanitize: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        concat(lit("  re:p|o?r*t_"), col("doc_id"), lit("ñ"),
+          lit("\"fi<le>na\\me "), col("source"), lit(".tx t  ")).as("raw"))
+      .select(col("doc_id"), col("raw"), Sanitize.sanitize(col("raw")).as("clean"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "proj_derive" -> projDerive,
+    "fn_string" -> fnString,
+    "fn_date" -> fnDate,
+    "fn_math" -> fnMath,
+    "fn_array" -> fnArray,
+    "fn_map" -> fnMap,
+    "fn_json" -> fnJson,
+    "fn_sanitize" -> fnSanitize,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "proj_derive" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  'sftp://host' || (doc_id % 20) || '.example.com:' || (22 + doc_id % 3)
+                  || '/data/' || source || '/file_' || doc_id
+                  || CASE doc_id % 4 WHEN 0 THEN '.txt' WHEN 1 THEN '.zip'
+                                     WHEN 2 THEN '.pdf' ELSE '' END AS url
+           FROM documents)
+         SELECT doc_id, url,
+                regexp_extract(url, '://([^:/]+):([0-9]+)/', 1) || '_' ||
+                regexp_extract(url, '://([^:/]+):([0-9]+)/', 2) AS server_folder,
+                split_part(url, '/', -1) AS file_name,
+                CASE WHEN contains(split_part(url, '/', -1), '.')
+                     THEN split_part(split_part(url, '/', -1), '.', -1)
+                     ELSE 'none' END AS file_type
+         FROM u ORDER BY doc_id""",
+    "fn_string" ->
+      """SELECT p_partkey,
+                upper(p_name) AS uname, lower(p_type) AS ltype,
+                substring(p_name, 1, 5) AS prefix,
+                length(p_name)::BIGINT AS name_len,
+                p_brand || '-' || p_type AS brand_type,
+                regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+                lpad(p_brand, 12, '.') AS padded,
+                p_name LIKE '%r%' AS has_r,
+                split_part(p_name, ' ', 1) AS first_word
+         FROM part ORDER BY p_partkey""",
+    "fn_date" ->
+      """SELECT o_orderkey,
+                year(o_orderdate)::BIGINT AS y,
+                month(o_orderdate)::BIGINT AS m,
+                day(o_orderdate)::BIGINT AS dom,
+                quarter(o_orderdate)::BIGINT AS q,
+                (epoch_us(date_trunc('month', o_orderdate)) // 1000000) AS month_start_s,
+                date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::BIGINT AS days_since_95,
+                (epoch_us(o_orderdate + INTERVAL 3 MONTH) // 1000000) AS plus3m_s,
+                (epoch_us(o_orderdate) // 1000000) AS od_s
+         FROM orders ORDER BY o_orderkey""",
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(l_discount AS DECIMAL(18,4)), 2)::DOUBLE AS disc_amt,
+                abs(l_quantity - 25) AS qty_dev,
+                ceil(l_extendedprice / 1000)::BIGINT AS price_k_ceil,
+                floor(l_extendedprice / 1000)::BIGINT AS price_k_floor,
+                l_orderkey % 7 AS bucket,
+                l_discount * l_discount AS disc_sq,
+                sqrt(l_quantity) AS qty_sqrt
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, disc_amt, qty_dev, bucket""",
+    "fn_array" ->
+      """SELECT doc_id,
+                len(string_split(text, ' '))::BIGINT AS n_tokens,
+                list_contains(string_split(text, ' '), 'spark') AS has_spark,
+                len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq,
+                list_sum(list_transform(string_split(text, ' '),
+                                        x -> length(x)))::BIGINT AS total_len,
+                array_to_string(string_split(text, ' ')[1:3], '|') AS first3
+         FROM documents ORDER BY doc_id""",
+    "fn_map" ->
+      """SELECT doc_id, lang AS m_lang, source AS m_src,
+                n_chars AS m_len, 3::BIGINT AS n_keys,
+                'lang,src,len' AS keys_csv
+         FROM documents ORDER BY doc_id""",
+    "fn_json" ->
+      """SELECT event_id,
+                json_extract_string(props, '$.k')::BIGINT AS k_val,
+                json_extract_string(props, '$.k') IS NOT NULL AS has_k
+         FROM events ORDER BY event_id""",
+    "fn_sanitize" ->
+      """WITH r AS (
+           SELECT doc_id,
+                  '  re:p|o?r*t_' || doc_id || 'ñ"fi<le>na\me ' || source
+                  || '.tx t  ' AS raw
+           FROM documents)
+         SELECT doc_id, raw,
+                trim(regexp_replace(raw, '[^A-Za-z0-9._\- ]', '-', 'g'), ' ') AS clean
+         FROM r ORDER BY doc_id""",
+  )
+}

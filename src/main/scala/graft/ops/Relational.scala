@@ -1,0 +1,546 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator surface: scans, joins, aggregations, windows,
+  * sort/limit/top-k, set operations (SURVEY.md §2b).
+  *
+  * Every query is a pure (SparkSession, sfDir) => DataFrame; Catalyst is
+  * left free to pick physical strategies (broadcast vs shuffle, partial
+  * aggregation, TakeOrderedAndProject, …). Generalizes the reference's
+  * pipeline ops: dedup anti-join (scrap/child_otherftp.py:290-291),
+  * collision-rename window numbering (child.py:185-188), success/fail
+  * aggregation (main.py:84-109).
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- scans
+
+  /** Full columnar scan (R1/R11 analog). */
+  private def scanParquet: Q = (s, d) =>
+    t(s, d, "nation").orderBy("n_nationkey")
+
+  /** Pruned scan: column pruning + predicate pushdown reach the parquet
+    * reader (PushedFilters in .explain) — the "metadata before data" rule
+    * (child.py:35-65 HEAD-only stat). */
+  private def scanPruned: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .where(col("l_quantity") < 10)
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // order by every output column for a reproducible row order.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+
+  /** Conjunctive/disjunctive predicates with null-safe semantics
+    * (R12 integrity filter, R15 dispatch). */
+  private def filterPred: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .where(
+        col("l_quantity").between(5, 45) &&
+          (col("l_returnflag") === "R" || col("l_discount") > 0.05) &&
+          col("l_tax").isNotNull)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+  // ---------------------------------------------------------------- joins
+
+  /** Equi inner join on the fact tables; Catalyst/AQE picks SMJ or
+    * shuffled-hash. At 100 TB both sides shuffle on l_orderkey —
+    * co-partitioning (bucketing) would remove the exchange. */
+  private def joinInnerHash: Q = (s, d) => {
+    val o = t(s, d, "orders")
+    val l = t(s, d, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(
+        col("o_orderkey"), col("l_linenumber"), col("o_orderstatus"),
+        round(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))), 2)
+          .cast("double").as("revenue"))
+      .orderBy("o_orderkey", "l_linenumber", "revenue")
+  }
+
+  /** Dimension joins: nation/region are tiny → explicit broadcast so the
+    * fact side never shuffles (the 100 TB-safe plan). */
+  private def joinBroadcast: Q = (s, d) => {
+    val c = t(s, d, "customer")
+    val n = t(s, d, "nation")
+    val r = t(s, d, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_cust"), davg6(col("c_acctbal")).as("avg_bal"))
+      .orderBy("r_name")
+  }
+
+  /** Left outer join — sink-manifest lookup shape (R16 miss ⇒ null). */
+  private def joinLeft: Q = (s, d) => {
+    val o = t(s, d, "orders")
+    val c = t(s, d, "customer").where(col("c_acctbal") > 5000)
+    o.join(c, o("o_custkey") === c("c_custkey"), "left")
+      .select(
+        col("o_orderkey"),
+        coalesce(col("c_name"), lit("missing")).as("cust_name"),
+        coalesce(col("c_mktsegment"), lit("none")).as("segment"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Left semi = EXISTS in sink (R16 hit). */
+  private def joinSemi: Q = (s, d) => {
+    val c = t(s, d, "customer")
+    val big = t(s, d, "orders").where(col("o_totalprice") > 400000)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left anti — THE dedup-skip operator
+    * (scrap/child_otherftp.py:224-226,290-291). */
+  private def joinAnti: Q = (s, d) => {
+    val c = t(s, d, "customer")
+    val big = t(s, d, "orders").where(col("o_totalprice") > 400000)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Theta join: equi prefix + inequality residual (pairs of nations in
+    * the same region). Hash join on the equi part; the residual stays a
+    * post-join filter — scalable, unlike a pure cross product. */
+  private def joinTheta: Q = (s, d) => {
+    val n1 = t(s, d, "nation").select(
+      col("n_nationkey").as("a_key"), col("n_name").as("a_name"),
+      col("n_regionkey").as("a_region"))
+    val n2 = t(s, d, "nation").select(
+      col("n_nationkey").as("b_key"), col("n_name").as("b_name"),
+      col("n_regionkey").as("b_region"))
+    n1.join(n2, col("a_region") === col("b_region") && col("a_key") < col("b_key"))
+      .select("a_name", "b_name", "a_region")
+      .orderBy("a_name", "b_name")
+  }
+
+  /** Range join: events within 10 minutes after a signup by the same
+    * user. Equi on user_id keeps it a hash join with a range residual —
+    * the scale-safe formulation (no BNLJ). µs-domain comparison matches
+    * the DuckDB oracle exactly (ns truncation). */
+  private def joinRange: Q = (s, d) => {
+    val ev = events(s, d)
+    val e = ev.select(col("user_id").as("e_user"), col("ts_us").as("e_us"),
+      col("event_id").as("e_id"))
+    val g = ev.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts_us").as("s_us"),
+        col("event_id").as("s_id"))
+    e.join(g,
+        col("e_user") === col("s_user") &&
+          col("e_us") >= col("s_us") &&
+          col("e_us") < col("s_us") + lit(600000000L) &&
+          col("e_id") =!= col("s_id"))
+      .groupBy("s_id")
+      .agg(count(lit(1)).as("n_follow"))
+      .orderBy("s_id")
+  }
+
+  /** As-of join: for every purchase, the latest view by the same user at
+    * or before it ("latest matching blob", child.py:174-191). Spark has
+    * no native as-of; the scalable form is equi-join on the key + range
+    * filter + max_by — one shuffle on user_id. */
+  private def joinAsof: Q = (s, d) => {
+    val ev = events(s, d)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts_us").as("p_us"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts_us").as("v_us"))
+    p.join(v, col("p_user") === col("v_user") && col("v_us") <= col("p_us"), "left")
+      .groupBy("p_id")
+      .agg(
+        coalesce(max(col("v_us")), lit(-1L)).as("last_view_us"),
+        count(col("v_id")).as("n_prior_views"))
+      .orderBy("p_id")
+  }
+
+  // ----------------------------------------------------------- aggregates
+
+  /** Flagship: TPC-H-Q1-shaped pricing summary. Partial (map-side)
+    * aggregation + final merge come free from HashAggregateExec. */
+  def aggHash: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_base_price"),
+        round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))), 2)
+          .cast("double").as("sum_disc_price"),
+        davg6(col("l_quantity")).as("avg_qty"),
+        davg6(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def aggDistinct: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** HLL sketch distinct — the 100 TB answer to COUNT(DISTINCT): no
+    * exact shuffle of the key space. Approximate ⇒ rows-only check. */
+  private def aggApprox: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+      .orderBy("l_returnflag")
+
+  /** Rollup over the sink hierarchy {server}/{type} analog
+    * (child.py:172). Null grouping slots → 'ALL' for oracle parity. */
+  private def aggRollup: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum2(col("l_quantity")).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("qty"))
+      .orderBy("flag", "status")
+
+  private def aggCube: Q = (s, d) =>
+    t(s, d, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  /** GROUPING SETS — marginals by flag and by status in one pass. */
+  private def aggGsets: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum2(col("l_extendedprice")).as("price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("price"))
+      .orderBy("flag", "status")
+  }
+
+  /** Pivot event_type → columns (monitoring matrix, main.py:102-106).
+    * Explicit value list: no extra distinct-scan job, stable schema. */
+  private def aggPivot: Q = (s, d) =>
+    events(s, d)
+      .groupBy(pmod(col("user_id"), lit(10)).as("user_bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_bucket")
+
+  // -------------------------------------------------------------- windows
+
+  /** row_number / rank / dense_rank — the collision-rename numbering
+    * (child.py:185-188). rn uses a total order; rk/drk rank a tied key
+    * so the three differ observably. */
+  private def winRank: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .where(col("l_quantity") >= 49)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"),
+        row_number().over(Window.partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity")))
+          .as("rn"),
+        rank().over(Window.partitionBy("l_returnflag")
+          .orderBy(col("l_quantity").desc)).as("rk"),
+        dense_rank().over(Window.partitionBy("l_returnflag")
+          .orderBy(col("l_quantity").desc)).as("drk"))
+      .orderBy("l_returnflag", "rn")
+
+  /** lag/lead/first/last per user ordered by time (inter-event deltas). */
+  private def winAnalytic: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        coalesce(col("ts_us") - lag("ts_us", 1).over(w), lit(-1L)).as("gap_us"),
+        coalesce(lead("event_id", 1).over(w), lit(-1L)).as("next_id"),
+        first("value").over(w).as("first_value"),
+        last("value").over(wFull).as("last_value"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** Running/frame aggregates: rowsBetween cumulative sum + rangeBetween
+    * 30-day count (cumulative bytes-ingested analog). */
+  private def winFrame: Q = (s, d) => {
+    val wRows = Window.partitionBy("o_custkey")
+      .orderBy("od_s", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRange = Window.partitionBy("o_custkey")
+      .orderBy("od_s")
+      .rangeBetween(-2592000L, 0L)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        epochS(col("o_orderdate")).as("od_s"), col("o_totalprice"))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("od_s"),
+        round(sum(dec(col("o_totalprice"))).over(wRows), 2).cast("double")
+          .as("running_total"),
+        count(lit(1)).over(wRange).as("n_30d"))
+      .orderBy("o_custkey", "od_s", "o_orderkey")
+  }
+
+  // ------------------------------------------- sort / limit / top-k / sets
+
+  /** Global sort + limit → TakeOrderedAndProject (no full sort at scale;
+    * "largest files first", log/monitor.log:848-856). */
+  private def sortLimit: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** Top-k per group via window rank ≤ k (biggest file per server). */
+  private def topkGroup: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Union distinct of two predicates (R15 two-branch union). */
+  private def setUnion: Q = (s, d) => {
+    val rich = t(s, d, "customer").where(col("c_acctbal") > 9000)
+      .select("c_custkey")
+    val big = t(s, d, "orders").where(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("c_custkey"))
+    rich.union(big).distinct().orderBy("c_custkey")
+  }
+
+  /** Customers active in both 1995 and 1996 (cross-run overlap). */
+  private def setIntersect: Q = (s, d) => {
+    val o = t(s, d, "orders")
+    val y95 = o.where(year(col("o_orderdate")) === 1995).select("o_custkey")
+    val y96 = o.where(year(col("o_orderdate")) === 1996).select("o_custkey")
+    y95.intersect(y96).orderBy("o_custkey")
+  }
+
+  /** New-since-last-run semantics (R16/R18): 1995 customers EXCEPT 1996. */
+  private def setExcept: Q = (s, d) => {
+    val o = t(s, d, "orders")
+    val y95 = o.where(year(col("o_orderdate")) === 1995).select("o_custkey")
+    val y96 = o.where(year(col("o_orderdate")) === 1996).select("o_custkey")
+    y95.except(y96).orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------------- wiring
+
+  val queries: Map[String, Q] = Map(
+    "scan_parquet" -> scanParquet,
+    "scan_pruned" -> scanPruned,
+    "filter_pred" -> filterPred,
+    "join_inner_hash" -> joinInnerHash,
+    "join_broadcast" -> joinBroadcast,
+    "join_left" -> joinLeft,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_theta" -> joinTheta,
+    "join_range" -> joinRange,
+    "join_asof" -> joinAsof,
+    "agg_hash" -> aggHash,
+    "agg_distinct" -> aggDistinct,
+    "agg_approx" -> aggApprox,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_gsets" -> aggGsets,
+    "agg_pivot" -> aggPivot,
+    "win_rank" -> winRank,
+    "win_analytic" -> winAnalytic,
+    "win_frame" -> winFrame,
+    "sort_limit" -> sortLimit,
+    "topk_group" -> topkGroup,
+    "set_union" -> setUnion,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "scan_pruned" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity < 10 ORDER BY l_orderkey, l_linenumber, l_quantity""",
+    "filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+         WHERE l_quantity BETWEEN 5 AND 45
+           AND (l_returnflag = 'R' OR l_discount > 0.05)
+           AND l_tax IS NOT NULL
+         ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""",
+    "join_inner_hash" ->
+      """SELECT o_orderkey, l_linenumber, o_orderstatus,
+                round(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         ORDER BY o_orderkey, l_linenumber, revenue""",
+    "join_broadcast" ->
+      """SELECT r_name, count(*) AS n_cust,
+                (sum(CAST(c_acctbal AS DECIMAL(18,4)))::DOUBLE) / count(*) AS avg_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "join_left" ->
+      """SELECT o_orderkey, coalesce(c_name, 'missing') AS cust_name,
+                coalesce(c_mktsegment, 'none') AS segment
+         FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+           ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         ORDER BY c_custkey""",
+    "join_theta" ->
+      """SELECT a.n_name AS a_name, b.n_name AS b_name, a.n_regionkey AS a_region
+         FROM nation a JOIN nation b
+           ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+         ORDER BY a_name, b_name""",
+    "join_range" ->
+      s"""SELECT s.event_id AS s_id, count(*) AS n_follow
+          FROM events e JOIN events s
+            ON e.user_id = s.user_id
+           AND s.event_type = 'signup'
+           AND ${duckTsUs("e.ts")} >= ${duckTsUs("s.ts")}
+           AND ${duckTsUs("e.ts")} < ${duckTsUs("s.ts")} + 600000000
+           AND e.event_id <> s.event_id
+          GROUP BY s.event_id ORDER BY s_id""",
+    "join_asof" ->
+      s"""SELECT p.event_id AS p_id,
+                 coalesce(max(${duckTsUs("v.ts")}), -1) AS last_view_us,
+                 count(v.event_id) AS n_prior_views
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+            ON p.user_id = v.user_id AND ${duckTsUs("v.ts")} <= ${duckTsUs("p.ts")}
+          GROUP BY p.event_id ORDER BY p_id""",
+    "agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS sum_qty,
+                round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE AS sum_base_price,
+                round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)::DOUBLE AS sum_disc_price,
+                (sum(CAST(l_quantity AS DECIMAL(18,4)))::DOUBLE) / count(*) AS avg_qty,
+                (sum(CAST(l_discount AS DECIMAL(18,4)))::DOUBLE) / count(*) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+                count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                count(*) AS n,
+                round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY flag, status""",
+    "agg_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                count(*) AS n,
+                round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "agg_gsets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                count(*) AS n,
+                round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE AS price
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY flag, status""",
+    "agg_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+                count(*) FILTER (event_type = 'click') AS click,
+                count(*) FILTER (event_type = 'error') AS error,
+                count(*) FILTER (event_type = 'purchase') AS purchase,
+                count(*) FILTER (event_type = 'signup') AS signup,
+                count(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY 1 ORDER BY user_bucket""",
+    "win_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice,
+                row_number() OVER (PARTITION BY l_returnflag
+                  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+                           l_quantity) AS rn,
+                rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rk,
+                dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drk
+         FROM lineitem WHERE l_quantity >= 49
+         ORDER BY l_returnflag, rn""",
+    "win_analytic" ->
+      s"""SELECT event_id, user_id, ts_us,
+                 coalesce(ts_us - lag(ts_us, 1) OVER w, -1) AS gap_us,
+                 coalesce(lead(event_id, 1) OVER w, -1) AS next_id,
+                 first_value(value) OVER w AS first_value,
+                 last_value(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_value
+          FROM (SELECT event_id, user_id, ${duckTsUs("ts")} AS ts_us, value FROM events)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+          ORDER BY user_id, ts_us, event_id""",
+    "win_frame" ->
+      s"""SELECT o_custkey, o_orderkey, od_s,
+                 round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                   OVER (PARTITION BY o_custkey ORDER BY od_s, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE
+                   AS running_total,
+                 count(*) OVER (PARTITION BY o_custkey ORDER BY od_s
+                         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_30d
+          FROM (SELECT o_custkey, o_orderkey, ${duckUsS("o_orderdate")} AS od_s,
+                       o_totalprice FROM orders)
+          ORDER BY o_custkey, od_s, o_orderkey""",
+    "sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
+    "topk_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "set_union" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+         UNION
+         SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+         ORDER BY c_custkey""",
+    "set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
+    "set_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
+  )
+}

@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate (driver-side tooling;
+not part of the Scala library). Usage:
+
+    python3 tools/check.py /tmp/verify_out /root/testdata/sf0.01
+
+Expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have been run
+first. Compares each <outDir>/<name> parquet against DuckDB executing
+oracle_sql.json on the same tables: row count, column names/types, and
+exact value hash (columns sorted by name, rows in produced order).
+"""
+import hashlib
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            v = 0.0  # normalize -0.0
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def table_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    h = hashlib.sha256()
+    for row in rows:
+        h.update("\x1f".join(norm(row[i]) for i in order).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main(out_dir, sf_dir):
+    out = Path(out_dir)
+    oracles = json.loads((out / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for p in sorted(Path(sf_dir).glob("*.parquet")):
+        con.execute(f"CREATE VIEW {p.stem} AS SELECT * FROM '{p}'")
+    n_pass = n_fail = n_rowsonly = 0
+    for qdir in sorted(d for d in out.iterdir() if d.is_dir()):
+        name = qdir.name
+        try:
+            got = con.execute(f"SELECT * FROM '{qdir}/*.parquet'")
+            gcols = [c[0] for c in got.description]
+            grows = got.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            status = "ROWS-ONLY" if len(grows) > 0 else "ROWS-ONLY-EMPTY(!)"
+            if not grows:
+                n_fail += 1
+            else:
+                n_rowsonly += 1
+            print(f"{status} {name}: {len(grows)} rows")
+            continue
+        try:
+            want = con.execute(oracles[name])
+            wcols = [c[0] for c in want.description]
+            wrows = want.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(gcols) != sorted(wcols):
+            problems.append(f"cols spark={sorted(gcols)} duck={sorted(wcols)}")
+        elif len(grows) != len(wrows):
+            problems.append(f"rows spark={len(grows)} duck={len(wrows)}")
+        elif table_hash(grows, gcols) != table_hash(wrows, wcols):
+            problems.append("hash mismatch")
+            order_g = sorted(range(len(gcols)), key=lambda i: gcols[i])
+            order_w = sorted(range(len(wcols)), key=lambda i: wcols[i])
+            shown = 0
+            for ri, (gr, wr) in enumerate(zip(grows, wrows)):
+                gv = ["%s=%s" % (gcols[i], norm(gr[i])) for i in order_g]
+                wv = ["%s=%s" % (wcols[i], norm(wr[i])) for i in order_w]
+                if gv != wv and shown < 3:
+                    problems.append(f"  row{ri} spark={gv}")
+                    problems.append(f"  row{ri}  duck={wv}")
+                    shown += 1
+        if problems:
+            print(f"FAIL {name}: " + "\n".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(grows)} rows")
+            n_pass += 1
+    print(f"\n== {n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
