@@ -19,6 +19,14 @@ object Tables {
   /** Driver-contract query shape: (session, sf-dir) => result. */
   type Q = (SparkSession, String) => DataFrame
 
+  /** Scratch root for sinks/checkpoints/fixtures: tmpfs when available —
+    * streaming state stores fsync many small files per micro-batch, and
+    * on a disk-backed /tmp those fsyncs dominate (and destabilize) every
+    * streaming benchmark. */
+  val scratchRoot: String =
+    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft"
+    else "/tmp/graft"
+
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 

@@ -1,0 +1,218 @@
+package graft.ops
+
+import java.io.{File, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.Tables._
+import graft.expr.{Sanitize, ZipEntries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Ingestion domain (SURVEY.md §2a → M4): the reference's whole pipeline
+  * re-expressed Spark-first — binaryFile scan (R11), name/type derivation
+  * (R6–R8), zip explode (R14), manifest anti-join dedup (R18) with the
+  * rename policy (R17) as a window variant, partitioned sink + read-back
+  * audit (R19/R20), per-file error isolation by construction (each stage
+  * is a pure DataFrame transform).
+  *
+  * Payload discipline at scale: bytes ride inside rows from scan to sink
+  * and are never shuffled on their own; only name/size/mtime metadata
+  * participates in joins (mirrors child.py:196-206 where bytes go
+  * disk→sink untransformed).
+  */
+object Ingest {
+
+  /** Binary file scan over the sf dir's parquet files themselves: the
+    * multimodal "opaque blob + typed metadata" row (binaryFile gives
+    * path/modificationTime/length/content — 1:1 with the reference's
+    * file record, child.py:128-146). */
+  private def scanBinary: Q = (s, d) =>
+    s.read.format("binaryFile").load(s"$d/*.parquet")
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("length"))
+      .orderBy("file_name")
+
+  /** Partitioned sink + read-back audit: write documents partitioned by
+    * lang (the {server}/{type} layout analog, child.py:172), then verify
+    * by re-reading — R19 + R20 in one operator. */
+  private def sinkParquet: Q = (s, d) => {
+    val out = s"$scratchRoot/sink/documents"
+    t(s, d, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+  }
+
+  // ------------------------------------------------------------- fixture
+
+  /** Deterministic ingest fixture (FIXTURES.md §3): zip with nested
+    * members + distinct mtimes, unicode/control-char names, duplicate
+    * contents, a same-name collision, extension-less and empty files. */
+  def buildFixture(): String = {
+    val dir = new File(s"$scratchRoot/fixture")
+    def del(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del)
+      f.delete(): Unit
+    }
+    if (dir.exists()) del(dir)
+    dir.mkdirs()
+    def write(name: String, bytes: Array[Byte]): Unit = {
+      val f = new File(dir, name)
+      val o = new FileOutputStream(f)
+      o.write(bytes); o.close()
+      f.setLastModified(1700000000000L): Unit
+    }
+    write("report final.txt", "alpha beta gamma".getBytes("UTF-8"))
+    write("datañ♪.txt", "unicode payload".getBytes("UTF-8"))
+    write("dup_one.txt", "same content twice".getBytes("UTF-8"))
+    write("dup_two.txt", "same content twice".getBytes("UTF-8"))
+    write("b.log", "top-level log".getBytes("UTF-8"))
+    write("noext", "no extension here".getBytes("UTF-8"))
+    // NOTE: Spark's file index silently drops zero-length files, so
+    // empty.txt never enters the pipeline — a documented deviation from
+    // the reference (which would upload empty payloads).
+    write("empty.txt", Array.emptyByteArray)
+    // zip: nested dir member (flattened on explode) + same-name collision
+    // with top-level b.log; member mtimes differ from the archive's.
+    val zbytes = new java.io.ByteArrayOutputStream()
+    val zos = new ZipOutputStream(zbytes)
+    def member(name: String, content: String, mtime: Long): Unit = {
+      val e = new ZipEntry(name)
+      e.setTime(mtime)
+      zos.putNextEntry(e)
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    member("inner/a.txt", "member a", 1600000000000L)
+    member("b.log", "member b log", 1600000100000L)
+    zos.close()
+    write("archive.zip", zbytes.toByteArray)
+    dir.getAbsolutePath
+  }
+
+  /** End-to-end ingest pipeline over the fixture:
+    * scan → derive → zip-explode (flat union, R15 dispatch) → sanitize →
+    * manifest anti-join (R18 skip) → collision rename (R17, rank-derived
+    * suffix, deterministic unlike the reference's wall-clock epoch) →
+    * partitioned sink → read-back audit. Output is pinned by a VALUES
+    * oracle — the fixture is deterministic. */
+  private def ingestE2e: Q = (s, d) => {
+    val fixture = buildFixture()
+    val raw = s.read.format("binaryFile").load(fixture)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        (unix_millis(col("modificationTime")) / 1000).cast("long").as("mtime"),
+        col("length").as("size"), col("content"))
+
+    val isZip = lower(element_at(split(col("file_name"), "\\."), -1)) === "zip"
+    val plain = raw.where(!isZip)
+    val members = raw.where(isZip)
+      .select(explode(ZipEntries.zip_entries(col("content"))).as("m"))
+      .select(col("m.name").as("file_name"), col("m.mtime").as("mtime"),
+        col("m.size").as("size"), col("m.content").as("content"))
+
+    val sanitized = plain.unionByName(members)
+      .select(
+        Sanitize.sanitize(col("file_name")).as("file_name"),
+        col("mtime"), col("size"), col("content"))
+      .withColumn("file_type",
+        when(col("file_name").contains("."),
+          lower(element_at(split(col("file_name"), "\\."), -1))).otherwise("none"))
+
+    // Prior-run manifest: (name,size) identity — child.py:183-184 uses
+    // (path,size,mtime); mtime is excluded here because zip-member clock
+    // recovery makes it environment-dependent.
+    val manifest = s.createDataFrame(Seq(
+      ("dup_two.txt", 18L),
+      ("stale_entry.txt", 999L),
+    )).toDF("file_name", "size")
+    val fresh = sanitized.join(manifest, Seq("file_name", "size"), "left_anti")
+
+    // Collision rename: same sanitized name → deterministic rank suffix.
+    val w = Window.partitionBy("file_name").orderBy("mtime", "size")
+    val renamed = fresh
+      .withColumn("rn", row_number().over(w))
+      .withColumn("final_name",
+        when(col("rn") === 1, col("file_name"))
+          .otherwise(concat(
+            regexp_replace(col("file_name"), "\\.[^.]*$", ""),
+            lit("_"), col("rn"),
+            regexp_extract(col("file_name"), "(\\.[^.]*)$", 1))))
+
+    val sink = s"$scratchRoot/sink/e2e"
+    renamed
+      .select(col("final_name").as("file_name"), col("file_type"),
+        col("size"), col("mtime"), col("content"))
+      .write.mode("overwrite").partitionBy("file_type").parquet(sink)
+
+    s.read.parquet(sink)
+      .groupBy("file_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("size")).as("total_bytes"),
+        array_join(array_sort(collect_list(col("file_name"))), "|").as("names"))
+      .orderBy("file_type")
+  }
+
+  /** Multimodal decode plumbing: binary blobs → fixed-shape feature rows
+    * via typed mapPartitions (the Scala analog of a vectorized batch
+    * UDF). The decoder is a STUB — image/audio codecs are absent in this
+    * environment — producing deterministic byte-level features; the
+    * Spark-side schema/partitioning/batch shape is real. */
+  private def mmDecode: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    s.read.format("binaryFile").load(s"$d/*.parquet")
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (name, bytes) =>
+          // STUB decode: real impl would decode image/audio frames here.
+          var h = 1125899906842597L
+          val n = math.min(bytes.length, 4096)
+          var i = 0
+          while (i < n) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
+          (name, bytes.length.toLong, h, (bytes.length % 1024).toLong)
+        }
+      }
+      .toDF("file_name", "n_bytes", "feat_hash", "fake_width")
+      .orderBy("file_name")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "scan_binary" -> scanBinary,
+    "sink_parquet" -> sinkParquet,
+    "ingest_e2e" -> ingestE2e,
+    "mm_decode" -> mmDecode,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Correctness SF is sf0.01 by driver contract (TESTDATA.md).
+    "scan_binary" ->
+      """SELECT split_part(filename, '/', -1) AS file_name, size AS length
+         FROM read_blob('/root/testdata/sf0.01/*.parquet')
+         ORDER BY file_name""",
+    "sink_parquet" ->
+      """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS total_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // Fixture is deterministic → audit rows are pinned literals
+    // (regenerated by IngestSpec if the fixture changes).
+    "ingest_e2e" -> ingestE2eExpectedSql,
+  )
+
+  /** Pinned expected audit for ingest_e2e (see IngestSpec). */
+  private lazy val ingestE2eExpectedSql: String =
+    """SELECT file_type, n::BIGINT AS n, total_bytes::BIGINT AS total_bytes, names
+       FROM (VALUES
+         ('log',  2, 25, 'b.log|b_2.log'),
+         ('none', 1, 17, 'noext'),
+         ('txt',  4, 57, 'a.txt|data--.txt|dup_one.txt|report final.txt'))
+       t(file_type, n, total_bytes, names)
+       ORDER BY file_type"""
+}

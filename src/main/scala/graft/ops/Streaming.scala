@@ -1,0 +1,256 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY.md §2b): the reference is a
+  * cron-triggered batch ingest (README.md:102-131) — exactly the shape of
+  * `readStream` + `Trigger.AvailableNow`. Batch-equivalent window
+  * aggregations are expressed with the same `window()`/`session_window()`
+  * primitives a stream would use, so each has an exact DuckDB oracle; the
+  * stream_* operators run genuine streaming queries (memory/foreachBatch
+  * sinks) and return their deterministic results.
+  *
+  * Event time comes from ts_us (epoch µs long) via timestamp_micros —
+  * see Tables.events for the ns-parquet handling.
+  */
+/** mapGroupsWithState buffer/output rows — top level so Spark's encoder
+  * codegen can reach the accessors. */
+case class UserState(nEvents: Long, totalCents: Long)
+case class UserRow(user_id: Long, n_events: Long, total_value: Double)
+
+object Streaming {
+
+  private def evWithTs(s: SparkSession, d: String): DataFrame =
+    events(s, d).withColumn("ts_t", timestamp_micros(col("ts_us")))
+
+  /** Tumbling 10-minute windows: count + exact-decimal value sum.
+    * Emitted as epoch seconds (window start), never raw timestamps. */
+  private def winTumbling: Q = (s, d) =>
+    evWithTs(s, d)
+      .groupBy(window(col("ts_t"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("total_value"))
+      .select(unix_timestamp(col("w.start")).as("wstart_s"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("wstart_s", "event_type")
+
+  /** Sliding windows (10 min length, 5 min slide): each event lands in
+    * exactly two windows. */
+  private def winSliding: Q = (s, d) =>
+    evWithTs(s, d)
+      .groupBy(window(col("ts_t"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("wstart_s"), col("n"))
+      .orderBy("wstart_s")
+
+  /** Session windows: 30-minute inactivity gap per user. Oracle is the
+    * classic gaps-and-islands SQL — semantics must agree exactly. */
+  private def winSession: Q = (s, d) =>
+    evWithTs(s, d)
+      .groupBy(session_window(col("ts_t"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("ts_us")) - min(col("ts_us"))).cast("double") / 1e6).as("dur_s"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start_s"),
+        col("n_events"), col("dur_s"))
+      .orderBy("user_id", "sess_start_s")
+
+  // ------------------------------------------------------ true streaming
+
+  private def streamDir(name: String): String = {
+    val dir = s"$scratchRoot/stream/$name"
+    val f = new java.io.File(dir)
+    def del(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(del)
+      x.delete(): Unit
+    }
+    if (f.exists()) del(f)
+    f.mkdirs()
+    dir
+  }
+
+  /** On-disk schema (ts as raw int64 ns under the legacy flag) — the
+    * derived ts_us column must NOT be part of the readStream schema. */
+  private def eventsFileSchema(s: SparkSession, d: String): StructType =
+    events(s, d).drop("ts_us").schema
+
+  private def readEventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file stream source requires a directory; select the single
+    // events file via glob filter.
+    s.readStream
+      .schema(eventsFileSchema(s, d))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+  }
+
+  /** Run a streaming DF to completion into an in-memory table and return
+    * the final result (AvailableNow = the reference's cron-batch shape). */
+  private def runToMemory(s: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", streamDir(s"$name/ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** File-arrival micro-batch ingest → per-type counts (R23 accounting). */
+  private def streamIngest: Q = (s, d) => {
+    val agg = readEventStream(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+    runToMemory(s, agg, "stream_ingest_t", OutputMode.Complete())
+      .orderBy("event_type")
+  }
+
+  /** Watermarked tumbling windows, append mode: only windows sealed below
+    * the final watermark (max event time − 1 h) are emitted — late-data
+    * semantics (missing REMOTE_TIME analog, log/error.log:27-32). */
+  private def streamWatermark: Q = (s, d) => {
+    val agg = readEventStream(s, d)
+      .withWatermark("ts_t", "1 hour")
+      .groupBy(window(col("ts_t"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("wstart_s"), col("n"))
+    runToMemory(s, agg, "stream_watermark_t", OutputMode.Append())
+      .orderBy("wstart_s")
+  }
+
+  /** Exactly-once-style dedup: the stream carries each event twice
+    * (self-union); dropDuplicates on the event id restores uniqueness
+    * (R16/R18 duplicate skip). */
+  private def streamDedup: Q = (s, d) => {
+    val st = readEventStream(s, d)
+    val agg = st.union(st)
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+    runToMemory(s, agg, "stream_dedup_t", OutputMode.Complete())
+      .orderBy("event_type")
+  }
+
+  /** Arbitrary stateful processing: per-user running (count, sum) via
+    * mapGroupsWithState (R25 per-batch timing state analog). Values are
+    * accumulated as exact cents so fold order can't perturb the result. */
+  private def streamStateful: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    val st = readEventStream(s, d)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+    val updated = st
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserRow](GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          var n = prev.nEvents
+          var cents = prev.totalCents
+          rows.foreach { r =>
+            n += 1
+            cents += math.round(r._2 * 100)
+          }
+          state.update(UserState(n, cents))
+          UserRow(user, n, cents / 100.0)
+      }
+    runToMemory(s, updated.toDF(), "stream_stateful_t", OutputMode.Update())
+      .orderBy("user_id")
+  }
+
+  /** Idempotent sink + accounting: foreachBatch writes parquet
+    * (mode=overwrite per epoch → replayable), then the result is read
+    * back and audited (R19 sink + R20 verification). */
+  private def streamSink: Q = (s, d) => {
+    val out = streamDir("stream_sink/out")
+    val st = readEventStream(s, d)
+      .select("event_id", "event_type", "value")
+    val q = st.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", streamDir("stream_sink/ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "win_tumbling" -> winTumbling,
+    "win_sliding" -> winSliding,
+    "win_session" -> winSession,
+    "stream_ingest" -> streamIngest,
+    "stream_watermark" -> streamWatermark,
+    "stream_dedup" -> streamDedup,
+    "stream_stateful" -> streamStateful,
+    "stream_sink" -> streamSink,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "win_tumbling" ->
+      s"""SELECT (${duckTsS("ts")} // 600) * 600 AS wstart_s, event_type,
+                 count(*) AS n,
+                 round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS total_value
+          FROM events GROUP BY 1, 2 ORDER BY wstart_s, event_type""",
+    "win_sliding" ->
+      s"""WITH b AS (
+            SELECT (${duckTsS("ts")} // 300) * 300 AS wstart_s FROM events
+            UNION ALL
+            SELECT (${duckTsS("ts")} // 300) * 300 - 300 AS wstart_s FROM events)
+          SELECT wstart_s, count(*) AS n FROM b
+          GROUP BY wstart_s ORDER BY wstart_s""",
+    "win_session" ->
+      s"""WITH e AS (
+            SELECT user_id, ${duckTsUs("ts")} AS ts_us FROM events),
+          flagged AS (
+            SELECT user_id, ts_us,
+                   CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                        ORDER BY ts_us) > 1800000000 THEN 1
+                        WHEN lag(ts_us) OVER (PARTITION BY user_id
+                        ORDER BY ts_us) IS NULL THEN 1
+                        ELSE 0 END AS new_sess
+            FROM e),
+          sess AS (
+            SELECT user_id, ts_us,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM flagged)
+          SELECT user_id, (min(ts_us) // 1000000) AS sess_start_s,
+                 count(*) AS n_events,
+                 (max(ts_us) - min(ts_us))::DOUBLE / 1e6 AS dur_s
+          FROM sess GROUP BY user_id, sid
+          ORDER BY user_id, sess_start_s""",
+    "stream_ingest" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+    "stream_watermark" ->
+      s"""WITH m AS (SELECT max(${duckTsS("ts")}) AS max_s FROM events),
+          w AS (SELECT (${duckTsS("ts")} // 600) * 600 AS wstart_s,
+                       count(*) AS n
+                FROM events GROUP BY 1)
+          SELECT wstart_s, n FROM w, m
+          WHERE wstart_s + 600 <= max_s - 3600
+          ORDER BY wstart_s""",
+    "stream_dedup" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+    "stream_stateful" ->
+      """SELECT user_id, count(*) AS n_events,
+                (sum(CAST(round(value * 100, 0) AS BIGINT))::DOUBLE / 100)
+                  AS total_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "stream_sink" ->
+      """SELECT event_type, count(*) AS n,
+                round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS total_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+  )
+}
