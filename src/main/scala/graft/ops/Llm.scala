@@ -135,8 +135,168 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  // ----------------------------------------------------- near-dup family
+
+  /** Word-3-gram shingle set (distinct), null-padded tail shingles for
+    * very short docs. */
+  private def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2))))
+  }
+
+  /** MinHash + LSH banding: 16 xxhash64 signatures → 4 bands of 4;
+    * docs sharing a band bucket are near-dup candidates. Per-doc output
+    * (signature head + candidate multiplicity) so the result is
+    * non-empty even on a corpus with no true near-dups; pair semantics
+    * are pinned by LlmSpec on planted near-duplicates.
+    *
+    * Scale: one shuffle to count band buckets, one broadcast-back join;
+    * signatures are 16 longs per doc regardless of doc size. */
+  private def dedupMinhash: Q = (s, d) => {
+    val nSig = 16
+    val bandWidth = 4
+    val withSig = t(s, d, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(
+        col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        array((0 until nSig).map(k =>
+          array_min(transform(col("sh"), x => xxhash64(lit(k), x)))): _*)
+          .as("sig"))
+    val withBands = withSig.select(
+      col("doc_id"), col("n_shingles"), element_at(col("sig"), 1).as("sig0"),
+      array((0 until nSig / bandWidth).map(b =>
+        xxhash64((0 until bandWidth).map(j =>
+          element_at(col("sig"), b * bandWidth + j + 1)): _*)).map(identity): _*)
+        .as("bands"))
+    val exploded = withBands.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val buckets = exploded.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"))
+    val cand = exploded.join(buckets, Seq("band_idx", "band_hash"))
+      .groupBy("doc_id")
+      .agg(sum(col("bucket_n") - 1).as("n_candidates"))
+    withBands
+      .join(cand, Seq("doc_id"))
+      .select("doc_id", "n_shingles", "sig0", "n_candidates")
+      .orderBy("doc_id")
+  }
+
+  /** SimHash (64-bit): per-token xxhash64, ±1 vote per bit, sign →
+    * fingerprint. One explode + one hash-aggregation with map-side
+    * combine — O(tokens) work, O(1) state per doc. */
+  private def dedupSimhash: Q = (s, d) => {
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$i"))
+    val half = (lo: Int) => (lo until lo + 32)
+      .map(i => when(col(s"b$i") > 0, lit(1L << (i - lo))).otherwise(0L))
+      .reduce(_ + _)
+    tok.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        format_string("%08x%08x", half(32), half(0)).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Character-4-gram Jaccard near-dup, blocked by source (the blocking
+    * key bounds the pair space — the 100 TB-safe shape for pairwise
+    * similarity). Top-10 most similar pairs. */
+  private def dedupNgram: Q = (s, d) => {
+    val grams = expr(
+      "array_distinct(transform(sequence(1, greatest(length(text)-3, 1))," +
+        " i -> substring(text, i, 4)))")
+    val g = t(s, d, "documents").select(col("doc_id"), col("source"), grams.as("g"))
+    val a = g.select(col("doc_id").as("a_id"), col("source"), col("g").as("ga"))
+    val b = g.select(col("doc_id").as("b_id"), col("source"), col("g").as("gb"))
+    a.join(b, Seq("source"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))).cast("double")).as("jacc"))
+      .orderBy(col("jacc").desc, col("a_id"), col("b_id"))
+      .limit(10)
+  }
+
+  /** Embedding-cosine near-dup: top-20 most similar pairs per label
+    * block (blocking again bounds the pair space). */
+  private def dedupEmbed: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+    val a = e.select(col("vec_id").as("a_id"), col("label"), col("emb").as("ea"))
+    val b = e.select(col("vec_id").as("b_id"), col("label"), col("emb").as("eb"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("cos").desc, col("a_id"), col("b_id"))
+    a.join(b, Seq("label"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("label"), col("a_id"), col("b_id"),
+        cosine(col("ea"), col("eb")).as("cos"))
+      .select(col("label"), col("a_id"), col("b_id"), col("cos"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= 20)
+      .orderBy("label", "rn")
+  }
+
+  /** LSH-bucketed approximate nearest neighbours: 4 deterministic
+    * pseudo-random hyperplanes → 16 buckets; queries probe only their
+    * own bucket (the IVF-style scale path; sim_cosine_topk is the exact
+    * baseline). Deterministic seeded planes, no Math.random. */
+  private def simAnnLsh: Q = (s, d) => {
+    val planes: Seq[Seq[Double]] = {
+      var state = 0x9E3779B97F4A7C15L
+      def next(): Double = {
+        state = state * 6364136223846793005L + 1442695040888963407L
+        ((state >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+      }
+      Seq.fill(4)(Seq.fill(64)(next()))
+    }
+    def dotLit(emb: Column, p: Seq[Double]): Column =
+      aggregate(zip_with(emb, typedLit(p), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+    def bucket(emb: Column): Column =
+      planes.zipWithIndex.map { case (p, j) =>
+        when(dotLit(emb, p) > 0, lit(1 << j)).otherwise(0)
+      }.reduce(_ + _)
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("bucket", bucket(col("emb")))
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("bucket"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), Seq("bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("qemb"), col("emb")).as("cos"))
+      .select(col("qid"), col("vec_id"), col("cos"), row_number().over(w).as("rn"))
+      .where(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("vec_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Document fingerprint: polynomial rolling hash over the character
+    * stream, mod 1e9+7 (fits exact integer math in both engines). */
+  private def textFingerprint: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        aggregate(
+          transform(split(col("text"), ""), c => ascii(c).cast("long")),
+          lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L).as("fp"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram" -> dedupNgram,
+    "dedup_embed" -> dedupEmbed,
+    "sim_ann_lsh" -> simAnnLsh,
+    "text_fingerprint" -> textFingerprint,
     "sim_cosine_topk" -> simCosineTopk,
     "text_stats" -> textStats,
     "text_tokens" -> textTokens,
@@ -145,16 +305,53 @@ object Llm {
     "multimodal_join" -> multimodalJoin,
   )
 
-  private val duckCos =
-    """list_reduce(list_transform(list_zip(q.emb, e.emb),
+  /** DuckDB cosine between <l>.emb and <r>.emb — left-fold order matches
+    * the Spark `aggregate` fold bitwise. */
+  private def duckCosOf(l: String, r: String): String =
+    s"""list_reduce(list_transform(list_zip($l.emb, $r.emb),
          s -> s[1] * s[2]), (a, b) -> a + b)
-       / (sqrt(list_reduce(list_transform(q.emb, x -> x * x), (a, b) -> a + b))
-        * sqrt(list_reduce(list_transform(e.emb, x -> x * x), (a, b) -> a + b)))"""
+       / (sqrt(list_reduce(list_transform($l.emb, x -> x * x), (a, b) -> a + b))
+        * sqrt(list_reduce(list_transform($r.emb, x -> x * x), (a, b) -> a + b)))"""
+
+  private val duckCos = duckCosOf("q", "e")
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY doc_id""",
+    "dedup_ngram" ->
+      """WITH g AS (
+           SELECT doc_id, source,
+                  list_distinct(list_transform(
+                    range(1, greatest(length(text)-3, 1) + 1),
+                    i -> substr(text, i, 4))) AS g
+           FROM documents)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                len(list_intersect(a.g, b.g))::DOUBLE
+                / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE AS jacc
+         FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+         ORDER BY jacc DESC, a_id, b_id LIMIT 10""",
+    "dedup_embed" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+                     FROM embeddings),
+          pairs AS (
+            SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+                   ${duckCosOf("a", "b")} AS cos
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+          SELECT label, a_id, b_id, cos, rn FROM (
+            SELECT label, a_id, b_id, cos,
+                   row_number() OVER (PARTITION BY label
+                     ORDER BY cos DESC, a_id, b_id) AS rn
+            FROM pairs)
+          WHERE rn <= 20 ORDER BY label, rn""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(0::BIGINT,
+                    list_transform(string_split(text, ''),
+                                   c -> ord(c)::BIGINT)),
+                  (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
     "sim_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
           pairs AS (

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the near-dup/similarity family on PLANTED
+  * near-duplicates (the driver-data corpus has none, so the oracle gate
+  * alone cannot pin pair detection). */
+class LlmSpec extends AnyFunSuite {
+  import SharedSpark.spark
+
+  /** Fixture dir with documents+embeddings parquet: doc/vec 0 and 1 are
+    * near-duplicates, the rest are unrelated. */
+  private lazy val dir: String = {
+    val d = s"${Tables.scratchRoot}/llm_fixture"
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest before sunset tonight"
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base.replace("lazy", "sleepy"), "en", "src0", base.length.toLong),
+      (2L, "completely different content about spark query engines and " +
+        "columnar execution with vectorized readers everywhere", "en", "src0", 110L),
+      (3L, "unrelated third text mentioning neither foxes nor dogs just " +
+        "plain boring words repeated boring words", "en", "src0", 100L),
+    )
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val v0 = vec()
+    val v1 = v0.clone(); v1(0) += 0.01f // near-duplicate of v0
+    val rows = Seq((0L, v0.toSeq, 0), (1L, v1.toSeq, 0)) ++
+      (2L until 20L).map(i => (i, vec().toSeq, (i % 2).toInt))
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("minhash LSH flags the planted near-dup pair as candidates") {
+    val rows = q("dedup_minhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rows(0L) > 0, "doc 0 should have candidates")
+    assert(rows(1L) > 0, "doc 1 should have candidates")
+    assert(rows(3L) === 0, "unrelated doc should have none")
+  }
+
+  test("simhash: near-dup hamming distance < unrelated hamming distance") {
+    def hamming(a: String, b: String): Int =
+      java.lang.Long.bitCount(
+        java.lang.Long.parseUnsignedLong(a, 16) ^
+          java.lang.Long.parseUnsignedLong(b, 16))
+    val m = q("dedup_simhash").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hamming(m(0L), m(1L)) < hamming(m(0L), m(2L)))
+    assert(hamming(m(0L), m(1L)) <= 12)
+  }
+
+  test("ngram jaccard ranks the planted pair first") {
+    val top = q("dedup_ngram").collect().head
+    assert((top.getLong(0), top.getLong(1)) === (0L, 1L))
+    assert(top.getDouble(2) > 0.7)
+  }
+
+  test("embedding near-dup ranks the planted vector pair first in its label") {
+    val top = q("dedup_embed").collect().filter(_.getInt(0) == 0).head
+    assert((top.getLong(1), top.getLong(2)) === (0L, 1L))
+    assert(top.getDouble(3) > 0.99)
+  }
+
+  test("LSH ANN finds the planted neighbour for query 0") {
+    val rows = q("sim_ann_lsh").collect().filter(_.getLong(0) == 0L)
+    assert(rows.nonEmpty, "query 0 must have bucket neighbours")
+    assert(rows.head.getLong(2) === 1L, "nearest neighbour should be vec 1")
+  }
+
+  test("fingerprints are stable and content-sensitive") {
+    val fp = q("text_fingerprint").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp.values.toSet.size === 4, "distinct texts → distinct fingerprints")
+    val fp2 = q("text_fingerprint").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp === fp2)
+  }
+}
