@@ -21,8 +21,22 @@ import org.apache.spark.sql.functions._
 object Sanitize {
   val DisallowedClass = "[^A-Za-z0-9._\\- ]"
 
-  def sanitize(c: Column): Column =
+  /** Built-in chain (regexp_replace + trim) — kept as the reference
+    * implementation the native expression is cross-checked against. */
+  def sanitizeRegex(c: Column): Column =
     trim(regexp_replace(c, DisallowedClass, "-"), " ")
+
+  /** Register the native codegen expression (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("sanitize_filename",
+        exprs => SanitizeFilename(exprs.head), "built-in")
+
+  /** Native single-pass Catalyst expression ([[SanitizeFilename]]);
+    * requires register(spark) once per session. */
+  def sanitize(c: Column): Column =
+    call_function("sanitize_filename", c)
 
   /** Scala-side twin for property tests (one output char per codepoint). */
   def sanitizeString(s: String): String = {

@@ -137,13 +137,15 @@ object Functions {
 
   /** Filename sanitize (child.py:20-33; pins from tests/test_basic.py:18-80)
     * applied to adversarial names synthesized from the documents table. */
-  private def fnSanitize: Q = (s, d) =>
+  private def fnSanitize: Q = (s, d) => {
+    Sanitize.register(s)
     t(s, d, "documents")
       .select(col("doc_id"),
         concat(lit("  re:p|o?r*t_"), col("doc_id"), lit("ñ"),
           lit("\"fi<le>na\\me "), col("source"), lit(".tx t  ")).as("raw"))
       .select(col("doc_id"), col("raw"), Sanitize.sanitize(col("raw")).as("clean"))
       .orderBy("doc_id")
+  }
 
   val queries: Map[String, Q] = Map(
     "proj_derive" -> projDerive,

@@ -101,6 +101,7 @@ object Ingest {
     * partitioned sink → read-back audit. Output is pinned by a VALUES
     * oracle — the fixture is deterministic. */
   private def ingestE2e: Q = (s, d) => {
+    Sanitize.register(s)
     val fixture = buildFixture()
     val raw = s.read.format("binaryFile").load(fixture)
       .select(

@@ -185,6 +185,23 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** MinHash signatures via the typed Aggregator UDAF
+    * ([[graft.expr.MinHashAgg]]) over exploded shingles — the
+    * map-side-combinable formulation (shuffle carries 16 longs per doc).
+    * Cross-validated bit-for-bit against dedup_minhash's higher-order
+    * path in LlmSpec. */
+  private def dedupMinhashAgg: Q = (s, d) => {
+    val mh = udaf(new graft.expr.MinHashAgg(16))
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .groupBy("doc_id")
+      .agg(mh(col("sh")).as("sig"))
+      .select(col("doc_id"),
+        element_at(col("sig"), 1).as("sig0"),
+        element_at(col("sig"), 16).as("sig15"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash (64-bit): per-token xxhash64, ±1 vote per bit, sign →
     * fingerprint. One explode + one hash-aggregation with map-side
     * combine — O(tokens) work, O(1) state per doc. */
@@ -292,6 +309,7 @@ object Llm {
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_minhash_agg" -> dedupMinhashAgg,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram" -> dedupNgram,
     "dedup_embed" -> dedupEmbed,

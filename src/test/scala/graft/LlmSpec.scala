@@ -46,6 +46,14 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(3L) === 0, "unrelated doc should have none")
   }
 
+  test("minhash UDAF signatures match the higher-order-function path") {
+    val hof = q("dedup_minhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // doc_id -> sig0
+    val agg = q("dedup_minhash_agg").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hof === agg)
+  }
+
   test("simhash: near-dup hamming distance < unrelated hamming distance") {
     def hamming(a: String, b: String): Int =
       java.lang.Long.bitCount(

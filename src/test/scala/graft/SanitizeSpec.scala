@@ -8,6 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * reference (child.py:20-33), cases mirroring tests/test_basic.py:18-80. */
 class SanitizeSpec extends AnyFunSuite {
   import SharedSpark.spark
+  Sanitize.register(spark)
 
   // (input, expected) — reference-pinned behavior.
   val cases: Seq[(String, String)] = Seq(
@@ -62,5 +63,14 @@ class SanitizeSpec extends AnyFunSuite {
     val df = spark.createDataFrame(inputs.map(Tuple1(_))).toDF("raw")
     val got = df.select(Sanitize.sanitize(col("raw"))).collect().map(_.getString(0))
     assert(got.toSeq === inputs.map(Sanitize.sanitizeString))
+  }
+
+  test("native codegen expression agrees with the regexp_replace chain (fuzz)") {
+    val inputs = fuzzStrings(400) ++ cases.map(_._1)
+    val df = spark.createDataFrame(inputs.map(Tuple1(_))).toDF("raw")
+    val both = df.select(
+      Sanitize.sanitize(col("raw")).as("native"),
+      Sanitize.sanitizeRegex(col("raw")).as("regex")).collect()
+    both.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 }
