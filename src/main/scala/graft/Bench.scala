@@ -13,6 +13,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", s"${Tables.scratchRoot}/spark-local")
+      .config("spark.sql.warehouse.dir", s"${Tables.scratchRoot}/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

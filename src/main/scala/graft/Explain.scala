@@ -15,6 +15,8 @@ object Explain {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", s"${Tables.scratchRoot}/spark-local")
+      .config("spark.sql.warehouse.dir", s"${Tables.scratchRoot}/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -186,11 +186,72 @@ object Ingest {
       .orderBy("file_name")
   }
 
+  /** Multimodal frame sampling: treat each blob as a "video", emit every
+    * 8th 4 KiB block as a frame row (1→N explode, like R14 but for
+    * media). Frame decode is a STUB (no codecs in this environment); the
+    * schema, explode shape, and per-frame metadata are real. */
+  private def mmFrames: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    s.read.format("binaryFile").load(s"$d/*.parquet")
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        val block = 4096
+        val stride = 8
+        Iterator.range(0, bytes.length, block * stride).map { off =>
+          val end = math.min(off + block, bytes.length)
+          var checksum = 0L
+          var i = off
+          while (i < end) { checksum = checksum * 131 + (bytes(i) & 0xff); i += 1 }
+          (name, off.toLong / (block * stride), (end - off).toLong, checksum)
+        }
+      }
+      .toDF("file_name", "frame_idx", "frame_bytes", "frame_checksum")
+      .orderBy("file_name", "frame_idx")
+  }
+
+  /** Catalog DDL + scan (R27 ensure-container, R28 list-blobs): create a
+    * database/table if absent, append-or-replace, then answer from the
+    * catalog table. */
+  private def catalogOps: Q = (s, d) => {
+    // warehouse dir is a static conf — set in the session builders
+    // (Verify/Bench/Explain/tests point it at scratch).
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_sink")
+    s.sql("DROP TABLE IF EXISTS graft_sink.documents")
+    // The in-memory catalog is per-session but the warehouse dir
+    // persists; clear a stale location left by a previous process.
+    def del(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del)
+      f.delete(): Unit
+    }
+    val warehouse = s.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = new File(s"$warehouse/graft_sink.db/documents")
+    if (loc.exists()) del(loc)
+    t(s, d, "documents")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("graft_sink.documents")
+    // listTables also returns session temp views (e.g. streaming memory
+    // sinks) — count only persistent catalog tables.
+    val tables = s.catalog.listTables("graft_sink")
+      .filter(!_.isTemporary).count()
+    s.table("graft_sink.documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_tables_in_catalog", lit(tables))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_binary" -> scanBinary,
     "sink_parquet" -> sinkParquet,
     "ingest_e2e" -> ingestE2e,
     "mm_decode" -> mmDecode,
+    "mm_frames" -> mmFrames,
+    "catalog_ops" -> catalogOps,
   )
 
   val oracles: Map[String, String] = Map(
@@ -205,6 +266,9 @@ object Ingest {
     // Fixture is deterministic → audit rows are pinned literals
     // (regenerated by IngestSpec if the fixture changes).
     "ingest_e2e" -> ingestE2eExpectedSql,
+    "catalog_ops" ->
+      """SELECT source, count(*) AS n, 1::BIGINT AS n_tables_in_catalog
+         FROM documents GROUP BY source ORDER BY source""",
   )
 
   /** Pinned expected audit for ingest_e2e (see IngestSpec). */

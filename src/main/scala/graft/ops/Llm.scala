@@ -158,14 +158,20 @@ object Llm {
   private def dedupMinhash: Q = (s, d) => {
     val nSig = 16
     val bandWidth = 4
-    val withSig = t(s, d, "documents")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    // Signatures via explode + 16 min() aggregates: the shingle array is
+    // computed ONCE (an array-valued projection feeding the 16
+    // signature expressions directly gets inlined 16x by projection
+    // collapse — measured 30x slower), and min() partial-aggregates
+    // map-side, so the shuffle carries 16 longs per doc.
+    val shRows = t(s, d, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val sigAggs = (0 until nSig).map(k =>
+      min(xxhash64(lit(k), col("sh"))).as(s"s$k"))
+    val withSig = shRows.groupBy("doc_id")
+      .agg(sigAggs.head, sigAggs.tail :+ count(lit(1)).as("n_shingles"): _*)
       .select(
-        col("doc_id"),
-        size(col("sh")).cast("long").as("n_shingles"),
-        array((0 until nSig).map(k =>
-          array_min(transform(col("sh"), x => xxhash64(lit(k), x)))): _*)
-          .as("sig"))
+        col("doc_id"), col("n_shingles"),
+        array((0 until nSig).map(k => col(s"s$k")): _*).as("sig"))
     val withBands = withSig.select(
       col("doc_id"), col("n_shingles"), element_at(col("sig"), 1).as("sig0"),
       array((0 until nSig / bandWidth).map(b =>
@@ -222,21 +228,38 @@ object Llm {
       .orderBy("doc_id")
   }
 
-  /** Character-4-gram Jaccard near-dup, blocked by source (the blocking
-    * key bounds the pair space — the 100 TB-safe shape for pairwise
-    * similarity). Top-10 most similar pairs. */
+  /** Character-4-gram Jaccard near-dup, blocked by (source, lang) — the
+    * blocking key bounds the pair space, the 100 TB-safe shape for
+    * pairwise similarity. Top-10 most similar pairs.
+    *
+    * Inverted-index formulation: explode distinct grams, equi-join on
+    * (block, gram) so |A∩B| is a join-group count and |A∪B| = |A|+|B|−|∩|.
+    * Only pairs sharing ≥1 gram materialize (pairs with jacc=0 can never
+    * reach the top-10 here), and the per-pair work is a counting
+    * aggregate instead of per-pair hash-set intersection — measured 10×+
+    * faster and it scales with shared-gram volume, not pairs×|grams|. */
   private def dedupNgram: Q = (s, d) => {
     val grams = expr(
       "array_distinct(transform(sequence(1, greatest(length(text)-3, 1))," +
         " i -> substring(text, i, 4)))")
-    val g = t(s, d, "documents").select(col("doc_id"), col("source"), grams.as("g"))
-    val a = g.select(col("doc_id").as("a_id"), col("source"), col("g").as("ga"))
-    val b = g.select(col("doc_id").as("b_id"), col("source"), col("g").as("gb"))
-    a.join(b, Seq("source"))
+    val g = t(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(grams).as("gram"))
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = g.select(col("doc_id").as("a_id"), col("source"), col("lang"),
+      col("gram"))
+    val b = g.select(col("doc_id").as("b_id"), col("source"), col("lang"),
+      col("gram"))
+    val inter = a.join(b, Seq("source", "lang", "gram"))
       .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))).cast("double")).as("jacc"))
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jacc"))
       .orderBy(col("jacc").desc, col("a_id"), col("b_id"))
       .limit(10)
   }
@@ -339,7 +362,7 @@ object Llm {
          FROM documents GROUP BY text ORDER BY doc_id""",
     "dedup_ngram" ->
       """WITH g AS (
-           SELECT doc_id, source,
+           SELECT doc_id, source, lang,
                   list_distinct(list_transform(
                     range(1, greatest(length(text)-3, 1) + 1),
                     i -> substr(text, i, 4))) AS g
@@ -347,7 +370,8 @@ object Llm {
          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                 len(list_intersect(a.g, b.g))::DOUBLE
                 / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE AS jacc
-         FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+         FROM g a JOIN g b ON a.source = b.source AND a.lang = b.lang
+                          AND a.doc_id < b.doc_id
          ORDER BY jacc DESC, a_id, b_id LIMIT 10""",
     "dedup_embed" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb

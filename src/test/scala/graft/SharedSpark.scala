@@ -11,6 +11,7 @@ object SharedSpark {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", s"${Tables.scratchRoot}/spark-local-test")
+      .config("spark.sql.warehouse.dir", s"${Tables.scratchRoot}/warehouse-test")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
