@@ -346,6 +346,125 @@ object Relational {
     y95.except(y96).orderBy("o_custkey")
   }
 
+  // ------------------------------------------- scale-technique operators
+
+  /** Salted skew join: the heavy side's hot keys are spread over
+    * SALT buckets derived from a uniform column; the small side is
+    * exploded ×SALT so every (key, salt) partition pairs up. Result is
+    * bit-identical to the plain join (oracle enforces it) — only the
+    * shuffle distribution changes. This is the manual fallback when AQE
+    * skew handling can't kick in (e.g. pre-aggregated skew). */
+  private def joinSkewSalted: Q = (s, d) => {
+    val salt = 8
+    // synthetic skew: collapse custkeys into 10 hot keys
+    val big = t(s, d, "orders")
+      .select(pmod(col("o_custkey"), lit(10)).as("hot_key"),
+        col("o_orderkey"), col("o_totalprice"),
+        pmod(col("o_orderkey"), lit(salt)).as("salt"))
+    val small = t(s, d, "nation")
+      .where(col("n_nationkey") < 10)
+      .select(col("n_nationkey").as("hot_key"), col("n_name"))
+      .withColumn("salt", explode(array((0 until salt).map(lit): _*)))
+    big.join(small, Seq("hot_key", "salt"))
+      .groupBy("hot_key", "n_name")
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+      .orderBy("hot_key")
+  }
+
+  /** Bucketed co-located join: both sides written bucketed by the join
+    * key → the join itself needs NO exchange (RelationalSpec asserts the
+    * plan is shuffle-free). At 100 TB this is the difference between
+    * re-shuffling the fact table per query and reading co-located
+    * buckets. */
+  private def joinBucketed: Q = (s, d) => {
+    val buckets = 8
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_bucketed")
+    val warehouse = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del)
+      f.delete(): Unit
+    }
+    Seq("orders_b", "customer_b").foreach { tb =>
+      s.sql(s"DROP TABLE IF EXISTS graft_bucketed.$tb")
+      val loc = new java.io.File(s"$warehouse/graft_bucketed.db/$tb")
+      if (loc.exists()) del(loc)
+    }
+    t(s, d, "orders")
+      .write.bucketBy(buckets, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_bucketed.orders_b")
+    t(s, d, "customer")
+      .write.bucketBy(buckets, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_bucketed.customer_b")
+    bucketedJoinPlan(s)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** The exchange-free join over the bucketed tables (split out so the
+    * spec can assert its plan has no shuffle). */
+  def bucketedJoinPlan(s: SparkSession): DataFrame = {
+    val o = s.table("graft_bucketed.orders_b")
+    val c = s.table("graft_bucketed.customer_b")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+  }
+
+  /** observe(): pipeline accounting riding the action itself (R23–R25
+    * success/fail counts + timing summary) — no second scan. The
+    * observed metrics are re-emitted as a one-row DataFrame. */
+  private def obsAccounting: Q = (s, d) => {
+    val obs = new org.apache.spark.sql.Observation("graft_acct")
+    val li = t(s, d, "lineitem")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(dec(col("l_extendedprice"))).as("total_price"),
+        count(when(col("l_returnflag") === "R", 1)).as("n_returned"))
+    li.write.mode("overwrite")
+      .parquet(s"${graft.Tables.scratchRoot}/sink/obs_accounting")
+    val m = obs.get
+    s.createDataFrame(Seq((
+      m("n_rows").asInstanceOf[Long],
+      m("total_price").asInstanceOf[java.math.BigDecimal].doubleValue(),
+      m("n_returned").asInstanceOf[Long],
+    ))).toDF("n_rows", "total_price", "n_returned")
+  }
+
+  /** Quarantine-not-crash (R22): PERMISSIVE parse of a fixture with
+    * malformed rows — bad records land in _corrupt_record instead of
+    * failing the job; output counts both streams. */
+  private def ingestQuarantine: Q = (s, d) => {
+    val dir = new java.io.File(s"${graft.Tables.scratchRoot}/quarantine_fixture")
+    dir.mkdirs()
+    val f = new java.io.File(dir, "records.jsonl")
+    // NOTE: with the full row parsed (cache() below pins that),
+    // PERMISSIVE quarantines both malformed JSON and type-mismatched
+    // fields, and quarantined rows keep their parseable fields
+    // (size=30 survives). Without the cache, column pruning would skip
+    // parsing `id` and silently pass the mismatched row — behavior
+    // depends on pruning, so we pin the full-parse semantics.
+    java.nio.file.Files.writeString(f.toPath,
+      """{"id": 1, "size": 10}
+        |{"id": 2, "size": 20}
+        |{broken json line
+        |{"id": "not_a_number", "size": 30}
+        |{"id": 4, "size": 40}
+        |""".stripMargin)
+    // cache(): Spark refuses plans that read ONLY _corrupt_record from
+    // raw JSON (e.g. the count() a caller might run on our output).
+    val parsed = s.read
+      .schema("id LONG, size LONG, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.getAbsolutePath)
+      .cache()
+    parsed
+      .select(when(col("_corrupt_record").isNull, "ok")
+        .otherwise("quarantined").as("status"), col("size"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("size")), lit(0L)).as("total_size"))
+      .orderBy("status")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
@@ -375,6 +494,10 @@ object Relational {
     "set_union" -> setUnion,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
+    "join_skew_salted" -> joinSkewSalted,
+    "join_bucketed" -> joinBucketed,
+    "obs_accounting" -> obsAccounting,
+    "ingest_quarantine" -> ingestQuarantine,
   )
 
   val oracles: Map[String, String] = Map(
@@ -542,5 +665,27 @@ object Relational {
          EXCEPT
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
          ORDER BY o_custkey""",
+    // Salting must not change results: the oracle is the UNSALTED join.
+    "join_skew_salted" ->
+      """SELECT o_custkey % 10 AS hot_key, n_name, count(*) AS n,
+                round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE AS total
+         FROM orders JOIN nation ON o_custkey % 10 = n_nationkey
+         WHERE n_nationkey < 10
+         GROUP BY 1, 2 ORDER BY hot_key""",
+    // Bucketing must not change results: oracle is the plain join.
+    "join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "obs_accounting" ->
+      """SELECT count(*) AS n_rows,
+                sum(CAST(l_extendedprice AS DECIMAL(18,4)))::DOUBLE AS total_price,
+                count(*) FILTER (l_returnflag = 'R') AS n_returned
+         FROM lineitem""",
+    "ingest_quarantine" ->
+      """SELECT status, n::BIGINT AS n, total_size::BIGINT AS total_size
+         FROM (VALUES ('ok', 3, 70), ('quarantined', 2, 30))
+         t(status, n, total_size) ORDER BY status""",
   )
 }
