@@ -186,6 +186,26 @@ object Ingest {
       .orderBy("file_name")
   }
 
+  /** Partition-pruned scan: read a lang-partitioned layout with a
+    * partition-key predicate — the scan touches ONLY the lang=en
+    * directory (PartitionFilters in the plan; IngestSpec asserts it).
+    * At 100 TB, partition layout is the first-line data-skipping
+    * mechanism before row-group stats. */
+  private def scanPartitionPruned: Q = (s, d) => {
+    val out = s"$scratchRoot/sink/documents_partitioned"
+    t(s, d, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    partitionPrunedPlan(s)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("source")
+  }
+
+  /** The pruned read itself (split out so the spec can inspect the plan). */
+  def partitionPrunedPlan(s: SparkSession): DataFrame =
+    s.read.parquet(s"$scratchRoot/sink/documents_partitioned")
+      .where(col("lang") === "en")
+
   /** Multimodal frame sampling: treat each blob as a "video", emit every
     * 8th 4 KiB block as a frame row (1→N explode, like R14 but for
     * media). Frame decode is a STUB (no codecs in this environment); the
@@ -247,6 +267,7 @@ object Ingest {
 
   val queries: Map[String, Q] = Map(
     "scan_binary" -> scanBinary,
+    "scan_partition_pruned" -> scanPartitionPruned,
     "sink_parquet" -> sinkParquet,
     "ingest_e2e" -> ingestE2e,
     "mm_decode" -> mmDecode,
@@ -263,6 +284,9 @@ object Ingest {
     "sink_parquet" ->
       """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS total_chars
          FROM documents GROUP BY lang ORDER BY lang""",
+    "scan_partition_pruned" ->
+      """SELECT source, count(*) AS n, sum(n_chars)::BIGINT AS total_chars
+         FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source""",
     // Fixture is deterministic → audit rows are pinned literals
     // (regenerated by IngestSpec if the fixture changes).
     "ingest_e2e" -> ingestE2eExpectedSql,

@@ -50,6 +50,14 @@ class IngestSpec extends AnyFunSuite {
       ("txt", 4L, 57L, "a.txt|data--.txt|dup_one.txt|report final.txt")))
   }
 
+  test("partition-pruned scan reads only the lang=en partition") {
+    SparkEntry.queries("scan_partition_pruned")(spark, sf).count()
+    val plan = ops.Ingest.partitionPrunedPlan(spark)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"expected partition filters in:\n$plan")
+  }
+
   test("dedup policies partition the input: semi + anti = all") {
     val semi = SparkEntry.queries("join_semi")(spark, sf).count()
     val anti = SparkEntry.queries("join_anti")(spark, sf).count()
