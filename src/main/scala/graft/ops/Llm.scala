@@ -167,26 +167,30 @@ object Llm {
   private def dedupMinhash: Q = (s, d) => {
     val nSig = 16
     val bandWidth = 4
-    // Signatures via explode + 16 min() aggregates: the shingle array is
-    // computed ONCE (an array-valued projection feeding the 16
-    // signature expressions directly gets inlined 16x by projection
-    // collapse — measured 30x slower), and min() partial-aggregates
-    // map-side, so the shuffle carries 16 longs per doc.
+    // Signatures via the MinHashAgg UDAF over exploded shingles. Two
+    // rejected formulations, both measured: an array-valued projection
+    // feeding 16 signature expressions gets inlined 16x by projection
+    // collapse (30x slower); 16 separate min(xxhash64) aggregates
+    // generate update code past JIT limits and run with second-to-
+    // minute variance at low core counts. The UDAF is one compiled
+    // update loop, partial-aggregates map-side, 16 longs per doc on the
+    // shuffle — and is cross-validated against the builtin-min
+    // formulation in LlmSpec.
     val shRows = t(s, d, "documents")
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-    val sigAggs = (0 until nSig).map(k =>
-      min(xxhash64(lit(k), col("sh"))).as(s"s$k"))
+    val mh = udaf(new graft.expr.MinHashAgg(nSig))
     val withSig = shRows.groupBy("doc_id")
-      .agg(sigAggs.head, sigAggs.tail :+ count(lit(1)).as("n_shingles"): _*)
-      .select(
-        col("doc_id"), col("n_shingles"),
-        array((0 until nSig).map(k => col(s"s$k")): _*).as("sig"))
+      .agg(mh(col("sh")).as("sig"), count(lit(1)).as("n_shingles"))
     val withBands = withSig.select(
       col("doc_id"), col("n_shingles"), element_at(col("sig"), 1).as("sig0"),
       array((0 until nSig / bandWidth).map(b =>
         xxhash64((0 until bandWidth).map(j =>
           element_at(col("sig"), b * bandWidth + j + 1)): _*)).map(identity): _*)
         .as("bands"))
+      // Diamond DAG below (bands explode, bucket counts, join-back each
+      // re-derive this) — cache the 16-longs-per-doc signature table so
+      // shingling+hashing runs ONCE (uncached: 4 recomputations, ~4x).
+      .cache()
     val exploded = withBands.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     val buckets = exploded.groupBy("band_idx", "band_hash")

@@ -46,12 +46,27 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(3L) === 0, "unrelated doc should have none")
   }
 
-  test("minhash UDAF signatures match the higher-order-function path") {
-    val hof = q("dedup_minhash").collect()
-      .map(r => r.getLong(0) -> r.getLong(2)).toMap // doc_id -> sig0
+  test("minhash UDAF signatures match builtin min(xxhash64) aggregates") {
+    import org.apache.spark.sql.functions._
+    // Independent builtin-expression formulation of the same signature.
+    val toks = split(col("text"), " ")
+    val sh = array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2))))
+    val builtin = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), explode(sh).as("sh"))
+      .groupBy("doc_id")
+      .agg(min(xxhash64(lit(0), col("sh"))).as("s0"),
+        min(xxhash64(lit(15), col("sh"))).as("s15"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val agg = q("dedup_minhash_agg").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(hof === agg)
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(builtin === agg)
+    // and the minhash query's sig0 agrees too
+    val hof = q("dedup_minhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hof === builtin.view.mapValues(_._1).toMap)
   }
 
   test("simhash: near-dup hamming distance < unrelated hamming distance") {
