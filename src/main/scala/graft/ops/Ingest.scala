@@ -233,6 +233,37 @@ object Ingest {
       .orderBy("file_name", "frame_idx")
   }
 
+  /** Multimodal "resize": stride-sample each blob down to a fixed 16×16
+    * byte thumbnail (STUB for a real image resize — codecs absent; the
+    * fixed-shape binary output column, schema, and partition-parallel
+    * shape are what a real kernel would use). */
+  private def mmResize: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    s.read.format("binaryFile").load(s"$d/*.parquet")
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (name, bytes) =>
+          val side = 16
+          val thumb = new Array[Byte](side * side)
+          val stride = math.max(1, bytes.length / (side * side))
+          var i = 0
+          while (i < side * side && i * stride < bytes.length) {
+            thumb(i) = bytes(i * stride)
+            i += 1
+          }
+          var checksum = 0L
+          thumb.foreach(b => checksum = checksum * 131 + (b & 0xff))
+          (name, side, side, thumb.length.toLong, checksum)
+        }
+      }
+      .toDF("file_name", "width", "height", "thumb_bytes", "thumb_checksum")
+      .orderBy("file_name")
+  }
+
   /** Catalog DDL + scan (R27 ensure-container, R28 list-blobs): create a
     * database/table if absent, append-or-replace, then answer from the
     * catalog table. */
@@ -272,6 +303,7 @@ object Ingest {
     "ingest_e2e" -> ingestE2e,
     "mm_decode" -> mmDecode,
     "mm_frames" -> mmFrames,
+    "mm_resize" -> mmResize,
     "catalog_ops" -> catalogOps,
   )
 

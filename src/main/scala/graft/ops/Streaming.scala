@@ -22,6 +22,32 @@ import org.apache.spark.sql.types.StructType
 case class UserState(nEvents: Long, totalCents: Long)
 case class UserRow(user_id: Long, n_events: Long, total_value: Double)
 
+/** Spark 4 transformWithState processor: per-user running (count, exact
+  * cents) in a ValueState — the modern replacement for
+  * mapGroupsWithState (RocksDB-backed state, per-state TTL, timers). */
+class RunningUserTotals
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), UserRow] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var acc: ValueState[UserState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[UserState]("acc",
+      Encoders.product[UserState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+      tv: TimerValues): Iterator[UserRow] = {
+    val prev = Option(acc.get()).getOrElse(UserState(0L, 0L))
+    var n = prev.nEvents
+    var cents = prev.totalCents
+    rows.foreach { r => n += 1; cents += math.round(r._2 * 100) }
+    acc.update(UserState(n, cents))
+    Iterator.single(UserRow(user, n, cents / 100.0))
+  }
+}
+
 object Streaming {
 
   private def evWithTs(s: SparkSession, d: String): DataFrame =
@@ -165,6 +191,27 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** transformWithState (Spark 4 arbitrary-state API): same per-user
+    * running aggregate as stream_stateful, but on the new
+    * StatefulProcessor surface with RocksDB-backed ValueState — the
+    * 100 TB state path (spillable state, changelog checkpointing). */
+  private def streamTws: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val st = readEventStream(s, d)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+    val out = st.groupByKey(_._1)
+      .transformWithState(new RunningUserTotals,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+    val res = runToMemory(s, out.toDF(), "stream_tws_t", OutputMode.Update())
+      .orderBy("user_id")
+    s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    res
+  }
+
   /** Idempotent sink + accounting: foreachBatch writes parquet
     * (mode=overwrite per epoch → replayable), then the result is read
     * back and audited (R19 sink + R20 verification). */
@@ -194,6 +241,7 @@ object Streaming {
     "stream_watermark" -> streamWatermark,
     "stream_dedup" -> streamDedup,
     "stream_stateful" -> streamStateful,
+    "stream_tws" -> streamTws,
     "stream_sink" -> streamSink,
   )
 
@@ -243,6 +291,11 @@ object Streaming {
           ORDER BY wstart_s""",
     "stream_dedup" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+    "stream_tws" ->
+      """SELECT user_id, count(*) AS n_events,
+                (sum(CAST(round(value * 100, 0) AS BIGINT))::DOUBLE / 100)
+                  AS total_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "stream_stateful" ->
       """SELECT user_id, count(*) AS n_events,
                 (sum(CAST(round(value * 100, 0) AS BIGINT))::DOUBLE / 100)
