@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the scale-critical plan properties the
+  * operators rely on must hold, not just be intended. */
+class PlanSpec extends AnyFunSuite {
+  import SharedSpark.{spark, sf}
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString()
+
+  test("scan_pruned pushes the predicate into the parquet scan") {
+    val p = planOf("scan_pruned")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10.0)]"), p)
+  }
+
+  test("scan_pruned prunes columns at the reader") {
+    val p = planOf("scan_pruned")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+  }
+
+  test("join_broadcast plans broadcast hash joins for both dims") {
+    val p = planOf("join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("agg_hash partial-aggregates map-side") {
+    val p = planOf("agg_hash")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("sim_cosine_topk broadcasts the query side") {
+    val p = planOf("sim_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sort_limit plans TakeOrderedAndProject (no global sort)") {
+    val p = planOf("sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("join_range stays an equi hash/sort-merge join with a range residual") {
+    val p = planOf("join_range")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
