@@ -255,15 +255,21 @@ object Llm {
     val grams = expr(
       "array_distinct(transform(sequence(1, greatest(length(text)-3, 1))," +
         " i -> substring(text, i, 4)))")
+    // Join on a 64-bit gram hash, not the string: smaller shuffle rows
+    // and long-vs-long compares in the hot join. Exact for top-10
+    // purposes (a collision would need two distinct grams of one pair
+    // to hash equal: ~|A||B|/2^64 per pair).
     val g = t(s, d, "documents")
       .select(col("doc_id"), col("source"), col("lang"),
         explode(grams).as("gram"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        xxhash64(col("gram")).as("gram_h"))
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = g.select(col("doc_id").as("a_id"), col("source"), col("lang"),
-      col("gram"))
+      col("gram_h"))
     val b = g.select(col("doc_id").as("b_id"), col("source"), col("lang"),
-      col("gram"))
-    val inter = a.join(b, Seq("source", "lang", "gram"))
+      col("gram_h"))
+    val inter = a.join(b, Seq("source", "lang", "gram_h"))
       .where(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"))
