@@ -156,6 +156,8 @@ object Functions {
     "fn_map" -> fnMap,
     "fn_json" -> fnJson,
     "fn_sanitize" -> fnSanitize,
+    // §2b inventory name for the same operator (native Expression path)
+    "fn_sanitize_udf" -> fnSanitize,
   )
 
   val oracles: Map[String, String] = Map(
@@ -228,14 +230,17 @@ object Functions {
                 json_extract_string(props, '$.k')::BIGINT AS k_val,
                 json_extract_string(props, '$.k') IS NOT NULL AS has_k
          FROM events ORDER BY event_id""",
-    "fn_sanitize" ->
-      """WITH r AS (
-           SELECT doc_id,
-                  '  re:p|o?r*t_' || doc_id || 'ñ"fi<le>na\me ' || source
-                  || '.tx t  ' AS raw
-           FROM documents)
-         SELECT doc_id, raw,
-                trim(regexp_replace(raw, '[^A-Za-z0-9._\- ]', '-', 'g'), ' ') AS clean
-         FROM r ORDER BY doc_id""",
+    "fn_sanitize" -> sanitizeOracleSql,
+    "fn_sanitize_udf" -> sanitizeOracleSql,
   )
+
+  private lazy val sanitizeOracleSql: String =
+    """WITH r AS (
+         SELECT doc_id,
+                '  re:p|o?r*t_' || doc_id || 'ñ"fi<le>na\me ' || source
+                || '.tx t  ' AS raw
+         FROM documents)
+       SELECT doc_id, raw,
+              trim(regexp_replace(raw, '[^A-Za-z0-9._\- ]', '-', 'g'), ' ') AS clean
+       FROM r ORDER BY doc_id"""
 }
