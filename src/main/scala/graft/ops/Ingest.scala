@@ -233,6 +233,22 @@ object Ingest {
       .orderBy("file_name", "frame_idx")
   }
 
+  /** Custom DataSource V2 scan ([[graft.sources.FileMetaSource]]): file
+    * METADATA rows over the deterministic fixture — catalog queries that
+    * read zero payload bytes (R9/R10 HEAD-only probes). Includes the
+    * zero-byte file that Spark's own file index drops. */
+  private def scanDsv2: Q = (s, d) => {
+    val fixture = buildFixture()
+    s.read.format("graft.sources.FileMetaSource")
+      .option("path", fixture)
+      .option("numPartitions", "4")
+      .load()
+      .groupBy("ext")
+      .agg(count(lit(1)).as("n"),
+        array_join(array_sort(collect_list(col("clean_name"))), "|").as("names"))
+      .orderBy("ext")
+  }
+
   /** Multimodal "resize": stride-sample each blob down to a fixed 16×16
     * byte thumbnail (STUB for a real image resize — codecs absent; the
     * fixed-shape binary output column, schema, and partition-parallel
@@ -298,6 +314,7 @@ object Ingest {
 
   val queries: Map[String, Q] = Map(
     "scan_binary" -> scanBinary,
+    "scan_dsv2" -> scanDsv2,
     "scan_partition_pruned" -> scanPartitionPruned,
     "sink_parquet" -> sinkParquet,
     "ingest_e2e" -> ingestE2e,
@@ -319,6 +336,15 @@ object Ingest {
     "scan_partition_pruned" ->
       """SELECT source, count(*) AS n, sum(n_chars)::BIGINT AS total_chars
          FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source""",
+    // Deterministic fixture → pinned audit (zip size varies with the
+    // deflate impl, so sizes are deliberately not pinned).
+    "scan_dsv2" ->
+      """SELECT ext, n::BIGINT AS n, names FROM (VALUES
+           ('log', 1, 'b.log'),
+           ('none', 1, 'noext'),
+           ('txt', 5, 'data--.txt|dup_one.txt|dup_two.txt|empty.txt|report final.txt'),
+           ('zip', 1, 'archive.zip'))
+         t(ext, n, names) ORDER BY ext""",
     // Fixture is deterministic → audit rows are pinned literals
     // (regenerated by IngestSpec if the fixture changes).
     "ingest_e2e" -> ingestE2eExpectedSql,
