@@ -129,6 +129,32 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** End-to-end training-data cleaning pipeline — the composition a
+    * 100 TB corpus actually runs: language filter → quality floor →
+    * exact dedup (keep lowest doc_id per content hash) → per-source
+    * stats of the surviving corpus. One declarative plan: Catalyst fuses
+    * the filters into the scan and the dedup is one hash shuffle. */
+  private def pipelineClean: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val stops = size(filter(toks, x =>
+      x.isin("the", "a", "of", "and", "to"))).cast("double")
+    val quality = least(nTok, lit(200.0)) / 200.0 * 0.5 + (stops / nTok) * 0.5
+    val w = Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
+    t(s, d, "documents")
+      .where(col("lang").isin("en", "es", "de"))
+      .withColumn("quality", quality)
+      .where(col("quality") >= 0.15)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+        round(sum(dec(col("quality"))), 4).cast("double").as("sum_quality"))
+      .orderBy("source")
+  }
+
   /** Multimodal row: text metadata ⋈ vector by id. */
   private def multimodalJoin: Q = (s, d) => {
     val docs = t(s, d, "documents")
@@ -363,6 +389,7 @@ object Llm {
     "dedup_embed" -> dedupEmbed,
     "sim_ann_lsh" -> simAnnLsh,
     "text_fingerprint" -> textFingerprint,
+    "pipeline_clean" -> pipelineClean,
     "sim_cosine_topk" -> simCosineTopk,
     "text_stats" -> textStats,
     "text_tokens" -> textTokens,
@@ -482,6 +509,21 @@ object Llm {
                       WHEN s_de >= s_fr THEN 'de'
                       ELSE 'fr' END = lang) AS is_match
          FROM c ORDER BY doc_id""",
+    "pipeline_clean" ->
+      """WITH q AS (
+           SELECT doc_id, source, text,
+                  least(len(string_split(text, ' '))::DOUBLE, 200.0) / 200.0 * 0.5
+                  + (len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','of','and','to')))::DOUBLE
+                     / len(string_split(text, ' '))::DOUBLE) * 0.5 AS quality
+           FROM documents WHERE lang IN ('en','es','de')),
+         f AS (SELECT * FROM q WHERE quality >= 0.15),
+         dd AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM f)
+         SELECT source, count(*) AS n_docs,
+                sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+                round(sum(CAST(quality AS DECIMAL(18,4))), 4)::DOUBLE AS sum_quality
+         FROM dd WHERE rn = 1 GROUP BY source ORDER BY source""",
     "multimodal_join" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
          SELECT doc_id, lang, label, n_chars,

@@ -346,6 +346,55 @@ object Relational {
     y95.except(y96).orderBy("o_custkey")
   }
 
+  /** Distribution window functions: ntile / percent_rank / cume_dist
+    * (quartile bucketing of files per server analog). */
+  private def winDist: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+  }
+
+  /** Moment statistics (mean/variance/stddev/correlation) computed from
+    * EXACT decimal power sums, then combined in double — deterministic
+    * under any partitioning, unlike streaming Welford updates whose
+    * result depends on merge order. The formulas are shared verbatim
+    * with the oracle. */
+  private def aggStats: Q = (s, d) => {
+    // Scale-0 decimals (whole dollars): every power sum stays below 2^53
+    // when scaled, so decimal->double conversion is EXACT in any engine
+    // implementation - at (18,4) the sums exceed 2^53 and the two-step
+    // int128->double->/10^s conversion differs from Java's correctly-
+    // rounded one by 1 ulp, which cascades into var/std/corr.
+    val x = col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 0))
+    val y = col("o_custkey").cast(org.apache.spark.sql.types.DecimalType(18, 0))
+    t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y).cast("double").as("sy"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .select(
+        col("o_orderstatus"), col("n"),
+        (col("sx") / col("n")).as("mean_price"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("var_price"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("std_price"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_price_cust"))
+      .orderBy("o_orderstatus")
+  }
+
   // ------------------------------------------- scale-technique operators
 
   /** Salted skew join: the heavy side's hot keys are spread over
@@ -494,6 +543,8 @@ object Relational {
     "set_union" -> setUnion,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
+    "win_dist" -> winDist,
+    "agg_stats" -> aggStats,
     "join_skew_salted" -> joinSkewSalted,
     "join_bucketed" -> joinBucketed,
     "obs_accounting" -> obsAccounting,
@@ -665,6 +716,35 @@ object Relational {
          EXCEPT
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
          ORDER BY o_custkey""",
+    "win_dist" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+                ntile(4) OVER w AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cdist
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderpriority, o_totalprice, o_orderkey""",
+    "agg_stats" ->
+      """WITH m AS (
+           SELECT o_orderstatus, count(*) AS n,
+                  sum(CAST(o_totalprice AS DECIMAL(18,0)))::DOUBLE AS sx,
+                  sum(CAST(o_totalprice AS DECIMAL(19,0))
+                      * CAST(o_totalprice AS DECIMAL(19,0)))::DOUBLE AS sxx,
+                  sum(CAST(o_custkey AS DECIMAL(18,0)))::DOUBLE AS sy,
+                  sum(CAST(o_custkey AS DECIMAL(19,0))
+                      * CAST(o_custkey AS DECIMAL(19,0)))::DOUBLE AS syy,
+                  sum(CAST(o_totalprice AS DECIMAL(19,0))
+                      * CAST(o_custkey AS DECIMAL(19,0)))::DOUBLE AS sxy
+           FROM orders GROUP BY o_orderstatus)
+         SELECT o_orderstatus, n,
+                sx / n AS mean_price,
+                (sxx - sx * sx / n) / (n - 1) AS var_price,
+                sqrt((sxx - sx * sx / n) / (n - 1)) AS std_price,
+                (n * sxy - sx * sy)
+                / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                  AS corr_price_cust
+         FROM m ORDER BY o_orderstatus""",
     // Salting must not change results: the oracle is the UNSALTED join.
     "join_skew_salted" ->
       """SELECT o_custkey % 10 AS hot_key, n_name, count(*) AS n,
