@@ -191,6 +191,22 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** TRUE streaming session windows: watermark + session_window in
+    * append mode under AvailableNow — only sessions sealed below the
+    * final watermark emit, so the result is deterministic. The batch
+    * win_session covers full-corpus equivalence; this exercises the
+    * streaming state path (merging session state). */
+  private def streamSession: Q = (s, d) => {
+    val agg = readEventStream(s, d)
+      .withWatermark("ts_t", "1 hour")
+      .groupBy(session_window(col("ts_t"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start_s"),
+        col("n_events"))
+    runToMemory(s, agg, "stream_session_t", OutputMode.Append())
+      .orderBy("user_id", "sess_start_s")
+  }
+
   /** transformWithState (Spark 4 arbitrary-state API): same per-user
     * running aggregate as stream_stateful, but on the new
     * StatefulProcessor surface with RocksDB-backed ValueState — the
@@ -241,6 +257,7 @@ object Streaming {
     "stream_watermark" -> streamWatermark,
     "stream_dedup" -> streamDedup,
     "stream_stateful" -> streamStateful,
+    "stream_session" -> streamSession,
     "stream_tws" -> streamTws,
     "stream_sink" -> streamSink,
   )
@@ -291,6 +308,31 @@ object Streaming {
           ORDER BY wstart_s""",
     "stream_dedup" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+    "stream_session" ->
+      s"""WITH e AS (
+            SELECT user_id, ${duckTsUs("ts")} AS ts_us FROM events),
+          m AS (SELECT max(ts_us) AS max_us FROM e),
+          flagged AS (
+            SELECT user_id, ts_us,
+                   CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                        ORDER BY ts_us) > 1800000000 THEN 1
+                        WHEN lag(ts_us) OVER (PARTITION BY user_id
+                        ORDER BY ts_us) IS NULL THEN 1
+                        ELSE 0 END AS new_sess
+            FROM e),
+          sess AS (
+            SELECT user_id, ts_us,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM flagged),
+          g AS (
+            SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid)
+          SELECT user_id, (start_us // 1000000) AS sess_start_s, n_events
+          FROM g, m
+          WHERE end_us + 1800000000 <= ((max_us // 1000) - 3600000) * 1000
+          ORDER BY user_id, sess_start_s""",
     "stream_tws" ->
       """SELECT user_id, count(*) AS n_events,
                 (sum(CAST(round(value * 100, 0) AS BIGINT))::DOUBLE / 100)

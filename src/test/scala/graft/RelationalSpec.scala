@@ -38,6 +38,43 @@ class RelationalSpec extends AnyFunSuite {
     assert(obs.getLong(0) === li.count())
   }
 
+  test("win_frame final running total equals the group sum") {
+    import org.apache.spark.sql.functions._
+    val frame = SparkEntry.queries("win_frame")(spark, sf)
+    val lastPerCust = frame.groupBy("o_custkey")
+      .agg(max(struct(col("od_s"), col("o_orderkey"), col("running_total")))
+        .as("last"))
+      .select(col("o_custkey"), col("last.running_total").as("rt"))
+    val direct = Tables.t(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(round(sum(Tables.dec(col("o_totalprice"))), 2).cast("double").as("total"))
+    val joined = lastPerCust.join(direct, "o_custkey")
+      .where(col("rt") =!= col("total"))
+    assert(joined.count() === 0)
+  }
+
+  test("topk_group rows are a subset of each customer's orders") {
+    import org.apache.spark.sql.functions._
+    val topk = SparkEntry.queries("topk_group")(spark, sf)
+    val bad = topk.join(Tables.t(spark, sf, "orders"),
+      Seq("o_custkey", "o_orderkey", "o_totalprice"), "left_anti")
+    assert(bad.count() === 0)
+    assert(topk.groupBy("o_custkey").count().agg(max("count")).head.getLong(0) <= 3)
+  }
+
+  test("LSH ANN results exist in the brute-force corpus with same cosines") {
+    val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf)
+      .select("qid", "vec_id", "cosine")
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+      .select("qid", "vec_id", "cosine")
+    // every ANN hit that brute-force also ranked must carry the same score
+    val joined = ann.join(brute, Seq("qid", "vec_id"))
+    import org.apache.spark.sql.functions.{abs => fabs, col}
+    val mismatched = joined
+      .where(fabs(ann("cosine") - brute("cosine")) > 1e-9)
+    assert(mismatched.count() === 0)
+  }
+
   test("quarantine splits good from corrupt without failing the job") {
     val rows = SparkEntry.queries("ingest_quarantine")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
