@@ -137,15 +137,28 @@ object Functions {
 
   /** Filename sanitize (child.py:20-33; pins from tests/test_basic.py:18-80)
     * applied to adversarial names synthesized from the documents table. */
+  private def sanitizeRaw: org.apache.spark.sql.Column =
+    concat(lit("  re:p|o?r*t_"), col("doc_id"), lit("ñ"),
+      lit("\"fi<le>na\\me "), col("source"), lit(".tx t  "))
+
   private def fnSanitize: Q = (s, d) => {
     Sanitize.register(s)
     t(s, d, "documents")
-      .select(col("doc_id"),
-        concat(lit("  re:p|o?r*t_"), col("doc_id"), lit("ñ"),
-          lit("\"fi<le>na\\me "), col("source"), lit(".tx t  ")).as("raw"))
+      .select(col("doc_id"), sanitizeRaw.as("raw"))
       .select(col("doc_id"), col("raw"), Sanitize.sanitize(col("raw")).as("clean"))
       .orderBy("doc_id")
   }
+
+  /** Same operator through the built-in regexp_replace + trim chain —
+    * the fallback implementation ([[Sanitize.sanitizeRegex]]), driven by
+    * its own oracle row so BOTH sanitize paths are hash-verified (the
+    * native Expression via fn_sanitize, the regex chain here). */
+  private def fnSanitizeUdf: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), sanitizeRaw.as("raw"))
+      .select(col("doc_id"), col("raw"),
+        Sanitize.sanitizeRegex(col("raw")).as("clean"))
+      .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
     "proj_derive" -> projDerive,
@@ -156,8 +169,8 @@ object Functions {
     "fn_map" -> fnMap,
     "fn_json" -> fnJson,
     "fn_sanitize" -> fnSanitize,
-    // §2b inventory name for the same operator (native Expression path)
-    "fn_sanitize_udf" -> fnSanitize,
+    // §2b inventory: the non-native (regexp_replace chain) fallback path
+    "fn_sanitize_udf" -> fnSanitizeUdf,
   )
 
   val oracles: Map[String, String] = Map(

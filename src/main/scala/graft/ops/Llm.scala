@@ -182,65 +182,90 @@ object Llm {
         element_at(toks, i + 2))))
   }
 
-  /** MinHash + LSH banding: 16 xxhash64 signatures → 4 bands of 4;
-    * docs sharing a band bucket are near-dup candidates. Per-doc output
-    * (signature head + candidate multiplicity) so the result is
-    * non-empty even on a corpus with no true near-dups; pair semantics
-    * are pinned by LlmSpec on planted near-duplicates.
+  /** MinHash + LSH banding near-dup DEDUP: 16-slot signatures → 4 bands
+    * of 4 → band-bucket self-join → candidate pairs → signature-agreement
+    * estimate → a keep/dup DECISION per document (the reference's
+    * per-file skip/rename decision, child.py:183-188,
+    * scrap/child_otherftp.py:280-298). Output is one row per document
+    * (doc_id, n_shingles, sig0, n_candidates, dup_of, est_jaccard,
+    * decision) — non-empty even on a corpus with no true near-dups; the
+    * pair semantics are pinned by LlmSpec on planted near-duplicates.
     *
-    * Scale: one shuffle to count band buckets, one broadcast-back join;
-    * signatures are 16 longs per doc regardless of doc size. */
+    * Scale shape: signatures are a pure per-row map ([[graft.expr
+    * .MinHashSig]] — no explode, no shuffle, document bodies never leave
+    * the scan), CHECKPOINTED to scratch parquet (16 longs + 2 ids per
+    * doc) so the multi-branch DAG below reads the tiny signature table
+    * instead of recomputing shingles per branch (and nothing stays
+    * cache-pinned after the query, unlike round 1). The band self-join
+    * shuffles only (band_idx, band_hash, doc_id) triples; candidate
+    * verification joins 16-long signatures on bounded pair sets. */
   private def dedupMinhash: Q = (s, d) => {
+    graft.expr.MinHashSketch.register(s)
     val nSig = 16
     val bandWidth = 4
-    // Signatures via the MinHashAgg UDAF over exploded shingles. Two
-    // rejected formulations, both measured: an array-valued projection
-    // feeding 16 signature expressions gets inlined 16x by projection
-    // collapse (30x slower); 16 separate min(xxhash64) aggregates
-    // generate update code past JIT limits and run with second-to-
-    // minute variance at low core counts. The UDAF is one compiled
-    // update loop, partial-aggregates map-side, 16 longs per doc on the
-    // shuffle — and is cross-validated against the builtin-min
-    // formulation in LlmSpec.
-    val shRows = t(s, d, "documents")
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-    val mh = udaf(new graft.expr.MinHashAgg(nSig))
-    val withSig = shRows.groupBy("doc_id")
-      .agg(mh(col("sh")).as("sig"), count(lit(1)).as("n_shingles"))
-    val withBands = withSig.select(
-      col("doc_id"), col("n_shingles"), element_at(col("sig"), 1).as("sig0"),
-      array((0 until nSig / bandWidth).map(b =>
+    val threshold = 0.5
+    val sigPath = s"$scratchRoot/minhash_sig/${d.hashCode & 0x7fffffff}"
+    val sh = shingles(col("text"))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        call_function("minhash_sig", sh).as("sig"),
+        size(sh).cast("long").as("n_shingles"))
+      .write.mode("overwrite").parquet(sigPath)
+    val sigT = s.read.parquet(sigPath)
+    val bands = sigT.select(col("doc_id"),
+      posexplode(array((0 until nSig / bandWidth).map(b =>
         xxhash64((0 until bandWidth).map(j =>
-          element_at(col("sig"), b * bandWidth + j + 1)): _*)).map(identity): _*)
-        .as("bands"))
-      // Diamond DAG below (bands explode, bucket counts, join-back each
-      // re-derive this) — cache the 16-longs-per-doc signature table so
-      // shingling+hashing runs ONCE (uncached: 4 recomputations, ~4x).
-      .cache()
-    val exploded = withBands.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val buckets = exploded.groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("bucket_n"))
-    val cand = exploded.join(buckets, Seq("band_idx", "band_hash"))
-      .groupBy("doc_id")
-      .agg(sum(col("bucket_n") - 1).as("n_candidates"))
-    withBands
-      .join(cand, Seq("doc_id"))
-      .select("doc_id", "n_shingles", "sig0", "n_candidates")
+          element_at(col("sig"), b * bandWidth + j + 1)): _*)): _*))
+        .as(Seq("band_idx", "band_hash")))
+    val pairs = bands.select(col("doc_id").as("a_id"), col("band_idx"), col("band_hash"))
+      .join(bands.select(col("doc_id").as("b_id"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // Estimated Jaccard = fraction of agreeing signature slots.
+    val est = pairs
+      .join(sigT.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), Seq("a_id"))
+      .join(sigT.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (p, q) => when(p === q, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / nSig).as("est_jaccard"))
+    val candCnt = pairs.select(col("a_id").as("doc_id"))
+      .unionAll(pairs.select(col("b_id").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+    // Keep-lowest-id policy (same as dedup_exact): a doc is a dup of its
+    // best-matching lower-id neighbour at est >= threshold.
+    val w = Window.partitionBy("b_id").orderBy(col("est_jaccard").desc, col("a_id"))
+    val dups = est.where(col("est_jaccard") >= threshold)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("b_id").as("doc_id"), col("a_id").as("dup_of"),
+        col("est_jaccard"))
+    sigT
+      .join(candCnt, Seq("doc_id"), "left")
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        element_at(col("sig"), 1).as("sig0"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("dup_of"), col("est_jaccard"),
+        when(col("dup_of").isNotNull, lit("dup")).otherwise(lit("keep"))
+          .as("decision"))
       .orderBy("doc_id")
   }
 
-  /** MinHash signatures via the typed Aggregator UDAF
-    * ([[graft.expr.MinHashAgg]]) over exploded shingles — the
-    * map-side-combinable formulation (shuffle carries 16 longs per doc).
-    * Cross-validated bit-for-bit against dedup_minhash's higher-order
-    * path in LlmSpec. */
+  /** MinHash signatures via the native [[graft.expr.MinHashSketch]]
+    * TypedImperativeAggregate over exploded shingles — the
+    * map-side-combinable aggregation formulation (raw Array[Long] buffer
+    * in the hash map, serialized only on spill/shuffle; 16 longs per doc
+    * on the wire). The round-1 udaf(Aggregator) variant re-encoded the
+    * buffer per input row and hit ObjectHashAggregate's sort fallback —
+    * 264 s at sf0.1; the Aggregator surface itself remains cross-checked
+    * bit-for-bit in LlmSpec alongside this and the scalar path. */
   private def dedupMinhashAgg: Q = (s, d) => {
-    val mh = udaf(new graft.expr.MinHashAgg(16))
+    graft.expr.MinHashSketch.register(s)
     t(s, d, "documents")
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
       .groupBy("doc_id")
-      .agg(mh(col("sh")).as("sig"))
+      .agg(call_function("minhash_sketch", col("sh")).as("sig"))
       .select(col("doc_id"),
         element_at(col("sig"), 1).as("sig0"),
         element_at(col("sig"), 16).as("sig15"))
@@ -290,10 +315,28 @@ object Llm {
         explode(grams).as("gram"))
       .select(col("doc_id"), col("source"), col("lang"),
         xxhash64(col("gram")).as("gram_h"))
-    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = g.select(col("doc_id").as("a_id"), col("source"), col("lang"),
+    // Document-frequency cap: grams present in > dfCap docs of a block
+    // carry no discriminative signal but produce O(df²) join groups —
+    // the quadratic blow-up at 100× scale. Dropping them bounds every
+    // join group at dfCap. (At the sf0.01 correctness scale every block
+    // has ≤ 16 docs, so the cap drops nothing and the result is
+    // bit-identical to the uncapped query; the oracle applies the same
+    // cap.) Jaccard is then over the capped gram universe on BOTH
+    // intersection and union sides — consistent semantics.
+    val dfCap = 64
+    // One windowed pass (shuffle g once) instead of agg + join-back;
+    // the self-join below then reuses the same exchange.
+    val wdf = Window.partitionBy("source", "lang", "gram_h")
+    val gk = g.withColumn("df", count(lit(1)).over(wdf))
+      .where(col("df") <= dfCap)
+    val sizes = gk.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Singleton grams (df = 1) count toward union sizes but can never
+    // intersect — exclude them from the pair join (most of the gram
+    // volume in high-entropy text).
+    val gp = gk.where(col("df") >= 2)
+    val a = gp.select(col("doc_id").as("a_id"), col("source"), col("lang"),
       col("gram_h"))
-    val b = g.select(col("doc_id").as("b_id"), col("source"), col("lang"),
+    val b = gp.select(col("doc_id").as("b_id"), col("source"), col("lang"),
       col("gram_h"))
     val inter = a.join(b, Seq("source", "lang", "gram_h"))
       .where(col("a_id") < col("b_id"))
@@ -309,20 +352,63 @@ object Llm {
       .limit(10)
   }
 
-  /** Embedding-cosine near-dup: top-20 most similar pairs per label
-    * block (blocking again bounds the pair space). */
+  /** 4 deterministic pseudo-random hyperplanes (seeded LCG — no
+    * Math.random) shared by sim_ann_lsh and dedup_embed. The SAME
+    * constants are inlined as double literals into the DuckDB oracles
+    * (Double.toString round-trips exactly), so bucket assignment — an
+    * IEEE dot-product sign — agrees bitwise across engines. */
+  private[ops] val lshPlanes: Seq[Seq[Double]] = {
+    var state = 0x9E3779B97F4A7C15L
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+    Seq.fill(4)(Seq.fill(64)(next()))
+  }
+
+  private def dotLit(emb: Column, p: Seq[Double]): Column =
+    aggregate(zip_with(emb, typedLit(p), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Sign-pattern bucket in [0,16) from the 4 hyperplanes. */
+  private def lshBucket(emb: Column): Column =
+    lshPlanes.zipWithIndex.map { case (p, j) =>
+      when(dotLit(emb, p) > 0, lit(1 << j)).otherwise(0)
+    }.reduce(_ + _)
+
+  /** DuckDB twin of dotLit: left-fold dot product against plane literals. */
+  private def duckDotLit(emb: String, p: Seq[Double]): String =
+    s"""list_reduce(list_transform(
+          list_zip($emb, [${p.map(_.toString).mkString(", ")}]),
+          s -> s[1] * s[2]), (a, b) -> a + b)"""
+
+  /** DuckDB twin of lshBucket. */
+  private def duckLshBucket(emb: String): String =
+    lshPlanes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN ${duckDotLit(emb, p)} > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Embedding-cosine near-dup: top-20 most similar pairs per label,
+    * candidates restricted to (label, LSH bucket) — the 100 TB-safe pair
+    * space. Round 1 joined all pairs within a label: O(n²/L)·d, dead at
+    * 100×; bucketing by hyperplane sign pattern divides each label block
+    * by ~16 while keeping near-identical vectors together (they share
+    * every dot-product sign). The oracle applies the IDENTICAL bucket
+    * function (same plane literals, same fold), so the result is
+    * exact-hash-verified, not merely plausible. */
   private def dedupEmbed: Q = (s, d) => {
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
+      .withColumn("bucket", lshBucket(col("emb")))
       .withColumn("nrm", norm(col("emb")))
-    val a = e.select(col("vec_id").as("a_id"), col("label"),
+    val a = e.select(col("vec_id").as("a_id"), col("label"), col("bucket"),
       col("emb").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("b_id"), col("label"),
+    val b = e.select(col("vec_id").as("b_id"), col("label"), col("bucket"),
       col("emb").as("eb"), col("nrm").as("nb"))
     val w = Window.partitionBy("label")
       .orderBy(col("cos").desc, col("a_id"), col("b_id"))
-    a.join(b, Seq("label"))
+    a.join(b, Seq("label", "bucket"))
       .where(col("a_id") < col("b_id"))
       .select(col("label"), col("a_id"), col("b_id"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
@@ -335,26 +421,11 @@ object Llm {
   /** LSH-bucketed approximate nearest neighbours: 4 deterministic
     * pseudo-random hyperplanes → 16 buckets; queries probe only their
     * own bucket (the IVF-style scale path; sim_cosine_topk is the exact
-    * baseline). Deterministic seeded planes, no Math.random. */
+    * baseline). Planes shared with dedup_embed ([[lshPlanes]]). */
   private def simAnnLsh: Q = (s, d) => {
-    val planes: Seq[Seq[Double]] = {
-      var state = 0x9E3779B97F4A7C15L
-      def next(): Double = {
-        state = state * 6364136223846793005L + 1442695040888963407L
-        ((state >>> 11).toDouble / (1L << 53).toDouble) - 0.5
-      }
-      Seq.fill(4)(Seq.fill(64)(next()))
-    }
-    def dotLit(emb: Column, p: Seq[Double]): Column =
-      aggregate(zip_with(emb, typedLit(p), (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
-    def bucket(emb: Column): Column =
-      planes.zipWithIndex.map { case (p, j) =>
-        when(dotLit(emb, p) > 0, lit(1 << j)).otherwise(0)
-      }.reduce(_ + _)
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("bucket", bucket(col("emb")))
+      .withColumn("bucket", lshBucket(col("emb")))
       .withColumn("nrm", norm(col("emb")))
     val q = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("bucket"),
@@ -412,26 +483,46 @@ object Llm {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY doc_id""",
+    // Same df-cap (64) as the Spark plan: grams in > 64 docs of a
+    // (source, lang) block are dropped before pairing; jaccard is over
+    // the capped gram universe. At sf0.01 blocks have ≤ 16 docs, so the
+    // cap is a no-op and the result equals the uncapped query.
     "dedup_ngram" ->
       """WITH g AS (
            SELECT doc_id, source, lang,
-                  list_distinct(list_transform(
+                  unnest(list_distinct(list_transform(
                     range(1, greatest(length(text)-3, 1) + 1),
-                    i -> substr(text, i, 4))) AS g
-           FROM documents)
-         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                len(list_intersect(a.g, b.g))::DOUBLE
-                / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE AS jacc
-         FROM g a JOIN g b ON a.source = b.source AND a.lang = b.lang
-                          AND a.doc_id < b.doc_id
+                    i -> substr(text, i, 4)))) AS gram
+           FROM documents),
+         keep AS (
+           SELECT source, lang, gram FROM g
+           GROUP BY source, lang, gram HAVING count(*) <= 64),
+         gk AS (SELECT g.* FROM g JOIN keep USING (source, lang, gram)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM gk GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+           FROM gk a JOIN gk b ON a.source = b.source AND a.lang = b.lang
+                              AND a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT a_id, b_id,
+                inter::DOUBLE / (sa.n + sb.n - inter)::DOUBLE AS jacc
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = a_id
+         JOIN sizes sb ON sb.doc_id = b_id
          ORDER BY jacc DESC, a_id, b_id LIMIT 10""",
+    // Identical LSH bucket function (plane literals from lshPlanes):
+    // candidates pair only within (label, bucket), as in the Spark plan.
     "dedup_embed" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
                      FROM embeddings),
+          eb AS (SELECT vec_id, label, emb,
+                        ${duckLshBucket("emb")} AS bucket
+                 FROM e),
           pairs AS (
             SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
                    ${duckCosOf("a", "b")} AS cos
-            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+            FROM eb a JOIN eb b ON a.label = b.label AND a.bucket = b.bucket
+                               AND a.vec_id < b.vec_id)
           SELECT label, a_id, b_id, cos, rn FROM (
             SELECT label, a_id, b_id, cos,
                    row_number() OVER (PARTITION BY label

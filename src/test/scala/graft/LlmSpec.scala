@@ -38,17 +38,26 @@ class LlmSpec extends AnyFunSuite {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, dir)
 
-  test("minhash LSH flags the planted near-dup pair as candidates") {
+  test("minhash dedup emits the planted pair as the sole dup decision") {
     val rows = q("dedup_minhash").collect()
-      .map(r => r.getLong(0) -> r.getLong(3)).toMap
-    assert(rows(0L) > 0, "doc 0 should have candidates")
-    assert(rows(1L) > 0, "doc 1 should have candidates")
-    assert(rows(3L) === 0, "unrelated doc should have none")
+    // (doc_id, n_candidates, dup_of, est_jaccard, decision)
+    val byDoc = rows.map(r => r.getLong(0) ->
+      ((r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getString(6)))).toMap
+    assert(byDoc(0L)._1 > 0, "doc 0 should have candidates")
+    assert(byDoc(1L)._1 > 0, "doc 1 should have candidates")
+    assert(byDoc(3L)._1 === 0, "unrelated doc should have none")
+    assert(byDoc.view.mapValues(_._3).toMap ===
+      Map(0L -> "keep", 1L -> "dup", 2L -> "keep", 3L -> "keep"),
+      "doc 1 is the sole near-duplicate (of doc 0)")
+    assert(byDoc(1L)._2 === 0L, "doc 1's dup_of must be doc 0")
+    val est = rows.find(_.getLong(0) == 1L).get.getDouble(5)
+    assert(est >= 0.5, s"planted pair estimate $est under threshold")
   }
 
-  test("minhash UDAF signatures match builtin min(xxhash64) aggregates") {
+  test("all four minhash formulations agree bit-for-bit") {
     import org.apache.spark.sql.functions._
-    // Independent builtin-expression formulation of the same signature.
+    // 1. Independent builtin-expression formulation of the signature.
     val toks = split(col("text"), " ")
     val sh = array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - 2, lit(1))),
@@ -60,13 +69,31 @@ class LlmSpec extends AnyFunSuite {
       .agg(min(xxhash64(lit(0), col("sh"))).as("s0"),
         min(xxhash64(lit(15), col("sh"))).as("s15"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val agg = q("dedup_minhash_agg").collect()
+    // 2. Native TypedImperativeAggregate (dedup_minhash_agg key).
+    val sketch = q("dedup_minhash_agg").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(builtin === sketch)
+    // 3. Typed Aggregator UDAF surface (graft.expr.MinHashAgg).
+    val mh = udaf(new graft.expr.MinHashAgg(16))
+    val agg = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), explode(sh).as("sh"))
+      .groupBy("doc_id").agg(mh(col("sh")).as("sig"))
+      .select(col("doc_id"), element_at(col("sig"), 1), element_at(col("sig"), 16))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(builtin === agg)
-    // and the minhash query's sig0 agrees too
-    val hof = q("dedup_minhash").collect()
+    // 4. Scalar zero-shuffle expression (dedup_minhash's sig0 column).
+    val scalar = q("dedup_minhash").collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
-    assert(hof === builtin.view.mapValues(_._1).toMap)
+    assert(scalar === builtin.view.mapValues(_._1).toMap)
+  }
+
+  test("dedup_embed candidates are generated per (label, bucket), not per label") {
+    val joins = q("dedup_embed").queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.exists(_.condition.exists(
+      _.references.exists(_.name == "bucket"))),
+      "pair-generation join must include the LSH bucket key")
   }
 
   test("simhash: near-dup hamming distance < unrelated hamming distance") {
