@@ -39,6 +39,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full declared query list, so the gate can flag queries that threw
+    // (and so wrote no output dir) instead of silently skipping them.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/query_names.json"), names)
     spark.stop()
   }
 }

@@ -451,9 +451,14 @@ object Relational {
   }
 
   /** The exchange-free join over the bucketed tables (split out so the
-    * spec can assert its plan has no shuffle). */
+    * spec can assert its plan has no shuffle). The MERGE hint forces a
+    * sort-merge join: without it the planner broadcasts the small side
+    * at test scale and silently disables the bucketed scan ("Bucketed:
+    * false"), making the no-shuffle property vacuous — the hinted SMJ
+    * reads co-located buckets with NO exchange on either side, which is
+    * the property that matters when both sides are 100 TB-large. */
   def bucketedJoinPlan(s: SparkSession): DataFrame = {
-    val o = s.table("graft_bucketed.orders_b")
+    val o = s.table("graft_bucketed.orders_b").hint("merge")
     val c = s.table("graft_bucketed.customer_b")
     o.join(c, o("o_custkey") === c("c_custkey"))
   }

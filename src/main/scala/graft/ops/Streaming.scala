@@ -73,7 +73,11 @@ object Streaming {
       .orderBy("wstart_s")
 
   /** Session windows: 30-minute inactivity gap per user. Oracle is the
-    * classic gaps-and-islands SQL — semantics must agree exactly. */
+    * classic gaps-and-islands SQL — semantics must agree exactly,
+    * including the boundary: Spark's session window is
+    * [start, last + gap) with an EXCLUSIVE end, so an event exactly
+    * `gap` after its predecessor starts a NEW session — the oracle's
+    * new-session predicate is therefore `>=`, not `>` (ADVICE r1). */
   private def winSession: Q = (s, d) =>
     evWithTs(s, d)
       .groupBy(session_window(col("ts_t"), "30 minutes").as("w"), col("user_id"))
@@ -228,21 +232,34 @@ object Streaming {
     res
   }
 
-  /** Idempotent sink + accounting: foreachBatch writes parquet
-    * (mode=overwrite per epoch → replayable), then the result is read
-    * back and audited (R19 sink + R20 verification). */
+  /** Idempotent sink + accounting: foreachBatch OVERWRITES its own
+    * batch_id partition (dynamic partition overwrite), so a retried
+    * micro-batch replaces its previous attempt instead of double-writing
+    * — exactly-once output from an at-least-once trigger (R19 sink +
+    * R20 read-back verification; append mode here would be at-least-once
+    * only, ADVICE r1). */
   private def streamSink: Q = (s, d) => {
     val out = streamDir("stream_sink/out")
     val st = readEventStream(s, d)
       .select("event_id", "event_type", "value")
-    val q = st.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(out)
+    val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val q = st.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id").parquet(out)
+        }
+        .option("checkpointLocation", streamDir("stream_sink/ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prevMode match {
+        case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
-      .option("checkpointLocation", streamDir("stream_sink/ckpt"))
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    }
     s.read.parquet(out)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), dsum2(col("value")).as("total_value"))
@@ -281,7 +298,7 @@ object Streaming {
           flagged AS (
             SELECT user_id, ts_us,
                    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
-                        ORDER BY ts_us) > 1800000000 THEN 1
+                        ORDER BY ts_us) >= 1800000000 THEN 1
                         WHEN lag(ts_us) OVER (PARTITION BY user_id
                         ORDER BY ts_us) IS NULL THEN 1
                         ELSE 0 END AS new_sess
@@ -315,7 +332,7 @@ object Streaming {
           flagged AS (
             SELECT user_id, ts_us,
                    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
-                        ORDER BY ts_us) > 1800000000 THEN 1
+                        ORDER BY ts_us) >= 1800000000 THEN 1
                         WHEN lag(ts_us) OVER (PARTITION BY user_id
                         ORDER BY ts_us) IS NULL THEN 1
                         ELSE 0 END AS new_sess

@@ -8,10 +8,14 @@ class RelationalSpec extends AnyFunSuite {
   test("bucketed join plans without a shuffle exchange") {
     // build the bucketed tables, then inspect the bare join's plan
     SparkEntry.queries("join_bucketed")(spark, sf).count()
+    // ShuffleExchangeExec prints as bare "Exchange hashpartitioning";
+    // matching the class simple name is vacuous (ADVICE r1).
     val plan = ops.Relational.bucketedJoinPlan(spark)
       .queryExecution.executedPlan.toString()
-    assert(!plan.contains("ShuffleExchange"),
+    assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join must not shuffle:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"bucketed join should still be a non-broadcast join:\n$plan")
   }
 
   test("salted skew join equals the unsalted join") {

@@ -48,6 +48,16 @@ def main(out_dir, sf_dir):
     for p in sorted(Path(sf_dir).glob("*.parquet")):
         con.execute(f"CREATE VIEW {p.stem} AS SELECT * FROM '{p}'")
     n_pass = n_fail = n_rowsonly = 0
+    produced = {d.name for d in out.iterdir() if d.is_dir()}
+    # A query that threw in Verify writes no dir; count it as a failure
+    # instead of silently skipping it (ADVICE r1). query_names.json is
+    # the full declared list; oracle keys are the fallback floor.
+    names_file = out / "query_names.json"
+    declared = set(json.loads(names_file.read_text())) if names_file.exists() \
+        else set(oracles)
+    for name in sorted(declared - produced):
+        print(f"FAIL {name}: no output produced (query threw in Verify?)")
+        n_fail += 1
     for qdir in sorted(d for d in out.iterdir() if d.is_dir()):
         name = qdir.name
         try:
