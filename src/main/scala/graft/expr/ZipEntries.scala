@@ -14,13 +14,23 @@ import org.apache.spark.sql.functions.udf
   * shuffled separately.
   *
   * Nested directories are flattened to the basename, matching the scrap
-  * variant's dir-flatten (scrap/child_otherftp.py:41-56).
+  * variant's dir-flatten (scrap/child_otherftp.py:41-56). Nested
+  * ARCHIVES are exploded recursively — the reference re-enters
+  * handle_file for every member (child.py:114), so a zip-inside-a-zip
+  * yields the inner members, not an opaque .zip row. Depth is bounded
+  * (a zip-bomb chain stops at [[MaxDepth]]; the remaining archive then
+  * surfaces as a plain row for quarantine instead of recursing forever).
   */
 object ZipEntries {
 
   case class Entry(name: String, mtime: Long, size: Long, content: Array[Byte])
 
-  def extract(bytes: Array[Byte]): Seq[Entry] = {
+  /** Recursion bound for nested archives. */
+  val MaxDepth = 5
+
+  def extract(bytes: Array[Byte]): Seq[Entry] = extract(bytes, MaxDepth)
+
+  private def extract(bytes: Array[Byte], depth: Int): Seq[Entry] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     val out = Seq.newBuilder[Entry]
     try {
@@ -29,7 +39,10 @@ object ZipEntries {
         if (!e.isDirectory) {
           val content = zin.readAllBytes()
           val base = e.getName.split('/').last
-          out += Entry(base, e.getTime / 1000, content.length.toLong, content)
+          if (base.toLowerCase.endsWith(".zip") && depth > 1)
+            out ++= extract(content, depth - 1)
+          else
+            out += Entry(base, e.getTime / 1000, content.length.toLong, content)
         }
         e = zin.getNextEntry
       }

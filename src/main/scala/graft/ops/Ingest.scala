@@ -89,6 +89,21 @@ object Ingest {
     }
     member("inner/a.txt", "member a", 1600000000000L)
     member("b.log", "member b log", 1600000100000L)
+    // zip-inside-a-zip: the reference re-enters handle_file per member
+    // (child.py:114), so deep.txt must surface as its own row.
+    val nested = new java.io.ByteArrayOutputStream()
+    val nzos = new ZipOutputStream(nested)
+    val ne = new ZipEntry("deep.txt")
+    ne.setTime(1600000200000L)
+    nzos.putNextEntry(ne)
+    nzos.write("deep member".getBytes("UTF-8"))
+    nzos.closeEntry()
+    nzos.close()
+    val ze = new ZipEntry("inner.zip")
+    ze.setTime(1600000300000L)
+    zos.putNextEntry(ze)
+    zos.write(nested.toByteArray)
+    zos.closeEntry()
     zos.close()
     write("archive.zip", zbytes.toByteArray)
     dir.getAbsolutePath
@@ -280,6 +295,87 @@ object Ingest {
       .orderBy("file_name")
   }
 
+  /** Remote-protocol ingest through [[graft.sources.RemoteFileSource]]
+    * (R11 download + R31 scheme dispatch): two "servers" (ftp:// and
+    * sftp:// URLs over local-dir stand-ins, as in the reference's
+    * localhost test source) are listed on the driver and fetched on
+    * executors, then audited per (scheme, server_folder). The zip is
+    * excluded because its bytes vary with the deflate implementation;
+    * all pins (counts, sizes, crc32 sum, names — including the
+    * zero-byte file Spark's own file index drops) were computed
+    * independently with python zlib, so the oracle checks real payload
+    * integrity, not a self-fulfilling snapshot. fetched_bytes must equal
+    * total_bytes (the R12 size-integrity assert at source level). */
+  private def ingestRemote: Q = (s, d) => {
+    Sanitize.register(s)
+    val fixture = buildFixture()
+    val urls = s"ftp://localhost:21$fixture,sftp://mirror.example.com:2222$fixture"
+    s.read.format("graft.sources.RemoteFileSource")
+      .option("urls", urls)
+      .option("numPartitions", "4")
+      .load()
+      .where(col("file_name") =!= "archive.zip")
+      .groupBy("scheme", "server_folder")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("size")).as("total_bytes"),
+        sum(length(col("content")).cast("long")).as("fetched_bytes"),
+        sum(crc32(col("content"))).as("crc_sum"),
+        max(col("mtime_s")).as("max_mtime_s"),
+        // Names are audited SANITIZED (R7): the raw unicode name's
+        // on-disk byte form depends on the JVM filesystem encoding
+        // ('datañ♪.txt' can list as 'data??.txt'), but both sanitize to
+        // the same 'data--.txt', keeping the pin environment-free.
+        array_join(array_sort(collect_list(
+          Sanitize.sanitize(col("file_name")))), "|").as("names"))
+      .orderBy("scheme")
+  }
+
+  /** Per-file size-integrity gate + post-write verification (R12
+    * child.py:82-88 raise-on-size-mismatch, R20 child.py:210-218
+    * read-back check) with quarantine-not-crash semantics (R22): each
+    * fetched payload is compared against its DECLARED size from the
+    * source catalog; mismatching rows (here 'noext', declared 999 bytes
+    * — a truncated-transfer stand-in) land in a quarantine status
+    * instead of failing the job, clean rows are written to the sink and
+    * then re-read, and every written row must verify byte-identical
+    * length (n_verified). The audit is pinned by a VALUES oracle. */
+  private def ingestIntegrity: Q = (s, d) => {
+    Sanitize.register(s)
+    val fixture = buildFixture()
+    val files = s.read.format("graft.sources.RemoteFileSource")
+      .option("urls", s"ftp://localhost:21$fixture").load()
+      .where(col("file_name") =!= "archive.zip")
+      // join on the sanitized name — the catalog stores sink-side names
+      // (and the raw unicode form is JVM-fs-encoding-dependent)
+      .withColumn("file_name", Sanitize.sanitize(col("file_name")))
+    // Source-catalog manifest of expected sizes; one entry is wrong.
+    val declared = s.createDataFrame(Seq(
+      ("report final.txt", 16L), ("data--.txt", 15L), ("dup_one.txt", 18L),
+      ("dup_two.txt", 18L), ("b.log", 13L), ("noext", 999L), ("empty.txt", 0L),
+    )).toDF("file_name", "declared_size")
+    val checked = files.join(broadcast(declared), Seq("file_name"), "left")
+      .withColumn("fetched_bytes", length(col("content")).cast("long"))
+      .withColumn("status",
+        when(col("declared_size").isNull, "unlisted")
+          .when(col("fetched_bytes") === col("declared_size"), "ok")
+          .otherwise("quarantined"))
+    val sink = s"$scratchRoot/sink/integrity"
+    checked.where(col("status") === "ok")
+      .select("file_name", "size", "content")
+      .write.mode("overwrite").parquet(sink)
+    val written = s.read.parquet(sink)
+      .select(col("file_name"),
+        length(col("content")).cast("long").as("written_bytes"))
+    checked.join(written, Seq("file_name"), "left")
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        sum(col("fetched_bytes")).as("bytes"),
+        sum(when(col("written_bytes") === col("fetched_bytes"), 1L)
+          .otherwise(0L)).as("n_verified"))
+      .orderBy("status")
+  }
+
   /** Catalog DDL + scan (R27 ensure-container, R28 list-blobs): create a
     * database/table if absent, append-or-replace, then answer from the
     * catalog table. */
@@ -318,6 +414,8 @@ object Ingest {
     "scan_partition_pruned" -> scanPartitionPruned,
     "sink_parquet" -> sinkParquet,
     "ingest_e2e" -> ingestE2e,
+    "ingest_remote" -> ingestRemote,
+    "ingest_integrity" -> ingestIntegrity,
     "mm_decode" -> mmDecode,
     "mm_frames" -> mmFrames,
     "mm_resize" -> mmResize,
@@ -348,18 +446,44 @@ object Ingest {
     // Fixture is deterministic → audit rows are pinned literals
     // (regenerated by IngestSpec if the fixture changes).
     "ingest_e2e" -> ingestE2eExpectedSql,
+    // Pins computed with python zlib over the known fixture contents
+    // (independent of Spark): 7 files, 97 bytes, crc32 sum 8325158055.
+    "ingest_remote" ->
+      """SELECT scheme, server_folder, n::BIGINT AS n,
+                total_bytes::BIGINT AS total_bytes,
+                fetched_bytes::BIGINT AS fetched_bytes,
+                crc_sum::BIGINT AS crc_sum,
+                max_mtime_s::BIGINT AS max_mtime_s, names
+         FROM (VALUES
+           ('ftp', 'localhost_21', 7, 97, 97, 8325158055, 1700000000,
+            'b.log|data--.txt|dup_one.txt|dup_two.txt|empty.txt|noext|report final.txt'),
+           ('sftp', 'mirror.example.com_2222', 7, 97, 97, 8325158055, 1700000000,
+            'b.log|data--.txt|dup_one.txt|dup_two.txt|empty.txt|noext|report final.txt'))
+         t(scheme, server_folder, n, total_bytes, fetched_bytes, crc_sum,
+           max_mtime_s, names)
+         ORDER BY scheme""",
+    // 6 clean files (16+15+18+18+13+0 = 80 bytes) all verify on
+    // read-back; 'noext' (17 real bytes vs 999 declared) quarantines.
+    "ingest_integrity" ->
+      """SELECT status, n::BIGINT AS n, bytes::BIGINT AS bytes,
+                n_verified::BIGINT AS n_verified
+         FROM (VALUES ('ok', 6, 80, 6), ('quarantined', 1, 17, 0))
+         t(status, n, bytes, n_verified)
+         ORDER BY status""",
     "catalog_ops" ->
       """SELECT source, count(*) AS n, 1::BIGINT AS n_tables_in_catalog
          FROM documents GROUP BY source ORDER BY source""",
   )
 
-  /** Pinned expected audit for ingest_e2e (see IngestSpec). */
+  /** Pinned expected audit for ingest_e2e (see IngestSpec). deep.txt is
+    * the member of the zip nested INSIDE archive.zip — recursive explode
+    * (child.py:114). */
   private lazy val ingestE2eExpectedSql: String =
     """SELECT file_type, n::BIGINT AS n, total_bytes::BIGINT AS total_bytes, names
        FROM (VALUES
          ('log',  2, 25, 'b.log|b_2.log'),
          ('none', 1, 17, 'noext'),
-         ('txt',  4, 57, 'a.txt|data--.txt|dup_one.txt|report final.txt'))
+         ('txt',  5, 68, 'a.txt|data--.txt|deep.txt|dup_one.txt|report final.txt'))
        t(file_type, n, total_bytes, names)
        ORDER BY file_type"""
 }

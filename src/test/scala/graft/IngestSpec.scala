@@ -40,6 +40,36 @@ class IngestSpec extends AnyFunSuite {
     assert(ZipEntries.extract(Array.emptyByteArray) === Seq.empty)
   }
 
+  test("zip_entries explodes nested archives recursively, bounded depth") {
+    val inner = zipOf(("deep.txt", "deep", 1600000000000L))
+    val outerBytes = {
+      val bos = new ByteArrayOutputStream()
+      val zos = new ZipOutputStream(bos)
+      val e = new ZipEntry("inner.zip")
+      zos.putNextEntry(e); zos.write(inner); zos.closeEntry()
+      val p = new ZipEntry("plain.txt")
+      zos.putNextEntry(p); zos.write("plain".getBytes("UTF-8")); zos.closeEntry()
+      zos.close()
+      bos.toByteArray
+    }
+    val got = ZipEntries.extract(outerBytes)
+    assert(got.map(_.name).sorted === Seq("deep.txt", "plain.txt"))
+    // depth bound: a chain deeper than MaxDepth surfaces the remaining
+    // archive as an opaque row instead of recursing forever
+    val chain = (1 to ZipEntries.MaxDepth + 1).foldLeft(
+      zipOf(("leaf.txt", "leaf", 1600000000000L))) { (z, i) =>
+      val bos = new ByteArrayOutputStream()
+      val zos = new ZipOutputStream(bos)
+      val e = new ZipEntry(s"level$i.zip")
+      zos.putNextEntry(e); zos.write(z); zos.closeEntry(); zos.close()
+      bos.toByteArray
+    }
+    val deep = ZipEntries.extract(chain)
+    assert(deep.size === 1)
+    assert(deep.head.name.endsWith(".zip"),
+      "over-deep archive must surface opaquely, not disappear")
+  }
+
   test("ingest_e2e audit matches the pinned expectation") {
     val rows = SparkEntry.queries("ingest_e2e")(spark, sf)
       .collect()
@@ -47,7 +77,7 @@ class IngestSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq(
       ("log", 2L, 25L, "b.log|b_2.log"),
       ("none", 1L, 17L, "noext"),
-      ("txt", 4L, 57L, "a.txt|data--.txt|dup_one.txt|report final.txt")))
+      ("txt", 5L, 68L, "a.txt|data--.txt|deep.txt|dup_one.txt|report final.txt")))
   }
 
   test("partition-pruned scan reads only the lang=en partition") {
@@ -56,6 +86,42 @@ class IngestSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString()
     assert(plan.contains("PartitionFilters: [isnotnull(lang"),
       s"expected partition filters in:\n$plan")
+  }
+
+  test("remote source never plans a content fetch when content is unused") {
+    val fixture = ops.Ingest.buildFixture()
+    val df = spark.read.format("graft.sources.RemoteFileSource")
+      .option("urls", s"ftp://localhost:21$fixture").load()
+      .select("file_name", "size")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("content"),
+      s"content column must be pruned out of the scan:\n$plan")
+    // all 8 files listed, including the zero-byte one Spark's own file
+    // index drops
+    assert(df.count() === 8)
+  }
+
+  test("remote source dispatches by scheme and rejects unknown protocols") {
+    val fixture = ops.Ingest.buildFixture()
+    val e = intercept[Throwable] {
+      spark.read.format("graft.sources.RemoteFileSource")
+        .option("urls", s"gopher://host:70$fixture").load().count()
+    }
+    val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(messages.contains("unsupported protocol"), messages)
+  }
+
+  test("remote source round-trips payload bytes intact") {
+    val fixture = ops.Ingest.buildFixture()
+    val rows = spark.read.format("graft.sources.RemoteFileSource")
+      .option("urls", s"sftp://h:22$fixture").load()
+      .where(org.apache.spark.sql.functions.col("file_name") === "dup_one.txt")
+      .collect()
+    assert(rows.length === 1)
+    assert(new String(rows.head.getAs[Array[Byte]]("content"), "UTF-8")
+      === "same content twice")
+    assert(rows.head.getAs[String]("server_folder") === "h_22")
   }
 
   test("dedup policies partition the input: semi + anti = all") {
