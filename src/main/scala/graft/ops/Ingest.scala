@@ -117,6 +117,7 @@ object Ingest {
     * oracle — the fixture is deterministic. */
   private def ingestE2e: Q = (s, d) => {
     Sanitize.register(s)
+    graft.GraftLog.monitor("ingest_e2e: pipeline started")
     val fixture = buildFixture()
     val raw = s.read.format("binaryFile").load(fixture)
       .select(
@@ -164,6 +165,7 @@ object Ingest {
       .select(col("final_name").as("file_name"), col("file_type"),
         col("size"), col("mtime"), col("content"))
       .write.mode("overwrite").partitionBy("file_type").parquet(sink)
+    graft.GraftLog.monitor(s"ingest_e2e: sink written at $sink")
 
     s.read.parquet(sink)
       .groupBy("file_type")
@@ -364,6 +366,13 @@ object Ingest {
     checked.where(col("status") === "ok")
       .select("file_name", "size", "content")
       .write.mode("overwrite").parquet(sink)
+    // R23/R26 accounting on the two streams: failures to the error log,
+    // lifecycle to the monitor log (custom_logging.py:5-29 analog).
+    val nQuarantined = checked.where(col("status") === "quarantined").count()
+    if (nQuarantined > 0)
+      graft.GraftLog.error(
+        s"ingest_integrity: $nQuarantined file(s) failed the size check and were quarantined")
+    graft.GraftLog.monitor(s"ingest_integrity: sink written and verified at $sink")
     val written = s.read.parquet(sink)
       .select(col("file_name"),
         length(col("content")).cast("long").as("written_bytes"))
