@@ -212,26 +212,32 @@ object Llm {
         size(sh).cast("long").as("n_shingles"))
       .write.mode("overwrite").parquet(sigPath)
     val sigT = s.read.parquet(sigPath)
-    val bands = sigT.select(col("doc_id"),
+    // Signatures RIDE the band rows (16 longs × 4 rows per doc) so one
+    // self-join yields candidate pairs WITH both signatures — no
+    // join-back to the signature table afterwards (2 fewer shuffles of
+    // sigT; a pair colliding in several bands dedups in the same
+    // aggregation that computes its estimate).
+    val bands = sigT.select(col("doc_id"), col("sig"),
       posexplode(array((0 until nSig / bandWidth).map(b =>
         xxhash64((0 until bandWidth).map(j =>
           element_at(col("sig"), b * bandWidth + j + 1)): _*)): _*))
         .as(Seq("band_idx", "band_hash")))
-    val pairs = bands.select(col("doc_id").as("a_id"), col("band_idx"), col("band_hash"))
-      .join(bands.select(col("doc_id").as("b_id"), col("band_idx"), col("band_hash")),
+    // Estimated Jaccard = fraction of agreeing signature slots.
+    val est = bands
+      .select(col("doc_id").as("a_id"), col("sig").as("sig_a"),
+        col("band_idx"), col("band_hash"))
+      .join(bands.select(col("doc_id").as("b_id"), col("sig").as("sig_b"),
+        col("band_idx"), col("band_hash")),
         Seq("band_idx", "band_hash"))
       .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    // Estimated Jaccard = fraction of agreeing signature slots.
-    val est = pairs
-      .join(sigT.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), Seq("a_id"))
-      .join(sigT.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (p, q) => when(p === q, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-          .cast("double") / nSig).as("est_jaccard"))
-    val candCnt = pairs.select(col("a_id").as("doc_id"))
-      .unionAll(pairs.select(col("b_id").as("doc_id")))
+          .cast("double") / nSig).as("e"))
+      .groupBy("a_id", "b_id")
+      .agg(max(col("e")).as("est_jaccard"))
+    val candCnt = est.select(col("a_id").as("doc_id"))
+      .unionAll(est.select(col("b_id").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
     // Keep-lowest-id policy (same as dedup_exact): a doc is a dup of its
     // best-matching lower-id neighbour at est >= threshold.

@@ -118,10 +118,28 @@ object Streaming {
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
   }
 
+  /** Stateful-stream partition count. Streaming state cost scales with
+    * the number of state-store instances (one per shuffle partition):
+    * each micro-batch pays a per-store checkpoint commit regardless of
+    * state volume, so state partitioning is sized to the STATE, not to
+    * the batch shuffle width (32 stores over kilobytes of state spends
+    * 4× the wall-clock of 8 doing pure commit overhead). On a real
+    * cluster this is the knob you'd raise with key cardinality. */
+  private val statePartitions = 8
+
+  /** Plan/run `body` with the streaming state partition count, then
+    * restore the session's batch shuffle sizing. */
+  private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a streaming DF to completion into an in-memory table and return
     * the final result (AvailableNow = the reference's cron-batch shape). */
   private def runToMemory(s: SparkSession, df: DataFrame, name: String,
-      mode: OutputMode): DataFrame = {
+      mode: OutputMode): DataFrame = withStatePartitions(s) {
     val q = df.writeStream
       .outputMode(mode)
       .format("memory")
@@ -244,7 +262,7 @@ object Streaming {
       .select("event_id", "event_type", "value")
     val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
+    try withStatePartitions(s) {
       val q = st.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           batch.withColumn("batch_id", lit(batchId))
