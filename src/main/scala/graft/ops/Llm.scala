@@ -199,11 +199,19 @@ object Llm {
     * cache-pinned after the query, unlike round 1). The band self-join
     * shuffles only (band_idx, band_hash, doc_id) triples; candidate
     * verification joins 16-long signatures on bounded pair sets. */
-  private def dedupMinhash: Q = (s, d) => {
+  private val minhashNSig = 16
+  private val minhashBandWidth = 4
+  private val minhashThreshold = 0.5
+
+  /** Per-doc MinHash signature table, CHECKPOINTED to scratch parquet
+    * (16 longs + 2 ids per doc): signatures are a pure per-row map
+    * ([[graft.expr.MinHashSig]] — no explode, no shuffle), and the
+    * checkpoint lets every downstream branch read the tiny table
+    * instead of recomputing shingles (and nothing stays cache-pinned
+    * after the query, unlike round 1). */
+  private def minhashSigTable(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     graft.expr.MinHashSketch.register(s)
-    val nSig = 16
-    val bandWidth = 4
-    val threshold = 0.5
     val sigPath = s"$scratchRoot/minhash_sig/${d.hashCode & 0x7fffffff}"
     val sh = shingles(col("text"))
     t(s, d, "documents")
@@ -211,19 +219,23 @@ object Llm {
         call_function("minhash_sig", sh).as("sig"),
         size(sh).cast("long").as("n_shingles"))
       .write.mode("overwrite").parquet(sigPath)
-    val sigT = s.read.parquet(sigPath)
-    // Signatures RIDE the band rows (16 longs × 4 rows per doc) so one
-    // self-join yields candidate pairs WITH both signatures — no
-    // join-back to the signature table afterwards (2 fewer shuffles of
-    // sigT; a pair colliding in several bands dedups in the same
-    // aggregation that computes its estimate).
+    s.read.parquet(sigPath)
+  }
+
+  /** LSH candidate pairs with estimated Jaccard (fraction of agreeing
+    * signature slots). Signatures RIDE the band rows (16 longs × 4 rows
+    * per doc) so one self-join yields candidate pairs WITH both
+    * signatures — no join-back to the signature table afterwards; a
+    * pair colliding in several bands dedups in the same aggregation
+    * that computes its estimate. */
+  private def minhashPairs(sigT: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val bands = sigT.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until nSig / bandWidth).map(b =>
-        xxhash64((0 until bandWidth).map(j =>
-          element_at(col("sig"), b * bandWidth + j + 1)): _*)): _*))
+      posexplode(array((0 until minhashNSig / minhashBandWidth).map(b =>
+        xxhash64((0 until minhashBandWidth).map(j =>
+          element_at(col("sig"), b * minhashBandWidth + j + 1)): _*)): _*))
         .as(Seq("band_idx", "band_hash")))
-    // Estimated Jaccard = fraction of agreeing signature slots.
-    val est = bands
+    bands
       .select(col("doc_id").as("a_id"), col("sig").as("sig_a"),
         col("band_idx"), col("band_hash"))
       .join(bands.select(col("doc_id").as("b_id"), col("sig").as("sig_b"),
@@ -233,9 +245,15 @@ object Llm {
       .select(col("a_id"), col("b_id"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (p, q) => when(p === q, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-          .cast("double") / nSig).as("e"))
+          .cast("double") / minhashNSig).as("e"))
       .groupBy("a_id", "b_id")
       .agg(max(col("e")).as("est_jaccard"))
+  }
+
+  private def dedupMinhash: Q = (s, d) => {
+    val threshold = minhashThreshold
+    val sigT = minhashSigTable(s, d)
+    val est = minhashPairs(sigT)
     val candCnt = est.select(col("a_id").as("doc_id"))
       .unionAll(est.select(col("b_id").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
@@ -275,6 +293,99 @@ object Llm {
       .select(col("doc_id"),
         element_at(col("sig"), 1).as("sig0"),
         element_at(col("sig"), 16).as("sig15"))
+      .orderBy("doc_id")
+  }
+
+  /** Near-dup CLUSTERS: connected components over the LSH pair graph
+    * (a full dedup decides per GROUP, not per pair — "a~b, b~c" must
+    * collapse to one representative even when a~c was never a
+    * candidate). Bounded min-label propagation: each round every doc
+    * takes the smallest label among itself and its neighbours; rounds
+    * bound the component diameter reachable (near-dup clusters are
+    * shallow in practice — every member is similar to the pivot).
+    * Scale shape: per round one edges⋈labels join + one min-aggregate,
+    * the standard iterative-dataflow component algorithm (at cluster
+    * scale each round would localCheckpoint to cut lineage).
+    * Representative = lowest doc_id of the cluster (keep-lowest policy,
+    * consistent with dedup_exact / dedup_minhash). */
+  private def dedupCluster: Q = (s, d) => {
+    val rounds = 6
+    val sigT = minhashSigTable(s, d)
+    val pairs = minhashPairs(sigT)
+      .where(col("est_jaccard") >= minhashThreshold)
+      .select("a_id", "b_id")
+    // The edge list appears once PER ROUND in the final plan; left as
+    // lineage, every round would re-run the band self-join (measured
+    // 6×). Checkpoint it once — iterative dataflow always materializes
+    // the loop-invariant input.
+    val edgesPath = s"$scratchRoot/minhash_edges/${d.hashCode & 0x7fffffff}"
+    pairs
+      .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst")
+      .write.mode("overwrite").parquet(edgesPath)
+    val edges = s.read.parquet(edgesPath)
+    val labelsPath = s"$scratchRoot/minhash_labels/${d.hashCode & 0x7fffffff}"
+    sigT.select(col("doc_id"), col("doc_id").as("label"))
+      .write.mode("overwrite").parquet(labelsPath + "/0")
+    var labels = s.read.parquet(labelsPath + "/0")
+    // Early exit: min-propagation strictly decreases sum(label) every
+    // round until converged, so an unchanged sum means done — the
+    // common no-near-dups corpus stops after one round instead of
+    // paying all `rounds` shuffle stages.
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var converged = false
+    var r = 0
+    while (r < rounds && !converged) {
+      r += 1
+      val prop = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .write.mode("overwrite").parquet(labelsPath + s"/$r")
+      labels = s.read.parquet(labelsPath + s"/$r")
+      val sumNow = labels.agg(sum(col("label"))).head.getLong(0)
+      converged = sumNow == prevSum
+      prevSum = sumNow
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc_id"), col("label").as("cluster"), col("cluster_size"),
+        (col("doc_id") === col("label")).as("is_representative"))
+      .orderBy("doc_id")
+  }
+
+  /** Training-data text normalization: casefold, strip non-alphanumeric
+    * to spaces, squeeze whitespace — the canonical pre-tokenization
+    * cleanup pass, all codegen'd built-ins. */
+  private def textNormalize: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("raw_chars"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm_text"))
+      .withColumn("norm_chars", length(col("norm_text")).cast("long"))
+      .orderBy("doc_id")
+
+  /** PII scrubbing: emails and phone numbers replaced by typed redaction
+    * tokens — a compliance pass every public-corpus pipeline runs.
+    * Adversarial inputs are synthesized deterministically (the corpus
+    * itself is PII-free), and the oracle applies the same regexes. */
+  private def textPiiScrub: Q = (s, d) => {
+    val raw = concat(lit("contact "), col("source"), col("doc_id"),
+      lit("@example.com or call +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" about: "), substring(col("text"), 1, 40))
+    t(s, d, "documents")
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"), col("raw"),
+        regexp_replace(
+          regexp_replace(col("raw"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\+[0-9][0-9-]{6,}", "<PHONE>").as("clean"))
       .orderBy("doc_id")
   }
 
@@ -461,6 +572,9 @@ object Llm {
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_agg" -> dedupMinhashAgg,
+    "dedup_cluster" -> dedupCluster,
+    "text_normalize" -> textNormalize,
+    "text_pii_scrub" -> textPiiScrub,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram" -> dedupNgram,
     "dedup_embed" -> dedupEmbed,
@@ -486,6 +600,28 @@ object Llm {
   private val duckCos = duckCosOf("q", "e")
 
   val oracles: Map[String, String] = Map(
+    "text_normalize" ->
+      """SELECT doc_id, length(text)::BIGINT AS raw_chars,
+                trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+                length(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))::BIGINT
+                  AS norm_chars
+         FROM documents ORDER BY doc_id""",
+    "text_pii_scrub" ->
+      """WITH r AS (
+           SELECT doc_id,
+                  'contact ' || source || doc_id || '@example.com or call +1-555-'
+                  || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  || ' about: ' || substring(text, 1, 40) AS raw
+           FROM documents)
+         SELECT doc_id, raw,
+                regexp_replace(
+                  regexp_replace(raw,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                  '\+[0-9][0-9-]{6,}', '<PHONE>', 'g') AS clean
+         FROM r ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY doc_id""",

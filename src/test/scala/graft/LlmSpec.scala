@@ -96,6 +96,33 @@ class LlmSpec extends AnyFunSuite {
       "pair-generation join must include the LSH bucket key")
   }
 
+  test("dedup_cluster merges transitive near-dup chains to one representative") {
+    val cd = s"${Tables.scratchRoot}/llm_chain_fixture"
+    val b = "the quick brown fox jumps over the lazy dog and then runs far " +
+      "away into the deep green forest before sunset tonight"
+    val a = b.replace("quick", "swift")
+    val c = b.replace("sunset", "sunrise").replace("tonight", "today")
+    val docs = Seq(
+      (0L, a, "en", "src0", a.length.toLong),
+      (1L, b, "en", "src0", b.length.toLong),
+      (2L, c, "en", "src0", c.length.toLong),
+      (3L, "completely unrelated words about columnar engines vectorized " +
+        "readers and shuffle exchanges everywhere", "en", "src0", 100L))
+    spark.createDataFrame(docs).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$cd/documents.parquet")
+    val rows = SparkEntry.queries("dedup_cluster")(spark, cd).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // 0~1 and 1~2 are near-dups; 0~2 may or may not be a direct LSH
+    // candidate — the CLUSTER must still merge all three transitively.
+    assert(Seq(0L, 1L, 2L).map(rows(_)._1).distinct === Seq(0L),
+      s"chain 0~1~2 must merge into cluster 0: $rows")
+    assert(rows(0L)._2 === 3L, s"cluster size: $rows")
+    assert(rows(0L)._3 && !rows(1L)._3 && !rows(2L)._3,
+      "lowest doc_id is the sole representative")
+    assert(rows(3L) === ((3L, 1L, true)), s"unrelated doc stays singleton: $rows")
+  }
+
   test("simhash: near-dup hamming distance < unrelated hamming distance") {
     def hamming(a: String, b: String): Int =
       java.lang.Long.bitCount(

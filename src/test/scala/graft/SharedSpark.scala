@@ -9,6 +9,7 @@ object SharedSpark {
       .master("local[8]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", s"${Tables.scratchRoot}/spark-local-test")
       .config("spark.sql.warehouse.dir", s"${Tables.scratchRoot}/warehouse-test")
