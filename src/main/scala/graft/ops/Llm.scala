@@ -209,16 +209,26 @@ object Llm {
     * checkpoint lets every downstream branch read the tiny table
     * instead of recomputing shingles (and nothing stays cache-pinned
     * after the query, unlike round 1). */
+  /** Signature checkpoints already written by THIS JVM (per input dir):
+    * dedup_minhash and dedup_cluster share one signature build per
+    * session instead of each re-shingling the corpus. Input dirs are
+    * immutable within a run (testdata is static; test fixtures use
+    * distinct dirs), so same-process reuse is safe; a fresh process
+    * always rebuilds. */
+  private val sigBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def minhashSigTable(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     graft.expr.MinHashSketch.register(s)
     val sigPath = s"$scratchRoot/minhash_sig/${d.hashCode & 0x7fffffff}"
-    val sh = shingles(col("text"))
-    t(s, d, "documents")
-      .select(col("doc_id"),
-        call_function("minhash_sig", sh).as("sig"),
-        size(sh).cast("long").as("n_shingles"))
-      .write.mode("overwrite").parquet(sigPath)
+    if (sigBuilt.add(sigPath)) {
+      val sh = shingles(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          call_function("minhash_sig", sh).as("sig"),
+          size(sh).cast("long").as("n_shingles"))
+        .write.mode("overwrite").parquet(sigPath)
+    }
     s.read.parquet(sigPath)
   }
 
