@@ -284,7 +284,30 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  /** Continuous remote ingest through the custom DSv2 source
+    * ([[graft.sources.RemoteFileSource]] as a MicroBatchStream): the
+    * reference's cron-triggered remote pipeline as ONE streaming query —
+    * AvailableNow snapshots the listing, admission control drains it 3
+    * files per micro-batch (BATCH_SIZE, config.py:2), payloads fetched
+    * on executors, result audited per scheme. The zip is excluded
+    * (deflate-impl-variable bytes); pins match ingest_remote's
+    * python-zlib-verified totals. */
+  private def streamRemote: Q = (s, d) => {
+    val fixture = Ingest.buildFixture()
+    val st = s.readStream.format("graft.sources.RemoteFileSource")
+      .option("urls", s"ftp://localhost:21$fixture")
+      .option("batchSize", "3")
+      .load()
+      .where(col("file_name") =!= "archive.zip")
+    val agg = st.groupBy("scheme")
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("content")).cast("long")).as("bytes"))
+    runToMemory(s, agg, "stream_remote_t", OutputMode.Complete())
+      .orderBy("scheme")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_remote" -> streamRemote,
     "win_tumbling" -> winTumbling,
     "win_sliding" -> winSliding,
     "win_session" -> winSession,
@@ -298,6 +321,12 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    // 7 non-zip fixture files, 97 payload bytes (pins shared with
+    // ingest_remote, computed independently with python zlib).
+    "stream_remote" ->
+      """SELECT scheme, n::BIGINT AS n, bytes::BIGINT AS bytes
+         FROM (VALUES ('ftp', 7, 97)) t(scheme, n, bytes)
+         ORDER BY scheme""",
     "win_tumbling" ->
       s"""SELECT (${duckTsS("ts")} // 600) * 600 AS wstart_s, event_type,
                  count(*) AS n,

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -98,7 +99,8 @@ class RemoteFileSource extends TableProvider {
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val urls = opts.get("urls").split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    new RemoteFileTable(urls, opts.getInt("numPartitions", 4))
+    new RemoteFileTable(urls, opts.getInt("numPartitions", 4),
+      opts.getInt("batchSize", Int.MaxValue))
   }
 }
 
@@ -113,18 +115,39 @@ object RemoteFileSource {
     StructField("content", BinaryType, nullable = false)))
 }
 
-class RemoteFileTable(urls: Seq[String], numPartitions: Int)
+class RemoteFileTable(urls: Seq[String], numPartitions: Int, batchSize: Int)
     extends Table with SupportsRead {
   override def name(): String = s"graft_remote(${urls.mkString(",")})"
   override def schema(): StructType = RemoteFileSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RemoteScanBuilder(urls, numPartitions)
+    new RemoteScanBuilder(urls, numPartitions, batchSize)
 }
 
-class RemoteScanBuilder(urls: Seq[String], numPartitions: Int)
+object RemoteListing {
+  /** Driver-side: parse + LIST only (dispatch fails fast on an
+    * unsupported scheme, before any executor work is scheduled).
+    * Deterministic total order so streaming offsets are stable. */
+  def listAll(urls: Seq[String]): Array[RemoteTask] =
+    urls.flatMap { u =>
+      val parsed = RemoteUrl.parse(u)
+      parsed.client.list().map(f => RemoteTask(parsed.url, f))
+    }.sortBy(t => (t.url, t.ref.name)).toArray
+
+  /** Round-robin dealing, empty buckets dropped (main.py:65-78). */
+  def deal(files: Array[RemoteTask], numPartitions: Int): Array[InputPartition] =
+    (0 until numPartitions)
+      .map(i => files.zipWithIndex.collect {
+        case (f, j) if j % numPartitions == i => f
+      })
+      .filter(_.nonEmpty)
+      .map(fs => RemoteFilePartition(fs.toArray): InputPartition)
+      .toArray
+}
+
+class RemoteScanBuilder(urls: Seq[String], numPartitions: Int, batchSize: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = RemoteFileSource.schema
 
@@ -134,25 +157,77 @@ class RemoteScanBuilder(urls: Seq[String], numPartitions: Int)
   override def build(): Scan = new Scan {
     override def readSchema(): StructType = required
     override def toBatch: Batch = new Batch {
-      override def planInputPartitions(): Array[InputPartition] = {
-        // Driver-side: parse + LIST only (dispatch fails fast on an
-        // unsupported scheme, before any executor work is scheduled).
-        val files = urls.flatMap { u =>
-          val parsed = RemoteUrl.parse(u)
-          parsed.client.list().map(f => RemoteTask(parsed.url, f))
-        }
-        (0 until numPartitions)
-          .map(i => files.zipWithIndex.collect {
-            case (f, j) if j % numPartitions == i => f
-          })
-          .filter(_.nonEmpty)
-          .map(fs => RemoteFilePartition(fs.toArray): InputPartition)
-          .toArray
-      }
+      override def planInputPartitions(): Array[InputPartition] =
+        RemoteListing.deal(RemoteListing.listAll(urls), numPartitions)
       override def createReaderFactory(): PartitionReaderFactory =
         new RemoteFileReaderFactory(required)
     }
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new RemoteMicroBatchStream(urls, numPartitions, batchSize, required)
   }
+}
+
+/** Offset = count of files (in the deterministic listing order) already
+  * admitted — the streaming analog of the reference's per-run task
+  * cursor. */
+case class RemoteOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+/** Micro-batch stream over the remote listing: the reference's
+  * cron-triggered batch runs (README.md:102-131) as a genuine
+  * Structured Streaming source. Admission control caps each micro-batch
+  * at `batchSize` files (BATCH_SIZE, config.py:2); Trigger.AvailableNow
+  * snapshots the listing and drains it batch-by-batch, then stops —
+  * exactly the scheduled-ingest shape. Listing happens on the driver at
+  * offset-resolution time; payload fetch stays on executors. */
+class RemoteMicroBatchStream(urls: Seq[String], numPartitions: Int,
+    batchSize: Int, required: StructType)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private lazy val tasks: Array[RemoteTask] = RemoteListing.listAll(urls)
+  @volatile private var availableNowCap: Long = -1L
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = tasks.length.toLong
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (batchSize == Int.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxFiles(batchSize)
+
+  override def initialOffset(): Offset = RemoteOffset(0L)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val begin = start.asInstanceOf[RemoteOffset].n
+    val total = if (availableNowCap >= 0) availableNowCap else tasks.length.toLong
+    val capped = limit match {
+      case _ if batchSize == Int.MaxValue => total
+      case _ => math.min(begin + batchSize, total)
+    }
+    RemoteOffset(capped)
+  }
+
+  override def reportLatestOffset(): Offset = RemoteOffset(tasks.length.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val b = start.asInstanceOf[RemoteOffset].n.toInt
+    val e = end.asInstanceOf[RemoteOffset].n.toInt
+    RemoteListing.deal(tasks.slice(b, e), numPartitions)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RemoteFileReaderFactory(required)
+
+  override def deserializeOffset(json: String): Offset = RemoteOffset(json.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 case class RemoteTask(url: String, ref: RemoteFileRef)

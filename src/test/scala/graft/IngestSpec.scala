@@ -124,6 +124,30 @@ class IngestSpec extends AnyFunSuite {
     assert(rows.head.getAs[String]("server_folder") === "h_22")
   }
 
+  test("remote stream drains in batchSize micro-batches under AvailableNow") {
+    val fixture = ops.Ingest.buildFixture()
+    val ckptDir = new java.io.File(s"${Tables.scratchRoot}/stream/remote_spec")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del)
+      f.delete(): Unit
+    }
+    if (ckptDir.exists()) del(ckptDir)
+    val st = spark.readStream.format("graft.sources.RemoteFileSource")
+      .option("urls", s"ftp://localhost:21$fixture")
+      .option("batchSize", "3")
+      .load()
+    val q = st.writeStream.format("memory").queryName("remote_spec_t")
+      .outputMode("append")
+      .option("checkpointLocation", s"$ckptDir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("remote_spec_t").count() === 8)
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 3,
+      s"8 files at batchSize=3 must take >= 3 micro-batches, got $dataBatches")
+  }
+
   test("dedup policies partition the input: semi + anti = all") {
     val semi = SparkEntry.queries("join_semi")(spark, sf).count()
     val anti = SparkEntry.queries("join_anti")(spark, sf).count()
