@@ -74,10 +74,12 @@ object Streaming {
 
   /** Session windows: 30-minute inactivity gap per user. Oracle is the
     * classic gaps-and-islands SQL — semantics must agree exactly,
-    * including the boundary: Spark's session window is
-    * [start, last + gap) with an EXCLUSIVE end, so an event exactly
-    * `gap` after its predecessor starts a NEW session — the oracle's
-    * new-session predicate is therefore `>=`, not `>` (ADVICE r1). */
+    * including the boundary: Spark MERGES sessions that are exactly
+    * adjacent (an event precisely `gap` after its predecessor joins the
+    * same session — merge condition is start <= previous end, both
+    * empirically pinned by RelationalSpec), so the oracle's new-session
+    * predicate is strictly `>`. (ADVICE r1 suggested `>=`; the pinned
+    * experiment shows `>` is the faithful boundary.) */
   private def winSession: Q = (s, d) =>
     evWithTs(s, d)
       .groupBy(session_window(col("ts_t"), "30 minutes").as("w"), col("user_id"))
@@ -345,7 +347,7 @@ object Streaming {
           flagged AS (
             SELECT user_id, ts_us,
                    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
-                        ORDER BY ts_us) >= 1800000000 THEN 1
+                        ORDER BY ts_us) > 1800000000 THEN 1
                         WHEN lag(ts_us) OVER (PARTITION BY user_id
                         ORDER BY ts_us) IS NULL THEN 1
                         ELSE 0 END AS new_sess
@@ -379,7 +381,7 @@ object Streaming {
           flagged AS (
             SELECT user_id, ts_us,
                    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
-                        ORDER BY ts_us) >= 1800000000 THEN 1
+                        ORDER BY ts_us) > 1800000000 THEN 1
                         WHEN lag(ts_us) OVER (PARTITION BY user_id
                         ORDER BY ts_us) IS NULL THEN 1
                         ELSE 0 END AS new_sess

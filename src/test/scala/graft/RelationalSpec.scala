@@ -79,6 +79,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(mismatched.count() === 0)
   }
 
+  test("session window MERGES at exactly the gap duration, splits past it") {
+    // Pins the boundary the oracles encode: Spark merges sessions that
+    // are exactly adjacent (merge condition start <= previous end), so
+    // an event precisely `gap` after its predecessor joins the SAME
+    // session and the gaps-and-islands oracle must use a strict `>`.
+    // (ADVICE r1 suggested `>=`; this experiment shows otherwise.)
+    import org.apache.spark.sql.functions._
+    val df = spark.createDataFrame(Seq(
+      (1L, 0L), (1L, 1800L * 1000000L), (2L, 0L), (2L, 1801L * 1000000L)))
+      .toDF("user_id", "ts_us")
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+    val sess = df.groupBy(session_window(col("ts_t"), "30 minutes"),
+      col("user_id")).count().collect()
+    assert(sess.count(_.getLong(1) == 1L) === 1,
+      "user 1's exact-gap events must merge into one session")
+    assert(sess.count(_.getLong(1) == 2L) === 2,
+      "user 2's past-gap events must split into two sessions")
+  }
+
+  test("dedup plans: map-side combine on exact, no cartesian anywhere") {
+    val exact = SparkEntry.queries("dedup_exact")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(exact.contains("partial_min") || exact.contains("partial_count"),
+      s"dedup_exact must partial-aggregate map-side:\n$exact")
+    for (q <- Seq("dedup_embed", "dedup_ngram", "sim_ann_lsh")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString()
+      assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian:\n$p")
+    }
+  }
+
   test("quarantine splits good from corrupt without failing the job") {
     val rows = SparkEntry.queries("ingest_quarantine")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
