@@ -12,6 +12,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Engine default: object-hash aggregation (TypedImperativeAggregate
+      // sketches) keeps hash mode far past the 128-key default -- sketch
+      // buffers are ~136 B, so 64k keys/partition is ~9 MB, while the
+      // sort fallback re-sorts the full exploded input (round-1 lesson).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", s"${Tables.scratchRoot}/spark-local")
       .config("spark.sql.warehouse.dir", s"${Tables.scratchRoot}/warehouse")
