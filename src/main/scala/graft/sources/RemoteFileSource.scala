@@ -163,7 +163,8 @@ class RemoteScanBuilder(urls: Seq[String], numPartitions: Int, batchSize: Int)
         new RemoteFileReaderFactory(required)
     }
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-      new RemoteMicroBatchStream(urls, numPartitions, batchSize, required)
+      new RemoteMicroBatchStream(urls, numPartitions, batchSize, required,
+        checkpointLocation)
   }
 }
 
@@ -178,19 +179,63 @@ case class RemoteOffset(n: Long) extends Offset {
   * cron-triggered batch runs (README.md:102-131) as a genuine
   * Structured Streaming source. Admission control caps each micro-batch
   * at `batchSize` files (BATCH_SIZE, config.py:2); Trigger.AvailableNow
-  * snapshots the listing and drains it batch-by-batch, then stops —
-  * exactly the scheduled-ingest shape. Listing happens on the driver at
-  * offset-resolution time; payload fetch stays on executors. */
+  * drains the pending listing batch-by-batch, then stops — exactly the
+  * scheduled-ingest shape. Listing happens on the driver at
+  * offset-resolution time; payload fetch stays on executors.
+  *
+  * INCREMENTAL across runs (R16/R18 "new files since last run") via an
+  * ADMISSION-TIME batch log in the checkpoint — the FileStreamSource
+  * design: when a batch is admitted (latestOffset), a record
+  * `start → (end, file keys)` is persisted BEFORE Spark writes its
+  * offset WAL. Every future instance derives "already ingested" from
+  * the union of recorded keys, so a cron-style re-trigger processes
+  * only new files; a WAL-replayed batch reads its own record back and
+  * re-plans the IDENTICAL file set (exactly-once per file together with
+  * the sink's batch-id dedup), even if the remote listing changed in
+  * between. A commit-time log would lag one batch — Spark never calls
+  * commit() for the final batch of an AvailableNow run — which is why
+  * admission time is the only sound write point. */
 class RemoteMicroBatchStream(urls: Seq[String], numPartitions: Int,
-    batchSize: Int, required: StructType)
+    batchSize: Int, required: StructType, checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  private lazy val tasks: Array[RemoteTask] = RemoteListing.listAll(urls)
-  @volatile private var availableNowCap: Long = -1L
+  private val batchDir = {
+    val dir = new File(checkpointLocation.stripPrefix("file:"), "graft-batches")
+    dir.mkdirs()
+    dir
+  }
 
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = tasks.length.toLong
+  private def taskKey(t: RemoteTask): String = s"${t.url}|${t.ref.name}"
+
+  /** Batch records persisted by earlier instances: start → (end, keys).
+    * Record file = <start offset>, line 1 = end offset, rest = keys. */
+  private lazy val persisted: Map[Long, (Long, Seq[String])] =
+    Option(batchDir.listFiles()).getOrElse(Array.empty).map { f =>
+      val lines = Files.readAllLines(f.toPath).asScala.toSeq
+      f.getName.toLong -> ((lines.head.toLong, lines.tail.filter(_.nonEmpty)))
+    }.toMap
+
+  private val admittedThisRun =
+    scala.collection.mutable.Map.empty[Long, (Long, Seq[String])]
+
+  private def record(start: Long): Option[(Long, Seq[String])] =
+    admittedThisRun.get(start).orElse(persisted.get(start))
+
+  private lazy val listing: Array[RemoteTask] = RemoteListing.listAll(urls)
+  private lazy val byKey: Map[String, RemoteTask] =
+    listing.map(t => taskKey(t) -> t).toMap
+
+  /** Files never admitted by ANY recorded batch, in listing order. */
+  private lazy val pending: Array[RemoteTask] = {
+    val ingested = persisted.values.flatMap(_._2).toSet
+    listing.filterNot(t => ingested.contains(taskKey(t)))
+  }
+
+  /** Next pending index to admit in this run. */
+  private var cursor: Int = 0
+
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   override def getDefaultReadLimit: ReadLimit =
     if (batchSize == Int.MaxValue) ReadLimit.allAvailable()
@@ -202,29 +247,54 @@ class RemoteMicroBatchStream(urls: Seq[String], numPartitions: Int,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead")
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val begin = start.asInstanceOf[RemoteOffset].n
-    val total = if (availableNowCap >= 0) availableNowCap else tasks.length.toLong
-    val capped = limit match {
-      case _ if batchSize == Int.MaxValue => total
-      case _ => math.min(begin + batchSize, total)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    synchronized {
+      val begin = start.asInstanceOf[RemoteOffset].n
+      record(begin) match {
+        // WAL replay (or a crash between our record and Spark's WAL):
+        // re-admit the identical recorded batch.
+        case Some((end, _)) => RemoteOffset(end)
+        case None =>
+          val n = math.min(
+            if (batchSize == Int.MaxValue) Int.MaxValue else batchSize,
+            pending.length - cursor)
+          if (n <= 0) RemoteOffset(begin)
+          else {
+            val files = pending.slice(cursor, cursor + n).toSeq
+            cursor += n
+            val end = begin + n
+            val f = new File(batchDir, begin.toString)
+            Files.write(f.toPath,
+              (end.toString +: files.map(taskKey)).mkString("\n").getBytes("UTF-8"))
+            admittedThisRun(begin) = (end, files.map(taskKey))
+            RemoteOffset(end)
+          }
+      }
     }
-    RemoteOffset(capped)
+
+  override def reportLatestOffset(): Offset = synchronized {
+    val maxEnd = (persisted.values.map(_._1) ++ admittedThisRun.values.map(_._1))
+      .maxOption.getOrElse(0L)
+    RemoteOffset(maxEnd + (pending.length - cursor))
   }
 
-  override def reportLatestOffset(): Offset = RemoteOffset(tasks.length.toLong)
-
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val b = start.asInstanceOf[RemoteOffset].n.toInt
-    val e = end.asInstanceOf[RemoteOffset].n.toInt
-    RemoteListing.deal(tasks.slice(b, e), numPartitions)
-  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    synchronized {
+      val begin = start.asInstanceOf[RemoteOffset].n
+      val tasks = record(begin) match {
+        case Some((_, keys)) => keys.flatMap(byKey.get).toArray
+        case None => Array.empty[RemoteTask]
+      }
+      RemoteListing.deal(tasks, numPartitions)
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RemoteFileReaderFactory(required)
 
   override def deserializeOffset(json: String): Offset = RemoteOffset(json.toLong)
 
+  /** Progress is durable at admission time; nothing to do at commit
+    * (Spark never calls commit for an AvailableNow run's final batch). */
   override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()

@@ -148,6 +148,39 @@ class IngestSpec extends AnyFunSuite {
       s"8 files at batchSize=3 must take >= 3 micro-batches, got $dataBatches")
   }
 
+  test("remote stream is incremental across runs: only new files processed") {
+    val fixture = ops.Ingest.buildFixture()
+    val base = new java.io.File(s"${Tables.scratchRoot}/stream/remote_incr")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del)
+      f.delete(): Unit
+    }
+    if (base.exists()) del(base)
+    def runOnce(): Unit = {
+      val st = spark.readStream.format("graft.sources.RemoteFileSource")
+        .option("urls", s"ftp://localhost:21$fixture")
+        .option("batchSize", "3")
+        .load()
+        .select("file_name", "size")
+      val q = st.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(s"$base/out").count() === 8)
+    // a new file arrives between two cron-style runs
+    val f = new java.io.FileOutputStream(new java.io.File(fixture, "late.txt"))
+    f.write("late arrival".getBytes("UTF-8")); f.close()
+    runOnce()
+    import org.apache.spark.sql.functions.col
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() === 9, "second run must ingest ONLY the new file")
+    assert(out.where(col("file_name") === "late.txt").count() === 1)
+  }
+
   test("dedup policies partition the input: semi + anti = all") {
     val semi = SparkEntry.queries("join_semi")(spark, sf).count()
     val anti = SparkEntry.queries("join_anti")(spark, sf).count()
