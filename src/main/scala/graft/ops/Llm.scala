@@ -232,6 +232,20 @@ object Llm {
     s.read.parquet(sigPath)
   }
 
+  /** Memoized-per-session candidate-pair checkpoint (same contract as
+    * [[sigBuilt]]): dedup_minhash and dedup_cluster share one band
+    * self-join per (session, input dir). */
+  private val pairsBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def minhashPairsTable(s: org.apache.spark.sql.SparkSession,
+      d: String, sigT: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val path = s"$scratchRoot/minhash_pairs/${d.hashCode & 0x7fffffff}"
+    if (pairsBuilt.add(path))
+      minhashPairs(sigT).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** LSH candidate pairs with estimated Jaccard (fraction of agreeing
     * signature slots). Signatures RIDE the band rows (16 longs × 4 rows
     * per doc) so one self-join yields candidate pairs WITH both
@@ -263,7 +277,7 @@ object Llm {
   private def dedupMinhash: Q = (s, d) => {
     val threshold = minhashThreshold
     val sigT = minhashSigTable(s, d)
-    val est = minhashPairs(sigT)
+    val est = minhashPairsTable(s, d, sigT)
     val candCnt = est.select(col("a_id").as("doc_id"))
       .unionAll(est.select(col("b_id").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
@@ -321,7 +335,7 @@ object Llm {
   private def dedupCluster: Q = (s, d) => {
     val rounds = 6
     val sigT = minhashSigTable(s, d)
-    val pairs = minhashPairs(sigT)
+    val pairs = minhashPairsTable(s, d, sigT)
       .where(col("est_jaccard") >= minhashThreshold)
       .select("a_id", "b_id")
     // The edge list appears once PER ROUND in the final plan; left as
