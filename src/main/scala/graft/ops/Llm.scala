@@ -703,6 +703,22 @@ object Llm {
                                    c -> ord(c)::BIGINT)),
                   (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
          FROM documents ORDER BY doc_id""",
+    // Identical LSH bucket function (plane literals from lshPlanes):
+    // each query probes only its own bucket, as in the Spark plan —
+    // exact-hash-verified, not merely rows-only.
+    "sim_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+          eb AS (SELECT vec_id, emb, ${duckLshBucket("emb")} AS bucket FROM e),
+          pairs AS (
+            SELECT q.vec_id AS qid, e.vec_id AS vec_id, $duckCos AS cos
+            FROM eb q JOIN eb e ON q.bucket = e.bucket
+                               AND q.vec_id < 5 AND e.vec_id <> q.vec_id)
+          SELECT qid, rn, vec_id, round(cos, 6) AS cosine
+          FROM (SELECT qid, vec_id, cos,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, vec_id) AS rn
+                FROM pairs)
+          WHERE rn <= 10 ORDER BY qid, rn""",
     "sim_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
           pairs AS (
