@@ -308,8 +308,71 @@ object Streaming {
       .orderBy("scheme")
   }
 
+  /** The ENTIRE reference pipeline as one streaming query (EP1,
+    * main.py:58-109 → child.py:128-221): remote source (scheme
+    * dispatch, executor-side fetch, 3 files per micro-batch =
+    * BATCH_SIZE) → recursive zip explode (R14) → filename sanitize (R7)
+    * → manifest dedup-skip (R18, anti-join per batch) → idempotent
+    * partitioned sink (R19, per-batch dynamic overwrite) → read-back
+    * audit (R20). Pinned VALUES oracle over the deterministic fixture;
+    * member contents are deterministic even though the archive's own
+    * deflate bytes are not. Note: unlike the batch ingest_e2e (Spark's
+    * file index drops zero-byte files), the remote source lists
+    * empty.txt, so it flows through here. */
+  private def streamIngestE2e: Q = (s, d) => {
+    graft.expr.Sanitize.register(s)
+    val fixture = Ingest.buildFixture()
+    val out = streamDir("stream_ingest_e2e/out")
+    val st = s.readStream.format("graft.sources.RemoteFileSource")
+      .option("urls", s"ftp://localhost:21$fixture")
+      .option("batchSize", "3")
+      .load()
+    val isZip = lower(element_at(split(col("file_name"), "\\."), -1)) === "zip"
+    val plain = st.where(!isZip)
+      .select(col("file_name"), col("size"), col("content"))
+    val members = st.where(isZip)
+      .select(explode(graft.expr.ZipEntries.zip_entries(col("content"))).as("m"))
+      .select(col("m.name").as("file_name"), col("m.size").as("size"),
+        col("m.content").as("content"))
+    val cleaned = plain.unionByName(members)
+      .select(graft.expr.Sanitize.sanitize(col("file_name")).as("file_name"),
+        col("size"), col("content"))
+      .withColumn("file_type",
+        when(col("file_name").contains("."),
+          lower(element_at(split(col("file_name"), "\\."), -1)))
+          .otherwise("none"))
+    // Prior-run sink manifest (R18 skip identity, as in batch ingest_e2e).
+    val manifest = s.createDataFrame(Seq(("dup_two.txt", 18L)))
+      .toDF("file_name", "size")
+    val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try withStatePartitions(s) {
+      val q = cleaned.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.join(broadcast(manifest), Seq("file_name", "size"), "left_anti")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch_id").parquet(out)
+        }
+        .option("checkpointLocation", streamDir("stream_ingest_e2e/ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prevMode match {
+        case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    s.read.parquet(out)
+      .groupBy("file_type")
+      .agg(count(lit(1)).as("n"), sum(col("size")).as("total_bytes"),
+        array_join(array_sort(collect_list(col("file_name"))), "|").as("names"))
+      .orderBy("file_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_remote" -> streamRemote,
+    "stream_ingest_e2e" -> streamIngestE2e,
     "win_tumbling" -> winTumbling,
     "win_sliding" -> winSliding,
     "win_session" -> winSession,
@@ -329,6 +392,18 @@ object Streaming {
       """SELECT scheme, n::BIGINT AS n, bytes::BIGINT AS bytes
          FROM (VALUES ('ftp', 7, 97)) t(scheme, n, bytes)
          ORDER BY scheme""",
+    // Deterministic fixture through the full streaming pipeline:
+    // dup_two.txt skipped by the manifest; both b.log rows (top-level +
+    // zip member) and the nested deep.txt present; empty.txt included
+    // (the remote source lists zero-byte files).
+    "stream_ingest_e2e" ->
+      """SELECT file_type, n::BIGINT AS n, total_bytes::BIGINT AS total_bytes, names
+         FROM (VALUES
+           ('log',  2, 25, 'b.log|b.log'),
+           ('none', 1, 17, 'noext'),
+           ('txt',  6, 68, 'a.txt|data--.txt|deep.txt|dup_one.txt|empty.txt|report final.txt'))
+         t(file_type, n, total_bytes, names)
+         ORDER BY file_type""",
     "win_tumbling" ->
       s"""SELECT (${duckTsS("ts")} // 600) * 600 AS wstart_s, event_type,
                  count(*) AS n,
