@@ -413,10 +413,12 @@ object Llm {
       .orderBy("doc_id")
   }
 
-  /** SimHash (64-bit): per-token xxhash64, ±1 vote per bit, sign →
-    * fingerprint. One explode + one hash-aggregation with map-side
-    * combine — O(tokens) work, O(1) state per doc. */
-  private def dedupSimhash: Q = (s, d) => {
+  /** SimHash (64-bit) fingerprints: per-token xxhash64, ±1 vote per
+    * bit, sign → fingerprint. One explode + one hash-aggregation with
+    * map-side combine — O(tokens) work, O(1) state per doc. Returns
+    * (doc_id, fp_hi, fp_lo) as two 32-bit halves in longs. */
+  private def simhashFp(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
     val tok = t(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
@@ -428,8 +430,71 @@ object Llm {
       .reduce(_ + _)
     tok.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), half(32).as("fp_hi"), half(0).as("fp_lo"))
+  }
+
+  private def dedupSimhash: Q = (s, d) =>
+    simhashFpTable(s, d)
       .select(col("doc_id"),
-        format_string("%08x%08x", half(32), half(0)).as("simhash"))
+        format_string("%08x%08x", col("fp_hi"), col("fp_lo")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** SimHash near-dup DECISIONS via pigeonhole chunking: any pair with
+    * hamming distance ≤ 3 must agree on at least one of four 16-bit
+    * fingerprint chunks, so the candidate join is an equi-join on
+    * (chunk_idx, chunk_value) — never all-pairs. Exact hamming
+    * (bit_count of the xor) then verifies candidates; ≤ 3 → dup of the
+    * lowest-id neighbour, mirroring dedup_minhash's policy. Chunk width
+    * is the scale knob: wider chunks → fewer, more-precise candidates.
+    * Fingerprints ride the chunk rows (one long per side), like the
+    * minhash band join. */
+  /** Memoized fingerprint checkpoint (same contract as [[sigBuilt]]):
+    * the 64-vote aggregation runs once per (session, dir); the
+    * multi-branch pair DAG reads the 2-long-per-doc parquet. */
+  private val fpBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def simhashFpTable(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val path = s"$scratchRoot/simhash_fp/${d.hashCode & 0x7fffffff}"
+    if (fpBuilt.add(path))
+      simhashFp(s, d).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  private def dedupSimhashPairs: Q = (s, d) => {
+    val fps = simhashFpTable(s, d)
+      .select(col("doc_id"),
+        (shiftleft(col("fp_hi"), 32).bitwiseOR(col("fp_lo"))).as("fp"))
+    val chunks = fps.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("fp"), i * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val cand = chunks
+      .select(col("doc_id").as("a_id"), col("fp").as("fp_a"),
+        col("chunk_idx"), col("chunk_val"))
+      .join(chunks.select(col("doc_id").as("b_id"), col("fp").as("fp_b"),
+        col("chunk_idx"), col("chunk_val")),
+        Seq("chunk_idx", "chunk_val"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(first(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+        .cast("long").as("hamming"))
+    val candCnt = cand.select(col("a_id").as("doc_id"))
+      .unionAll(cand.select(col("b_id").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+    val w = Window.partitionBy("b_id").orderBy(col("hamming").asc, col("a_id"))
+    val dups = cand.where(col("hamming") <= 3)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("b_id").as("doc_id"), col("a_id").as("dup_of"),
+        col("hamming"))
+    fps
+      .join(candCnt, Seq("doc_id"), "left")
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("dup_of"), col("hamming"),
+        when(col("dup_of").isNotNull, lit("dup")).otherwise(lit("keep"))
+          .as("decision"))
       .orderBy("doc_id")
   }
 
@@ -600,6 +665,7 @@ object Llm {
     "text_normalize" -> textNormalize,
     "text_pii_scrub" -> textPiiScrub,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_ngram" -> dedupNgram,
     "dedup_embed" -> dedupEmbed,
     "sim_ann_lsh" -> simAnnLsh,

@@ -123,6 +123,34 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(3L) === ((3L, 1L, true)), s"unrelated doc stays singleton: $rows")
   }
 
+  test("simhash pairs: doubled text is a zero-hamming dup (length invariance)") {
+    // base repeated twice doubles every bit vote -> identical sign
+    // pattern -> hamming 0, while sharing no exact-text identity: a
+    // deterministic planted near-dup for the chunk-pigeonhole path.
+    val sd = s"${Tables.scratchRoot}/llm_simhash_fixture"
+    val b = "the quick brown fox jumps over the lazy dog and then runs far " +
+      "away into the deep green forest before sunset tonight"
+    val docs = Seq(
+      (0L, b, "en", "src0", b.length.toLong),
+      (1L, b + " " + b, "en", "src0", (2 * b.length + 1).toLong),
+      (2L, "completely different content about spark query engines and " +
+        "columnar execution with vectorized readers everywhere", "en", "src0", 110L),
+      (3L, "unrelated third text mentioning neither foxes nor dogs just " +
+        "plain boring words repeated boring words", "en", "src0", 100L),
+    )
+    spark.createDataFrame(docs).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$sd/documents.parquet")
+    val rows = SparkEntry.queries("dedup_simhash_pairs")(spark, sd).collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getString(4)))).toMap
+    assert(rows(1L) === ((0L, "dup")), s"doubled text must dup to base: $rows")
+    assert(rows(0L)._2 === "keep" && rows(2L)._2 === "keep" &&
+      rows(3L)._2 === "keep", s"$rows")
+    val hamming = SparkEntry.queries("dedup_simhash_pairs")(spark, sd)
+      .collect().find(_.getLong(0) == 1L).get.getLong(3)
+    assert(hamming === 0L, "vote-doubling preserves every sign exactly")
+  }
+
   test("simhash: near-dup hamming distance < unrelated hamming distance") {
     def hamming(a: String, b: String): Int =
       java.lang.Long.bitCount(
