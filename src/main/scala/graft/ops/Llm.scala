@@ -333,7 +333,10 @@ object Llm {
     * Representative = lowest doc_id of the cluster (keep-lowest policy,
     * consistent with dedup_exact / dedup_minhash). */
   private def dedupCluster: Q = (s, d) => {
-    val rounds = 6
+    // Upper bound only — the sum-convergence early exit below stops at
+    // actual-diameter + 1 rounds, so a generous bound costs nothing on
+    // converged corpora while covering long chains.
+    val rounds = 16
     val sigT = minhashSigTable(s, d)
     val pairs = minhashPairsTable(s, d, sigT)
       .where(col("est_jaccard") >= minhashThreshold)
