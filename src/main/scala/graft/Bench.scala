@@ -43,12 +43,40 @@ object Bench {
       // its time is emitted negative and its name listed under "failed".
       (name, if (ok) dt else -dt)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map { case (_, v) => math.abs(v) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+
+    // The driver keeps only the LAST ~2000 chars of the run output; sbt
+    // appends its own "[success] Total time ..." trailer (~85 chars)
+    // after our line. A full-precision map over 80+ queries is ~2900
+    // chars, so the line's head scrolls out of the tail window and the
+    // driver's JSON parse fails (this is exactly what happened to
+    // BENCH_r01/r02: "parsed": null). Emit compact values and degrade
+    // precision / drop the fastest entries until the line fits; full
+    // precision goes to a local file for analysis.
+    def render(prec: Int, keep: Int): String = {
+      val shown = results.sortBy { case (_, v) => -math.abs(v) }.take(keep)
+        .sortBy(_._1)
+      val qs = shown.map { case (k, v) =>
+        "\"" + k + "\":" + s"%.${prec}f".format(v).toDouble
+      }.mkString("{", ",", "}")
+      val omitted =
+        if (keep >= results.size) "" else s""","omitted":${results.size - keep}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$omitted,"failed":$failed,"sf":"$sfDir"}"""
+    }
+    val budget = 1800
+    val line = Iterator(render(2, results.size), render(1, results.size)) ++
+      Iterator.iterate(results.size - 5)(_ - 5).takeWhile(_ > 0)
+        .map(render(1, _))
+    println(line.find(_.length <= budget).getOrElse(render(1, 20)))
+
+    val full = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_full.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"failed":$failed,"sf":"$sfDir"}"""
+        .getBytes("UTF-8"))
     spark.stop()
   }
 }

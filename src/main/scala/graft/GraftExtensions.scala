@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -8,10 +10,25 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * wiring surface, SURVEY.md §4): installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` on the
   * session builder — the production mechanism for shipping optimizer
-  * rules with a library, no Spark fork required. */
+  * rules AND SQL functions with a library, no Spark fork required.
+  * Any session built with the extension can call the engine's native
+  * expressions from plain `spark.sql(...)` with zero registration
+  * calls (exercised by the fn_sql_registry query). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CollapseSanitize)
+    e.injectFunction((new FunctionIdentifier("sanitize_filename"),
+      new ExpressionInfo(classOf[graft.expr.SanitizeFilename].getName,
+        "sanitize_filename"),
+      (exprs: Seq[Expression]) => graft.expr.SanitizeFilename(exprs.head)))
+    e.injectFunction((new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.expr.MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => graft.expr.MinHashSig(exprs.head)))
+    e.injectFunction((new FunctionIdentifier("minhash_sketch"),
+      new ExpressionInfo(classOf[graft.expr.MinHashSketch].getName,
+        "minhash_sketch"),
+      (exprs: Seq[Expression]) => graft.expr.MinHashSketch(exprs.head)))
+  }
 }
 
 /** Optimizer rule: `sanitize_filename(sanitize_filename(x))` →

@@ -20,14 +20,14 @@ object Llm {
     * Left-fold (`aggregate`) matches DuckDB `list_reduce` order, and all
     * inputs are float-exact doubles, so results are bitwise reproducible
     * across engines. */
-  private def dot(x: Column, y: Column): Column =
+  private[ops] def dot(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
   /** Per-vector norm — precompute ONCE per side before a pairwise join;
     * recomputing norms inside the pair loop triples the flops
     * (O(pairs·3d) → O(pairs·d + n·d)) without changing a bit of output
     * (sqrt of the identical fold). */
-  private def norm(x: Column): Column = sqrt(dot(x, x))
+  private[ops] def norm(x: Column): Column = sqrt(dot(x, x))
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -209,42 +209,55 @@ object Llm {
     * checkpoint lets every downstream branch read the tiny table
     * instead of recomputing shingles (and nothing stays cache-pinned
     * after the query, unlike round 1). */
-  /** Signature checkpoints already written by THIS JVM (per input dir):
-    * dedup_minhash and dedup_cluster share one signature build per
-    * session instead of each re-shingling the corpus. Input dirs are
-    * immutable within a run (testdata is static; test fixtures use
-    * distinct dirs), so same-process reuse is safe; a fresh process
-    * always rebuilds. */
-  private val sigBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Session-scoped scratch checkpoints shared by the dedup family:
+    * dedup_minhash / dedup_cluster share one signature + pair build per
+    * (session, input dir) instead of each re-shingling the corpus.
+    * Input dirs are immutable within a run (testdata is static; test
+    * fixtures use distinct dirs), so same-process reuse is safe; a
+    * fresh process always rebuilds.
+    *
+    * Paths are keyed by a SHA-256 digest of the full dir path —
+    * String.hashCode collisions would silently share checkpoints
+    * across datasets (ADVICE r2). The parquet write runs INSIDE
+    * computeIfAbsent: a concurrent second caller blocks until the
+    * winner's write completes, and a failed write installs no mapping,
+    * so the next caller rebuilds instead of reading a partial file
+    * (ADVICE r2). */
+  private[graft] object Scratch {
+    private val built =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    def key(d: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+
+    def table(s: org.apache.spark.sql.SparkSession, path: String)(
+        build: => org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      built.computeIfAbsent(path,
+        _ => { build.write.mode("overwrite").parquet(path); path })
+      s.read.parquet(path)
+    }
+  }
 
   private def minhashSigTable(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     graft.expr.MinHashSketch.register(s)
-    val sigPath = s"$scratchRoot/minhash_sig/${d.hashCode & 0x7fffffff}"
-    if (sigBuilt.add(sigPath)) {
+    Scratch.table(s, s"$scratchRoot/minhash_sig/${Scratch.key(d)}") {
       val sh = shingles(col("text"))
       t(s, d, "documents")
         .select(col("doc_id"),
           call_function("minhash_sig", sh).as("sig"),
           size(sh).cast("long").as("n_shingles"))
-        .write.mode("overwrite").parquet(sigPath)
     }
-    s.read.parquet(sigPath)
   }
-
-  /** Memoized-per-session candidate-pair checkpoint (same contract as
-    * [[sigBuilt]]): dedup_minhash and dedup_cluster share one band
-    * self-join per (session, input dir). */
-  private val pairsBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def minhashPairsTable(s: org.apache.spark.sql.SparkSession,
       d: String, sigT: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val path = s"$scratchRoot/minhash_pairs/${d.hashCode & 0x7fffffff}"
-    if (pairsBuilt.add(path))
-      minhashPairs(sigT).write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
-  }
+      : org.apache.spark.sql.DataFrame =
+    Scratch.table(s, s"$scratchRoot/minhash_pairs/${Scratch.key(d)}") {
+      minhashPairs(sigT)
+    }
 
   /** LSH candidate pairs with estimated Jaccard (fraction of agreeing
     * signature slots). Signatures RIDE the band rows (16 longs × 4 rows
@@ -345,13 +358,13 @@ object Llm {
     // lineage, every round would re-run the band self-join (measured
     // 6×). Checkpoint it once — iterative dataflow always materializes
     // the loop-invariant input.
-    val edgesPath = s"$scratchRoot/minhash_edges/${d.hashCode & 0x7fffffff}"
+    val edgesPath = s"$scratchRoot/minhash_edges/${Scratch.key(d)}"
     pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
       .write.mode("overwrite").parquet(edgesPath)
     val edges = s.read.parquet(edgesPath)
-    val labelsPath = s"$scratchRoot/minhash_labels/${d.hashCode & 0x7fffffff}"
+    val labelsPath = s"$scratchRoot/minhash_labels/${Scratch.key(d)}"
     sigT.select(col("doc_id"), col("doc_id").as("label"))
       .write.mode("overwrite").parquet(labelsPath + "/0")
     var labels = s.read.parquet(labelsPath + "/0")
@@ -377,6 +390,13 @@ object Llm {
       converged = sumNow == prevSum
       prevSum = sumNow
     }
+    // A component with diameter > `rounds` would exit unconverged and be
+    // silently split into several clusters — surface it on the error
+    // stream so mis-clustering is detectable (ADVICE r2).
+    if (!converged)
+      graft.GraftLog.error(
+        s"dedup_cluster: label propagation NOT converged after $rounds " +
+          s"rounds on $d — components wider than $rounds hops are split")
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("label"))
       .select(col("doc_id"), col("label").as("cluster"), col("cluster_size"),
@@ -451,18 +471,14 @@ object Llm {
     * is the scale knob: wider chunks → fewer, more-precise candidates.
     * Fingerprints ride the chunk rows (one long per side), like the
     * minhash band join. */
-  /** Memoized fingerprint checkpoint (same contract as [[sigBuilt]]):
+  /** Memoized fingerprint checkpoint (same contract as [[Scratch]]):
     * the 64-vote aggregation runs once per (session, dir); the
     * multi-branch pair DAG reads the 2-long-per-doc parquet. */
-  private val fpBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   private def simhashFpTable(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val path = s"$scratchRoot/simhash_fp/${d.hashCode & 0x7fffffff}"
-    if (fpBuilt.add(path))
-      simhashFp(s, d).write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
-  }
+      d: String): org.apache.spark.sql.DataFrame =
+    Scratch.table(s, s"$scratchRoot/simhash_fp/${Scratch.key(d)}") {
+      simhashFp(s, d)
+    }
 
   private def dedupSimhashPairs: Q = (s, d) => {
     val fps = simhashFpTable(s, d)
@@ -684,7 +700,7 @@ object Llm {
 
   /** DuckDB cosine between <l>.emb and <r>.emb — left-fold order matches
     * the Spark `aggregate` fold bitwise. */
-  private def duckCosOf(l: String, r: String): String =
+  private[ops] def duckCosOf(l: String, r: String): String =
     s"""list_reduce(list_transform(list_zip($l.emb, $r.emb),
          s -> s[1] * s[2]), (a, b) -> a + b)
        / (sqrt(list_reduce(list_transform($l.emb, x -> x * x), (a, b) -> a + b))

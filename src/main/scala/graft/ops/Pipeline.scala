@@ -1,0 +1,291 @@
+package graft.ops
+
+import graft.Tables._
+import graft.ops.Llm.{dot, norm, duckCosOf}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline assembly operators (SURVEY.md §2b north-star
+  * extension, round 3): deterministic corpus sampling, dataset mixture
+  * weighting, context-window sequence packing, vocabulary building,
+  * IVF-style ANN, and the SQL-registry surface.
+  *
+  * Determinism discipline: every sampling decision is a pure function
+  * of the row (md5-derived bucket), never an RNG — reruns, retries, and
+  * the DuckDB oracle all see the identical sample. At 100 TB this also
+  * means a resumed job re-selects exactly the same rows with no
+  * sampling state to persist.
+  */
+object Pipeline {
+
+  /** Deterministic per-row sample bucket in [0, 10000): first 8 hex
+    * chars of md5(doc_id) → integer, mod 10000 (basis points). Portable
+    * bit-for-bit to the oracle (md5 is md5 in every engine). */
+  private def hashBucket(c: Column): Column =
+    pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(10000L))
+
+  /** DuckDB twin of [[hashBucket]]. */
+  private def duckBucket(c: String): String =
+    s"(('0x' || substr(md5($c::VARCHAR), 1, 8))::BIGINT % 10000)"
+
+  /** Uniform 10% corpus sample — hash-Bernoulli, no RNG: the sample is
+    * a pure row property, so it is reproducible across runs/engines and
+    * needs no coordination between executors (each row decides alone —
+    * embarrassingly parallel at any scale; the filter is codegen'd into
+    * the scan). */
+  private def sampleHash: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        hashBucket(col("doc_id")).as("bucket"))
+      .where(col("bucket") < 1000)
+      .orderBy("doc_id")
+
+  /** Stratified sampling: per-language target rates (basis points) —
+    * downsample dominant strata, keep rare ones (the corpus-balancing
+    * pass before training). One scan, no join: the rate map rides as a
+    * literal CASE, the decision is per-row. Audit output: per-stratum
+    * totals and kept counts. */
+  private def sampleStratified: Q = (s, d) => {
+    val rate = when(col("lang") === "en", 1000L)
+      .when(col("lang") === "es", 2500L)
+      .when(col("lang") === "de", 2500L)
+      .when(col("lang") === "fr", 5000L)
+      .otherwise(5000L)
+    t(s, d, "documents")
+      .select(col("lang"), hashBucket(col("doc_id")).as("bucket"),
+        rate.as("rate_bp"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") < col("rate_bp"), 1L).otherwise(0L)).as("n_kept"),
+        max(col("rate_bp")).as("rate_bp"))
+      .orderBy("lang")
+  }
+
+  /** Dataset mixture with UPSAMPLING: per-source weight w (1.0–2.5) →
+    * floor(w) full copies + a hash-sampled fractional epoch — exactly
+    * how pretraining mixtures over-represent high-quality sources.
+    * Weights derive deterministically from the source id; the copy
+    * explode is `sequence(1, copies)` (a generator, not a shuffle) and
+    * the fractional part reuses the hash-Bernoulli decision. Audit:
+    * per-source original vs mixed row/token counts. */
+  private def dataMixture: Q = (s, d) => {
+    val srcnum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("long")
+    val wbp = lit(10000L) + pmod(srcnum, lit(4L)) * 5000L // 1.0x 1.5x 2.0x 2.5x
+    val copies = (wbp / 10000L).cast("long")
+    val fracBp = pmod(wbp, lit(10000L))
+    val base = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        wbp.as("weight_bp"), copies.as("copies"), fracBp.as("frac_bp"),
+        hashBucket(col("doc_id")).as("bucket"))
+    val full = base.select(col("source"), col("doc_id"), col("n_tok"),
+      col("weight_bp"), explode(sequence(lit(1L), col("copies"))).as("epoch"))
+    val frac = base.where(col("bucket") < col("frac_bp"))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("weight_bp"),
+        lit(-1L).as("epoch"))
+    full.unionAll(frac)
+      .groupBy("source")
+      .agg(
+        max(col("weight_bp")).as("weight_bp"),
+        count_distinct(col("doc_id")).as("n_orig"),
+        count(lit(1)).as("n_mixed"),
+        sum(col("n_tok")).as("tokens_mixed"))
+      .orderBy("source")
+  }
+
+  /** Context-window sequence packing (concatenate-and-split, the
+    * standard pretraining packing): within each source, documents are
+    * concatenated in doc_id order and split at a 2048-token budget; a
+    * document's pack is floor(start_offset / budget) of its position in
+    * the token stream. One window (= one shuffle on source) computes
+    * every offset; output is the per-pack manifest a dataloader would
+    * consume. */
+  private def packSequences: Q = (s, d) => {
+    val budget = 2048L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    t(s, d, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("pack_id", ((col("cum") - col("n_tok")) / budget).cast("long"))
+      .groupBy("source", "pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "pack_id")
+  }
+
+  /** Vocabulary building: top-100 tokens by corpus frequency with
+    * document frequency — the tokenizer-training first pass. Explode →
+    * one hash aggregation (map-side combinable); the top-k is a
+    * TakeOrdered over the aggregated (tiny) token table, not the token
+    * stream. */
+  private def tokVocab: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(100)
+
+  /** IVF-style approximate nearest neighbours: 8 coarse centroids
+    * (corpus vectors at pinned ids — a deterministic stand-in for
+    * k-means centroids), every vector assigned to its nearest centroid
+    * (argmax cosine), queries probe their nprobe=2 nearest cells. The
+    * classic inverted-file trade: assignment is a broadcast of 8
+    * vectors against the streaming corpus (no corpus shuffle), search
+    * touches ~nprobe/K of the corpus. Complements sim_ann_lsh
+    * (hyperplane buckets) and sim_cosine_topk (exact baseline). */
+  private val ivfCentroidIds = Seq(7L, 29L, 83L, 131L, 173L, 211L, 307L, 401L)
+  private val ivfNprobe = 2
+
+  private def simAnnIvf: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val cent = e.where(col("vec_id").isin(ivfCentroidIds: _*))
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+        col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.join(broadcast(cent))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cid"),
+        (dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm"))).as("ccos"))
+      .withColumn("crn", row_number().over(wAssign))
+    val cells = assigned.where(col("crn") === 1)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("cid").as("cell"))
+    val probes = assigned.where(col("vec_id") < 5 && col("crn") <= ivfNprobe)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"), col("cid").as("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    cells.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm"))).as("cos"))
+      .select(col("qid"), col("vec_id"), col("cos"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("vec_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("qid", "rn")
+  }
+
+  /** The engine's SQL surface: the same query a notebook user would
+    * type — plain `spark.sql` over a parquet path, calling the native
+    * [[graft.expr.SanitizeFilename]] expression that
+    * [[graft.GraftExtensions]] injected into the session's function
+    * registry (no registration call anywhere in this method). */
+  private def fnSqlRegistry: Q = (s, d) =>
+    s.sql(
+      s"""SELECT doc_id,
+                 upper(lang) AS ulang,
+                 sanitize_filename(concat(' ', source, '/f|', doc_id, '<x>.txt '))
+                   AS clean
+          FROM parquet.`$d/documents.parquet`
+          ORDER BY doc_id""")
+
+  val queries: Map[String, Q] = Map(
+    "sample_hash" -> sampleHash,
+    "sample_stratified" -> sampleStratified,
+    "data_mixture" -> dataMixture,
+    "pack_sequences" -> packSequences,
+    "tok_vocab" -> tokVocab,
+    "sim_ann_ivf" -> simAnnIvf,
+    "fn_sql_registry" -> fnSqlRegistry,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sample_hash" ->
+      s"""SELECT doc_id, lang, source,
+                 ${duckBucket("doc_id")} AS bucket
+          FROM documents
+          WHERE ${duckBucket("doc_id")} < 1000
+          ORDER BY doc_id""",
+    "sample_stratified" ->
+      s"""WITH r AS (
+            SELECT lang, ${duckBucket("doc_id")} AS bucket,
+                   CASE lang WHEN 'en' THEN 1000 WHEN 'es' THEN 2500
+                             WHEN 'de' THEN 2500 WHEN 'fr' THEN 5000
+                             ELSE 5000 END AS rate_bp
+            FROM documents)
+          SELECT lang, count(*) AS n_docs,
+                 sum(CASE WHEN bucket < rate_bp THEN 1 ELSE 0 END)::BIGINT
+                   AS n_kept,
+                 max(rate_bp)::BIGINT AS rate_bp
+          FROM r GROUP BY lang ORDER BY lang""",
+    "data_mixture" ->
+      s"""WITH base AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' '))::BIGINT AS n_tok,
+                   10000 + (regexp_extract(source, '([0-9]+)$$', 1)::BIGINT % 4)
+                     * 5000 AS weight_bp,
+                   ${duckBucket("doc_id")} AS bucket
+            FROM documents),
+          mixed AS (
+            SELECT source, doc_id, n_tok, weight_bp,
+                   unnest(range(1, (weight_bp // 10000) + 1)) AS epoch
+            FROM base
+            UNION ALL
+            SELECT source, doc_id, n_tok, weight_bp, -1 AS epoch
+            FROM base WHERE bucket < (weight_bp % 10000))
+          SELECT source, max(weight_bp)::BIGINT AS weight_bp,
+                 count(DISTINCT doc_id) AS n_orig,
+                 count(*) AS n_mixed,
+                 sum(n_tok)::BIGINT AS tokens_mixed
+          FROM mixed GROUP BY source ORDER BY source""",
+    "pack_sequences" ->
+      """WITH toks AS (
+           SELECT source, doc_id,
+                  len(string_split(text, ' '))::BIGINT AS n_tok
+           FROM documents),
+         offs AS (
+           SELECT source, doc_id, n_tok,
+                  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+           FROM toks)
+         SELECT source, ((cum - n_tok) // 2048)::BIGINT AS pack_id,
+                count(*) AS n_docs, sum(n_tok)::BIGINT AS pack_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM offs GROUP BY source, pack_id ORDER BY source, pack_id""",
+    "tok_vocab" ->
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM documents)
+         GROUP BY token ORDER BY tf DESC, token LIMIT 100""",
+    "sim_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+          c AS (SELECT vec_id AS cid, emb FROM e
+                WHERE vec_id IN (${ivfCentroidIds.mkString(", ")})),
+          a0 AS (
+            SELECT e.vec_id, e.emb AS vemb, c.cid,
+                   ${duckCosOf("e", "c")} AS ccos
+            FROM e CROSS JOIN c),
+          a AS (SELECT vec_id, vemb, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY ccos DESC, cid) AS crn
+                FROM a0),
+          cells AS (SELECT vec_id, vemb AS emb, cid AS cell FROM a WHERE crn = 1),
+          probes AS (SELECT vec_id AS qid, vemb AS emb, cid AS cell
+                     FROM a WHERE vec_id < 5 AND crn <= $ivfNprobe),
+          pairs AS (
+            SELECT p.qid, v.vec_id, ${duckCosOf("p", "v")} AS cos
+            FROM probes p JOIN cells v USING (cell)
+            WHERE v.vec_id <> p.qid)
+          SELECT qid, rn, vec_id, round(cos, 6) AS cosine
+          FROM (SELECT qid, vec_id, cos,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, vec_id) AS rn
+                FROM pairs)
+          WHERE rn <= 10 ORDER BY qid, rn""",
+    "fn_sql_registry" ->
+      """SELECT doc_id, upper(lang) AS ulang,
+                trim(regexp_replace(
+                  ' ' || source || '/f|' || doc_id || '<x>.txt ',
+                  '[^A-Za-z0-9._\- ]', '-', 'g'), ' ') AS clean
+         FROM documents ORDER BY doc_id""",
+  )
+}

@@ -98,7 +98,11 @@ class RemoteFileSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    require(opts.containsKey("urls"),
+      "RemoteFileSource requires the 'urls' option " +
+        "(comma-separated ftp://, sftp:// or file:// URLs)")
     val urls = opts.get("urls").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(urls.nonEmpty, "RemoteFileSource 'urls' option is empty")
     new RemoteFileTable(urls, opts.getInt("numPartitions", 4),
       opts.getInt("batchSize", Int.MaxValue))
   }
@@ -281,8 +285,17 @@ class RemoteMicroBatchStream(urls: Seq[String], numPartitions: Int,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     synchronized {
       val begin = start.asInstanceOf[RemoteOffset].n
+      val endN = end.asInstanceOf[RemoteOffset].n
       val tasks = record(begin) match {
         case Some((_, keys)) => keys.flatMap(byKey.get).toArray
+        case None if endN > begin =>
+          // A non-empty offset range with no admission record means the
+          // graft-batches log was lost/corrupted during WAL replay —
+          // fail loudly instead of silently emitting zero rows
+          // (ADVICE r2).
+          throw new IllegalStateException(
+            s"no admission record for batch [$begin, $endN) in $batchDir — " +
+              "checkpoint batch log missing or corrupt; cannot replay")
         case None => Array.empty[RemoteTask]
       }
       RemoteListing.deal(tasks, numPartitions)

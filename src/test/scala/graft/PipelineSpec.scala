@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the training-pipeline assembly operators
+  * (ops/Pipeline.scala) beyond the driver's oracle hash-compare:
+  * invariants that must hold for ANY corpus, not just the fixture. */
+class PipelineSpec extends AnyFunSuite {
+  import SharedSpark.{spark, sf}
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("sample_hash keeps ~10% and is idempotent (pure row property)") {
+    val total = Tables.t(spark, sf, "documents").count()
+    val a = run("sample_hash").collect()
+    val b = run("sample_hash").collect()
+    assert(a.toSeq === b.toSeq, "deterministic sampling must be stable")
+    val frac = a.length.toDouble / total
+    assert(frac > 0.05 && frac < 0.15, s"10% target, got $frac")
+    assert(a.forall(_.getLong(3) < 1000), "every kept row's bucket < rate")
+  }
+
+  test("sample_stratified: kept <= total per stratum, rare strata kept more") {
+    val rows = run("sample_stratified").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    rows.foreach { case (lang, (n, kept, _)) =>
+      assert(kept <= n, s"$lang kept $kept of $n")
+    }
+    // en is sampled at 1000bp, fr/zh at 5000bp: the kept RATIO must
+    // reflect the rate ordering even on a small corpus.
+    val keptRatio = (l: String) =>
+      rows(l)._2.toDouble / rows(l)._1
+    assert(keptRatio("en") < keptRatio("zh"),
+      s"en@10% should keep a smaller fraction than zh@50%: $rows")
+  }
+
+  test("data_mixture: n_mixed = copies * n_orig + fractional sample") {
+    run("data_mixture").collect().foreach { r =>
+      val (src, wbp, nOrig, nMixed) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val copies = wbp / 10000
+      assert(nMixed >= copies * nOrig, s"$src: $nMixed < $copies*$nOrig")
+      assert(nMixed <= (copies + 1) * nOrig, s"$src: $nMixed too large")
+      if (wbp % 10000 == 0)
+        assert(nMixed === copies * nOrig,
+          s"$src has no fractional epoch but $nMixed != $copies*$nOrig")
+    }
+  }
+
+  test("pack_sequences: packs partition the corpus, ids contiguous from 0") {
+    val packs = run("pack_sequences").collect()
+    val totalDocs = Tables.t(spark, sf, "documents").count()
+    assert(packs.map(_.getLong(2)).sum === totalDocs,
+      "every document lands in exactly one pack")
+    packs.groupBy(_.getString(0)).foreach { case (src, ps) =>
+      val ids = ps.map(_.getLong(1)).sorted.toSeq
+      assert(ids === (0L until ids.length).toSeq,
+        s"$src pack ids not contiguous: $ids")
+      // Budget semantics: a pack holds the docs whose START offset is in
+      // [pack*2048, (pack+1)*2048) — so every pack except the last must
+      // END past its budget boundary (otherwise the next doc would have
+      // started in it).
+      val tokens = ps.sortBy(_.getLong(1)).map(_.getLong(3)).toSeq
+      tokens.init.zipWithIndex.foreach { case (_, i) =>
+        val cumThrough = tokens.take(i + 1).sum
+        assert(cumThrough >= (i + 1) * 2048,
+          s"$src pack $i ends at $cumThrough, before its boundary")
+      }
+    }
+  }
+
+  test("tok_vocab: ordered by tf desc, df <= tf, df <= n_docs") {
+    val rows = run("tok_vocab").collect()
+    val totalDocs = Tables.t(spark, sf, "documents").count()
+    val tfs = rows.map(_.getLong(1)).toSeq
+    assert(tfs === tfs.sortBy(-_), "vocab must be frequency-sorted")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "df <= tf")
+      assert(r.getLong(2) <= totalDocs)
+    }
+  }
+
+  test("sim_ann_ivf: valid top-k shape and nonzero recall vs exact") {
+    val ann = run("sim_ann_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = run("sim_cosine_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ann.nonEmpty)
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    // nprobe=2 of 8 cells: recall is approximate by design, but an IVF
+    // probing the query's own cell must recover a meaningful share of
+    // the true neighbours (near vectors share the nearest centroid).
+    assert(recall >= 0.3, s"IVF recall vs exact top-10 too low: $recall")
+  }
+
+  test("fn_sql_registry: native expressions callable from plain SQL, no registration") {
+    // A session built with GraftExtensions must expose the engine's
+    // functions to SQL directly — this is the library's SQL surface.
+    val row = spark.sql(
+      "SELECT sanitize_filename(' a|b<c>.txt '), " +
+        "element_at(minhash_sig(array('x')), 1)").head
+    assert(row.getString(0) === "a-b-c-.txt")
+    assert(row.getLong(1) !== 0L)
+    val viaQuery = run("fn_sql_registry")
+    assert(viaQuery.columns.toSeq === Seq("doc_id", "ulang", "clean"))
+    assert(viaQuery.count() === Tables.t(spark, sf, "documents").count())
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the round-2 ADVICE fixes: strong scratch keying, option
+  * validation, and loud failure on replay anomalies. */
+class RobustnessSpec extends AnyFunSuite {
+  import SharedSpark.spark
+
+  test("scratch checkpoint keys survive String.hashCode collisions") {
+    // "Aa" and "BB" collide under String.hashCode (2112) — the round-2
+    // keying would have silently shared these two datasets' checkpoints.
+    assert("/data/Aa".hashCode === "/data/BB".hashCode)
+    assert(ops.Llm.Scratch.key("/data/Aa") !== ops.Llm.Scratch.key("/data/BB"))
+    // and the key is stable (pure function of the path)
+    assert(ops.Llm.Scratch.key("/data/Aa") === ops.Llm.Scratch.key("/data/Aa"))
+  }
+
+  test("RemoteFileSource rejects a missing/empty 'urls' option loudly") {
+    val e1 = intercept[Exception] {
+      spark.read.format("graft.sources.RemoteFileSource").load().count()
+    }
+    assert(e1.getMessage.contains("urls"),
+      s"error must name the missing option, got: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.read.format("graft.sources.RemoteFileSource")
+        .option("urls", " , ").load().count()
+    }
+    assert(e2.getMessage.contains("urls"))
+  }
+
+  test("RemoteMicroBatchStream fails loudly when a batch record is missing") {
+    val ckpt = new java.io.File(s"${Tables.scratchRoot}/test-replay-anomaly")
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del)
+      f.delete(): Unit
+    }
+    if (ckpt.exists()) del(ckpt)
+    val stream = new sources.RemoteMicroBatchStream(
+      urls = Seq(s"ftp://localhost:21${ops.Ingest.buildFixture()}"),
+      numPartitions = 2, batchSize = Int.MaxValue,
+      required = sources.RemoteFileSource.schema,
+      checkpointLocation = ckpt.getAbsolutePath)
+    // No admission record exists for offset 0 (fresh batch log), yet the
+    // offset range [0, 3) claims admitted files: replay must throw, not
+    // silently plan zero rows.
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(
+        sources.RemoteOffset(0L), sources.RemoteOffset(3L))
+    }
+    assert(e.getMessage.contains("no admission record"))
+    // An EMPTY range with no record is legitimate (nothing to read).
+    assert(stream.planInputPartitions(
+      sources.RemoteOffset(0L), sources.RemoteOffset(0L)).isEmpty)
+  }
+}
