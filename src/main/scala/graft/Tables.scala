@@ -30,6 +30,18 @@ object Tables {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Ensure at least default-parallelism partitions ahead of a
+    * CPU-dense per-row kernel (shingling, per-char hashing, explode).
+    * At 100 TB a scan arrives in thousands of splits and this is a
+    * no-op; a single small parquet file (one row group — unsplittable
+    * no matter what maxPartitionBytes says) otherwise pins the whole
+    * kernel to ONE core: the minhash signature build measured 6.9 s
+    * single-partition vs 1.4 s fanned out on local[32]. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS) which Spark refuses by
     * default; read the raw int64 (legacy flag) and derive `ts_us` (epoch
     * µs, exact integer division — double division would lose precision

@@ -245,7 +245,7 @@ object Llm {
     graft.expr.MinHashSketch.register(s)
     Scratch.table(s, s"$scratchRoot/minhash_sig/${Scratch.key(d)}") {
       val sh = shingles(col("text"))
-      t(s, d, "documents")
+      fanOut(t(s, d, "documents"))
         .select(col("doc_id"),
           call_function("minhash_sig", sh).as("sig"),
           size(sh).cast("long").as("n_shingles"))
@@ -323,7 +323,7 @@ object Llm {
     * bit-for-bit in LlmSpec alongside this and the scalar path. */
   private def dedupMinhashAgg: Q = (s, d) => {
     graft.expr.MinHashSketch.register(s)
-    t(s, d, "documents")
+    fanOut(t(s, d, "documents"))
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
       .groupBy("doc_id")
       .agg(call_function("minhash_sketch", col("sh")).as("sig"))
@@ -442,7 +442,7 @@ object Llm {
     * (doc_id, fp_hi, fp_lo) as two 32-bit halves in longs. */
   private def simhashFp(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
-    val tok = t(s, d, "documents")
+    val tok = fanOut(t(s, d, "documents"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
     val bitSums = (0 until 64).map(i =>
@@ -535,7 +535,7 @@ object Llm {
     // and long-vs-long compares in the hot join. Exact for top-10
     // purposes (a collision would need two distinct grams of one pair
     // to hash equal: ~|A||B|/2^64 per pair).
-    val g = t(s, d, "documents")
+    val g = fanOut(t(s, d, "documents"))
       .select(col("doc_id"), col("source"), col("lang"),
         explode(grams).as("gram"))
       .select(col("doc_id"), col("source"), col("lang"),
@@ -669,7 +669,7 @@ object Llm {
   /** Document fingerprint: polynomial rolling hash over the character
     * stream, mod 1e9+7 (fits exact integer math in both engines). */
   private def textFingerprint: Q = (s, d) =>
-    t(s, d, "documents")
+    fanOut(t(s, d, "documents"))
       .select(col("doc_id"),
         aggregate(
           transform(split(col("text"), ""), c => ascii(c).cast("long")),
