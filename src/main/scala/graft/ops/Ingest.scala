@@ -47,6 +47,53 @@ object Ingest {
       .orderBy("lang")
   }
 
+  /** Small-file compaction — the defining maintenance op of a 100 TB
+    * parquet lake (a streaming ingest like stream_sink emits one file
+    * per partition per micro-batch; a year of that is millions of
+    * KB-size files whose open/footer cost dominates scans). Stage 1
+    * deliberately shatters lineitem into 64 splits; stage 2 sizes the
+    * output from the OBSERVED on-disk bytes (metadata listing only — no
+    * data through the driver) to hit a target file size, so file count
+    * tracks data volume at any scale. Content equality is the oracle;
+    * the file-count drop is pinned in IngestSpec. */
+  private val compactTargetBytes = 8L << 20
+  private def sinkCompact: Q = (s, d) => {
+    val smallDir = s"$scratchRoot/compact/small"
+    val outDir = s"$scratchRoot/compact/out"
+    t(s, d, "lineitem")
+      .repartition(64)
+      .write.mode("overwrite").parquet(smallDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    def dataBytes(p: String): Long =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val nOut = math.max(1,
+      math.ceil(dataBytes(smallDir).toDouble / compactTargetBytes).toInt)
+    s.read.parquet(smallDir)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    s.read.parquet(outDir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(col("l_orderkey") * lit(1000003L) +
+          col("l_linenumber").cast("long") * lit(101L) +
+          col("l_partkey")).as("row_digest"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Post-compaction file census for IngestSpec: (dir, parquet files). */
+  private[graft] def compactFileCounts(s: org.apache.spark.sql.SparkSession)
+      : (Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    def n(p: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    (n(s"$scratchRoot/compact/small"), n(s"$scratchRoot/compact/out"))
+  }
+
   // ------------------------------------------------------------- fixture
 
   /** Deterministic ingest fixture (FIXTURES.md §3): zip with nested
@@ -422,6 +469,7 @@ object Ingest {
     "scan_dsv2" -> scanDsv2,
     "scan_partition_pruned" -> scanPartitionPruned,
     "sink_parquet" -> sinkParquet,
+    "sink_compact" -> sinkCompact,
     "ingest_e2e" -> ingestE2e,
     "ingest_remote" -> ingestRemote,
     "ingest_integrity" -> ingestIntegrity,
@@ -440,6 +488,13 @@ object Ingest {
     "sink_parquet" ->
       """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS total_chars
          FROM documents GROUP BY lang ORDER BY lang""",
+    // Oracle is the SOURCE table: compaction must be content-neutral.
+    "sink_compact" ->
+      """SELECT l_returnflag, count(*) AS n,
+                sum(l_quantity::BIGINT) AS sum_qty,
+                sum(l_orderkey * 1000003 + l_linenumber::BIGINT * 101
+                    + l_partkey) AS row_digest
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "scan_partition_pruned" ->
       """SELECT source, count(*) AS n, sum(n_chars)::BIGINT AS total_chars
          FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source""",

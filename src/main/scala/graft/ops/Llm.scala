@@ -365,13 +365,16 @@ object Llm {
       .write.mode("overwrite").parquet(edgesPath)
     val edges = s.read.parquet(edgesPath)
     val labelsPath = s"$scratchRoot/minhash_labels/${Scratch.key(d)}"
-    sigT.select(col("doc_id"), col("doc_id").as("label"))
-      .write.mode("overwrite").parquet(labelsPath + "/0")
-    var labels = s.read.parquet(labelsPath + "/0")
+    // Round 0 needs no materialization of its own: it is a pure
+    // projection of the signature scratch parquet, so each round-1 read
+    // re-derives it for free instead of paying a write job.
+    var labels = sigT.select(col("doc_id"), col("doc_id").as("label"))
     // Early exit: min-propagation strictly decreases sum(label) every
     // round until converged, so an unchanged sum means done — the
     // common no-near-dups corpus stops after one round instead of
-    // paying all `rounds` shuffle stages.
+    // paying all `rounds` shuffle stages. The sum rides the round's
+    // write job as an `Observation` metric (batch `observe()`), so
+    // convergence detection costs zero extra jobs per round.
     var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
     var converged = false
     var r = 0
@@ -381,12 +384,14 @@ object Llm {
         .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
+      val obs = org.apache.spark.sql.Observation(s"labels_r$r")
       labels.join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .observe(obs, sum(col("label")).as("label_sum"))
         .write.mode("overwrite").parquet(labelsPath + s"/$r")
       labels = s.read.parquet(labelsPath + s"/$r")
-      val sumNow = labels.agg(sum(col("label"))).head.getLong(0)
+      val sumNow = obs.get("label_sum").asInstanceOf[Long]
       converged = sumNow == prevSum
       prevSum = sumNow
     }

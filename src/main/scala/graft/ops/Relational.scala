@@ -395,6 +395,24 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Exact percentiles (p25/p50/p90) of quantity per return flag —
+    * `percentile()` sorts within the aggregation (one shuffle, no global
+    * sort). l_quantity is integer-valued, so linear interpolation lands
+    * on exactly-representable doubles (x.0 / x.5) in every engine; at
+    * 100 TB the exact variant would switch to `approx_percentile`
+    * (t-digest sketch, already covered by agg_approx's HLL sibling) —
+    * exact percentile's per-group sorted buffer is the documented
+    * scale limit here, not a shuffle problem. */
+  private def aggPercentile: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   // ------------------------------------------- scale-technique operators
 
   /** Salted skew join: the heavy side's hot keys are spread over
@@ -550,6 +568,7 @@ object Relational {
     "set_except" -> setExcept,
     "win_dist" -> winDist,
     "agg_stats" -> aggStats,
+    "agg_percentile" -> aggPercentile,
     "join_skew_salted" -> joinSkewSalted,
     "join_bucketed" -> joinBucketed,
     "obs_accounting" -> obsAccounting,
@@ -750,6 +769,13 @@ object Relational {
                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
                   AS corr_price_cust
          FROM m ORDER BY o_orderstatus""",
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.25) AS p25,
+                quantile_cont(l_quantity, 0.5) AS p50,
+                quantile_cont(l_quantity, 0.9) AS p90,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // Salting must not change results: the oracle is the UNSALTED join.
     "join_skew_salted" ->
       """SELECT o_custkey % 10 AS hot_key, n_name, count(*) AS n,

@@ -258,6 +258,37 @@ object Streaming {
     * — exactly-once output from an at-least-once trigger (R19 sink +
     * R20 read-back verification; append mode here would be at-least-once
     * only, ADVICE r1). */
+  /** Stream-stream inner join: view→purchase conversion within 10
+    * minutes per user. Both sides carry watermarks and the join has a
+    * time-range bound — that pair is what lets Spark EVICT join state
+    * (a view older than watermark − 10 min can never match again), so
+    * state stays O(window), not O(stream), at any scale. Inner join
+    * emits matches as both sides arrive; under AvailableNow the result
+    * is the exact batch join, giving a DuckDB oracle. Two independent
+    * readStream instances — a self-joined single source would share one
+    * file-index state. */
+  private def streamJoin: Q = (s, d) => {
+    val views = readEventStream(s, d)
+      .where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        col("user_id"), col("ts_t").as("v_ts"), col("ts_us").as("v_us"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = readEventStream(s, d)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts_t").as("p_ts"),
+        col("ts_us").as("p_us"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        (col("p_us") - col("v_us")).as("gap_us"))
+    runToMemory(s, joined, "stream_join_t", OutputMode.Append())
+      .orderBy("view_id", "purchase_id")
+  }
+
   private def streamSink: Q = (s, d) => {
     val out = streamDir("stream_sink/out")
     val st = readEventStream(s, d)
@@ -382,6 +413,7 @@ object Streaming {
     "stream_stateful" -> streamStateful,
     "stream_session" -> streamSession,
     "stream_tws" -> streamTws,
+    "stream_join" -> streamJoin,
     "stream_sink" -> streamSink,
   )
 
@@ -449,6 +481,16 @@ object Streaming {
           ORDER BY wstart_s""",
     "stream_dedup" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1",
+    "stream_join" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+                            ${duckTsUs("ts")} AS us FROM events)
+          SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+                 v.user_id AS user_id, (p.us - v.us) AS gap_us
+          FROM e v JOIN e p
+            ON v.user_id = p.user_id
+           AND p.us >= v.us AND p.us <= v.us + 600000000
+          WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+          ORDER BY view_id, purchase_id""",
     "stream_session" ->
       s"""WITH e AS (
             SELECT user_id, ${duckTsUs("ts")} AS ts_us FROM events),

@@ -181,6 +181,17 @@ class IngestSpec extends AnyFunSuite {
     assert(out.where(col("file_name") === "late.txt").count() === 1)
   }
 
+  test("sink_compact merges the shattered input into target-size files") {
+    val before = SparkEntry.queries("sink_compact")(spark, sf).collect()
+    val (nSmall, nOut) = graft.ops.Ingest.compactFileCounts(spark)
+    assert(nSmall === 64, "stage 1 must shatter into 64 splits")
+    // sf0.01 lineitem is ~1.5 MB on disk — one 8 MiB target file.
+    assert(nOut === 1, s"expected 1 compacted file, got $nOut")
+    // content-neutral: same rows either way (oracle checks vs source
+    // table; here pin count over the compacted output)
+    assert(before.map(_.getLong(1)).sum === 6000)
+  }
+
   test("dedup policies partition the input: semi + anti = all") {
     val semi = SparkEntry.queries("join_semi")(spark, sf).count()
     val anti = SparkEntry.queries("join_anti")(spark, sf).count()

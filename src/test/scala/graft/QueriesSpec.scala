@@ -26,6 +26,27 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_join equals its batch equivalent") {
+    import org.apache.spark.sql.functions._
+    val streamed = SparkEntry.queries("stream_join")(spark, sf)
+      .collect().map(_.toSeq)
+    val ev = Tables.events(spark, sf)
+    val v = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts_us").as("v_us"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts_us").as("p_us"))
+    val batch = v.join(p, col("user_id") === col("p_user") &&
+        col("p_us") >= col("v_us") &&
+        col("p_us") <= col("v_us") + lit(600000000L))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        (col("p_us") - col("v_us")).as("gap_us"))
+      .orderBy("view_id", "purchase_id")
+      .collect().map(_.toSeq)
+    assert(streamed === batch)
+  }
+
   test("known cardinalities at sf0.001") {
     assert(SparkEntry.queries("scan_parquet")(spark, sf).count() === 5 + 20)
     assert(SparkEntry.queries("agg_hash")(spark, sf).count() <= 6)
