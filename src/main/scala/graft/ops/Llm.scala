@@ -441,6 +441,69 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Segment-level dedup (CCNet/RefinedWeb "line dedup" over a corpus
+    * with no newlines: fixed 10-token segments stand in for lines).
+    * Any segment occurring verbatim in ≥2 distinct documents is
+    * boilerplate — dropped from EVERY document; survivors reassemble in
+    * order. Scale shape: segments shuffle by xxhash64(segment) (8-byte
+    * keys, never the text), document frequency is one map-side-combined
+    * aggregation, and reassembly is one groupBy(doc_id) — all linear in
+    * corpus size, no pair joins. */
+  private def textSegDedup: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val nSegs = ceil(size(toks).cast("double") / 10.0).cast("int")
+    val segArr = transform(sequence(lit(0), nSegs - 1),
+      j => concat_ws(" ", slice(toks, j * 10 + 1, lit(10))))
+    val segs = fanOut(t(s, d, "documents"))
+      .select(col("doc_id"), posexplode(segArr).as(Seq("seg_idx", "seg")))
+      .withColumn("h", xxhash64(col("seg")))
+    // df ≥ 2 over the 8-byte segment hash (collision: needs two distinct
+    // segments hashing equal AND landing in the same df bucket — ~n²/2^64)
+    val dup = segs.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .where(col("df") >= 2)
+      .select(col("h"), lit(1).as("is_dup"))
+    segs.join(dup, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("is_dup").isNull,
+            struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg"))).as("clean_text"),
+        sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
+  /** Train/eval decontamination (the GPT-3-style n-gram overlap check):
+    * documents 0-4 are the held-out benchmark; every training doc
+    * sharing any verbatim 4-token gram with them is flagged with its
+    * shared-gram count. The eval gram set is tiny at any corpus scale —
+    * it BROADCASTS, so the corpus side is one scan + map-side hash
+    * probe; the only shuffle carries the MATCHING grams (rare by
+    * construction), partially aggregated before the exchange. */
+  private def decontaminate: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val gramArr = array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - 3, lit(1))),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2), element_at(toks, i + 3))))
+    val grams = fanOut(t(s, d, "documents"))
+      .where(size(toks) >= 4)
+      .select(col("doc_id"), explode(gramArr).as("g"))
+    val evalGrams = grams.where(col("doc_id") < 5).select("g").distinct()
+    val hits = grams.where(col("doc_id") >= 5)
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+    t(s, d, "documents").where(col("doc_id") >= 5)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash (64-bit) fingerprints: per-token xxhash64, ±1 vote per
     * bit, sign → fingerprint. One explode + one hash-aggregation with
     * map-side combine — O(tokens) work, O(1) state per doc. Returns
@@ -688,6 +751,8 @@ object Llm {
     "dedup_cluster" -> dedupCluster,
     "text_normalize" -> textNormalize,
     "text_pii_scrub" -> textPiiScrub,
+    "text_seg_dedup" -> textSegDedup,
+    "decontaminate" -> decontaminate,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_ngram" -> dedupNgram,
@@ -714,6 +779,43 @@ object Llm {
   private val duckCos = duckCosOf("q", "e")
 
   val oracles: Map[String, String] = Map(
+    "text_seg_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         segs AS (
+           SELECT doc_id, j AS seg_idx,
+                  array_to_string(t[(j*10+1):(j*10+10)], ' ') AS seg
+           FROM toks,
+                unnest(range(0, ceil(len(t)/10.0)::BIGINT)) AS u(j)),
+         dup AS (
+           SELECT seg FROM segs GROUP BY seg
+           HAVING count(DISTINCT doc_id) >= 2),
+         fl AS (
+           SELECT s.doc_id, s.seg_idx, s.seg,
+                  (d.seg IS NOT NULL) AS is_dup
+           FROM segs s LEFT JOIN dup d USING (seg))
+         SELECT doc_id,
+                coalesce(string_agg(CASE WHEN NOT is_dup THEN seg END,
+                  ' ' ORDER BY seg_idx), '') AS clean_text,
+                sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+         FROM fl GROUP BY doc_id ORDER BY doc_id""",
+    "decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         grams AS (
+           SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g
+           FROM toks, unnest(range(1, greatest(len(t)-2, 2))) AS u(i)
+           WHERE len(t) >= 4),
+         ev AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+         hits AS (
+           SELECT doc_id, count(*) AS n_shared
+           FROM grams JOIN ev USING (g)
+           WHERE doc_id >= 5 GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(h.n_shared, 0)::BIGINT AS n_shared,
+                coalesce(h.n_shared, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id >= 5 ORDER BY d.doc_id""",
     "text_normalize" ->
       """SELECT doc_id, length(text)::BIGINT AS raw_chars,
                 trim(regexp_replace(regexp_replace(lower(text),

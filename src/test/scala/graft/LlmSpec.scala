@@ -180,6 +180,32 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.head.getLong(2) === 1L, "nearest neighbour should be vec 1")
   }
 
+  test("seg dedup drops exactly the segments shared by the planted pair") {
+    val rows = q("text_seg_dedup").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // docs 0/1 differ inside segment 0 ("lazy"→"sleepy") but share
+    // segments 1 and 2 verbatim — both are boilerplate-dropped from both
+    assert(rows(0L) === 2 && rows(1L) === 2)
+    assert(rows(2L) === 0 && rows(3L) === 0)
+    val clean = q("text_seg_dedup").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean(2L) === Tables.t(spark, dir, "documents")
+      .where(org.apache.spark.sql.functions.col("doc_id") === 2)
+      .head.getAs[String]("text"), "unique docs must pass through unchanged")
+  }
+
+  test("decontaminate is internally consistent at sf0.001") {
+    val df = SparkEntry.queries("decontaminate")(spark, SharedSpark.sf)
+    val rows = df.collect()
+    val nTrain = Tables.t(spark, SharedSpark.sf, "documents")
+      .where(org.apache.spark.sql.functions.col("doc_id") >= 5).count()
+    assert(rows.length.toLong === nTrain, "one verdict per training doc")
+    rows.foreach { r =>
+      assert(r.getBoolean(2) === (r.getLong(1) > 0),
+        "contaminated must equal n_shared > 0")
+    }
+  }
+
   test("fingerprints are stable and content-sensitive") {
     val fp = q("text_fingerprint").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
