@@ -83,6 +83,63 @@ object Ingest {
       .orderBy("l_returnflag")
   }
 
+  /** Schema evolution read: generation 0 lacks the `quality` column
+    * that generation 1 added — `mergeSchema` unions the footers and
+    * back-fills nulls, the lake reality after any column addition.
+    * (Schema merging costs one footer read per file at planning; on a
+    * 100 TB lake you pin the merged schema in a catalog instead of
+    * re-deriving it per query — mergeSchema is the discovery path.) */
+  private def scanEvolve: Q = (s, d) => {
+    val base = s"$scratchRoot/evolve"
+    val docs = t(s, d, "documents")
+    docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$base/gen0")
+    docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        pmod(col("n_chars"), lit(100L)).as("quality"))
+      .write.mode("overwrite").parquet(s"$base/gen1")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$base/gen0", s"$base/gen1")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        count(col("quality")).as("n_with_quality"),
+        sum(col("quality")).as("sum_quality"))
+      .orderBy("lang")
+  }
+
+  /** Copy-on-write MERGE/upsert — the incremental-run semantics of the
+    * reference (skip-if-present + re-ingest-if-changed,
+    * scrap/child_otherftp.py:280-298) as an explicit lake operation:
+    * updates win on key collision (left-anti + union), inserts append.
+    * One equi-join shuffle on the key + one write. At 100 TB the
+    * snapshot is partitioned on a key prefix and only partitions
+    * containing updated keys are rewritten (dynamic partition
+    * overwrite); the merge plan itself is unchanged. */
+  private def sinkUpsert: Q = (s, d) => {
+    val base = s"$scratchRoot/upsert"
+    val docs = t(s, d, "documents")
+    docs.where(pmod(col("doc_id"), lit(5)).isin(1, 2, 3))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        lit(0L).as("version"))
+      .write.mode("overwrite").parquet(s"$base/snap0")
+    // 4-mod rows update existing keys; 0-mod rows are fresh inserts
+    val updates = docs.where(pmod(col("doc_id"), lit(5)).isin(0, 4))
+      .select(col("doc_id"), col("source"),
+        (col("n_chars") + 7L).as("n_chars"), lit(1L).as("version"))
+    val merged = s.read.parquet(s"$base/snap0")
+      .join(updates.select(col("doc_id").as("u_id")),
+        col("doc_id") === col("u_id"), "left_anti")
+      .unionByName(updates)
+    merged.write.mode("overwrite").parquet(s"$base/snap1")
+    s.read.parquet(s"$base/snap1")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("version")).as("n_upserted"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("source")
+  }
+
   /** Post-compaction file census for IngestSpec: (dir, parquet files). */
   private[graft] def compactFileCounts(s: org.apache.spark.sql.SparkSession)
       : (Int, Int) = {
@@ -470,6 +527,8 @@ object Ingest {
     "scan_partition_pruned" -> scanPartitionPruned,
     "sink_parquet" -> sinkParquet,
     "sink_compact" -> sinkCompact,
+    "scan_evolve" -> scanEvolve,
+    "sink_upsert" -> sinkUpsert,
     "ingest_e2e" -> ingestE2e,
     "ingest_remote" -> ingestRemote,
     "ingest_integrity" -> ingestIntegrity,
@@ -488,6 +547,26 @@ object Ingest {
     "sink_parquet" ->
       """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS total_chars
          FROM documents GROUP BY lang ORDER BY lang""",
+    "scan_evolve" ->
+      """WITH u AS (
+           SELECT doc_id, lang, n_chars, NULL::BIGINT AS quality
+           FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id, lang, n_chars, (n_chars % 100)::BIGINT
+           FROM documents WHERE doc_id % 2 = 1)
+         SELECT lang, count(*) AS n, count(quality) AS n_with_quality,
+                sum(quality)::BIGINT AS sum_quality
+         FROM u GROUP BY lang ORDER BY lang""",
+    "sink_upsert" ->
+      """WITH m AS (
+           SELECT doc_id, source, n_chars, 0 AS version
+           FROM documents WHERE doc_id % 5 IN (1, 2, 3)
+           UNION ALL
+           SELECT doc_id, source, n_chars + 7, 1
+           FROM documents WHERE doc_id % 5 IN (0, 4))
+         SELECT source, count(*) AS n, sum(version)::BIGINT AS n_upserted,
+                sum(n_chars)::BIGINT AS total_chars
+         FROM m GROUP BY source ORDER BY source""",
     // Oracle is the SOURCE table: compaction must be content-neutral.
     "sink_compact" ->
       """SELECT l_returnflag, count(*) AS n,

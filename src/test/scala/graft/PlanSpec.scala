@@ -45,4 +45,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("decontaminate broadcasts the eval gram set (corpus never shuffles as a join side)") {
+    val p = planOf("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("text_seg_dedup joins on the 8-byte segment hash, not the text") {
+    val p = planOf("text_seg_dedup")
+    assert(p.contains("xxhash64"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
