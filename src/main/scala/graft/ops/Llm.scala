@@ -354,16 +354,14 @@ object Llm {
     val pairs = minhashPairsTable(s, d, sigT)
       .where(col("est_jaccard") >= minhashThreshold)
       .select("a_id", "b_id")
-    // The edge list appears once PER ROUND in the final plan; left as
-    // lineage, every round would re-run the band self-join (measured
-    // 6×). Checkpoint it once — iterative dataflow always materializes
-    // the loop-invariant input.
-    val edgesPath = s"$scratchRoot/minhash_edges/${Scratch.key(d)}"
-    pairs
+    // The edge list appears once PER ROUND in the final plan. The
+    // expensive part (band self-join) is already materialized by
+    // minhashPairsTable's scratch checkpoint, so the symmetric union
+    // can stay as lineage: each round re-reads the small pairs parquet
+    // twice instead of paying a dedicated edges write job.
+    val edges = pairs
       .unionAll(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
-      .write.mode("overwrite").parquet(edgesPath)
-    val edges = s.read.parquet(edgesPath)
     val labelsPath = s"$scratchRoot/minhash_labels/${Scratch.key(d)}"
     // Round 0 needs no materialization of its own: it is a pure
     // projection of the signature scratch parquet, so each round-1 read
