@@ -321,6 +321,23 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  /** topk_group re-expressed through the native [[graft.expr.TopKAgg]]
+    * bounded-heap aggregate: map-side combinable, at most k pairs per
+    * group per partition cross the shuffle, no full-group sort. Shares
+    * topk_group's oracle — results must be bit-identical. */
+  private def topkGroupAgg: Q = (s, d) => {
+    graft.expr.TopKAgg.register(s)
+    t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(call_function("topk_pairs",
+        col("o_totalprice"), col("o_orderkey"), lit(3)).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("o_custkey"), col("p.id").as("o_orderkey"),
+        col("p.score").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
   /** Union distinct of two predicates (R15 two-branch union). */
   private def setUnion: Q = (s, d) => {
     val rich = t(s, d, "customer").where(col("c_acctbal") > 9000)
@@ -563,6 +580,7 @@ object Relational {
     "win_frame" -> winFrame,
     "sort_limit" -> sortLimit,
     "topk_group" -> topkGroup,
+    "topk_group_agg" -> topkGroupAgg,
     "set_union" -> setUnion,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
@@ -719,6 +737,14 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
     "topk_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    // Bit-identical by construction — same oracle as topk_group.
+    "topk_group_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
                   row_number() OVER (PARTITION BY o_custkey

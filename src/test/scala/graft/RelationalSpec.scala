@@ -18,6 +18,29 @@ class RelationalSpec extends AnyFunSuite {
       s"bucketed join should still be a non-broadcast join:\n$plan")
   }
 
+  test("topk_group_agg is bit-identical to the window formulation") {
+    val agg = SparkEntry.queries("topk_group_agg")(spark, sf)
+      .collect().map(_.toSeq)
+    val win = SparkEntry.queries("topk_group")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(agg.length === win.length)
+    assert(agg === win)
+  }
+
+  test("topk_group_agg partial-aggregates map-side (k pairs per group per partition)") {
+    val p = SparkEntry.queries("topk_group_agg")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("partial_topk_pairs"), p)
+  }
+
+  test("TopKBuf keeps (score desc, id asc) under ties and overflow") {
+    val b = new graft.expr.TopKBuf(3)
+    Seq((5.0, 9L), (5.0, 2L), (7.0, 1L), (1.0, 0L), (5.0, 1L), (6.0, 4L))
+      .foreach { case (s, i) => b.insert(s, i) }
+    val got = (0 until b.n).map(i => (b.scores(i), b.ids(i)))
+    assert(got === Seq((7.0, 1L), (6.0, 4L), (5.0, 1L)))
+  }
+
   test("salted skew join equals the unsalted join") {
     val salted = SparkEntry.queries("join_skew_salted")(spark, sf).collect()
     val plain = {
