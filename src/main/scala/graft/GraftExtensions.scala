@@ -17,6 +17,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CollapseSanitize)
+    e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     e.injectFunction((new FunctionIdentifier("sanitize_filename"),
       new ExpressionInfo(classOf[graft.expr.SanitizeFilename].getName,
         "sanitize_filename"),

@@ -338,6 +338,21 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
+  /** The WINDOW formulation of topk_group optimized through
+    * [[graft.plans.TopKRewrite]]: the rule replaces the
+    * shuffle-everything-and-sort window plan with the bounded-heap
+    * aggregate at plan time. The flag is scoped to this query by
+    * forcing physical planning eagerly (QueryExecution caches it)
+    * before restoring the conf. */
+  private def topkGroupRewrite: Q = (s, d) => {
+    s.conf.set("spark.graft.topk.rewrite", "true")
+    try {
+      val df = topkGroup(s, d)
+      df.queryExecution.executedPlan // force optimize with the rule on
+      df
+    } finally s.conf.unset("spark.graft.topk.rewrite")
+  }
+
   /** Union distinct of two predicates (R15 two-branch union). */
   private def setUnion: Q = (s, d) => {
     val rich = t(s, d, "customer").where(col("c_acctbal") > 9000)
@@ -581,6 +596,7 @@ object Relational {
     "sort_limit" -> sortLimit,
     "topk_group" -> topkGroup,
     "topk_group_agg" -> topkGroupAgg,
+    "topk_group_rewrite" -> topkGroupRewrite,
     "set_union" -> setUnion,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
@@ -737,6 +753,14 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
     "topk_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    // Bit-identical by construction — same oracle as topk_group.
+    "topk_group_rewrite" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
                   row_number() OVER (PARTITION BY o_custkey
