@@ -63,7 +63,10 @@ object Bench {
       }.mkString("{", ",", "}")
       val omitted =
         if (keep >= results.size) "" else s""","omitted":${results.size - keep}"""
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$omitted,"failed":$failed,"sf":"$sfDir"}"""
+      // n + mean make rounds with different query counts comparable
+      // (the suite grew 75 → 99 queries across rounds; the TOTAL alone
+      // penalizes added coverage).
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"mean_sec":${total / results.size}%.3f,"queries":$qs$omitted,"failed":$failed,"sf":"$sfDir"}"""
     }
     val budget = 1800
     val line = Iterator(render(2, results.size), render(1, results.size)) ++
