@@ -133,6 +133,64 @@ object Pipeline {
       .orderBy(col("tf").desc, col("token"))
       .limit(100)
 
+  /** BPE tokenizer training — K=8 greedy pair merges. The corpus-scale
+    * stage is the single word-count aggregation (explode → groupBy,
+    * map-side combined); the merge loop then iterates on the compact
+    * (word, freq) table, which is orders of magnitude smaller than the
+    * corpus at any scale — the standard distributed-BPE decomposition.
+    * Each round runs ONE tiny argmax job (count DESC, pair ASC — fully
+    * deterministic) whose single-row result parameterizes the next
+    * round's merge fold; collecting that scalar is the loop control,
+    * not a data path. The fold applies merges greedily left-to-right
+    * via `aggregate` (codegen'd, no UDF). Oracle: pinned VALUES from an
+    * independent Python BPE implementation over the same sf0.01 corpus
+    * (same pattern as the zlib-pinned ingest oracles). */
+  private def tokBpe: Q = (s, d) => {
+    val rounds = 8
+    var words = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("sym"), col("freq"))
+    def applyMerge(sym: Column, a: String, b: String, m: String): Column =
+      aggregate(sym, array().cast("array<string>"), (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+          .otherwise(concat(acc, array(x))))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, String, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      r += 1
+      // sequence(1, 0) would DESCEND for single-symbol words — guard.
+      val best = words
+        .select(explode(when(size(col("sym")) > 1, transform(
+          sequence(lit(1), size(col("sym")) - 1),
+          i => concat_ws(" ", element_at(col("sym"), i),
+            element_at(col("sym"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("pair"), col("freq"))
+        .groupBy("pair")
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best.head.getString(0)
+        val n = best.head.getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += ((r, a, b, a + b, n))
+        words = words.select(
+          applyMerge(col("sym"), a, b, a + b).as("sym"), col("freq"))
+      }
+    }
+    s.createDataFrame(merges.toSeq)
+      .toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy("rank")
+  }
+
   /** IVF-style approximate nearest neighbours: 8 coarse centroids
     * (corpus vectors at pinned ids — a deterministic stand-in for
     * k-means centroids), every vector assigned to its nearest centroid
@@ -195,6 +253,7 @@ object Pipeline {
     "data_mixture" -> dataMixture,
     "pack_sequences" -> packSequences,
     "tok_vocab" -> tokVocab,
+    "tok_bpe" -> tokBpe,
     "sim_ann_ivf" -> simAnnIvf,
     "fn_sql_registry" -> fnSqlRegistry,
   )
@@ -256,6 +315,24 @@ object Pipeline {
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                FROM documents)
          GROUP BY token ORDER BY tf DESC, token LIMIT 100""",
+    // Pinned at sf0.01 (driver correctness contract) from an
+    // independent Python BPE implementation over the same corpus:
+    // word counts via DuckDB, then 8 greedy merges with the identical
+    // (count DESC, pair ASC) tie-break and left-to-right fold.
+    "tok_bpe" ->
+      """SELECT rank::INT AS rank, left_sym, right_sym, merged,
+                pair_count::BIGINT AS pair_count
+         FROM (VALUES
+           (1, 'e', 'r', 'er', 4568),
+           (2, 'i', 'n', 'in', 2760),
+           (3, 'o', 'w', 'ow', 2747),
+           (4, 'o', 'r', 'or', 2696),
+           (5, 's', 't', 'st', 2676),
+           (6, 'm', 'er', 'mer', 1852),
+           (7, 'a', 't', 'at', 1845),
+           (8, 'l', 'u', 'lu', 1831))
+         t(rank, left_sym, right_sym, merged, pair_count)
+         ORDER BY rank""",
     "sim_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
           c AS (SELECT vec_id AS cid, emb FROM e

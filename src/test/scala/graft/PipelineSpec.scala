@@ -83,6 +83,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("tok_bpe: merge 1 is the argmax char pair; ranks contiguous; merges concatenate") {
+    import org.apache.spark.sql.functions._
+    val merges = run("tok_bpe").collect()
+    assert(merges.map(_.getInt(0)).toSeq === (1 to merges.length))
+    merges.foreach { m =>
+      assert(m.getString(3) === m.getString(1) + m.getString(2))
+    }
+    // independent argmax of raw adjacent char pairs (pre-merge corpus)
+    val first = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("sym"), col("freq"))
+      .where(size(col("sym")) > 1)
+      .select(explode(transform(sequence(lit(1), size(col("sym")) - 1),
+        i => concat_ws(" ", element_at(col("sym"), i),
+          element_at(col("sym"), i + 1)))).as("pair"), col("freq"))
+      .groupBy("pair").agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(1).head
+    assert(merges.head.getString(1) + " " + merges.head.getString(2)
+      === first.getString(0))
+    assert(merges.head.getLong(4) === first.getLong(1))
+  }
+
   test("sim_ann_ivf: valid top-k shape and nonzero recall vs exact") {
     val ann = run("sim_ann_ivf").collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
