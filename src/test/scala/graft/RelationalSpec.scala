@@ -33,6 +33,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(p.contains("partial_topk_pairs"), p)
   }
 
+  test("TopKBuf fuzz: split-insert-merge equals sorted-take-k reference") {
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 1 to 200) {
+      val k = 1 + rnd.nextInt(6)
+      val n = rnd.nextInt(40)
+      // small score/id domains force heavy ties
+      val rows = Seq.fill(n)((rnd.nextInt(5).toDouble, rnd.nextInt(10).toLong))
+      val expected = rows.sortBy { case (s, i) => (-s, i) }.take(k)
+      // random partitioning into buffers, then pairwise merge
+      val parts = rows.grouped(1 + rnd.nextInt(5)).map { chunk =>
+        val b = new graft.expr.TopKBuf(k)
+        chunk.foreach { case (s, i) => b.insert(s, i) }
+        b
+      }.toList
+      val merged = parts.reduceOption { (a, b) =>
+        var i = 0
+        while (i < b.n) { a.insert(b.scores(i), b.ids(i)); i += 1 }
+        a
+      }.getOrElse(new graft.expr.TopKBuf(k))
+      val got = (0 until merged.n).map(i => (merged.scores(i), merged.ids(i)))
+      assert(got === expected, s"k=$k rows=$rows")
+    }
+  }
+
   test("TopKBuf keeps (score desc, id asc) under ties and overflow") {
     val b = new graft.expr.TopKBuf(3)
     Seq((5.0, 9L), (5.0, 2L), (7.0, 1L), (1.0, 0L), (5.0, 1L), (6.0, 4L))
