@@ -55,18 +55,24 @@ object Bench {
     // BENCH_r01/r02: "parsed": null). Emit compact values and degrade
     // precision / drop the fastest entries until the line fits; full
     // precision goes to a local file for analysis.
+    // Locale.ROOT everywhere: a comma-decimal default locale would make
+    // %f emit "1,5", crashing .toDouble / breaking the JSON contract.
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    // mean over an empty filtered run would be NaN — invalid JSON.
+    val mean = if (results.isEmpty) 0.0 else total / results.size
     def render(prec: Int, keep: Int): String = {
       val shown = results.sortBy { case (_, v) => -math.abs(v) }.take(keep)
         .sortBy(_._1)
       val qs = shown.map { case (k, v) =>
-        "\"" + k + "\":" + s"%.${prec}f".format(v).toDouble
+        "\"" + k + "\":" + num(s"%.${prec}f", v).toDouble
       }.mkString("{", ",", "}")
       val omitted =
         if (keep >= results.size) "" else s""","omitted":${results.size - keep}"""
       // n + mean make rounds with different query counts comparable
       // (the suite grew 75 → 99 queries across rounds; the TOTAL alone
       // penalizes added coverage).
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"mean_sec":${total / results.size}%.3f,"queries":$qs$omitted,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","n":${results.size},"mean_sec":${num("%.3f", mean)},"queries":$qs$omitted,"failed":$failed,"sf":"$sfDir"}"""
     }
     val budget = 1800
     val line = Iterator(render(2, results.size), render(1, results.size)) ++
@@ -76,6 +82,9 @@ object Bench {
 
     val full = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // cwd-independent: running outside the repo root must not crash the
+    // run after the suite completed.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_full.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"failed":$failed,"sf":"$sfDir"}"""

@@ -11,28 +11,52 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Bounded top-k buffer: at most k (score, id) pairs, kept sorted by
-  * (score DESC, id ASC) — the same total order as
-  * `row_number() OVER (ORDER BY score DESC, id)`, so results are
-  * bit-identical to the window formulation. Linear-shift insertion is
-  * O(k) per accepted row; rows worse than the current k-th are rejected
+  * the EXACT total order of
+  * `row_number() OVER (ORDER BY score DESC, id ASC)` in Spark:
+  * score DESC NULLS LAST with java.lang.Double.compare semantics
+  * (NaN above +Inf) and -0.0 collapsed to 0.0 (Spark normalizes
+  * floats before sort/group), then id ASC NULLS FIRST. Nulls are
+  * carried as per-entry flag bits so a group with fewer than k
+  * non-null scores still ranks its null-score rows — bit-identical to
+  * the window formulation on ANY input. Linear-shift insertion is O(k)
+  * per accepted row; rows worse than the current k-th are rejected
   * with a single comparison. */
 final class TopKBuf(val k: Int) {
+  require(k >= 1, s"top-k bound must be >= 1, got $k")
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
+  val flags = new Array[Byte](k) // bit0: score IS NULL, bit1: id IS NULL
   var n = 0
 
-  @inline private def beats(s: Double, i: Long, pos: Int): Boolean =
-    s > scores(pos) || (s == scores(pos) && i < ids(pos))
+  /** Does (s, i) order strictly before the entry at `pos`? */
+  @inline private def before(
+      s: Double, sNull: Boolean, i: Long, iNull: Boolean, pos: Int): Boolean = {
+    val pSNull = (flags(pos) & 1) != 0
+    if (sNull != pSNull) return pSNull // DESC NULLS LAST
+    if (!sNull) {
+      val c = java.lang.Double.compare(s, scores(pos))
+      if (c != 0) return c > 0
+    }
+    val pINull = (flags(pos) & 2) != 0
+    if (iNull != pINull) return iNull // ASC NULLS FIRST
+    if (iNull) false else i < ids(pos)
+  }
 
-  def insert(s: Double, i: Long): Unit = {
-    if (n == k && !beats(s, i, n - 1)) return
+  def insert(s: Double, sNull: Boolean, i: Long, iNull: Boolean): Unit = {
+    val sn = if (!sNull && s == 0.0) 0.0 else s // collapse -0.0
+    if (n == k && !before(sn, sNull, i, iNull, n - 1)) return
     var pos = if (n < k) n else n - 1
     if (n < k) n += 1
-    while (pos > 0 && beats(s, i, pos - 1)) {
-      scores(pos) = scores(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+    while (pos > 0 && before(sn, sNull, i, iNull, pos - 1)) {
+      scores(pos) = scores(pos - 1); ids(pos) = ids(pos - 1)
+      flags(pos) = flags(pos - 1); pos -= 1
     }
-    scores(pos) = s; ids(pos) = i
+    scores(pos) = sn; ids(pos) = i
+    flags(pos) = ((if (sNull) 1 else 0) | (if (iNull) 2 else 0)).toByte
   }
+
+  /** Non-null convenience (tests, simple callers). */
+  def insert(s: Double, i: Long): Unit = insert(s, sNull = false, i, iNull = false)
 }
 
 /** Top-k per group as a NATIVE aggregate — the scale-correct shape for
@@ -64,26 +88,36 @@ case class TopKAgg(
   override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
-      buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf.insert(
+      if (s == null) 0.0 else s.asInstanceOf[Double], s == null,
+      if (i == null) 0L else i.asInstanceOf[Long], i == null)
     buf
   }
 
   override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
     var i = 0
-    while (i < b.n) { a.insert(b.scores(i), b.ids(i)); i += 1 }
+    while (i < b.n) {
+      a.insert(b.scores(i), (b.flags(i) & 1) != 0, b.ids(i), (b.flags(i) & 2) != 0)
+      i += 1
+    }
     a
   }
 
   override def eval(buf: TopKBuf): Any =
-    new GenericArrayData((0 until buf.n).map(i =>
-      InternalRow(buf.scores(i), buf.ids(i))).toArray[Any])
+    new GenericArrayData((0 until buf.n).map { i =>
+      InternalRow(
+        if ((buf.flags(i) & 1) != 0) null else buf.scores(i),
+        if ((buf.flags(i) & 2) != 0) null else buf.ids(i))
+    }.toArray[Any])
 
   override def serialize(buf: TopKBuf): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.n * 16)
+    val bb = ByteBuffer.allocate(4 + buf.n * 17)
     bb.putInt(buf.n)
     var i = 0
-    while (i < buf.n) { bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1 }
+    while (i < buf.n) {
+      bb.put(buf.flags(i)); bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i))
+      i += 1
+    }
     bb.array()
   }
 
@@ -93,7 +127,11 @@ case class TopKAgg(
     val buf = new TopKBuf(k)
     var i = 0
     // entries arrive already sorted; insert preserves order
-    while (i < n) { buf.insert(bb.getDouble, bb.getLong); i += 1 }
+    while (i < n) {
+      val f = bb.get()
+      buf.insert(bb.getDouble, (f & 1) != 0, bb.getLong, (f & 2) != 0)
+      i += 1
+    }
     buf
   }
 
@@ -107,8 +145,8 @@ case class TopKAgg(
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
-      StructField("score", DoubleType, nullable = false),
-      StructField("id", LongType, nullable = false))),
+      StructField("score", DoubleType, nullable = true),
+      StructField("id", LongType, nullable = true))),
     containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "topk_pairs"
@@ -122,9 +160,9 @@ object TopKAgg {
     registry.createOrReplaceTempFunction("topk_pairs",
       exprs => {
         val k = exprs(2) match {
-          case Literal(v: Int, IntegerType) => v
+          case Literal(v: Int, IntegerType) if v >= 1 => v
           case other => throw new IllegalArgumentException(
-            s"topk_pairs k must be an INT literal, got $other")
+            s"topk_pairs k must be an INT literal >= 1, got $other")
         }
         TopKAgg(exprs(0), exprs(1), k)
       }, "built-in")

@@ -72,7 +72,13 @@ object Pipeline {
     * the fractional part reuses the hash-Bernoulli decision. Audit:
     * per-source original vs mixed row/token counts. */
   private def dataMixture: Q = (s, d) => {
-    val srcnum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("long")
+    // regexp_extract yields '' (→ null cast) for a source with no
+    // trailing digits; defaulting to 0 keeps such sources at weight
+    // 1.0× instead of silently dropping every row (explode over a null
+    // sequence emits nothing). The fixture corpus is all srcN, so the
+    // oracle is unaffected; this is corpus-shape robustness.
+    val srcnum = coalesce(
+      regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"), lit(0L))
     val wbp = lit(10000L) + pmod(srcnum, lit(4L)) * 5000L // 1.0x 1.5x 2.0x 2.5x
     val copies = (wbp / 10000L).cast("long")
     val fracBp = pmod(wbp, lit(10000L))
@@ -147,11 +153,16 @@ object Pipeline {
     * (same pattern as the zlib-pinned ingest oracles). */
   private def tokBpe: Q = (s, d) => {
     val rounds = 8
+    // localCheckpoint pins the compact (sym, freq) table so the
+    // corpus-scale aggregation runs ONCE — left as lineage, every
+    // round's argmax job would re-scan the corpus and re-evaluate all
+    // prior merge folds (O(rounds) scans, O(rounds²) fold work).
     var words = t(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w")
       .agg(count(lit(1)).as("freq"))
       .select(split(col("w"), "").as("sym"), col("freq"))
+      .localCheckpoint()
     def applyMerge(sym: Column, a: String, b: String, m: String): Column =
       aggregate(sym, array().cast("array<string>"), (acc, x) =>
         when(size(acc) > 0 &&
@@ -182,8 +193,11 @@ object Pipeline {
         val n = best.head.getLong(1)
         val Array(a, b) = pair.split(" ", 2)
         merges += ((r, a, b, a + b, n))
+        val prev = words
         words = words.select(
           applyMerge(col("sym"), a, b, a + b).as("sym"), col("freq"))
+          .localCheckpoint()
+        prev.unpersist()
       }
     }
     s.createDataFrame(merges.toSeq)
@@ -206,20 +220,30 @@ object Pipeline {
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", norm(col("emb")))
-    val cent = e.where(col("vec_id").isin(ivfCentroidIds: _*))
-      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
-        col("nrm").as("cnrm"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cid"))
-    val assigned = e.join(broadcast(cent))
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cid"),
-        (dot(col("emb"), col("cemb")) / (col("nrm") * col("cnrm"))).as("ccos"))
-      .withColumn("crn", row_number().over(wAssign))
-    val cells = assigned.where(col("crn") === 1)
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cid").as("cell"))
-    val probes = assigned.where(col("vec_id") < 5 && col("crn") <= ivfNprobe)
+    // The 8 centroid vectors are coordinator METADATA (every k-means
+    // driver holds them): collected once and inlined as literals, so
+    // cell assignment is a pure projection fused into the scan — no
+    // join, no window, no shuffle of the (8×-expanded) corpus. Ties
+    // break (cos DESC, cid ASC) via the (negcos, cid) struct sort.
+    val centArr = array(
+      e.where(col("vec_id").isin(ivfCentroidIds: _*))
+        .select(col("vec_id"), col("emb"), col("nrm"))
+        .collect().sortBy(_.getLong(0)).map { r =>
+          struct(lit(r.getLong(0)).as("cid"),
+            array(r.getSeq[Double](1).map(lit): _*).as("cemb"),
+            lit(r.getDouble(2)).as("cnrm"))
+        }.toSeq: _*)
+    val scored = sort_array(transform(centArr, c =>
+      struct((dot(col("emb"), c("cemb")) / (col("nrm") * c("cnrm")) * -1)
+        .as("negcos"), c("cid").as("cid"))))
+    val cells = e
+      .select(col("vec_id"), col("emb"), col("nrm"),
+        element_at(scored, 1)("cid").as("cell"))
+    val probes = e.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
-        col("nrm").as("qnrm"), col("cid").as("cell"))
+        col("nrm").as("qnrm"),
+        explode(transform(slice(scored, 1, ivfNprobe), x => x("cid")))
+          .as("cell"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     cells.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))

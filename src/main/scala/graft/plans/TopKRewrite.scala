@@ -28,8 +28,12 @@ import graft.expr.TopKAgg
   *
   * Scope is deliberately narrow (the rewrite must preserve the exact
   * output attribute list): single attribute partition key, ORDER BY
-  * (double attr DESC, long attr ASC), rn <= int literal, and a child
-  * whose output is exactly {p, s, i}. Gated off by default behind
+  * (double attr DESC, long attr ASC), rn <= positive int literal, and
+  * a child whose output is exactly {p, s, i}. Null scores/ids and
+  * NaN/-0.0 follow Spark's sort semantics inside [[TopKAgg]]'s buffer
+  * (DESC NULLS LAST / ASC NULLS FIRST, Double.compare with -0.0
+  * collapsed), so the rewrite stays bit-exact on any input, not just
+  * null-free columns. Gated off by default behind
   * `spark.graft.topk.rewrite` (the topk_group_rewrite query and
   * ExtensionsSpec turn it on) so the window formulation stays
   * independently testable. */
@@ -49,7 +53,7 @@ object TopKRewrite extends Rule[LogicalPlan] {
               Seq(SortOrder(s: AttributeReference, Descending, _, _),
                   SortOrder(i: AttributeReference, Ascending, _, _)),
               child, _))
-          if rnRef.exprId == rnAlias.exprId &&
+          if k >= 1 && rnRef.exprId == rnAlias.exprId &&
             s.dataType == DoubleType && i.dataType == LongType &&
             child.outputSet.subsetOf(AttributeSet(Seq(p, s, i))) =>
         rewrite(p, s, i, rnAlias, k, child)
@@ -62,9 +66,12 @@ object TopKRewrite extends Rule[LogicalPlan] {
     val topAlias = Alias(TopKAgg(s, i, k).toAggregateExpression(), "top")()
     val agg = Aggregate(Seq(p), Seq(p, topAlias), child)
 
+    // Must mirror TopKAgg.dataType (nullable fields: the buffer ranks
+    // null score/id rows per DESC NULLS LAST / ASC NULLS FIRST, exactly
+    // as the window sort would).
     val pairType = StructType(Seq(
-      StructField("score", DoubleType, nullable = false),
-      StructField("id", LongType, nullable = false)))
+      StructField("score", DoubleType, nullable = true),
+      StructField("id", LongType, nullable = true)))
     val posAttr = AttributeReference("pos", IntegerType, nullable = false)()
     val pairAttr = AttributeReference("pair", pairType, nullable = false)()
     val gen = Generate(

@@ -33,28 +33,89 @@ class RelationalSpec extends AnyFunSuite {
     assert(p.contains("partial_topk_pairs"), p)
   }
 
-  test("TopKBuf fuzz: split-insert-merge equals sorted-take-k reference") {
+  test("TopKBuf fuzz: split-insert-merge equals sorted-take-k reference (nulls, NaN, ties)") {
     val rnd = new scala.util.Random(1234)
-    for (_ <- 1 to 200) {
+    // Spark's window order: score DESC NULLS LAST (NaN largest, -0.0
+    // collapsed), then id ASC NULLS FIRST.
+    def scoreKey(s: Option[Double]): (Int, Double) = s match {
+      case None => (1, 0.0)
+      case Some(v) if v.isNaN => (0, Double.NegativeInfinity) // NaN ranks first under DESC
+      case Some(v) => (0, -(if (v == 0.0) 0.0 else v))
+    }
+    def idKey(i: Option[Long]): (Int, Long) = i match {
+      case None => (0, 0L) // NULLS FIRST
+      case Some(v) => (1, v)
+    }
+    for (_ <- 1 to 300) {
       val k = 1 + rnd.nextInt(6)
       val n = rnd.nextInt(40)
-      // small score/id domains force heavy ties
-      val rows = Seq.fill(n)((rnd.nextInt(5).toDouble, rnd.nextInt(10).toLong))
-      val expected = rows.sortBy { case (s, i) => (-s, i) }.take(k)
+      // small domains force heavy ties; sprinkle nulls and NaN
+      val rows = Seq.fill(n)((
+        rnd.nextInt(8) match {
+          case 0 => None
+          case 1 => Some(Double.NaN)
+          case 2 => Some(-0.0)
+          case _ => Some(rnd.nextInt(4).toDouble)
+        },
+        if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(10).toLong)))
+      val expected = rows.sortBy { case (s, i) => (scoreKey(s), idKey(i)) }
+        .take(k)
+        .map { case (s, i) => (s.map(v => if (v == 0.0) 0.0 else v), i) }
       // random partitioning into buffers, then pairwise merge
       val parts = rows.grouped(1 + rnd.nextInt(5)).map { chunk =>
         val b = new graft.expr.TopKBuf(k)
-        chunk.foreach { case (s, i) => b.insert(s, i) }
+        chunk.foreach { case (s, i) =>
+          b.insert(s.getOrElse(0.0), s.isEmpty, i.getOrElse(0L), i.isEmpty)
+        }
         b
       }.toList
       val merged = parts.reduceOption { (a, b) =>
         var i = 0
-        while (i < b.n) { a.insert(b.scores(i), b.ids(i)); i += 1 }
+        while (i < b.n) {
+          a.insert(b.scores(i), (b.flags(i) & 1) != 0,
+            b.ids(i), (b.flags(i) & 2) != 0)
+          i += 1
+        }
         a
       }.getOrElse(new graft.expr.TopKBuf(k))
-      val got = (0 until merged.n).map(i => (merged.scores(i), merged.ids(i)))
-      assert(got === expected, s"k=$k rows=$rows")
+      val got = (0 until merged.n).map { i =>
+        (if ((merged.flags(i) & 1) != 0) None else Some(merged.scores(i)),
+          if ((merged.flags(i) & 2) != 0) None else Some(merged.ids(i)))
+      }
+      // NaN != NaN under ==; compare on keys
+      def show(s: Option[Double]) = s.map(v =>
+        if (v.isNaN) "NaN" else v.toString).getOrElse("null")
+      assert(got.map { case (s, i) => (show(s), i) } ===
+        expected.map { case (s, i) => (show(s), i) }, s"k=$k rows=$rows")
     }
+  }
+
+  test("TopKAgg equals the window formulation on data WITH null scores") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.TopKAgg.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { j =>
+      (j % 7L,
+        if (rnd.nextInt(5) == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(rnd.nextInt(6).toDouble),
+        j.toLong)
+    }
+    val df = spark.createDataFrame(rows).toDF("g", "score", "id")
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val win = df.select(col("g"), col("id"), col("score"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= 3)
+      .orderBy("g", "rn")
+      .collect().map(_.toSeq)
+    val agg = df.groupBy("g")
+      .agg(call_function("topk_pairs", col("score"), col("id"), lit(3)).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("g"), col("p.id").as("id"), col("p.score").as("score"),
+        (col("pos") + 1).cast("int").as("rn"))
+      .orderBy("g", "rn")
+      .collect().map(_.toSeq)
+    assert(agg === win)
   }
 
   test("TopKBuf keeps (score desc, id asc) under ties and overflow") {
