@@ -14,6 +14,8 @@ object Explain {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.local.dir", s"${Tables.scratchRoot}/spark-local")
       .config("spark.sql.warehouse.dir", s"${Tables.scratchRoot}/warehouse")

@@ -161,6 +161,35 @@ object Relational {
       .orderBy("p_id")
   }
 
+  /** join_asof through the custom whole-operator path: logical
+    * [[graft.plans.AsOfJoin]] → [[graft.plans.AsOfJoinStrategy]] →
+    * [[graft.plans.AsOfJoinExec]] merge pass (O(n) per partition, O(1)
+    * state — the composable range-join formulation explodes the match
+    * set before aggregating). Oracle: DuckDB's native ASOF LEFT JOIN. */
+  private def joinAsofNative: Q = (s, d) => {
+    val ev = events(s, d)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts_us").as("p_us"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts_us").as("v_us"))
+    val lp = p.queryExecution.analyzed
+    val rp = v.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).get
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]
+    val joined = org.apache.spark.sql.GraftSqlBridge.ofRows(s,
+      graft.plans.AsOfJoin(lp, rp,
+        attr(lp, "p_user"), attr(lp, "p_us"),
+        attr(rp, "v_user"), attr(rp, "v_us")))
+    joined
+      .select(col("p_id"), col("p_us"),
+        col("v_id").as("last_view_id"), col("v_us").as("last_view_us"))
+      .orderBy("p_id")
+  }
+
   // ----------------------------------------------------------- aggregates
 
   /** Flagship: TPC-H-Q1-shaped pricing summary. Partial (map-side)
@@ -583,6 +612,7 @@ object Relational {
     "join_theta" -> joinTheta,
     "join_range" -> joinRange,
     "join_asof" -> joinAsof,
+    "join_asof_native" -> joinAsofNative,
     "agg_hash" -> aggHash,
     "agg_distinct" -> aggDistinct,
     "agg_approx" -> aggApprox,
@@ -672,6 +702,19 @@ object Relational {
           LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
             ON p.user_id = v.user_id AND ${duckTsUs("v.ts")} <= ${duckTsUs("p.ts")}
           GROUP BY p.event_id ORDER BY p_id""",
+    // DuckDB's NATIVE ASOF LEFT JOIN vs the custom physical operator.
+    "join_asof_native" ->
+      s"""WITH p AS (SELECT event_id AS p_id, user_id,
+                            ${duckTsUs("ts")} AS p_us
+                     FROM events WHERE event_type = 'purchase'),
+              v AS (SELECT event_id AS v_id, user_id,
+                            ${duckTsUs("ts")} AS v_us
+                     FROM events WHERE event_type = 'view')
+          SELECT p.p_id, p.p_us, v.v_id AS last_view_id,
+                 v.v_us AS last_view_us
+          FROM p ASOF LEFT JOIN v
+            ON p.user_id = v.user_id AND v.v_us <= p.p_us
+          ORDER BY p_id""",
     "agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS sum_qty,

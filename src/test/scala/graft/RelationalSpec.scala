@@ -126,6 +126,40 @@ class RelationalSpec extends AnyFunSuite {
     assert(got === Seq((7.0, 1L), (6.0, 4L), (5.0, 1L)))
   }
 
+  test("AsOfJoinExec equals an independent window formulation (incl. unmatched rows)") {
+    import org.apache.spark.sql.functions._
+    val native = SparkEntry.queries("join_asof_native")(spark, sf)
+      .collect().map(_.toSeq)
+    val ev = Tables.events(spark, sf)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("u"),
+        col("ts_us").as("p_us"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("u"),
+        col("ts_us").as("v_us"))
+    // independent formulation: left range join + keep max (v_us, v_id);
+    // the time bound lives IN the join condition so purchases whose
+    // views are all later still surface (with nulls)
+    val expected = p.join(v.withColumnRenamed("u", "u2"),
+        col("u") === col("u2") && col("v_us") <= col("p_us"), "left")
+      .groupBy("p_id", "p_us")
+      .agg(max(struct(col("v_us"), col("v_id"))).as("m"))
+      .select(col("p_id"), col("p_us"),
+        col("m.v_id").as("last_view_id"), col("m.v_us").as("last_view_us"))
+      .orderBy("p_id")
+      .collect().map(_.toSeq)
+    assert(native.length === expected.length)
+    assert(native === expected)
+  }
+
+  test("as-of native plan: custom exec with co-partitioned sorted children") {
+    val plan = SparkEntry.queries("join_asof_native")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"the custom exec, not a builtin join, must do the work:\n$plan")
+  }
+
   test("salted skew join equals the unsalted join") {
     val salted = SparkEntry.queries("join_skew_salted")(spark, sf).collect()
     val plain = {
