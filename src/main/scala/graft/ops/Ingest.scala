@@ -5,7 +5,7 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 
 import graft.Tables._
 import graft.expr.{Sanitize, ZipEntries}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -138,6 +138,98 @@ object Ingest {
         sum(col("version")).as("n_upserted"),
         sum(col("n_chars")).as("total_chars"))
       .orderBy("source")
+  }
+
+  /** Morton/Z-value: interleave the low 16 bits of x (even positions)
+    * and y (odd positions) via the classic spread-bits multiplications —
+    * pure &,|,<< integer math, so the DuckDB oracle computes the
+    * identical value. */
+  private[graft] def zval(x: Column, y: Column): Column = {
+    def spread(c: Column): Column = {
+      var v = c.bitwiseAND(lit(0xFFFFL))
+      v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
+      v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x33333333L))
+      v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
+
+  /** Z-order clustered write — the multi-dimensional data-skipping
+    * layout (Delta/Iceberg OPTIMIZE ZORDER analog): rows sorted by the
+    * Morton interleave of (l_partkey, l_suppkey) give BOTH columns
+    * bounded min/max ranges per row group, so parquet stats prune scans
+    * filtered on EITHER dimension — a single-column sort only ever
+    * skips on that column. range-partition + sortWithinPartitions is
+    * one shuffle; at 100 TB this is the periodic layout-maintenance
+    * job that makes every later selective scan cheap. The query output
+    * is per-z-bucket stats (content + locality audit); IngestSpec reads
+    * the parquet FOOTERS and asserts per-row-group spans actually
+    * tightened on both dimensions vs a single-column sort. */
+  private def sinkZorder: Q = (s, d) => {
+    val out = s"$scratchRoot/zorder/out"
+    val li0 = t(s, d, "lineitem")
+    // Z-order needs BOTH dimensions spread over comparable bit widths
+    // (a 4-bit column contributes nothing to the high interleave bits),
+    // so each column is first scaled into 16 bits — exact integer `div`
+    // in both engines. The two maxima are coordinator metadata (Delta's
+    // ZORDER samples range bounds the same way); data values stay on
+    // executors.
+    val m = li0.agg(max(col("l_orderkey")), max(col("l_partkey"))).head
+    val (mo, mp) = (m.getLong(0) + 1, m.getLong(1) + 1)
+    val li = li0
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .withColumn("z", zval(
+        expr(s"(l_orderkey * 65536) div $mo"),
+        expr(s"(l_partkey * 65536) div $mp")))
+    li.repartitionByRange(8, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy(shiftright(col("z"), 26).as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_orderkey")).as("min_order"), max(col("l_orderkey")).as("max_order"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy("z_bucket")
+  }
+
+  /** Per-row-group (min, max) of an INT64 column across a parquet dir —
+    * footer metadata only, for the IngestSpec locality assertion. */
+  private[graft] def rowGroupRanges(s: org.apache.spark.sql.SparkSession,
+      dir: String, column: String): Seq[(Long, Long)] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .toSeq
+      .flatMap { st =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+        try {
+          import scala.jdk.CollectionConverters._
+          rd.getFooter.getBlocks.asScala.toSeq.map { b =>
+            val cc = b.getColumns.asScala
+              .find(_.getPath.toDotString == column).get
+            val stats = cc.getStatistics
+            (stats.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+              stats.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+          }
+        } finally rd.close()
+      }
+  }
+
+  /** IngestSpec helper: write the same projection sorted by ONE column
+    * only, for the skipping comparison. */
+  private[graft] def writeSingleSorted(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val out = s"$scratchRoot/zorder/single"
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(out)
+    out
   }
 
   /** Post-compaction file census for IngestSpec: (dir, parquet files). */
@@ -529,6 +621,7 @@ object Ingest {
     "sink_compact" -> sinkCompact,
     "scan_evolve" -> scanEvolve,
     "sink_upsert" -> sinkUpsert,
+    "sink_zorder" -> sinkZorder,
     "ingest_e2e" -> ingestE2e,
     "ingest_remote" -> ingestRemote,
     "ingest_integrity" -> ingestIntegrity,
@@ -567,6 +660,30 @@ object Ingest {
          SELECT source, count(*) AS n, sum(version)::BIGINT AS n_upserted,
                 sum(n_chars)::BIGINT AS total_chars
          FROM m GROUP BY source ORDER BY source""",
+    // Identical spread-bits arithmetic, generated step-for-step from
+    // the same (shift, mask) sequence as [[zval]]; 16-bit scaling uses
+    // exact integer division in both engines.
+    "sink_zorder" -> {
+      def spread(v0: String): String = {
+        val steps = Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL),
+          (2, 0x33333333L), (1, 0x55555555L))
+        steps.foldLeft(s"($v0 & 65535)") { case (v, (sh, m)) =>
+          s"((($v | ($v << $sh)) & $m))"
+        }
+      }
+      val sx = spread("((l_orderkey * 65536) // mo)")
+      val sy = spread("((l_partkey * 65536) // mp)")
+      s"""WITH m AS (SELECT max(l_orderkey) + 1 AS mo,
+                            max(l_partkey) + 1 AS mp FROM lineitem),
+             z AS (SELECT l_orderkey, l_partkey, l_quantity,
+                          ($sx | ($sy << 1)) AS zv
+                   FROM lineitem, m)
+          SELECT (zv >> 26) AS z_bucket, count(*) AS n,
+                 min(l_orderkey) AS min_order, max(l_orderkey) AS max_order,
+                 min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+                 sum(l_quantity::BIGINT) AS sum_qty
+          FROM z GROUP BY 1 ORDER BY z_bucket"""
+    },
     // Oracle is the SOURCE table: compaction must be content-neutral.
     "sink_compact" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -192,6 +192,32 @@ class IngestSpec extends AnyFunSuite {
     assert(before.map(_.getLong(1)).sum === 6000)
   }
 
+  test("z-order tightens row-group ranges on BOTH dimensions; single sort only on its own") {
+    SparkEntry.queries("sink_zorder")(spark, sf).count() // builds zorder/out
+    val single = graft.ops.Ingest.writeSingleSorted(spark, sf)
+    def meanSpanFrac(dir: String, colName: String): Double = {
+      val ranges = graft.ops.Ingest.rowGroupRanges(spark, dir, colName)
+      assert(ranges.nonEmpty, s"$dir has no row groups")
+      val lo = ranges.map(_._1).min
+      val hi = ranges.map(_._2).max
+      ranges.map { case (a, b) => (b - a).toDouble / math.max(1L, hi - lo) }
+        .sum / ranges.size
+    }
+    val zDir = s"${Tables.scratchRoot}/zorder/out"
+    val zOrder = meanSpanFrac(zDir, "l_orderkey")
+    val zPart = meanSpanFrac(zDir, "l_partkey")
+    val sOrder = meanSpanFrac(single, "l_orderkey")
+    val sPart = meanSpanFrac(single, "l_partkey")
+    // single-column sort: its own column is tight, the OTHER is ~full
+    assert(sOrder < 0.5, s"orderkey-sorted orderkey span $sOrder")
+    assert(sPart > 0.8, s"orderkey-sorted partkey span $sPart (should be ~1)")
+    // z-order: BOTH dimensions bounded — that is the whole point
+    assert(zOrder < 0.75 && zPart < 0.75,
+      s"z-order spans order=$zOrder part=$zPart (both must tighten)")
+    assert(zPart < sPart,
+      s"z-order must beat single-sort on the second dimension: $zPart vs $sPart")
+  }
+
   test("dedup policies partition the input: semi + anti = all") {
     val semi = SparkEntry.queries("join_semi")(spark, sf).count()
     val anti = SparkEntry.queries("join_anti")(spark, sf).count()
