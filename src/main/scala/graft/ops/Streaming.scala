@@ -131,9 +131,10 @@ object Streaming {
 
   /** Plan/run `body` with the streaming state partition count, then
     * restore the session's batch shuffle sizing. */
-  private def withStatePartitions[T](s: SparkSession)(body: => T): T = {
+  private def withStatePartitions[T](s: SparkSession,
+      parts: Int = statePartitions)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try body
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
@@ -141,7 +142,8 @@ object Streaming {
   /** Run a streaming DF to completion into an in-memory table and return
     * the final result (AvailableNow = the reference's cron-batch shape). */
   private def runToMemory(s: SparkSession, df: DataFrame, name: String,
-      mode: OutputMode): DataFrame = withStatePartitions(s) {
+      mode: OutputMode,
+      parts: Int = statePartitions): DataFrame = withStatePartitions(s, parts) {
     val q = df.writeStream
       .outputMode(mode)
       .format("memory")
@@ -285,7 +287,13 @@ object Streaming {
         col("p_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
       .select(col("view_id"), col("purchase_id"), col("user_id"),
         (col("p_us") - col("v_us")).as("gap_us"))
-    runToMemory(s, joined, "stream_join_t", OutputMode.Append())
+    // A stream-stream join runs FOUR state-store instances per shuffle
+    // partition (left/right × key-to-count and key-with-index), each
+    // paying a per-batch commit — so its partitioning is sized to the
+    // JOIN state (kilobytes here), half the already-small default. On a
+    // cluster this is the same knob, raised with per-key state volume.
+    runToMemory(s, joined, "stream_join_t", OutputMode.Append(),
+      parts = statePartitions / 2)
       .orderBy("view_id", "purchase_id")
   }
 
