@@ -135,6 +135,23 @@ object Functions {
         get_json_object(col("props"), "$.k").isNotNull.as("has_k"))
       .orderBy("event_id")
 
+  /** Semi-structured props through Spark 4's VARIANT type — the scale
+    * path for schema-on-read JSON: `parse_json` binary-encodes once at
+    * the scan, typed `variant_get` extractions are then O(field) with
+    * no per-access string re-parse (fn_json's get_json_object re-parses
+    * the full string per extraction). At 100 TB the parse happens once
+    * per row instead of once per (row × field). */
+  private def fnVariant: Q = (s, d) =>
+    events(s, d)
+      .select(col("event_id"),
+        parse_json(col("props")).as("v"),
+        col("event_type"))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.k", "long").as("k_val"),
+        (variant_get(col("v"), "$.k", "long") % 10).as("k_mod"),
+        variant_get(col("v"), "$.missing", "long").isNull.as("no_missing_field"))
+      .orderBy("event_id")
+
   /** Filename sanitize (child.py:20-33; pins from tests/test_basic.py:18-80)
     * applied to adversarial names synthesized from the documents table. */
   private def sanitizeRaw: org.apache.spark.sql.Column =
@@ -168,6 +185,7 @@ object Functions {
     "fn_array" -> fnArray,
     "fn_map" -> fnMap,
     "fn_json" -> fnJson,
+    "fn_variant" -> fnVariant,
     "fn_sanitize" -> fnSanitize,
     // §2b inventory: the non-native (regexp_replace chain) fallback path
     "fn_sanitize_udf" -> fnSanitizeUdf,
@@ -242,6 +260,13 @@ object Functions {
       """SELECT event_id,
                 json_extract_string(props, '$.k')::BIGINT AS k_val,
                 json_extract_string(props, '$.k') IS NOT NULL AS has_k
+         FROM events ORDER BY event_id""",
+    "fn_variant" ->
+      """SELECT event_id,
+                json_extract_string(props, '$.k')::BIGINT AS k_val,
+                json_extract_string(props, '$.k')::BIGINT % 10 AS k_mod,
+                json_extract_string(props, '$.missing') IS NULL
+                  AS no_missing_field
          FROM events ORDER BY event_id""",
     "fn_sanitize" -> sanitizeOracleSql,
     "fn_sanitize_udf" -> sanitizeOracleSql,
