@@ -14,8 +14,9 @@ import org.apache.spark.sql.types._
   * the EXACT total order of
   * `row_number() OVER (ORDER BY score DESC, id ASC)` in Spark:
   * score DESC NULLS LAST with java.lang.Double.compare semantics
-  * (NaN above +Inf) and -0.0 collapsed to 0.0 (Spark normalizes
-  * floats before sort/group), then id ASC NULLS FIRST. Nulls are
+  * (NaN above +Inf) and -0.0 comparing equal to 0.0 (Spark's nan-safe
+  * compare; stored values keep their original bits), then id ASC
+  * NULLS FIRST. Nulls are
   * carried as per-entry flag bits so a group with fewer than k
   * non-null scores still ranks its null-score rows — bit-identical to
   * the window formulation on ANY input. Linear-shift insertion is O(k)
@@ -28,13 +29,18 @@ final class TopKBuf(val k: Int) {
   val flags = new Array[Byte](k) // bit0: score IS NULL, bit1: id IS NULL
   var n = 0
 
+  // -0.0 collapses to 0.0 FOR COMPARISON only (Spark's nan-safe double
+  // compare treats them equal, ties then break on id); the stored and
+  // emitted value keeps its original bits, like the window formulation.
+  @inline private def cmpNorm(v: Double): Double = if (v == 0.0) 0.0 else v
+
   /** Does (s, i) order strictly before the entry at `pos`? */
   @inline private def before(
       s: Double, sNull: Boolean, i: Long, iNull: Boolean, pos: Int): Boolean = {
     val pSNull = (flags(pos) & 1) != 0
     if (sNull != pSNull) return pSNull // DESC NULLS LAST
     if (!sNull) {
-      val c = java.lang.Double.compare(s, scores(pos))
+      val c = java.lang.Double.compare(cmpNorm(s), cmpNorm(scores(pos)))
       if (c != 0) return c > 0
     }
     val pINull = (flags(pos) & 2) != 0
@@ -43,15 +49,14 @@ final class TopKBuf(val k: Int) {
   }
 
   def insert(s: Double, sNull: Boolean, i: Long, iNull: Boolean): Unit = {
-    val sn = if (!sNull && s == 0.0) 0.0 else s // collapse -0.0
-    if (n == k && !before(sn, sNull, i, iNull, n - 1)) return
+    if (n == k && !before(s, sNull, i, iNull, n - 1)) return
     var pos = if (n < k) n else n - 1
     if (n < k) n += 1
-    while (pos > 0 && before(sn, sNull, i, iNull, pos - 1)) {
+    while (pos > 0 && before(s, sNull, i, iNull, pos - 1)) {
       scores(pos) = scores(pos - 1); ids(pos) = ids(pos - 1)
       flags(pos) = flags(pos - 1); pos -= 1
     }
-    scores(pos) = sn; ids(pos) = i
+    scores(pos) = s; ids(pos) = i
     flags(pos) = ((if (sNull) 1 else 0) | (if (iNull) 2 else 0)).toByte
   }
 

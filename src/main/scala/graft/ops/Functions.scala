@@ -144,7 +144,10 @@ object Functions {
   private def fnVariant: Q = (s, d) =>
     events(s, d)
       .select(col("event_id"),
-        parse_json(col("props")).as("v"),
+        // try_: malformed rows yield null fields (matching both the
+        // oracle's json_extract and fn_json's get_json_object), never
+        // a job-killing parse error
+        try_parse_json(col("props")).as("v"),
         col("event_type"))
       .select(col("event_id"),
         variant_get(col("v"), "$.k", "long").as("k_val"),

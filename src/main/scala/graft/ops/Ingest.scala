@@ -157,7 +157,7 @@ object Ingest {
 
   /** Z-order clustered write — the multi-dimensional data-skipping
     * layout (Delta/Iceberg OPTIMIZE ZORDER analog): rows sorted by the
-    * Morton interleave of (l_partkey, l_suppkey) give BOTH columns
+    * Morton interleave of (l_orderkey, l_partkey) give BOTH columns
     * bounded min/max ranges per row group, so parquet stats prune scans
     * filtered on EITHER dimension — a single-column sort only ever
     * skips on that column. range-partition + sortWithinPartitions is

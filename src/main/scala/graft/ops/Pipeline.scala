@@ -193,11 +193,13 @@ object Pipeline {
         val n = best.head.getLong(1)
         val Array(a, b) = pair.split(" ", 2)
         merges += ((r, a, b, a + b, n))
-        val prev = words
+        // superseded rounds' checkpoint blocks are reclaimed by the
+        // ContextCleaner once unreferenced (Dataset.unpersist cannot
+        // free localCheckpoint blocks — they are RDD-level, not
+        // CacheManager entries); the working set is one round's table
         words = words.select(
           applyMerge(col("sym"), a, b, a + b).as("sym"), col("freq"))
           .localCheckpoint()
-        prev.unpersist()
       }
     }
     s.createDataFrame(merges.toSeq)
@@ -233,6 +235,9 @@ object Pipeline {
             array(r.getSeq[Double](1).map(lit): _*).as("cemb"),
             lit(r.getDouble(2)).as("cnrm"))
         }.toSeq: _*)
+    // NaN cosines (zero-norm vectors) sort LAST here — a garbage vector
+    // should not win a cell assignment. (The corpus has no zero norms;
+    // noted because a window DESC formulation would rank NaN first.)
     val scored = sort_array(transform(centArr, c =>
       struct((dot(col("emb"), c("cemb")) / (col("nrm") * c("cnrm")) * -1)
         .as("negcos"), c("cid").as("cid"))))

@@ -183,7 +183,8 @@ object Relational {
     val joined = org.apache.spark.sql.GraftSqlBridge.ofRows(s,
       graft.plans.AsOfJoin(lp, rp,
         attr(lp, "p_user"), attr(lp, "p_us"),
-        attr(rp, "v_user"), attr(rp, "v_us")))
+        attr(rp, "v_user"), attr(rp, "v_us"),
+        rightTie = attr(rp, "v_id")))
     joined
       .select(col("p_id"), col("p_us"),
         col("v_id").as("last_view_id"), col("v_us").as("last_view_us"))

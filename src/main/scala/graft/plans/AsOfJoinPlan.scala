@@ -27,19 +27,23 @@ import org.apache.spark.sql.types.LongType
   * still manages them. At 100 TB this is the only shape that neither
   * explodes nor buffers a group.
   *
-  * Scope: key and time are LongType attributes; null key/time left rows
-  * emit unmatched, null right rows never match (SQL comparison
-  * semantics: null <= x is unknown). */
+  * Scope: key, time, and tie-break are LongType attributes; null
+  * key/time left rows emit unmatched, null right rows never match (SQL
+  * comparison semantics: null <= x is unknown). `rightTie` makes ties
+  * deterministic: among right rows sharing the latest (key, time) the
+  * HIGHEST tie value wins — without it the winner would be whichever
+  * row the (unstable) shuffle happened to order last. */
 case class AsOfJoin(
     left: LogicalPlan,
     right: LogicalPlan,
     leftKey: AttributeReference,
     leftTime: AttributeReference,
     rightKey: AttributeReference,
-    rightTime: AttributeReference)
+    rightTime: AttributeReference,
+    rightTie: AttributeReference)
   extends BinaryNode {
 
-  require(Seq(leftKey, leftTime, rightKey, rightTime)
+  require(Seq(leftKey, leftTime, rightKey, rightTime, rightTie)
     .forall(_.dataType == LongType), "as-of join keys/times must be LONG")
 
   override def output: Seq[Attribute] =
@@ -52,8 +56,8 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, lt, rk, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
+    case AsOfJoin(l, r, lk, lt, rk, rt, tie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie) :: Nil
     case _ => Nil
   }
 }
@@ -64,7 +68,8 @@ case class AsOfJoinExec(
     leftKey: AttributeReference,
     leftTime: AttributeReference,
     rightKey: AttributeReference,
-    rightTime: AttributeReference)
+    rightTime: AttributeReference,
+    rightTie: AttributeReference)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -76,10 +81,13 @@ case class AsOfJoinExec(
     ClusteredDistribution(Seq(leftKey)) ::
       ClusteredDistribution(Seq(rightKey)) :: Nil
 
-  // ...and sorts each side by (key, time) inside every partition.
+  // ...and sorts each side inside every partition: (key, time) on the
+  // left; (key, time, tie) on the right, so the merge's keep-last rule
+  // deterministically selects the max-tie row among equal times.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTie, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head

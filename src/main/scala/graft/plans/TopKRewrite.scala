@@ -50,8 +50,12 @@ object TopKRewrite extends Rule[LogicalPlan] {
               Seq(rnAlias @ Alias(
                 WindowExpression(_: RowNumber, _), _)),
               Seq(p: AttributeReference),
-              Seq(SortOrder(s: AttributeReference, Descending, _, _),
-                  SortOrder(i: AttributeReference, Ascending, _, _)),
+              // Null orderings are BOUND, not wildcarded: TopKAgg's
+              // buffer implements exactly DESC NULLS LAST / ASC NULLS
+              // FIRST (the Spark defaults) — a NULLS FIRST desc window
+              // must not be rewritten.
+              Seq(SortOrder(s: AttributeReference, Descending, NullsLast, _),
+                  SortOrder(i: AttributeReference, Ascending, NullsFirst, _)),
               child, _))
           if k >= 1 && rnRef.exprId == rnAlias.exprId &&
             s.dataType == DoubleType && i.dataType == LongType &&

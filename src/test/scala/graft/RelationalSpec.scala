@@ -58,9 +58,10 @@ class RelationalSpec extends AnyFunSuite {
           case _ => Some(rnd.nextInt(4).toDouble)
         },
         if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(10).toLong)))
+      // emitted values keep their ORIGINAL bits (incl. -0.0) — only the
+      // comparison collapses the zero signs
       val expected = rows.sortBy { case (s, i) => (scoreKey(s), idKey(i)) }
         .take(k)
-        .map { case (s, i) => (s.map(v => if (v == 0.0) 0.0 else v), i) }
       // random partitioning into buffers, then pairwise merge
       val parts = rows.grouped(1 + rnd.nextInt(5)).map { chunk =>
         val b = new graft.expr.TopKBuf(k)
@@ -150,6 +151,30 @@ class RelationalSpec extends AnyFunSuite {
       .collect().map(_.toSeq)
     assert(native.length === expected.length)
     assert(native === expected)
+  }
+
+  test("as-of join resolves equal-time ties to the max tie-break id") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    // user 1: two views at the SAME time, purchase after; user 2: none
+    val p = Seq((100L, 1L, 50L), (200L, 2L, 50L))
+      .toDF("p_id", "p_user", "p_us")
+    val v = Seq((10L, 1L, 40L), (11L, 1L, 40L), (9L, 1L, 30L))
+      .toDF("v_id", "v_user", "v_us")
+    val lp = p.queryExecution.analyzed
+    val rp = v.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) = plan.output.find(_.name == name).get
+      .asInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]
+    val out = org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      graft.plans.AsOfJoin(lp, rp,
+        attr(lp, "p_user"), attr(lp, "p_us"),
+        attr(rp, "v_user"), attr(rp, "v_us"), attr(rp, "v_id")))
+      .orderBy("p_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(3) === 11L, "equal-time tie must pick max v_id")
+    assert(out(1).isNullAt(3), "user 2 has no views -> null match")
   }
 
   test("as-of native plan: custom exec with co-partitioned sorted children") {
