@@ -53,4 +53,31 @@ class RobustnessSpec extends AnyFunSuite {
     assert(stream.planInputPartitions(
       sources.RemoteOffset(0L), sources.RemoteOffset(0L)).isEmpty)
   }
+
+  test("variant parsing is lenient: malformed props yield null fields, not errors") {
+    import org.apache.spark.sql.functions._
+    val sp = SharedSpark.spark
+    import sp.implicits._
+    val df = Seq((1L, """{"k": 7}"""), (2L, "not json at all"), (3L, null))
+      .toDF("event_id", "props")
+      .select(col("event_id"),
+        variant_get(try_parse_json(col("props")), "$.k", "long").as("k_val"))
+      .orderBy("event_id")
+    val rows = df.collect()
+    assert(rows(0).getLong(1) === 7L)
+    assert(rows(1).isNullAt(1), "malformed JSON must yield null, not throw")
+    assert(rows(2).isNullAt(1))
+  }
+
+  test("topk_pairs rejects non-positive k at registration") {
+    val sp = SharedSpark.spark
+    graft.expr.TopKAgg.register(sp)
+    val e = intercept[Exception] {
+      sp.sql("SELECT topk_pairs(CAST(1.0 AS DOUBLE), CAST(1 AS BIGINT), 0)")
+        .collect()
+    }
+    assert(e.getMessage.contains("k must be an INT literal >= 1")
+      || Option(e.getCause).exists(_.getMessage.contains("k must be")),
+      s"got: ${e.getMessage}")
+  }
 }
