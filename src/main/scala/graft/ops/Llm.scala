@@ -777,6 +777,15 @@ object Llm {
   private val duckCos = duckCosOf("q", "e")
 
   val oracles: Map[String, String] = Map(
+    // Pinned at sf0.01 from an INDEPENDENT implementation (pure-python
+    // XXH64 validated against Spark + from-scratch simhash/pigeonhole
+    // over the raw parquet — SimhashPins.scala); upgrades both queries
+    // from rows-only to exact-hash verification.
+    "dedup_simhash" -> SimhashPins.dedupSimhash,
+    "dedup_simhash_pairs" -> SimhashPins.dedupSimhashPairs,
+    "dedup_minhash" -> MinhashPins.dedupMinhash,
+    "dedup_minhash_agg" -> MinhashPins.dedupMinhashAgg,
+    "dedup_cluster" -> MinhashPins.dedupCluster,
     "text_seg_dedup" ->
       """WITH toks AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents),
