@@ -632,6 +632,12 @@ object Ingest {
   )
 
   val oracles: Map[String, String] = Map(
+    // Pinned at sf0.01 from tools/mm_oracle.py (independent python
+    // replication of the deterministic stub byte math) — upgrades the
+    // mm plumbing from rows-only to exact-hash verification.
+    "mm_decode" -> MmPins.mmDecode,
+    "mm_frames" -> MmPins.mmFrames,
+    "mm_resize" -> MmPins.mmResize,
     // Correctness SF is sf0.01 by driver contract (TESTDATA.md).
     "scan_binary" ->
       """SELECT split_part(filename, '/', -1) AS file_name, size AS length
