@@ -22,10 +22,42 @@ object Tables {
   /** Scratch root for sinks/checkpoints/fixtures: tmpfs when available —
     * streaming state stores fsync many small files per micro-batch, and
     * on a disk-backed /tmp those fsyncs dominate (and destabilize) every
-    * streaming benchmark. */
-  val scratchRoot: String =
-    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft"
-    else "/tmp/graft"
+    * streaming benchmark.
+    *
+    * Per-PROCESS (`p<pid>`): the sink/compact/zorder queries write and
+    * re-read fixed relative paths, so two JVMs sharing one root (a
+    * bench and a verify run overlapping, a straggler test JVM) race on
+    * overwrite-vs-read and the read-back sees mixed content — observed
+    * as rows-match/hash-mismatch on exactly the slowest sink queries.
+    * Scratch from dead JVMs (and pre-pid legacy layouts) is reaped at
+    * init so the tmpfs doesn't accumulate across rounds; live sibling
+    * processes are left alone. */
+  val scratchRoot: String = {
+    val base = new java.io.File(
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft"
+      else "/tmp/graft")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+      }
+      f.delete(): Unit
+    }
+    if (base.isDirectory) {
+      val kids = base.listFiles()
+      if (kids != null) kids.foreach { f =>
+        val n = f.getName
+        val isPidDir = n.startsWith("p") && n.drop(1).nonEmpty &&
+          n.drop(1).forall(_.isDigit)
+        val liveOwner = isPidDir &&
+          new java.io.File(s"/proc/${n.drop(1)}").exists()
+        if (!liveOwner) rm(f)
+      }
+    }
+    val mine = new java.io.File(base, s"p${ProcessHandle.current().pid()}")
+    mine.mkdirs()
+    mine.getPath
+  }
 
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
