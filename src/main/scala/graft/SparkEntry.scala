@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Functions, Ingest, Llm, Pipeline, Relational, Streaming}
+import graft.ops.{Functions, Ingest, Lake, Llm, Pipeline, Relational, Streaming}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each operator key in `queries` has, where SQL-expressible, an
@@ -17,12 +17,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Functions.queries ++ Llm.queries ++
-      Streaming.queries ++ Ingest.queries ++ Pipeline.queries
+      Streaming.queries ++ Ingest.queries ++ Pipeline.queries ++
+      Lake.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (approximate / streaming / binary) → driver records rows-only. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Functions.oracles ++ Llm.oracles ++
-      Streaming.oracles ++ Ingest.oracles ++ Pipeline.oracles
+      Streaming.oracles ++ Ingest.oracles ++ Pipeline.oracles ++
+      Lake.oracles
 }

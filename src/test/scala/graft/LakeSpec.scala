@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 lake surface: format roundtrips, dynamic partition pruning,
+  * SCD2 merge semantics, and sketch mergeability. */
+class LakeSpec extends AnyFunSuite {
+  import SharedSpark.{spark, sf}
+
+  test("scan_csv roundtrip is lossless row-for-row (not just in aggregate)") {
+    import spark.implicits._
+    val src = Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang", "source", "n_chars", "text")
+    val out = s"${Tables.scratchRoot}/formats_spec/csv"
+    src.write.mode("overwrite").option("header", "true")
+      .option("escape", "\"").csv(out)
+    val back = spark.read
+      .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, text STRING")
+      .option("header", "true").option("escape", "\"").csv(out)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // The format contract that keeps the read splittable at 100 TB:
+    // no embedded newlines in any text payload.
+    assert(src.where($"text".contains("\n")).count() === 0)
+  }
+
+  test("scan_json roundtrip is lossless row-for-row") {
+    val src = Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang", "source", "n_chars", "text")
+    val out = s"${Tables.scratchRoot}/formats_spec/json"
+    src.write.mode("overwrite").json(out)
+    val back = spark.read
+      .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, text STRING")
+      .json(out)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("scan_dpp plans a dynamic-pruning subquery into the fact scan") {
+    // Build the partitioned fact (side effect of the query), then
+    // inspect the join plan itself.
+    SparkEntry.queries("scan_dpp")(spark, sf).collect()
+    val plan = graft.ops.Lake.dppJoinPlan(spark)
+      .queryExecution.executedPlan.toString()
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+    // Static sanity: only the two selected year-partitions are read.
+    assert(graft.ops.Lake.dppJoinPlan(spark)
+      .select("o_year").distinct().count() === 2)
+  }
+
+  test("sink_scd2 layout resolves an as-of lookup to exactly one version per key") {
+    SparkEntry.queries("sink_scd2")(spark, sf).collect()
+    val snap = spark.read.parquet(s"${Tables.scratchRoot}/scd2/snap1")
+    val cust = Tables.t(spark, sf, "customer")
+    // Exactly one OPEN version per key, total keys preserved.
+    val openPerKey = snap.where(col("valid_to").isNull)
+      .groupBy("c_custkey").count()
+    assert(openPerKey.where(col("count") =!= 1).count() === 0)
+    assert(openPerKey.count() === cust.count())
+    // As-of time 0: every key resolves to its version-0 row (changed
+    // keys' v0 is closed with valid_to=1 > 0, still visible at t=0).
+    val asOf0 = snap.where(col("valid_from") <= 0 &&
+      (col("valid_to").isNull || col("valid_to") > 0))
+    assert(asOf0.count() === cust.count())
+    assert(asOf0.where(col("version") =!= 0).count() === 0)
+    // Changed keys carry exactly 2 versions; their open row is v1 with
+    // the updated balance.
+    val changed = snap.where(pmod(col("c_custkey"), lit(7)) === 0)
+    val perKey = changed.groupBy("c_custkey").count()
+    assert(perKey.where(col("count") =!= 2).count() === 0)
+    assert(changed.where(col("valid_to").isNull && col("version") =!= 1)
+      .count() === 0)
+  }
+
+  test("agg_hll_merge estimates within 5% of exact, and sharded union == direct sketch") {
+    import spark.implicits._
+    val approx = SparkEntry.queries("agg_hll_merge")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val exact = Tables.t(spark, sf, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"$k: approx=${approx(k)} exact=$n")
+    }
+    // Mergeability: uniting 8 shard sketches must give the SAME
+    // registers (hence estimate) as sketching the whole group directly
+    // — the property that lets partial sketches persist per-partition
+    // and re-merge across jobs without rescanning.
+    val direct = Tables.t(spark, sf, "orders")
+      .groupBy("o_orderpriority")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), lit(12)))
+        .as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(direct === approx)
+  }
+}
