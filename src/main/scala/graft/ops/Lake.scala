@@ -191,7 +191,34 @@ object Lake {
       .orderBy("o_orderpriority")
   }
 
+  /** Physically-tuned parquet write: ZSTD column compression (the
+    * modern lake default — snappy-level speed at gzip-level ratio) and
+    * a small row-group target so per-group min/max stats stay selective
+    * (one giant row group per file makes stats-based skipping useless —
+    * the group's span covers everything). Content neutrality is the
+    * oracle; LakeSpec reads the parquet FOOTERS and asserts the codec
+    * and the multi-row-group layout actually materialized. */
+  private def sinkParquetTuned: Q = (s, d) => {
+    t(s, d, "lineitem")
+      .sort("l_orderkey", "l_linenumber", "l_partkey")
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .option("parquet.block.size", (1 << 20).toString)
+      .parquet(tunedDir)
+    s.read.parquet(tunedDir)
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(col("l_orderkey") * lit(1000003L) +
+          col("l_linenumber").cast("long") * lit(101L) +
+          col("l_partkey")).as("row_digest"))
+      .orderBy("l_linestatus")
+  }
+
+  private[graft] def tunedDir: String = s"$scratchRoot/tuned/lineitem"
+
   val queries: Map[String, Q] = Map(
+    "sink_parquet_tuned" -> sinkParquetTuned,
     "scan_csv" -> scanCsv,
     "scan_json" -> scanJson,
     "scan_dpp" -> scanDpp,
@@ -201,6 +228,14 @@ object Lake {
   )
 
   val oracles: Map[String, String] = Map(
+    // Oracle is the SOURCE table: the tuned physical layout must be
+    // content-neutral.
+    "sink_parquet_tuned" ->
+      """SELECT l_linestatus, count(*) AS n,
+                sum(l_quantity::BIGINT) AS sum_qty,
+                sum(l_orderkey * 1000003 + l_linenumber::BIGINT * 101
+                    + l_partkey) AS row_digest
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
     // Roundtrip oracles read the SOURCE parquet: equality proves the
     // interchange-format write+read lossless.
     "scan_csv" ->

@@ -742,7 +742,76 @@ object Llm {
           lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L).as("fp"))
       .orderBy("doc_id")
 
+  /** Linear quality-model scoring — the "trained classifier" stage of a
+    * corpus pipeline (text_quality computes features; this APPLIES a
+    * weighted model and makes the keep/drop decision). Determinism
+    * discipline: the numerator is exact 64-bit integer arithmetic over
+    * counts, and the score is ONE IEEE division of identical operands
+    * in both engines — no rounding, no float accumulation, so the raw
+    * double hash-matches. At 100 TB this is a pure map stage fused into
+    * the scan (no shuffle; the filter would push into the next stage). */
+  private def textScore: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("long")
+    val stops = size(filter(toks, x =>
+      x.isin("the", "a", "of", "and", "to"))).cast("long")
+    val punct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val numer = lit(600L) * stops - lit(200L) * punct +
+      lit(3L) * least(nChars, lit(500L))
+    val score = numer.cast("double") / nTok.cast("double")
+    t(s, d, "documents")
+      .select(col("doc_id"), nTok.as("n_tokens"), stops.as("n_stopwords"),
+        punct.as("n_punct"), score.as("score"),
+        (score >= 50.0d).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding L2-normalization — the preprocessing pass before any
+    * cosine-based retrieval (unit vectors turn cosine into plain dot
+    * product, halving the flops of every later pair computation). Pure
+    * per-row map, no shuffle; norm is the shared left-fold, and each
+    * output component is a single IEEE division — bitwise reproducible. */
+  private def embedNormalize: Q = (s, d) =>
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+      .select(col("vec_id"), col("label"), col("nrm"),
+        (element_at(col("emb"), 1) / col("nrm")).as("u0"),
+        (element_at(col("emb"), 2) / col("nrm")).as("u1"))
+      .orderBy("vec_id")
+
+  /** Similarity RANGE search (all pairs with cosine ≥ τ) — the other
+    * fundamental ANN query shape next to top-k: near-duplicate mining
+    * wants "everything this similar", not "the 10 nearest". Candidates
+    * are restricted to a shared LSH bucket (the 100 TB pair space —
+    * full all-pairs is O(n²)·d); recall is the standard LSH trade-off
+    * and the oracle applies the IDENTICAL bucket function, so the
+    * result is exact-hash-verified. */
+  private def simRangeSearch: Q = (s, d) => {
+    val tau = 0.45d
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("bucket", lshBucket(col("emb")))
+      .withColumn("nrm", norm(col("emb")))
+    val a = e.select(col("vec_id").as("a_id"), col("bucket"),
+      col("emb").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("bucket"),
+      col("emb").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= tau)
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_score" -> textScore,
+    "embed_normalize" -> embedNormalize,
+    "sim_range_search" -> simRangeSearch,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_agg" -> dedupMinhashAgg,
@@ -777,6 +846,44 @@ object Llm {
   private val duckCos = duckCosOf("q", "e")
 
   val oracles: Map[String, String] = Map(
+    "text_score" ->
+      """WITH q AS (
+           SELECT doc_id,
+                  len(string_split(text, ' '))::BIGINT AS ntok,
+                  len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the','a','of','and','to')))::BIGINT AS stops,
+                  len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::BIGINT AS punct,
+                  length(text)::BIGINT AS nchars
+           FROM documents)
+         SELECT doc_id, ntok AS n_tokens, stops AS n_stopwords,
+                punct AS n_punct,
+                (600 * stops - 200 * punct + 3 * least(nchars, 500))::DOUBLE
+                  / ntok::DOUBLE AS score,
+                ((600 * stops - 200 * punct + 3 * least(nchars, 500))::DOUBLE
+                  / ntok::DOUBLE) >= 50.0 AS keep
+         FROM q ORDER BY doc_id""",
+    "embed_normalize" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+                    FROM embeddings),
+           n AS (SELECT vec_id, label, emb,
+                   sqrt(list_reduce(list_transform(emb, x -> x * x),
+                        (a, b) -> a + b)) AS nrm
+                 FROM e)
+         SELECT vec_id, label, nrm, emb[1] / nrm AS u0, emb[2] / nrm AS u1
+         FROM n ORDER BY vec_id""",
+    // Identical LSH bucket function (plane literals from lshPlanes):
+    // candidates pair only within a shared bucket, as in the Spark plan.
+    "sim_range_search" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                     FROM embeddings),
+          eb AS (SELECT vec_id, emb, ${duckLshBucket("emb")} AS bucket
+                 FROM e)
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 ${duckCosOf("a", "b")} AS cos
+          FROM eb a JOIN eb b ON a.bucket = b.bucket
+                             AND a.vec_id < b.vec_id
+          WHERE ${duckCosOf("a", "b")} >= 0.45
+          ORDER BY a_id, b_id""",
     // Pinned at sf0.01 from an INDEPENDENT implementation (pure-python
     // XXH64 validated against Spark + from-scratch simhash/pigeonhole
     // over the raw parquet — SimhashPins.scala); upgrades both queries

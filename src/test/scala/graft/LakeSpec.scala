@@ -72,6 +72,71 @@ class LakeSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("sink_parquet_tuned writes ZSTD files with multiple row groups") {
+    // sf0.01 (not the default sf0.001 fixture): 600 rows fit one row
+    // group at any block size, so the multi-group assertion needs the
+    // 60k-row table for the 1 MiB target to bite.
+    SparkEntry.queries("sink_parquet_tuned")(spark, "/root/testdata/sf0.01")
+      .collect()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    import scala.jdk.CollectionConverters._
+    val files = fs.listStatus(
+        new org.apache.hadoop.fs.Path(graft.ops.Lake.tunedDir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val footers = files.toSeq.map { st =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+      try rd.getFooter.getBlocks.asScala.toSeq.map(_.getColumns.asScala.head)
+      finally rd.close()
+    }
+    // Every column chunk is ZSTD-compressed...
+    assert(footers.flatten.forall(
+      _.getCodec == org.apache.parquet.hadoop.metadata.CompressionCodecName.ZSTD))
+    // ...and the 1 MiB block target produced more than one row group
+    // overall, so min/max stats stay selective within a file.
+    assert(footers.map(_.size).sum > footers.size,
+      s"row groups per file: ${footers.map(_.size).mkString(",")}")
+  }
+
+  test("embed_normalize emits unit vectors (norm of normalized = 1)") {
+    import spark.implicits._
+    val e = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("emb"), x => x * x),
+          lit(0.0), (a, v) => a + v)))
+      .withColumn("unit", transform(col("emb"), x => x / col("nrm")))
+      .withColumn("unit_nrm",
+        sqrt(aggregate(transform(col("unit"), x => x * x),
+          lit(0.0), (a, v) => a + v)))
+    val offBy = e.select(max(abs(col("unit_nrm") - 1.0d))).as[Double].head()
+    assert(offBy < 1e-12, s"max |unit norm - 1| = $offBy")
+  }
+
+  test("sim_range_search result is a subset of brute-force range search at the same tau") {
+    import spark.implicits._
+    val got = SparkEntry.queries("sim_range_search")(spark, sf)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val e = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val brute = e.select(col("vec_id").as("a_id"), col("emb").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("emb").as("eb")))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("dotp",
+        aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
+          lit(0.0), (a, v) => a + v))
+      .withColumn("na",
+        sqrt(aggregate(transform(col("ea"), x => x * x), lit(0.0), (a, v) => a + v)))
+      .withColumn("nb",
+        sqrt(aggregate(transform(col("eb"), x => x * x), lit(0.0), (a, v) => a + v)))
+      .where(col("dotp") / (col("na") * col("nb")) >= 0.45d)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(brute),
+      s"LSH returned non-neighbours: ${got -- brute}")
+  }
+
   test("agg_hll_merge estimates within 5% of exact, and sharded union == direct sketch") {
     import spark.implicits._
     val approx = SparkEntry.queries("agg_hll_merge")(spark, sf)
