@@ -613,7 +613,35 @@ object Ingest {
       .orderBy("source")
   }
 
+  /** Binary-content dedup — the reference's duplicate identity applied
+    * to BLOBS (R16/R18 skip-if-present generalizes from (path,size,
+    * mtime) to the content digest, the identity that survives renames):
+    * group the multimodal fixture by sha256(payload), keep the
+    * lexicographically-lowest sanitized name. At 100 TB only the
+    * 32-byte digest ever shuffles; payloads stay where they were read.
+    * The zip is excluded (its bytes vary with the deflate impl); all
+    * digests in the VALUES oracle were computed independently with
+    * python hashlib, so the pin checks real payload bytes. */
+  private def dedupBinary: Q = (s, d) => {
+    Sanitize.register(s)
+    val fixture = buildFixture()
+    s.read.format("binaryFile").load(fixture)
+      .select(
+        Sanitize.sanitize(element_at(split(col("path"), "/"), -1))
+          .as("file_name"),
+        col("length").as("size"), col("content"))
+      .where(col("file_name") =!= "archive.zip")
+      .groupBy(sha2(col("content"), 256).as("content_sha256"))
+      .agg(min(col("file_name")).as("keeper"),
+        count(lit(1)).as("n_copies"),
+        max(col("size")).as("size"),
+        array_join(array_sort(collect_list(col("file_name"))), "|")
+          .as("names"))
+      .orderBy("keeper")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_binary" -> dedupBinary,
     "scan_binary" -> scanBinary,
     "scan_dsv2" -> scanDsv2,
     "scan_partition_pruned" -> scanPartitionPruned,
@@ -632,6 +660,25 @@ object Ingest {
   )
 
   val oracles: Map[String, String] = Map(
+    // Deterministic fixture → pinned audit; sha256 digests computed
+    // independently (python hashlib) over the known payload bytes.
+    // empty.txt is absent: Spark's file index drops zero-byte files
+    // (documented deviation, SURVEY §8).
+    "dedup_binary" ->
+      """SELECT content_sha256, keeper, n_copies::BIGINT AS n_copies,
+                size::BIGINT AS size, names FROM (VALUES
+           ('8373db8506b89caa34715790d9c7f4a3aa349632c3063d9a17a46bd5823406d0',
+            'b.log', 1, 13, 'b.log'),
+           ('89067937a06492c163adca4b09ea3bcf434507cfb0b73ad85e38b8bd6b67c6e4',
+            'data--.txt', 1, 15, 'data--.txt'),
+           ('6568bed33b7387a624d0a831f4cb155db2b79362edf146532b36e87b17eb69f2',
+            'dup_one.txt', 2, 18, 'dup_one.txt|dup_two.txt'),
+           ('32d38eb1cd051fa247e415d8db73ac020527f95b627692d610436b96868caefb',
+            'noext', 1, 17, 'noext'),
+           ('64989ccbf3efa9c84e2afe7cee9bc5828bf0fcb91e44f8c1e591638a2c2e90e3',
+            'report final.txt', 1, 16, 'report final.txt'))
+         t(content_sha256, keeper, n_copies, size, names)
+         ORDER BY keeper""",
     // Pinned at sf0.01 from tools/mm_oracle.py (independent python
     // replication of the deterministic stub byte math) — upgrades the
     // mm plumbing from rows-only to exact-hash verification.

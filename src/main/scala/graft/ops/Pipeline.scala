@@ -276,7 +276,55 @@ object Pipeline {
           FROM parquet.`$d/documents.parquet`
           ORDER BY doc_id""")
 
+  /** The 8-merge tokenizer ARTIFACT trained by tok_bpe on the sf0.01
+    * corpus (rank order). A tokenizer is a fixed artifact applied to
+    * any corpus, so these are literals — tok_encode stays an exact
+    * cross-engine oracle at every SF, unlike the training run whose
+    * merge table is corpus-dependent (and therefore VALUES-pinned). */
+  private val bpeMerges: Seq[(String, String, String)] = Seq(
+    ("e", "r", "er"), ("i", "n", "in"), ("o", "w", "ow"), ("o", "r", "or"),
+    ("s", "t", "st"), ("m", "er", "mer"), ("a", "t", "at"), ("l", "u", "lu"))
+
+  /** BPE ENCODE — apply the trained merge list to the corpus (tok_bpe
+    * trains the tokenizer; this is the other half every pipeline runs
+    * on 100% of the data). Applying merges in rank order with
+    * leftmost-nonoverlapping replacement is exactly the greedy BPE
+    * encode: a later merge can never create an occurrence of an
+    * earlier pair (the earlier pair's symbols predate the later merge's
+    * output token). Words are rendered as `|sym|␣␣|sym|` — the
+    * sentinels make a pair pattern match WHOLE symbols only (never a
+    * symbol suffix), and the double-space separator keeps adjacent
+    * matches independent, so plain replace-all (same leftmost semantics
+    * in both engines, no regex) implements the merge. Everything is a
+    * codegen'd per-row map over integer counts + ONE IEEE division —
+    * no shuffle except the final orderBy, scale-indifferent. */
+  private def tokEncode: Q = (s, d) => {
+    def encodeWord(w: Column): Column = {
+      val spaced = trim(regexp_replace(w, "(.)", "|$1|  "))
+      bpeMerges.foldLeft(spaced) { case (c, (a, b, m)) =>
+        replace(c, lit(s"|$a|  |$b|"), lit(s"|$m|"))
+      }
+    }
+    def tokCount(w: Column): Column =
+      when(w === "", 0).otherwise(size(split(encodeWord(w), "  ")))
+    val words = split(col("text"), " ")
+    val nTokens = aggregate(
+      transform(words, w => tokCount(w).cast("long")), lit(0L), _ + _)
+    val nChars = aggregate(
+      transform(words, w => length(w).cast("long")), lit(0L), _ + _)
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        nChars.as("n_word_chars"),
+        nTokens.as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        col("n_word_chars").cast("double") /
+          col("n_bpe_tokens").cast("double"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "tok_encode" -> tokEncode,
     "sample_hash" -> sampleHash,
     "sample_stratified" -> sampleStratified,
     "data_mixture" -> dataMixture,
@@ -287,7 +335,35 @@ object Pipeline {
     "fn_sql_registry" -> fnSqlRegistry,
   )
 
+  /** DuckDB twin of tokEncode's per-word encode: identical sentinel
+    * rendering and the identical replace chain (RE2 `\1` backref vs
+    * Java's `$1`; replace-all leftmost semantics agree). */
+  private val duckEncodeWord: String =
+    bpeMerges.foldLeft("""trim(regexp_replace(w, '(.)', '|\1|  ', 'g'))""") {
+      case (c, (a, b, m)) => s"replace($c, '|$a|  |$b|', '|$m|')"
+    }
+
   val oracles: Map[String, String] = Map(
+    "tok_encode" ->
+      s"""WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+          c AS (
+            SELECT doc_id,
+                   len(words)::BIGINT AS n_words,
+                   list_reduce(list_prepend(0::BIGINT,
+                     list_transform(words, w -> length(w)::BIGINT)),
+                     (a, b) -> a + b) AS n_word_chars,
+                   list_reduce(list_prepend(0::BIGINT,
+                     list_transform(words, w ->
+                       (CASE WHEN w = '' THEN 0
+                        ELSE len(string_split($duckEncodeWord, '  '))
+                        END)::BIGINT)),
+                     (a, b) -> a + b) AS n_bpe_tokens
+            FROM t)
+          SELECT doc_id, n_words, n_word_chars, n_bpe_tokens,
+                 n_word_chars::DOUBLE / n_bpe_tokens::DOUBLE
+                   AS chars_per_token
+          FROM c ORDER BY doc_id""",
     "sample_hash" ->
       s"""SELECT doc_id, lang, source,
                  ${duckBucket("doc_id")} AS bucket

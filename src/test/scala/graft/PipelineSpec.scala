@@ -119,6 +119,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall vs exact top-10 too low: $recall")
   }
 
+  test("tok_encode matches an independent symbol-fold BPE on every corpus word") {
+    import spark.implicits._
+    // Reference implementation, deliberately DIFFERENT in mechanism
+    // from the query's sentinel-string replace chain: greedy BPE over
+    // symbol vectors (the same fold shape tok_bpe trains with).
+    val merges = Seq(("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+      ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"))
+    def bpe(w: String): Int = {
+      var syms = w.map(_.toString).toVector
+      for ((a, b) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length
+    }
+    val docs = Tables.t(spark, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expected = docs.map { case (id, text) =>
+      val words = text.split(" ", -1)
+      (id, words.length.toLong, words.map(_.length.toLong).sum,
+        words.map(w => if (w.isEmpty) 0L else bpe(w).toLong).sum)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("tok_encode")(spark, sf)
+      .select("doc_id", "n_words", "n_word_chars", "n_bpe_tokens")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("fn_sql_registry: native expressions callable from plain SQL, no registration") {
     // A session built with GraftExtensions must expose the engine's
     // functions to SQL directly — this is the library's SQL surface.
