@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // broadcasts, codegen caches); at 8g the tail of a full Bench run
   // spends most of its time in GC (measured 314s -> 85s at local[4]).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // ~118 queries' worth of whole-stage-codegen classes JIT-compile in
+  // one JVM; the 240m default code cache is marginal for that volume,
+  // and a full cache silently disables the JIT mid-suite (CPU-dense
+  // queries then run interpreted at 10-20x). Headroom is cheap.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -43,7 +43,13 @@ object Tables {
       }
       f.delete(): Unit
     }
-    if (base.isDirectory) {
+    // Liveness probing uses /proc, so reap ONLY where /proc exists
+    // (Linux): elsewhere a starting JVM would treat every live sibling
+    // as dead and delete its scratch mid-query — the exact race the
+    // per-pid layout prevents. Without reaping, isolation still holds;
+    // only cleanup is skipped.
+    val canProbeLiveness = new java.io.File("/proc/self").exists()
+    if (canProbeLiveness && base.isDirectory) {
       val kids = base.listFiles()
       if (kids != null) kids.foreach { f =>
         val n = f.getName

@@ -24,7 +24,9 @@ object Lake {
     * read stays line-splittable (no multiLine), which is the 100 TB
     * default: a CSV file with embedded newlines cannot be split, so
     * the writer quotes-and-escapes but the corpus contract (enforced
-    * by the text_normalize family) keeps newlines out of `text`.
+    * by the text_normalize family) keeps newlines out of `text` —
+    * and empty strings, which Spark CSV reads back as null (LakeSpec
+    * asserts both contract halves).
     * Content equality vs the parquet source is the oracle, proving
     * the format roundtrip lossless including `sum(length(text))`. */
   private def scanCsv: Q = (s, d) => {
@@ -217,7 +219,94 @@ object Lake {
 
   private[graft] def tunedDir: String = s"$scratchRoot/tuned/lineitem"
 
+  /** Raw-log text ingest — the reference's own observability files are
+    * exactly this shape (log/monitor.log): render events as log LINES,
+    * write via the text source, read back and re-parse with
+    * regexp_extract, then aggregate. The parse stage is a codegen'd
+    * map fused into the scan; lines are independently splittable. The
+    * oracle computes the same aggregate from the structured source, so
+    * equality proves render→parse lossless. Timestamps ride as epoch
+    * µs integers (never formatted datetimes — engine-dependent), and
+    * the double `value` is deliberately NOT round-tripped: float
+    * formatting is engine-dependent, the one thing a log line cannot
+    * carry losslessly. */
+  private def scanLogs: Q = (s, d) => {
+    val out = s"$scratchRoot/logs/events_txt"
+    graft.Tables.events(s, d)
+      .select(concat_ws(" ",
+        col("ts_us"), upper(col("event_type")),
+        concat(lit("user="), col("user_id")),
+        concat(lit("id="), col("event_id"))).as("value"))
+      .write.mode("overwrite").text(out)
+    s.read.text(out)
+      .select(
+        regexp_extract(col("value"), "^(\\d+) ", 1).cast("long").as("ts_us"),
+        regexp_extract(col("value"), "^\\d+ (\\S+) ", 1).as("level"),
+        regexp_extract(col("value"), "user=(\\d+)", 1).cast("long").as("user_id"),
+        regexp_extract(col("value"), "id=(\\d+)", 1).cast("long").as("event_id"))
+      .groupBy("level")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("ts_us")).as("first_us"),
+        max(col("ts_us")).as("last_us"),
+        sum(col("event_id")).as("id_sum"))
+      .orderBy("level")
+  }
+
+  /** UNPIVOT/melt — the inverse of agg_pivot: a wide per-source metric
+    * row becomes (source, metric, value) long form, the shape every
+    * metrics store and plotting layer ingests. Spark's native
+    * `unpivot` is a zero-shuffle 1→N row explode; the only shuffle is
+    * the upstream aggregate. */
+  private def aggUnpivot: Q = (s, d) => {
+    val wide = t(s, d, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+    wide.unpivot(
+        Array(col("source")),
+        Array(col("n_docs"), col("total_chars"), col("total_tokens")),
+        "metric", "value")
+      .orderBy("source", "metric")
+  }
+
+  /** CDC snapshot diff — "what changed between table versions": full
+    * outer join of two snapshots on the key, classify insert / update /
+    * delete (unchanged rows drop out — at 100 TB the changelog is tiny
+    * next to the snapshots and is what incremental consumers read).
+    * One equi-join shuffle on the key; with both snapshots bucketed on
+    * the key it would be shuffle-free. */
+  private def scanCdc: Q = (s, d) => {
+    val base = s"$scratchRoot/cdc"
+    val docs = t(s, d, "documents")
+    docs.where(pmod(col("doc_id"), lit(5)).isin(1, 2, 3))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$base/v0")
+    // v1: %5==1 deleted, %5==0 inserted, %5==2 modified, %5==3 kept.
+    docs.where(pmod(col("doc_id"), lit(5)).isin(0, 2, 3))
+      .select(col("doc_id"), col("source"),
+        when(pmod(col("doc_id"), lit(5)) === 2, col("n_chars") + 7L)
+          .otherwise(col("n_chars")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$base/v1")
+    val v0 = s.read.parquet(s"$base/v0")
+      .select(col("doc_id"), col("n_chars").as("old_chars"))
+    val v1 = s.read.parquet(s"$base/v1")
+      .select(col("doc_id"), col("n_chars").as("new_chars"))
+    v0.join(v1, Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(col("old_chars").isNull, "insert")
+          .when(col("new_chars").isNull, "delete")
+          .when(col("old_chars") =!= col("new_chars"), "update"))
+      .where(col("change").isNotNull)
+      .select("doc_id", "change", "old_chars", "new_chars")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "scan_logs" -> scanLogs,
+    "agg_unpivot" -> aggUnpivot,
+    "scan_cdc" -> scanCdc,
     "sink_parquet_tuned" -> sinkParquetTuned,
     "scan_csv" -> scanCsv,
     "scan_json" -> scanJson,
@@ -228,6 +317,45 @@ object Lake {
   )
 
   val oracles: Map[String, String] = Map(
+    // Oracle computes from the STRUCTURED source: equality proves the
+    // log render→parse roundtrip lossless.
+    "scan_logs" -> {
+      val us = duckTsUs("ts")
+      s"""SELECT upper(event_type) AS level, count(*) AS n,
+                 count(DISTINCT user_id) AS n_users,
+                 min($us) AS first_us, max($us) AS last_us,
+                 sum(event_id)::BIGINT AS id_sum
+          FROM events GROUP BY 1 ORDER BY level"""
+    },
+    "agg_unpivot" ->
+      """WITH w AS (
+           SELECT source, count(*)::BIGINT AS n_docs,
+                  sum(n_chars)::BIGINT AS total_chars,
+                  sum(len(string_split(text, ' ')))::BIGINT AS total_tokens
+           FROM documents GROUP BY source)
+         SELECT source, metric, value FROM (
+           SELECT source, 'n_docs' AS metric, n_docs AS value FROM w
+           UNION ALL
+           SELECT source, 'total_chars', total_chars FROM w
+           UNION ALL
+           SELECT source, 'total_tokens', total_tokens FROM w)
+         ORDER BY source, metric""",
+    "scan_cdc" ->
+      """SELECT doc_id, change, old_chars, new_chars FROM (
+           WITH v0 AS (SELECT doc_id, n_chars AS old_chars FROM documents
+                       WHERE doc_id % 5 IN (1, 2, 3)),
+                v1 AS (SELECT doc_id,
+                              CASE WHEN doc_id % 5 = 2 THEN n_chars + 7
+                                   ELSE n_chars END AS new_chars
+                       FROM documents WHERE doc_id % 5 IN (0, 2, 3))
+           SELECT coalesce(v0.doc_id, v1.doc_id) AS doc_id,
+                  CASE WHEN old_chars IS NULL THEN 'insert'
+                       WHEN new_chars IS NULL THEN 'delete'
+                       WHEN old_chars != new_chars THEN 'update'
+                  END AS change,
+                  old_chars, new_chars
+           FROM v0 FULL OUTER JOIN v1 ON v0.doc_id = v1.doc_id)
+         WHERE change IS NOT NULL ORDER BY doc_id""",
     // Oracle is the SOURCE table: the tuned physical layout must be
     // content-neutral.
     "sink_parquet_tuned" ->

@@ -21,8 +21,11 @@ class LakeSpec extends AnyFunSuite {
     assert(back.count() === src.count())
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
     // The format contract that keeps the read splittable at 100 TB:
-    // no embedded newlines in any text payload.
-    assert(src.where($"text".contains("\n")).count() === 0)
+    // no embedded newlines in any text payload — and no EMPTY text
+    // (Spark CSV reads a written "" back as null, so empty strings are
+    // the one value the roundtrip cannot carry; the corpus-cleaning
+    // ops upstream guarantee non-empty text).
+    assert(src.where($"text".contains("\n") || $"text" === "").count() === 0)
   }
 
   test("scan_json roundtrip is lossless row-for-row") {
@@ -42,10 +45,43 @@ class LakeSpec extends AnyFunSuite {
     SparkEntry.queries("scan_dpp")(spark, sf).collect()
     val plan = graft.ops.Lake.dppJoinPlan(spark)
       .queryExecution.executedPlan.toString()
-    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
-    // Static sanity: only the two selected year-partitions are read.
-    assert(graft.ops.Lake.dppJoinPlan(spark)
-      .select("o_year").distinct().count() === 2)
+    // The pruning expression must sit in the FACT SCAN's
+    // PartitionFilters — 'dynamicpruning' merely appearing elsewhere
+    // in the plan (e.g. only in the subquery section) still reads all
+    // 7 partitions.
+    val factScanLine = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("orders_by_year"))
+    assert(factScanLine.isDefined, plan)
+    assert(factScanLine.get.contains("PartitionFilters:") &&
+      factScanLine.get.contains("dynamicpruningexpression"), factScanLine.get)
+    // And the pruning must actually happen: the fact SCAN must emit
+    // only the 2 selected years' rows, not the full table (metric read
+    // from the final adaptive plan — AQE hides executed leaves behind
+    // the AdaptiveSparkPlanExec wrapper).
+    val df = graft.ops.Lake.dppJoinPlan(spark)
+    val expected = Tables.t(spark, sf, "orders")
+      .where(year(col("o_orderdate")).isin(2000, 2001)).count()
+    df.collect()
+    // AQE wraps executed subtrees in QueryStageExec LEAVES (children is
+    // empty), so plain collect() never reaches the scan — recurse
+    // through stage/adaptive wrappers explicitly.
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case _ => Nil
+      }
+      p +: (p.children ++ inner).flatMap(allNodes)
+    }
+    val scanned = allNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.toString.contains("orders_by_year") => f
+    }.flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+    assert(scanned === expected,
+      s"fact scan emitted $scanned rows; pruned read should emit $expected")
   }
 
   test("sink_scd2 layout resolves an as-of lookup to exactly one version per key") {
