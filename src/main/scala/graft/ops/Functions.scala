@@ -180,7 +180,55 @@ object Functions {
         Sanitize.sanitizeRegex(col("raw")).as("clean"))
       .orderBy("doc_id")
 
+  /** Cryptographic digest kernel: md5 + sha256 over text — manifest
+    * fingerprints, cache keys, content addresses (the identity scheme
+    * dedup_exact/dedup_binary build on). Codegen'd built-ins; both
+    * engines emit lowercase hex. (crc32/sha1/sha512 exist Spark-side
+    * but have no DuckDB twin — crc32 parity is covered separately by
+    * the python-zlib-pinned ingest oracles.) */
+  private def fnHash: Q = (s, d) =>
+    t(s, d, "documents")
+      .where(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"),
+        md5(col("text")).as("md5_hex"),
+        sha2(col("text"), 256).as("sha256_hex"),
+        length(col("text")).cast("long").as("n_chars_text"))
+      .orderBy("doc_id")
+
+  /** Conditional kernel: CASE bands, NULLIF/COALESCE null plumbing,
+    * LEAST/GREATEST clamps — the branch-free row logic every derive
+    * stage uses (all codegen'd into one projection, no shuffle). */
+  private def fnConditional: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .where(pmod(col("l_orderkey"), lit(100)) === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        when(col("l_quantity") < 10, "small")
+          .when(col("l_quantity") < 35, "medium")
+          .otherwise("large").as("band"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("none"))
+          .as("flag_or_none"),
+        least(col("l_quantity"), lit(25.0d)).as("clamped_lo"),
+        greatest(col("l_quantity"), lit(25.0d)).as("clamped_hi"))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+
+  /** Bitwise kernel: AND/OR/XOR/shifts on 64-bit keys — flag packing,
+    * hash mixing, the Morton interleave family (sink_zorder is the
+    * full application). Pure integer math, identical in both engines. */
+  private def fnBitwise: Q = (s, d) =>
+    t(s, d, "orders")
+      .where(pmod(col("o_orderkey"), lit(50)) === 0)
+      .select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(0xFFL)).as("low_byte"),
+        col("o_orderkey").bitwiseOR(lit(0x100L)).as("with_flag"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("mixed"),
+        shiftleft(col("o_orderkey"), 3).as("shl3"),
+        shiftright(col("o_orderkey"), 2).as("shr2"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, Q] = Map(
+    "fn_hash" -> fnHash,
+    "fn_conditional" -> fnConditional,
+    "fn_bitwise" -> fnBitwise,
     "proj_derive" -> projDerive,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
@@ -195,6 +243,28 @@ object Functions {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_hash" ->
+      """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
+                length(text)::BIGINT AS n_chars_text
+         FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""",
+    "fn_conditional" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+                CASE WHEN l_quantity < 10 THEN 'small'
+                     WHEN l_quantity < 35 THEN 'medium'
+                     ELSE 'large' END AS band,
+                coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+                least(l_quantity, 25.0) AS clamped_lo,
+                greatest(l_quantity, 25.0) AS clamped_hi
+         FROM lineitem WHERE l_orderkey % 100 = 0
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+                o_orderkey & 255 AS low_byte,
+                o_orderkey | 256 AS with_flag,
+                xor(o_orderkey, o_custkey) AS mixed,
+                (o_orderkey << 3) AS shl3,
+                (o_orderkey >> 2) AS shr2
+         FROM orders WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey""",
     "proj_derive" ->
       """WITH u AS (
            SELECT doc_id,

@@ -303,7 +303,27 @@ object Lake {
       .orderBy("doc_id")
   }
 
+  /** ORC roundtrip scan — the third columnar format next to parquet
+    * (Spark's ORC reader is vectorized and stats-pruned like parquet's,
+    * so a lake standardized on ORC loses nothing). Same losslessness-
+    * by-oracle mechanism as scan_csv/scan_json: the aggregate over the
+    * read-back must equal the aggregate over the parquet source. */
+  private def scanOrc: Q = (s, d) => {
+    val out = s"$scratchRoot/formats/documents_orc"
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(length(col("text"))).as("total_text_len"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "scan_orc" -> scanOrc,
     "scan_logs" -> scanLogs,
     "agg_unpivot" -> aggUnpivot,
     "scan_cdc" -> scanCdc,
@@ -317,6 +337,11 @@ object Lake {
   )
 
   val oracles: Map[String, String] = Map(
+    "scan_orc" ->
+      """SELECT lang, source, count(*) AS n,
+                sum(n_chars)::BIGINT AS total_chars,
+                sum(length(text))::BIGINT AS total_text_len
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
     // Oracle computes from the STRUCTURED source: equality proves the
     // log render→parse roundtrip lossless.
     "scan_logs" -> {

@@ -120,6 +120,45 @@ object Relational {
       .orderBy("a_name", "b_name")
   }
 
+  /** Full outer join — both sides keep their unmatched rows (the
+    * reconciliation/diff join): high-balance customers vs an order
+    * aggregate over an overlapping-but-different key subset, so BOTH
+    * null sides occur naturally in the data. One equi shuffle; the
+    * match_type derivation is the standard null-side classification. */
+  private def joinFull: Q = (s, d) => {
+    val cust = t(s, d, "customer")
+      .where(col("c_acctbal") > 5000.0d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ords = t(s, d, "orders")
+      .where(pmod(col("o_custkey"), lit(3)) === 0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum2(col("o_totalprice")).as("total_price"))
+    cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_mktsegment"), col("n_orders"), col("total_price"),
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+          .when(col("c_custkey").isNotNull, "customer_only")
+          .otherwise("orders_only").as("match_type"))
+      .orderBy("custkey")
+  }
+
+  /** Cross join — the bounded-dimension cartesian (every (region,
+    * nation) combination for a reporting matrix). Deliberately dims
+    * only: a cartesian's output is |L|·|R| and NOTHING about Spark
+    * fixes that at 100 TB — the plan is BroadcastNestedLoopJoin with
+    * the 5-row side broadcast, which is exactly right at this
+    * cardinality and exactly wrong for fact tables. */
+  private def joinCross: Q = (s, d) =>
+    t(s, d, "region").select(col("r_regionkey"), col("r_name"))
+      .crossJoin(t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      .select(col("r_regionkey"), col("r_name"), col("n_nationkey"),
+        col("n_name"),
+        (col("n_regionkey") === col("r_regionkey")).as("is_home"))
+      .orderBy("r_regionkey", "n_nationkey")
+
   /** Range join: events within 10 minutes after a signup by the same
     * user. Equi on user_id keeps it a hash join with a range residual —
     * the scale-safe formulation (no BNLJ). µs-domain comparison matches
@@ -611,6 +650,8 @@ object Relational {
     "join_semi" -> joinSemi,
     "join_anti" -> joinAnti,
     "join_theta" -> joinTheta,
+    "join_full" -> joinFull,
+    "join_cross" -> joinCross,
     "join_range" -> joinRange,
     "join_asof" -> joinAsof,
     "join_asof_native" -> joinAsofNative,
@@ -686,6 +727,28 @@ object Relational {
          FROM nation a JOIN nation b
            ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
          ORDER BY a_name, b_name""",
+    "join_full" ->
+      """WITH cust AS (
+           SELECT c_custkey, c_mktsegment FROM customer
+           WHERE c_acctbal > 5000.0),
+           ords AS (
+           SELECT o_custkey, count(*) AS n_orders,
+                  round(sum(o_totalprice::DECIMAL(18,4)), 2)::DOUBLE
+                    AS total_price
+           FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey)
+         SELECT coalesce(c_custkey, o_custkey) AS custkey, c_mktsegment,
+                n_orders, total_price,
+                CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+                     THEN 'both'
+                     WHEN c_custkey IS NOT NULL THEN 'customer_only'
+                     ELSE 'orders_only' END AS match_type
+         FROM cust FULL OUTER JOIN ords ON c_custkey = o_custkey
+         ORDER BY custkey""",
+    "join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name,
+                (n_regionkey = r_regionkey) AS is_home
+         FROM region CROSS JOIN nation
+         ORDER BY r_regionkey, n_nationkey""",
     "join_range" ->
       s"""SELECT s.event_id AS s_id, count(*) AS n_follow
           FROM events e JOIN events s
