@@ -808,7 +808,45 @@ object Llm {
       .orderBy("a_id", "b_id")
   }
 
+  /** Repetition-based quality rules (the Gopher/RefinedWeb family):
+    * duplicate-word fraction and top-bigram fraction per document,
+    * with a keep/flag decision at the published-style thresholds.
+    * Implemented as per-row higher-order functions — ZERO shuffle: for
+    * bounded document lengths (corpus docs are a few hundred words)
+    * the O(distinct·n) in-row count is strictly cheaper at 100 TB than
+    * the explode + groupBy(doc, bigram) + top-1 alternative, which
+    * pays two full-corpus shuffles to compute the same per-doc scalar.
+    * All counts are integers; each fraction is ONE IEEE division. */
+  private def textRepetition: Q = (s, d) => {
+    val words = split(col("text"), " ")
+    val n = size(words)
+    val nDistinct = size(array_distinct(words))
+    // sequence(1, 0) DESCENDS — guard single-word docs.
+    val bigrams = when(n > 1,
+      transform(sequence(lit(1), n - 1),
+        i => concat(element_at(words, i), lit(" "),
+          element_at(words, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val topBigram = coalesce(
+      array_max(transform(array_distinct(bigrams),
+        b => size(filter(bigrams, x => x === b)))),
+      lit(0))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        n.cast("long").as("n_words"),
+        nDistinct.cast("long").as("n_distinct_words"),
+        ((n - nDistinct).cast("double") / n.cast("double"))
+          .as("dup_word_frac"),
+        topBigram.cast("long").as("top_bigram_n"),
+        when(n > 1, topBigram.cast("double") / (n - 1).cast("double"))
+          .otherwise(0.0d).as("top_bigram_frac"))
+      .withColumn("flagged",
+        col("dup_word_frac") > 0.3d || col("top_bigram_frac") > 0.18d)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_repetition" -> textRepetition,
     "text_score" -> textScore,
     "embed_normalize" -> embedNormalize,
     "sim_range_search" -> simRangeSearch,
@@ -846,6 +884,31 @@ object Llm {
   private val duckCos = duckCosOf("q", "e")
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH q AS (
+           SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           b AS (
+           SELECT doc_id, words,
+                  len(words) AS n, len(list_distinct(words)) AS nd,
+                  CASE WHEN len(words) > 1 THEN
+                    list_transform(range(1, len(words)),
+                      i -> words[i] || ' ' || words[i + 1])
+                  ELSE [] END AS bigrams
+           FROM q),
+           t AS (
+           SELECT doc_id, n, nd, bigrams,
+                  coalesce(list_max(list_transform(list_distinct(bigrams),
+                    bg -> len(list_filter(bigrams, x -> x = bg)))), 0) AS top
+           FROM b)
+         SELECT doc_id, n::BIGINT AS n_words, nd::BIGINT AS n_distinct_words,
+                (n - nd)::DOUBLE / n::DOUBLE AS dup_word_frac,
+                top::BIGINT AS top_bigram_n,
+                CASE WHEN n > 1 THEN top::DOUBLE / (n - 1)::DOUBLE
+                     ELSE 0.0 END AS top_bigram_frac,
+                ((n - nd)::DOUBLE / n::DOUBLE > 0.3) OR
+                  ((CASE WHEN n > 1 THEN top::DOUBLE / (n - 1)::DOUBLE
+                    ELSE 0.0 END) > 0.18) AS flagged
+         FROM t ORDER BY doc_id""",
     "text_score" ->
       """WITH q AS (
            SELECT doc_id,
