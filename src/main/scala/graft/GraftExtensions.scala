@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expr.MinHashSketch].getName,
         "minhash_sketch"),
       (exprs: Seq[Expression]) => graft.expr.MinHashSketch(exprs.head)))
+    e.injectFunction((new FunctionIdentifier("dot64"),
+      new ExpressionInfo(classOf[graft.expr.DotProductF64].getName, "dot64"),
+      (exprs: Seq[Expression]) =>
+        graft.expr.DotProductF64(exprs.head, exprs(1))))
   }
 }
 

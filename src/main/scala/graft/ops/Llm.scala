@@ -21,6 +21,13 @@ object Llm {
     * inputs are float-exact doubles, so results are bitwise reproducible
     * across engines. */
   private[ops] def dot(x: Column, y: Column): Column =
+    call_function("dot64", x, y)
+
+  /** The higher-order-function formulation [[dot]] replaced (kept for
+    * VectorOpsSpec's bit-exactness cross-check): zip_with + aggregate
+    * fold — same IEEE order, but interpreted per element and outside
+    * whole-stage codegen. */
+  private[graft] def dotHof(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
   /** Per-vector norm — precompute ONCE per side before a pairwise join;
@@ -658,8 +665,7 @@ object Llm {
   }
 
   private def dotLit(emb: Column, p: Seq[Double]): Column =
-    aggregate(zip_with(emb, typedLit(p), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("dot64", emb, typedLit(p))
 
   /** Sign-pattern bucket in [0,16) from the 4 hyperplanes. */
   private def lshBucket(emb: Column): Column =
