@@ -24,9 +24,37 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen/parquet-reader spin-up should not be
-    // attributed to whichever query happens to run first.
+    // attributed to whichever query happens to run first. Profiling
+    // (round 4) showed first use of each execution-machinery family
+    // costs 2-6 s of pure classloading — window exec, the
+    // dynamic-partition commit protocol, the binaryFile source, the
+    // streaming engine — billed to arbitrary queries (ingest_e2e read
+    // 24 s in BENCH_r03 vs 0.8 s warm). Touch each family once here.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val warmDir = s"${Tables.scratchRoot}/bench-warm"
+    val wdf = spark.range(100)
+      .selectExpr("id", "id % 3 AS k", "cast(id AS string) AS s")
+    wdf.selectExpr("k", "row_number() OVER (PARTITION BY k ORDER BY id) rn")
+      .count()
+    wdf.join(
+      org.apache.spark.sql.functions.broadcast(wdf.select("k").distinct()),
+      "k").count()
+    val wobs = org.apache.spark.sql.Observation("bench_warm")
+    wdf.observe(wobs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode("overwrite").partitionBy("k").parquet(warmDir)
+    wobs.get: Unit
+    spark.read.parquet(warmDir).count()
+    spark.read.format("binaryFile").load(warmDir).count()
+    wdf.selectExpr("explode(split(s, '')) AS c").groupBy("c").count().count()
+    val wq = spark.readStream
+      .schema(spark.read.parquet(warmDir).schema).parquet(warmDir)
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$warmDir-ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    wq.awaitTermination()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.exists(n.startsWith) }
     val results = selected.map { case (name, fn) =>
