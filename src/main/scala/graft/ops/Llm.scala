@@ -512,21 +512,21 @@ object Llm {
   /** SimHash (64-bit) fingerprints: per-token xxhash64, ±1 vote per
     * bit, sign → fingerprint. One explode + one hash-aggregation with
     * map-side combine — O(tokens) work, O(1) state per doc. Returns
-    * (doc_id, fp_hi, fp_lo) as two 32-bit halves in longs. */
+    * (doc_id, fp_hi, fp_lo) as two 32-bit halves in longs. The vote
+    * aggregation is a typed Aggregator ([[graft.expr.SimhashAgg]]): a
+    * 64-column declarative sum(when(...)) computes the same thing but
+    * its whole-stage codegen compile alone cost ~4 s per session. */
   private def simhashFp(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
-    val tok = fanOut(t(s, d, "documents"))
+    val votes = udaf(new graft.expr.SimhashAgg)
+    fanOut(t(s, d, "documents"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$i"))
-    val half = (lo: Int) => (lo until lo + 32)
-      .map(i => when(col(s"b$i") > 0, lit(1L << (i - lo))).otherwise(0L))
-      .reduce(_ + _)
-    tok.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), half(32).as("fp_hi"), half(0).as("fp_lo"))
+      .groupBy("doc_id")
+      .agg(votes(col("h")).as("fp"))
+      .select(col("doc_id"),
+        element_at(col("fp"), 1).as("fp_hi"),
+        element_at(col("fp"), 2).as("fp_lo"))
   }
 
   private def dedupSimhash: Q = (s, d) =>
