@@ -479,6 +479,47 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** URL-canonicalization dedup — the first dedup pass of every web
+    * corpus (pages fetched under cosmetically different URLs are the
+    * same page): case-folded scheme/host, default port stripped,
+    * fragments dropped, tracking params removed, trailing slash
+    * normalized, then exact dedup on the canonical form. The corpus has
+    * no URL column, so deterministically messy URLs are synthesized per
+    * doc (same expression in the oracle); the canonicalization chain is
+    * the operator under test. Scale shape: pure per-row projection +
+    * one hash shuffle on the canonical string — no text ever moves. */
+  private def dedupUrl: Q = (s, d) => {
+    val messy = concat(
+      lit("https://"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("CDN"), pmod(col("doc_id"), lit(7)), lit(".EXAMPLE.COM")))
+        .otherwise(concat(lit("cdn"), pmod(col("doc_id"), lit(7)),
+          lit(".example.com"))),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/docs/"), pmod(col("doc_id"), lit(50)),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3)) === 1, lit("?utm_source=feed"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("#s"), pmod(col("doc_id"), lit(11)))).otherwise(lit("")))
+    // RE2-safe patterns only (no lookahead) so the DuckDB oracle runs
+    // the identical chain; ':443' is always followed by '/' here.
+    val canonical =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(messy), "#.*$", ""),
+            "\\?utm_[^#]*", ""),
+          ":443/", "/"),
+        "(.)/$", "$1")
+    t(s, d, "documents")
+      .select(col("doc_id"), canonical.as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("canonical_url")
+  }
+
   /** Train/eval decontamination (the GPT-3-style n-gram overlap check):
     * documents 0-4 are the held-out benchmark; every training doc
     * sharing any verbatim 4-token gram with them is flagged with its
@@ -857,6 +898,7 @@ object Llm {
     "embed_normalize" -> embedNormalize,
     "sim_range_search" -> simRangeSearch,
     "dedup_exact" -> dedupExact,
+    "dedup_url" -> dedupUrl,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_agg" -> dedupMinhashAgg,
     "dedup_cluster" -> dedupCluster,
@@ -890,6 +932,36 @@ object Llm {
   private val duckCos = duckCosOf("q", "e")
 
   val oracles: Map[String, String] = Map(
+    // Same deterministic messy-URL synthesis, same RE2-safe
+    // canonicalization chain (DuckDB regexp_replace is RE2 — the Spark
+    // side deliberately avoids lookahead so both engines run the
+    // identical patterns).
+    "dedup_url" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  'https://' ||
+                  CASE WHEN doc_id % 3 = 0
+                       THEN 'CDN' || (doc_id % 7) || '.EXAMPLE.COM'
+                       ELSE 'cdn' || (doc_id % 7) || '.example.com' END ||
+                  CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+                  '/docs/' || (doc_id % 50) ||
+                  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+                  CASE WHEN doc_id % 3 = 1 THEN '?utm_source=feed' ELSE '' END ||
+                  CASE WHEN doc_id % 2 = 0 THEN '#s' || (doc_id % 11) ELSE '' END
+                  AS url
+           FROM documents),
+           c AS (
+           SELECT doc_id,
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(lower(url), '#.*$', ''),
+                        '\?utm_[^#]*', ''),
+                      ':443/', '/'),
+                    '(.)/$', '\1') AS canonical_url
+           FROM m)
+         SELECT canonical_url, min(doc_id) AS keeper, count(*) AS n_docs
+         FROM c GROUP BY canonical_url ORDER BY canonical_url""",
     "text_repetition" ->
       """WITH q AS (
            SELECT doc_id, string_split(text, ' ') AS words FROM documents),

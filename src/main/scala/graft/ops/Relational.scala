@@ -159,6 +159,44 @@ object Relational {
         (col("n_regionkey") === col("r_regionkey")).as("is_home"))
       .orderBy("r_regionkey", "n_nationkey")
 
+  /** Runtime bloom-filter join (semi-join reduction): a selective
+    * filter on the dimension side is turned into a bloom filter that
+    * Catalyst's InjectRuntimeFilter applies to the FACT side before its
+    * shuffle — at 100 TB this is the difference between shuffling the
+    * whole fact table and shuffling only the ~matching fraction. Spark's
+    * default thresholds target cluster scale (app side > 10 GB), so the
+    * query lowers them for the demonstration and restores them after
+    * materializing (optimization happens at action time, hence the
+    * eager write-to-scratch inside the conf window). Broadcast is
+    * disabled within the window because a broadcastable dim makes the
+    * bloom moot — the interesting regime is the 100M-row dim that
+    * shuffles but blooms. Result is bloom-independent (filters never
+    * change join output), so the oracle is the plain join. */
+  private def joinBloom: Q = (s, d) => {
+    val appThresh =
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val bcThresh = "spark.sql.autoBroadcastJoinThreshold"
+    val out = s"${graft.Tables.scratchRoot}/sink/join_bloom"
+    val olds = Seq(appThresh, bcThresh).map(k => k -> s.conf.get(k))
+    s.conf.set(appThresh, "0")
+    s.conf.set(bcThresh, "-1")
+    try bloomJoinFrame(s, d).write.mode("overwrite").parquet(out)
+    finally olds.foreach { case (k, v) => s.conf.set(k, v) }
+    s.read.parquet(out).orderBy("o_orderkey")
+  }
+
+  /** The join under joinBloom's conf window, also used by PlanSpec to
+    * pin BloomFilterMightContain in the optimized plan. */
+  private[graft] def bloomJoinFrame(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").where(col("o_totalprice") > 450000)
+    val l = t(s, d, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("gross"))
+  }
+
   /** Range join: events within 10 minutes after a signup by the same
     * user. Equi on user_id keeps it a hash join with a range residual —
     * the scale-safe formulation (no BNLJ). µs-domain comparison matches
@@ -265,6 +303,19 @@ object Relational {
       .agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+      .orderBy("l_returnflag")
+
+  /** Approximate quantiles (Greenwald-Khanna sketch) — the 100 TB
+    * answer to exact percentiles: fixed-size mergeable sketch per
+    * group, no per-group sort. Approximate ⇒ rows-only check; accuracy
+    * vs the exact percentile is pinned in RobustnessSpec. */
+  private def aggApproxQuantile: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_percentile(col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.9)),
+          lit(10000)).as("approx_price_quantiles"),
+        count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
   /** Rollup over the sink hierarchy {server}/{type} analog
@@ -652,12 +703,14 @@ object Relational {
     "join_theta" -> joinTheta,
     "join_full" -> joinFull,
     "join_cross" -> joinCross,
+    "join_bloom" -> joinBloom,
     "join_range" -> joinRange,
     "join_asof" -> joinAsof,
     "join_asof_native" -> joinAsofNative,
     "agg_hash" -> aggHash,
     "agg_distinct" -> aggDistinct,
     "agg_approx" -> aggApprox,
+    "agg_approx_quantile" -> aggApproxQuantile,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
     "agg_gsets" -> aggGsets,
@@ -749,6 +802,15 @@ object Relational {
                 (n_regionkey = r_regionkey) AS is_home
          FROM region CROSS JOIN nation
          ORDER BY r_regionkey, n_nationkey""",
+    // Bloom filters never change join output — the oracle is the plain
+    // join; the bloom's presence in the plan is pinned by PlanSpec.
+    "join_bloom" ->
+      """SELECT o_orderkey, count(*) AS n_items,
+                sum(l_quantity::BIGINT) AS sum_qty,
+                round(sum(l_extendedprice::DECIMAL(18,4)), 2)::DOUBLE AS gross
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 450000
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
     "join_range" ->
       s"""SELECT s.event_id AS s_id, count(*) AS n_follow
           FROM events e JOIN events s

@@ -51,6 +51,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("join_bloom injects a runtime bloom filter on the fact side") {
+    val appThresh =
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val bcThresh = "spark.sql.autoBroadcastJoinThreshold"
+    val olds = Seq(appThresh, bcThresh).map(k => k -> spark.conf.get(k))
+    spark.conf.set(appThresh, "0")
+    spark.conf.set(bcThresh, "-1")
+    try {
+      val p = graft.ops.Relational.bloomJoinFrame(spark, sf)
+        .queryExecution.optimizedPlan.toString()
+      assert(p.contains("bloom_filter_agg") || p.contains("BloomFilter"), p)
+    } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("text_seg_dedup joins on the 8-byte segment hash, not the text") {
     val p = planOf("text_seg_dedup")
     assert(p.contains("xxhash64"), p)

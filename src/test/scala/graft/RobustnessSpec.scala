@@ -16,6 +16,23 @@ class RobustnessSpec extends AnyFunSuite {
     assert(ops.Llm.Scratch.key("/data/Aa") === ops.Llm.Scratch.key("/data/Aa"))
   }
 
+  test("agg_approx_quantile tracks the exact percentiles within 1%") {
+    import org.apache.spark.sql.functions._
+    val sf = SharedSpark.sf
+    val approx = SparkEntry.queries("agg_approx_quantile")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Double](1)).toMap
+    val exact = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.9)))
+        .as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((flag, qs) <- exact; (e, a) <- qs.zip(approx(flag)))
+      assert(math.abs(a - e) <= 0.01 * e,
+        s"$flag: approx $a vs exact $e drifts > 1%")
+  }
+
   test("RemoteFileSource rejects a missing/empty 'urls' option loudly") {
     val e1 = intercept[Exception] {
       spark.read.format("graft.sources.RemoteFileSource").load().count()
