@@ -479,6 +479,72 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Perceptual-hash near-dup over BINARY blobs — the image-dedup
+    * analog of minhash (a re-encoded/re-saved image is byte-different
+    * but perceptually identical). Decode is the honest stub used by the
+    * mm_* family (no codecs in this environment): a 64-sample stride
+    * thumbnail stands in for the decoded bitmap; the HASH and the DEDUP
+    * MACHINERY are real — 64-bit average-hash (bit i = sample i above
+    * the thumbnail mean), LSH-banded into 8×8-bit bands so any pair
+    * within hamming ≤ 7 shares at least one band (pigeonhole), candidate
+    * pairs verified by exact popcount(xor) ≤ 4. Per blob a synthetic
+    * "re-encode" (low bit of every 997th byte flipped) is added; the
+    * pinned oracle (tools/phash_oracle.py, independent python byte
+    * math) shows each blob pairs ONLY with its own re-encode — nearest
+    * cross-file pair sits at hamming 24. Scale shape: per-row kernel →
+    * 8 band rows/image (16 bytes each) shuffle; payloads never move. */
+  private def dedupPhash: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    val hashes = s.read.format("binaryFile").load(s"$d/*.parquet")
+      .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        def ahash(b: Array[Byte]): Long = {
+          val n = 64
+          val thumb = new Array[Int](n)
+          val stride = math.max(1, b.length / n)
+          var i = 0
+          while (i < n && i * stride < b.length) {
+            thumb(i) = b(i * stride) & 0xff; i += 1
+          }
+          var sum = 0L
+          thumb.foreach(sum += _)
+          val mean = sum.toDouble / n
+          var h = 0L
+          i = 0
+          while (i < n) { if (thumb(i) > mean) h |= (1L << i); i += 1 }
+          h
+        }
+        it.flatMap { case (name, bytes) =>
+          val variant = bytes.clone()
+          var j = 0
+          while (j < variant.length) {
+            variant(j) = (variant(j) ^ 1).toByte; j += 997
+          }
+          Iterator((name, ahash(bytes)), (name + "~reenc", ahash(variant)))
+        }
+      }
+      .toDF("img_id", "phash")
+    val bands = hashes.select(col("img_id"), col("phash"),
+      posexplode(array((0 until 8).map(b =>
+        shiftrightunsigned(col("phash"), b * 8).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band_idx", "band_val")))
+    bands.select(col("img_id").as("a_id"), col("phash").as("a_hash"),
+        col("band_idx"), col("band_val"))
+      .join(bands.select(col("img_id").as("b_id"), col("phash").as("b_hash"),
+        col("band_idx"), col("band_val")), Seq("band_idx", "band_val"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).cast("long")
+          .as("hamming"))
+      .groupBy("a_id", "b_id")
+      .agg(min(col("hamming")).as("hamming"))
+      .where(col("hamming") <= 4)
+      .orderBy("a_id", "b_id")
+  }
+
   /** URL-canonicalization dedup — the first dedup pass of every web
     * corpus (pages fetched under cosmetically different URLs are the
     * same page): case-folded scheme/host, default port stripped,
@@ -899,6 +965,7 @@ object Llm {
     "sim_range_search" -> simRangeSearch,
     "dedup_exact" -> dedupExact,
     "dedup_url" -> dedupUrl,
+    "dedup_phash" -> dedupPhash,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_agg" -> dedupMinhashAgg,
     "dedup_cluster" -> dedupCluster,
@@ -932,6 +999,24 @@ object Llm {
   private val duckCos = duckCosOf("q", "e")
 
   val oracles: Map[String, String] = Map(
+    // Pinned from tools/phash_oracle.py (independent python replication
+    // of the stub-thumbnail average-hash + re-encode variant + hamming
+    // pair math over the sf0.01 blobs, cross-checked against engine
+    // output before pinning). Each blob pairs ONLY with its own
+    // re-encode; nearest cross-file pair is hamming 24.
+    "dedup_phash" ->
+      """SELECT a_id, b_id, hamming::BIGINT AS hamming FROM (VALUES
+('customer.parquet', 'customer.parquet~reenc', 0),
+('documents.parquet', 'documents.parquet~reenc', 0),
+('embeddings.parquet', 'embeddings.parquet~reenc', 0),
+('events.parquet', 'events.parquet~reenc', 1),
+('lineitem.parquet', 'lineitem.parquet~reenc', 0),
+('nation.parquet', 'nation.parquet~reenc', 0),
+('orders.parquet', 'orders.parquet~reenc', 0),
+('part.parquet', 'part.parquet~reenc', 0),
+('region.parquet', 'region.parquet~reenc', 0),
+('supplier.parquet', 'supplier.parquet~reenc', 0))
+         t(a_id, b_id, hamming) ORDER BY a_id, b_id""",
     // Same deterministic messy-URL synthesis, same RE2-safe
     // canonicalization chain (DuckDB regexp_replace is RE2 — the Spark
     // side deliberately avoids lookahead so both engines run the
