@@ -18,6 +18,63 @@ import org.apache.spark.sql.functions._
   */
 object Lake {
 
+  /** Manifest-pruned scan — the Iceberg/Delta PLANNING path: a
+    * key-clustered layout job writes files with tight per-file key
+    * spans; a MANIFEST of per-file (min, max) is built from parquet
+    * footers (metadata-only pass, zero data bytes); the query consults
+    * the manifest and hands the reader ONLY the overlapping files.
+    * This is file-level skipping one level above row-group stats: the
+    * planner never even opens the pruned files' footers. The manifest
+    * is planner-side here exactly as in Iceberg (manifests are KB-scale
+    * metadata; at 100 TB the manifest itself becomes a table scanned
+    * distributedly, but selection stays a metadata operation). The
+    * residual filter re-applies after the read, so sampling variation
+    * in the range layout never affects results — only how much gets
+    * skipped. LakeSpec pins that files ARE skipped. */
+  private[graft] val manifestLoHi = (1000L, 3000L)
+  private[graft] def manifestSelect(s: org.apache.spark.sql.SparkSession,
+      d: String): (Int, Seq[String]) = {
+    val out = s"$scratchRoot/manifest/lineitem"
+    t(s, d, "lineitem")
+      .repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(out)
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    import scala.jdk.CollectionConverters._
+    val manifest = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+      .map { st =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, conf))
+        try {
+          val stats = rd.getFooter.getBlocks.asScala.map(_.getColumns.asScala
+            .find(_.getPath.toDotString == "l_orderkey").get.getStatistics)
+          val mins = stats.map(_.genericGetMin
+            .asInstanceOf[java.lang.Long].longValue())
+          val maxs = stats.map(_.genericGetMax
+            .asInstanceOf[java.lang.Long].longValue())
+          (st.getPath.toString, mins.min, maxs.max)
+        } finally rd.close()
+      }
+    val (lo, hi) = manifestLoHi
+    (manifest.size,
+      manifest.filter { case (_, mn, mx) => mx >= lo && mn <= hi }.map(_._1))
+  }
+  private def scanManifestPrune: Q = (s, d) => {
+    val (_, files) = manifestSelect(s, d)
+    val (lo, hi) = manifestLoHi
+    s.read.parquet(files: _*)
+      .where(col("l_orderkey").between(lo, hi))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+      .orderBy("l_returnflag")
+  }
+
   /** CSV roundtrip scan: write documents as headered CSV, read back
     * with an EXPLICIT schema (schema inference is a full extra pass
     * over the data — at 100 TB you always declare), aggregate. The
@@ -323,6 +380,7 @@ object Lake {
   }
 
   val queries: Map[String, Q] = Map(
+    "scan_manifest_prune" -> scanManifestPrune,
     "scan_orc" -> scanOrc,
     "scan_logs" -> scanLogs,
     "agg_unpivot" -> aggUnpivot,
@@ -337,6 +395,14 @@ object Lake {
   )
 
   val oracles: Map[String, String] = Map(
+    // Manifest pruning only changes WHICH FILES are opened; the
+    // residual filter makes the result the plain filtered aggregate.
+    "scan_manifest_prune" ->
+      """SELECT l_returnflag, count(*) AS n,
+                sum(l_quantity::BIGINT) AS sum_qty,
+                min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+         FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "scan_orc" ->
       """SELECT lang, source, count(*) AS n,
                 sum(n_chars)::BIGINT AS total_chars,

@@ -8,6 +8,27 @@ import org.scalatest.funsuite.AnyFunSuite
 class LakeSpec extends AnyFunSuite {
   import SharedSpark.{spark, sf}
 
+  test("scan_manifest_prune skips files at the planner (manifest overlap only)") {
+    val (total, selected) = ops.Lake.manifestSelect(spark, sf)
+    assert(total === 16, s"layout job should emit 16 range files, got $total")
+    assert(selected.nonEmpty, "selection must keep the overlapping files")
+    assert(selected.size < total,
+      s"manifest must prune: kept ${selected.size} of $total")
+    // every skipped file is PROVABLY non-overlapping: re-reading the
+    // skipped set under the predicate must yield zero rows.
+    val skipped = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"${Tables.scratchRoot}/manifest/lineitem"))
+        .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+        .filterNot(selected.contains)
+    }
+    val (lo, hi) = ops.Lake.manifestLoHi
+    assert(spark.read.parquet(skipped.toIndexedSeq: _*)
+      .where(col("l_orderkey").between(lo, hi)).count() === 0)
+  }
+
   test("scan_csv roundtrip is lossless row-for-row (not just in aggregate)") {
     import spark.implicits._
     val src = Tables.t(spark, sf, "documents")
