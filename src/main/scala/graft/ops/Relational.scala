@@ -511,6 +511,37 @@ object Relational {
       .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
   }
 
+  /** Ordered-pattern funnel (MATCH_RECOGNIZE analog): per user, the
+    * first view → first click AT-OR-AFTER that view → first purchase
+    * AT-OR-AFTER that click, in one window pass. Each stage qualifies
+    * against the previous stage's RUNNING minimum over the (ts,
+    * event_id) total order, so the whole state machine is two running-
+    * min windows + one aggregate — one shuffle on user_id, per-row O(1)
+    * state, no self-joins (the naive 3-way join formulation shuffles
+    * events three times and explodes on ties). */
+  private def winFunnel: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+      .withColumn("first_view_us",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("qual_click_us",
+        when(col("event_type") === "click" &&
+          col("first_view_us") <= col("ts_us"), col("ts_us")))
+      .withColumn("first_click_us", min(col("qual_click_us")).over(w))
+      .withColumn("qual_purchase_us",
+        when(col("event_type") === "purchase" &&
+          col("first_click_us") <= col("ts_us"), col("ts_us")))
+    staged.groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("view_us"),
+        min(col("qual_click_us")).as("click_us"),
+        min(col("qual_purchase_us")).as("purchase_us"))
+      .withColumn("converted", col("purchase_us").isNotNull)
+      .orderBy("user_id")
+  }
+
   /** Moment statistics (mean/variance/stddev/correlation) computed from
     * EXACT decimal power sums, then combined in double — deterministic
     * under any partitioning, unlike streaming Welford updates whose
@@ -588,6 +619,50 @@ object Relational {
       .groupBy("hot_key", "n_name")
       .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
       .orderBy("hot_key")
+  }
+
+  /** The AQE counterpart of [[joinSkewSalted]]: no manual salt — the
+    * same synthetic hot key (half the fact rows collapse onto key 0),
+    * and Adaptive Query Execution detects the oversized shuffle
+    * partition at runtime and splits it across tasks (plan shows
+    * `skew=true`). Thresholds are lowered inside an eager-materialize
+    * conf window (AQE decides at execution time) — at cluster scale the
+    * defaults (256 MB partitions) do this unprompted. Salting remains
+    * the portable fallback; AQE is the zero-code-change path. Bloom/
+    * broadcast are disabled in-window so the join actually shuffles. */
+  private[graft] def skewJoinFrame(s: SparkSession, d: String): DataFrame = {
+    // fanOut matters for the MECHANISM here, not just CPU: AQE splits a
+    // skewed reduce partition at map-output-block granularity, so a
+    // single-split parquet file (one mapper) makes the hot partition one
+    // indivisible block and the rule silently no-ops. Real tables arrive
+    // in thousands of splits; the helper recreates that shape.
+    val big = fanOut(t(s, d, "orders")).select(
+      when(pmod(col("o_custkey"), lit(100)) < 50, 0L)
+        .otherwise(pmod(col("o_custkey"), lit(100))).as("hot_key"),
+      col("o_totalprice"))
+    val dim = s.range(100).select(col("id").as("hot_key"),
+      concat(lit("grp_"), lpad(col("id").cast("string"), 3, "0")).as("grp"))
+    big.join(dim, Seq("hot_key"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+  }
+  /** Skew thresholds scale with the fixture: 64KB suits the sf0.01+
+    * dirs the driver runs; the PlanSpec mechanism pin at sf0.001 passes
+    * "2KB". (Cluster defaults are 256MB / 64MB — the demonstration only
+    * shrinks the numbers, not the rule.) */
+  private[graft] def skewAqeConfs(bytes: String) = Seq(
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> bytes,
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> bytes,
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.5",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+  private def joinSkewAqe: Q = (s, d) => {
+    val confs = skewAqeConfs("64KB")
+    val olds = confs.map { case (k, _) => k -> s.conf.get(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    val out = s"${graft.Tables.scratchRoot}/sink/join_skew_aqe"
+    try skewJoinFrame(s, d).write.mode("overwrite").parquet(out)
+    finally olds.foreach { case (k, v) => s.conf.set(k, v) }
+    s.read.parquet(out).orderBy("grp")
   }
 
   /** Bucketed co-located join: both sides written bucketed by the join
@@ -726,9 +801,11 @@ object Relational {
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
     "win_dist" -> winDist,
+    "win_funnel" -> winFunnel,
     "agg_stats" -> aggStats,
     "agg_percentile" -> aggPercentile,
     "join_skew_salted" -> joinSkewSalted,
+    "join_skew_aqe" -> joinSkewAqe,
     "join_bucketed" -> joinBucketed,
     "obs_accounting" -> obsAccounting,
     "ingest_quarantine" -> ingestQuarantine,
@@ -968,6 +1045,39 @@ object Relational {
          WINDOW w AS (PARTITION BY o_orderpriority
                       ORDER BY o_totalprice, o_orderkey)
          ORDER BY o_orderpriority, o_totalprice, o_orderkey""",
+    // Identical running-min window spec over the same (ts, event_id)
+    // total order — both engines execute the same state machine.
+    "win_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+                            ${duckTsUs("ts")} AS ts_us FROM events),
+              s1 AS (SELECT *,
+                       min(CASE WHEN event_type = 'view' THEN ts_us END)
+                         OVER w AS first_view_us
+                     FROM e
+                     WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)),
+              s2 AS (SELECT *, CASE WHEN event_type = 'click'
+                                     AND first_view_us <= ts_us
+                                    THEN ts_us END AS qual_click_us
+                     FROM s1),
+              s3 AS (SELECT *, min(qual_click_us) OVER w AS first_click_us
+                     FROM s2
+                     WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)),
+              s4 AS (SELECT *, CASE WHEN event_type = 'purchase'
+                                     AND first_click_us <= ts_us
+                                    THEN ts_us END AS qual_purchase_us
+                     FROM s3)
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts_us END) AS view_us,
+                 min(qual_click_us) AS click_us,
+                 min(qual_purchase_us) AS purchase_us,
+                 (min(qual_purchase_us) IS NOT NULL) AS converted
+          FROM s4 GROUP BY user_id ORDER BY user_id""",
     "agg_stats" ->
       """WITH m AS (
            SELECT o_orderstatus, count(*) AS n,
@@ -1002,6 +1112,22 @@ object Relational {
          FROM orders JOIN nation ON o_custkey % 10 = n_nationkey
          WHERE n_nationkey < 10
          GROUP BY 1, 2 ORDER BY hot_key""",
+    // AQE skew-splitting must not change results: oracle is the plain
+    // join; the skew=true marker is pinned by PlanSpec.
+    "join_skew_aqe" ->
+      """WITH big AS (
+           SELECT CASE WHEN o_custkey % 100 < 50 THEN 0
+                       ELSE o_custkey % 100 END AS hot_key,
+                  o_totalprice
+           FROM orders),
+           dim AS (
+           SELECT range AS hot_key,
+                  'grp_' || lpad(range::VARCHAR, 3, '0') AS grp
+           FROM range(100))
+         SELECT grp, count(*) AS n,
+                round(sum(o_totalprice::DECIMAL(18,4)), 2)::DOUBLE AS total
+         FROM big JOIN dim USING (hot_key)
+         GROUP BY grp ORDER BY grp""",
     // Bucketing must not change results: oracle is the plain join.
     "join_bucketed" ->
       """SELECT c_mktsegment, count(*) AS n,

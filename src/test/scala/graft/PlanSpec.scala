@@ -65,6 +65,20 @@ class PlanSpec extends AnyFunSuite {
     } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("join_skew_aqe splits the hot shuffle partition (skew=true in the final plan)") {
+    val confs = graft.ops.Relational.skewAqeConfs("2KB")
+    val olds = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = graft.ops.Relational.skewJoinFrame(spark, sf)
+      // collect() drives THIS QueryExecution (count() would execute a
+      // separate one, leaving this plan un-finalized, isFinalPlan=false)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.contains("skew=true"), p)
+    } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("text_seg_dedup joins on the 8-byte segment hash, not the text") {
     val p = planOf("text_seg_dedup")
     assert(p.contains("xxhash64"), p)
