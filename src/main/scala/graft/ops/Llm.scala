@@ -545,6 +545,38 @@ object Llm {
       .orderBy("a_id", "b_id")
   }
 
+  /** Count-based character-bigram LM scoring — the perplexity-filter
+    * analog (CCNet-style: score each document by how typical its
+    * character sequences are under a corpus-trained model) in EXACT
+    * integer math so the oracle hash-matches: the model is the corpus
+    * bigram frequency table, a document's score is the mean corpus
+    * support of its bigram occurrences (integer sums, ONE IEEE division
+    * — bit-identical in any engine, davg6 discipline), and keep/drop
+    * compares against half the corpus-mean score derived the same way.
+    * Scale shape: the model is bounded by charset² → broadcast; the
+    * corpus explodes to (bigram, doc_id) pairs that probe it map-side;
+    * one shuffle re-aggregates per doc. The two corpus totals that
+    * anchor the threshold are coordinator metadata (two longs), exactly
+    * like the zorder range bounds. */
+  private def textLmScore: Q = (s, d) => {
+    val bgs = fanOut(t(s, d, "documents"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(col("text")) - 1),
+        i => col("text").substr(i, lit(2)))).as("b"))
+    val model = bgs.groupBy("b").agg(count(lit(1)).as("f"))
+    val scored = bgs.join(broadcast(model), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("f")).as("support"))
+    val g = scored.agg(sum(col("support")), sum(col("n_bigrams"))).head
+    val half = 0.5 * (g.getLong(0).toDouble / g.getLong(1))
+    scored
+      .select(col("doc_id"), col("n_bigrams"), col("support"),
+        (col("support").cast("double") / col("n_bigrams")).as("lm_score"))
+      .withColumn("keep",
+        col("lm_score") >= lit(half))
+      .orderBy("doc_id")
+  }
+
   /** URL-canonicalization dedup — the first dedup pass of every web
     * corpus (pages fetched under cosmetically different URLs are the
     * same page): case-folded scheme/host, default port stripped,
@@ -970,6 +1002,7 @@ object Llm {
     "dedup_minhash_agg" -> dedupMinhashAgg,
     "dedup_cluster" -> dedupCluster,
     "text_normalize" -> textNormalize,
+    "text_lm_score" -> textLmScore,
     "text_pii_scrub" -> textPiiScrub,
     "text_seg_dedup" -> textSegDedup,
     "decontaminate" -> decontaminate,
@@ -1017,6 +1050,25 @@ object Llm {
 ('region.parquet', 'region.parquet~reenc', 0),
 ('supplier.parquet', 'supplier.parquet~reenc', 0))
          t(a_id, b_id, hamming) ORDER BY a_id, b_id""",
+    // Same bigram extraction, same integer sums, same single IEEE
+    // division — the threshold anchor (corpus mean) derives identically.
+    "text_lm_score" ->
+      """WITH bg AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, length(text)),
+                    i -> substring(text, i, 2))) AS b
+           FROM documents),
+           model AS (SELECT b, count(*) AS f FROM bg GROUP BY b),
+           scored AS (
+           SELECT doc_id, count(*) AS n_bigrams, sum(f)::BIGINT AS support
+           FROM bg JOIN model USING (b) GROUP BY doc_id),
+           tot AS (SELECT sum(support)::BIGINT AS ts,
+                          sum(n_bigrams)::BIGINT AS tn FROM scored)
+         SELECT doc_id, n_bigrams, support,
+                support::DOUBLE / n_bigrams AS lm_score,
+                (support::DOUBLE / n_bigrams)
+                  >= 0.5 * (ts::DOUBLE / tn) AS keep
+         FROM scored, tot ORDER BY doc_id""",
     // Same deterministic messy-URL synthesis, same RE2-safe
     // canonicalization chain (DuckDB regexp_replace is RE2 — the Spark
     // side deliberately avoids lookahead so both engines run the
