@@ -473,6 +473,34 @@ object Relational {
     } finally s.conf.unset("spark.graft.topk.rewrite")
   }
 
+  /** ONE SQL text, TWO engines: the classic shipping-priority query
+    * (TPC-H Q3 shape) runs VERBATIM through spark.sql and as the DuckDB
+    * oracle — the strongest completeness statement the gate can make
+    * (a reference user's ANSI SQL ports unchanged). Decimal discipline
+    * inside the text (exact DECIMAL(18,4) products, HALF_UP round)
+    * keeps the revenue sum bit-identical in both engines; the ORDER BY
+    * ends in l_orderkey for a total order under LIMIT. */
+  private[graft] val tpchQ3Sql: String =
+    """SELECT l_orderkey,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                   AS DOUBLE) AS revenue,
+              o_orderdate, o_orderpriority
+       FROM customer, orders, lineitem
+       WHERE c_mktsegment = 'BUILDING'
+         AND c_custkey = o_custkey
+         AND l_orderkey = o_orderkey
+         AND o_orderdate < TIMESTAMP '1995-03-15'
+         AND l_shipdate > TIMESTAMP '1995-03-15'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, o_orderdate, l_orderkey
+       LIMIT 10"""
+  private def sqlTpchQ3: Q = (s, d) => {
+    Seq("customer", "orders", "lineitem")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(tpchQ3Sql)
+  }
+
   /** Union distinct of two predicates (R15 two-branch union). */
   private def setUnion: Q = (s, d) => {
     val rich = t(s, d, "customer").where(col("c_acctbal") > 9000)
@@ -806,6 +834,7 @@ object Relational {
     "agg_percentile" -> aggPercentile,
     "join_skew_salted" -> joinSkewSalted,
     "join_skew_aqe" -> joinSkewAqe,
+    "sql_tpch_q3" -> sqlTpchQ3,
     "join_bucketed" -> joinBucketed,
     "obs_accounting" -> obsAccounting,
     "ingest_quarantine" -> ingestQuarantine,
@@ -1112,6 +1141,9 @@ object Relational {
          FROM orders JOIN nation ON o_custkey % 10 = n_nationkey
          WHERE n_nationkey < 10
          GROUP BY 1, 2 ORDER BY hot_key""",
+    // THE SAME STRING the Spark engine executes — one SQL text, two
+    // engines, hash-identical result.
+    "sql_tpch_q3" -> tpchQ3Sql,
     // AQE skew-splitting must not change results: oracle is the plain
     // join; the skew=true marker is pinned by PlanSpec.
     "join_skew_aqe" ->
