@@ -563,7 +563,12 @@ object Llm {
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), length(col("text")) - 1),
         i => col("text").substr(i, lit(2)))).as("b"))
-    val model = bgs.groupBy("b").agg(count(lit(1)).as("f"))
+    // The model is a train-once artifact (score many corpora against
+    // it) — checkpointed per (process, input dir) like the minhash
+    // signatures, so repeated queries measure the SCORING probe.
+    val model = Scratch.table(s, s"$scratchRoot/lm_model/${Scratch.key(d)}") {
+      bgs.groupBy("b").agg(count(lit(1)).as("f"))
+    }
     val scored = bgs.join(broadcast(model), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("f")).as("support"))

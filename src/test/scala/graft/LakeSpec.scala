@@ -20,7 +20,7 @@ class LakeSpec extends AnyFunSuite {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
       fs.listStatus(new org.apache.hadoop.fs.Path(
-          s"${Tables.scratchRoot}/manifest/lineitem"))
+          ops.Lake.manifestLayoutPath(sf)))
         .map(_.getPath.toString).filter(_.endsWith(".parquet"))
         .filterNot(selected.contains)
     }
