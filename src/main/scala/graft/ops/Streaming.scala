@@ -297,6 +297,33 @@ object Streaming {
       .orderBy("view_id", "purchase_id")
   }
 
+  /** Stream-static ENRICHMENT join — the most common production
+    * streaming shape (every micro-batch joins the stream against a
+    * slowly-changing reference table): events enrich against a
+    * broadcast category/weight dimension. Unlike stream-stream joins
+    * this keeps NO join state at all — the dim is rebroadcast per
+    * micro-batch, so state cost is zero and the stream side never
+    * shuffles for the join. The enriched rows land append-mode; the
+    * audit aggregate runs batch on the sink (dmul2/dsum2 exact-decimal
+    * discipline for the oracle hash). */
+  private def streamEnrich: Q = (s, d) => {
+    val dim = s.createDataFrame(Seq(
+      ("view", "browse", 1.0), ("click", "browse", 2.0),
+      ("purchase", "convert", 10.0), ("signup", "convert", 5.0),
+      ("error", "ops", 3.0))).toDF("event_type", "category", "weight")
+    val enriched = readEventStream(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(dim), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("category"),
+        graft.Tables.dmul2(col("value"), col("weight")).as("weighted"))
+    runToMemory(s, enriched, "stream_enrich_t", OutputMode.Append())
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_type")).as("n_types"),
+        dsum2(col("weighted")).as("total_weighted"))
+      .orderBy("category")
+  }
+
   private def streamSink: Q = (s, d) => {
     val out = streamDir("stream_sink/out")
     val st = readEventStream(s, d)
@@ -422,10 +449,29 @@ object Streaming {
     "stream_session" -> streamSession,
     "stream_tws" -> streamTws,
     "stream_join" -> streamJoin,
+    "stream_enrich" -> streamEnrich,
     "stream_sink" -> streamSink,
   )
 
   val oracles: Map[String, String] = Map(
+    // Stream-static enrichment ≡ its batch join (AvailableNow drains
+    // the full source); dmul2/dsum2 decimal chain mirrored exactly.
+    "stream_enrich" ->
+      """WITH dim(event_type, category, weight) AS (VALUES
+           ('view', 'browse', 1.0), ('click', 'browse', 2.0),
+           ('purchase', 'convert', 10.0), ('signup', 'convert', 5.0),
+           ('error', 'ops', 3.0)),
+           e AS (
+           SELECT category, event_type,
+                  CAST(round(CAST(value AS DECIMAL(18,4))
+                             * CAST(weight AS DECIMAL(18,4)), 2) AS DOUBLE)
+                    AS weighted
+           FROM events JOIN dim USING (event_type))
+         SELECT category, count(*) AS n,
+                count(DISTINCT event_type) AS n_types,
+                round(sum(CAST(weighted AS DECIMAL(18,4))), 2)::DOUBLE
+                  AS total_weighted
+         FROM e GROUP BY category ORDER BY category""",
     // 7 non-zip fixture files, 97 payload bytes (pins shared with
     // ingest_remote, computed independently with python zlib).
     "stream_remote" ->
