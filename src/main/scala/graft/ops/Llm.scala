@@ -892,6 +892,45 @@ object Llm {
           lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L).as("fp"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken — the MOSS
+    * algorithm): rolling hash of every k-gram (k=8 chars), then the MIN
+    * of each w-window (w=4) becomes a fingerprint — guaranteeing any
+    * shared substring of length ≥ k+w-1 produces at least one shared
+    * fingerprint, with only ~1/w of positions retained. The operator
+    * reports, per document, its fingerprint count and how many are
+    * shared with ≥1 other document (substring-level near-dup signal —
+    * between text_fingerprint's whole-doc hash and dedup_minhash's
+    * set-similarity). Exact integer math start to finish, so the
+    * DuckDB twin hash-matches. Scale shape: per-row HOFs (no
+    * cross-row work) → explode of ~len/w 8-byte fingerprints →
+    * df-aggregate + join back on the fingerprint; text never shuffles. */
+  private def textWinnow: Q = (s, d) => {
+    val k = 8
+    val w = 4
+    val p = 1000000007L
+    val chars = transform(split(col("text"), ""), c => ascii(c).cast("long"))
+    val grams = transform(
+      sequence(lit(1), greatest(size(chars) - (k - 1), lit(1))),
+      i => aggregate(slice(chars, i, lit(k)), lit(0L),
+        (acc, c) => (acc * 31 + c) % p))
+    val fps = array_distinct(transform(
+      sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
+      j => array_min(slice(grams, j, lit(w)))))
+    val docFps = fanOut(t(s, d, "documents"))
+      .select(col("doc_id"), explode(fps).as("fp"))
+    val shared = docFps.groupBy("fp")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .where(col("df") >= 2)
+      .select(col("fp"), lit(1).as("is_shared"))
+    docFps.join(shared, Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("is_shared").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("share_frac",
+        col("n_shared").cast("double") / col("n_fps"))
+      .orderBy("doc_id")
+  }
+
   /** Linear quality-model scoring — the "trained classifier" stage of a
     * corpus pipeline (text_quality computes features; this APPLIES a
     * weighted model and makes the keep/drop decision). Determinism
@@ -1017,6 +1056,7 @@ object Llm {
     "dedup_embed" -> dedupEmbed,
     "sim_ann_lsh" -> simAnnLsh,
     "text_fingerprint" -> textFingerprint,
+    "text_winnow" -> textWinnow,
     "pipeline_clean" -> pipelineClean,
     "sim_cosine_topk" -> simCosineTopk,
     "text_stats" -> textStats,
@@ -1292,6 +1332,36 @@ object Llm {
                                    c -> ord(c)::BIGINT)),
                   (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
          FROM documents ORDER BY doc_id""",
+    // Identical k-gram rolling hash, identical w-window min selection
+    // (k=8, w=4), identical fold seed — pure integer math throughout.
+    "text_winnow" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  list_transform(string_split(text, ''),
+                                 ch -> ord(ch)::BIGINT) AS chars
+           FROM documents),
+           g AS (
+           SELECT doc_id,
+                  list_transform(range(1, greatest(len(chars) - 7, 1) + 1),
+                    i -> list_reduce(list_prepend(0::BIGINT, chars[i:i+7]),
+                           (acc, ch) -> (acc * 31 + ch) % 1000000007)) AS grams
+           FROM c),
+           f AS (
+           SELECT doc_id,
+                  list_distinct(
+                    list_transform(range(1, greatest(len(grams) - 3, 1) + 1),
+                      j -> list_min(grams[j:j+3]))) AS fps
+           FROM g),
+           e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+           s AS (SELECT fp FROM e GROUP BY fp
+                 HAVING count(DISTINCT doc_id) >= 2)
+         SELECT e.doc_id, count(*) AS n_fps,
+                sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_shared,
+                sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                  / count(*) AS share_frac
+         FROM e LEFT JOIN s USING (fp)
+         GROUP BY e.doc_id ORDER BY doc_id""",
     // Identical LSH bucket function (plane literals from lshPlanes):
     // each query probes only its own bucket, as in the Spark plan —
     // exact-hash-verified, not merely rows-only.
