@@ -1034,7 +1034,51 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Edit-distance near-dup pairs (entity resolution on short strings:
+    * names, titles, product codes) — SymSpell-style deletion-neighborhood
+    * blocking. Every name emits itself plus its |name| single-character
+    * deletions; two strings at Levenshtein distance ≤ 1 ALWAYS share a
+    * variant (substitution → both delete that position; insert/delete →
+    * the longer's deletion equals the shorter), so the equi-join on the
+    * 8-byte variant hash is an EXACT candidate generator, and the final
+    * `levenshtein ≤ 1` filter removes hash-coincidence pairs. The
+    * brute-force O(n²) oracle proves the blocked path loses nothing.
+    *
+    * Scale shape: O(L) 8-byte keys per row cross the shuffle (never
+    * quadratic in corpus size — join groups are bounded by how many
+    * strings collapse to one variant); candidate ids then re-join the
+    * name table to verify. Contrast with an all-pairs cross join, which
+    * is dead at 100×. */
+  private def dedupFuzzy: Q = (s, d) => {
+    val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+    val name = col("c_name")
+    // sequence(1, 0) DESCENDS — guard the (theoretical) empty name.
+    val deletions = when(length(name) > 0,
+      transform(sequence(lit(1), length(name)),
+        i => concat(name.substr(lit(1), i - lit(1)),
+          name.substr(i + lit(1), length(name)))))
+      .otherwise(array().cast("array<string>"))
+    val variants = c.select(col("c_custkey"),
+      explode(array_union(array(name), deletions)).as("v"))
+      .select(col("c_custkey"), xxhash64(col("v")).as("vh"))
+    val a = variants.as("a")
+    val b = variants.as("b")
+    val cand = a.join(b, col("a.vh") === col("b.vh") &&
+        col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("a_id"), col("b.c_custkey").as("b_id"))
+      .distinct()
+    val an = c.select(col("c_custkey").as("a_id"), col("c_name").as("a_name"))
+    val bn = c.select(col("c_custkey").as("b_id"), col("c_name").as("b_name"))
+    cand.join(an, "a_id").join(bn, "b_id")
+      .withColumn("dist",
+        levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .where(col("dist") <= 1)
+      .select("a_id", "b_id", "dist")
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_fuzzy" -> dedupFuzzy,
     "text_repetition" -> textRepetition,
     "text_score" -> textScore,
     "embed_normalize" -> embedNormalize,
@@ -1077,6 +1121,15 @@ object Llm {
   private val duckCos = duckCosOf("q", "e")
 
   val oracles: Map[String, String] = Map(
+    // Brute-force O(n²) edit-distance: proves the SymSpell deletion-
+    // neighborhood blocking in dedupFuzzy loses no pair.
+    "dedup_fuzzy" ->
+      """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+                levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+         FROM customer a, customer b
+         WHERE a.c_custkey < b.c_custkey
+           AND levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY a_id, b_id""",
     // Pinned from tools/phash_oracle.py (independent python replication
     // of the stub-thumbnail average-hash + re-encode variant + hamming
     // pair math over the sf0.01 blobs, cross-checked against engine

@@ -323,7 +323,59 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top-3 terms per document — the classic salient-term
+    * extraction pass. Scoring is kept EXACT for the differential gate:
+    * idf is the rational n_docs/df instead of a log (log(double) is
+    * libm-dependent; Math.log and DuckDB's std::log can differ in the
+    * last ulp), so tfidf = (tf·N)/df is one IEEE division of exact
+    * integers — bit-identical in both engines, same ranking behavior
+    * (log is monotone in N/df).
+    *
+    * Scale shape: the TEXT never shuffles — only (doc_id, word) pairs
+    * after the explode. tf is one hash agg; df re-aggregates the tf
+    * table (strictly smaller); the scalar doc count broadcasts; top-3
+    * per doc plans as WindowGroupLimit (bounded per-group state), not
+    * a full per-doc sort. */
+  private def textTfidf: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("word"))
+    tf.join(dfreq, "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select("doc_id", "rk", "word", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Deterministic training-shard assignment: shard = md5-bucket mod 8
+    * (10000 % 8 == 0, so the buckets spread EXACTLY uniformly), position
+    * within shard by doc_id order. The map from row → (shard, pos) is a
+    * pure row property plus one rank — reruns produce byte-identical
+    * shards with no coordination, and a downstream writer turns this
+    * directly into `repartitionByRange(shard, pos).write` for N
+    * balanced, stably-ordered training files. */
+  private def corpusShard: Q = (s, d) => {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    t(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        pmod(hashBucket(col("doc_id")), lit(8L)).as("shard"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select("shard", "pos", "doc_id", "n_chars")
+      .orderBy("shard", "pos")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_tfidf" -> textTfidf,
+    "corpus_shard" -> corpusShard,
     "tok_encode" -> tokEncode,
     "sample_hash" -> sampleHash,
     "sample_stratified" -> sampleStratified,
@@ -344,6 +396,34 @@ object Pipeline {
     }
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         tf AS (
+           SELECT doc_id, word, count(*) AS tf FROM tok
+           WHERE word <> '' GROUP BY doc_id, word),
+         df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (
+           SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                  (tf.tf * n.n_docs)::DOUBLE / df.df::DOUBLE AS tfidf
+           FROM tf, df, n WHERE tf.word = df.word),
+         rk AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rk
+           FROM sc)
+         SELECT doc_id, rk, word, tf, df, tfidf
+         FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "corpus_shard" ->
+      s"""WITH a AS (
+            SELECT doc_id, n_chars,
+                   ${duckBucket("doc_id")} % 8 AS shard
+            FROM documents)
+          SELECT shard, row_number() OVER
+              (PARTITION BY shard ORDER BY doc_id) - 1 AS pos,
+            doc_id, n_chars
+          FROM a ORDER BY shard, pos""",
     "tok_encode" ->
       s"""WITH t AS (
             SELECT doc_id, string_split(text, ' ') AS words FROM documents),

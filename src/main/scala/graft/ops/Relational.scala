@@ -501,6 +501,130 @@ object Relational {
     s.sql(tpchQ3Sql)
   }
 
+  /** Recursive CTE (Spark 4 UnionLoop): ancestor-chain walk over the
+    * implicit binary-tree hierarchy anc(k)=floor(k/2) on s_suppkey —
+    * data-dependent O(log n) recursion depth, so each loop step is a
+    * narrow map over the previous step's frontier (no shuffle inside
+    * the loop; one hash agg at the end). FLOOR+CAST instead of integer
+    * division keeps the text portable: DuckDB CAST rounds half-up where
+    * JVM casts truncate, but FLOOR makes the value integral first. */
+  private[graft] val recursiveSql: String =
+    """WITH RECURSIVE chain(suppkey, anc, depth) AS (
+         SELECT s_suppkey, s_suppkey, 0 FROM supplier
+         UNION ALL
+         SELECT suppkey, CAST(FLOOR(anc / 2.0) AS BIGINT), depth + 1
+         FROM chain WHERE anc > 1
+       )
+       SELECT suppkey, CAST(max(depth) AS BIGINT) AS depth,
+              count(*) AS chain_len
+       FROM chain GROUP BY suppkey ORDER BY suppkey"""
+  private def sqlRecursive: Q = (s, d) => {
+    t(s, d, "supplier").createOrReplaceTempView("supplier")
+    s.sql(recursiveSql)
+  }
+
+  /** LATERAL correlated subquery with per-row ORDER BY … LIMIT (top-2
+    * suppliers per nation) — Catalyst decorrelates the limit into a
+    * window/rank, so the physical plan is one shuffle on the join key,
+    * not N correlated executions. Raw s_acctbal doubles pass through
+    * untouched → bit-identical in both engines. */
+  private[graft] val lateralSql: String =
+    """SELECT n_name, s_name, s_acctbal
+       FROM nation n,
+       LATERAL (SELECT s_name, s_acctbal FROM supplier s
+                WHERE s.s_nationkey = n.n_nationkey
+                ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+       ORDER BY n_name, s_acctbal DESC, s_name"""
+  private def sqlLateral: Q = (s, d) => {
+    Seq("nation", "supplier")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(lateralSql)
+  }
+
+  /** Correlated EXISTS / NOT EXISTS / scalar-count subqueries in one
+    * statement — Catalyst rewrites them to semi/anti/left joins (one
+    * pass over orders each), never a per-row re-execution. */
+  private[graft] val existsSql: String =
+    """SELECT c_custkey, c_name,
+              (SELECT count(*) FROM orders o
+               WHERE o.o_custkey = c.c_custkey) AS n_orders
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority = '1-URGENT')
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderstatus = 'F'
+                           AND o.o_totalprice > 350000)
+       ORDER BY c_custkey"""
+  private def sqlExists: Q = (s, d) => {
+    Seq("customer", "orders")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(existsSql)
+  }
+
+  /** TPC-H Q18 shape (large-volume customers): IN-subquery with a
+    * grouped HAVING, three-way join, re-aggregation. sum(l_quantity)
+    * is exact despite DOUBLE storage — the values are integer-valued
+    * and far below 2^53, so the sum is order-independent. ORDER BY
+    * ends in o_orderkey for a total order under LIMIT. */
+  private[graft] val tpchQ18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+              sum(l_quantity) AS total_qty
+       FROM customer, orders, lineitem
+       WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                            GROUP BY l_orderkey
+                            HAVING sum(l_quantity) > 300)
+         AND c_custkey = o_custkey
+         AND o_orderkey = l_orderkey
+       GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+       ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+       LIMIT 100"""
+  private def sqlTpchQ18: Q = (s, d) => {
+    Seq("customer", "orders", "lineitem")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(tpchQ18Sql)
+  }
+
+  /** Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): year-over-year
+    * reconciliation of order-status groups where the 'P' status is
+    * nulled out upstream (NULLIF) — a plain equi join silently DROPS the
+    * NULL group on both sides; the null-safe comparator keeps it as a
+    * matching key, which is the difference this query demonstrates.
+    * Plans as a hash join exactly like `=` (null-safe equality is
+    * hashable), so the scale posture is unchanged. */
+  private def joinNullsafe: Q = (s, d) => {
+    def byYear(y: Int) = t(s, d, "orders")
+      .where(year(col("o_orderdate")) === y)
+      .groupBy(expr("nullif(o_orderstatus, 'P')").as("k"))
+      .agg(count(lit(1)).as(s"n_$y"))
+    val a = byYear(1995).as("a")
+    val b = byYear(1996).as("b")
+    a.join(b, col("a.k") <=> col("b.k"), "full_outer")
+      .select(
+        coalesce(col("a.k"), col("b.k"), lit("P(nulled)")).as("grp"),
+        coalesce(col("n_1995"), lit(0L)).as("n_1995"),
+        coalesce(col("n_1996"), lit(0L)).as("n_1996"))
+      .orderBy("grp")
+  }
+
+  /** width_bucket linear histogram (size-distribution reporting, the
+    * SQL-standard bucketing the reference's monitor summaries imply):
+    * 20 buckets of 5000 over l_extendedprice, clamped at the edges.
+    * bucket = clamp(floor(x / 5000.0)) is subtraction-free single-op
+    * IEEE math, identical bit-for-bit in both engines; sum(l_quantity)
+    * is exact (integer-valued doubles). One map + one hash agg with
+    * map-side partials — O(buckets) rows cross the shuffle. */
+  private def aggHistogram: Q = (s, d) => {
+    val bucket = least(greatest(floor(col("l_extendedprice") / 5000.0),
+      lit(0.0)), lit(19.0)).cast("long")
+    t(s, d, "lineitem")
+      .select(bucket.as("bucket"), col("l_quantity"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy("bucket")
+  }
+
   /** Union distinct of two predicates (R15 two-branch union). */
   private def setUnion: Q = (s, d) => {
     val rich = t(s, d, "customer").where(col("c_acctbal") > 9000)
@@ -805,6 +929,7 @@ object Relational {
     "join_anti" -> joinAnti,
     "join_theta" -> joinTheta,
     "join_full" -> joinFull,
+    "join_nullsafe" -> joinNullsafe,
     "join_cross" -> joinCross,
     "join_bloom" -> joinBloom,
     "join_range" -> joinRange,
@@ -815,6 +940,7 @@ object Relational {
     "agg_approx" -> aggApprox,
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_rollup" -> aggRollup,
+    "agg_histogram" -> aggHistogram,
     "agg_cube" -> aggCube,
     "agg_gsets" -> aggGsets,
     "agg_pivot" -> aggPivot,
@@ -835,6 +961,10 @@ object Relational {
     "join_skew_salted" -> joinSkewSalted,
     "join_skew_aqe" -> joinSkewAqe,
     "sql_tpch_q3" -> sqlTpchQ3,
+    "sql_tpch_q18" -> sqlTpchQ18,
+    "sql_recursive" -> sqlRecursive,
+    "sql_lateral" -> sqlLateral,
+    "sql_exists" -> sqlExists,
     "join_bucketed" -> joinBucketed,
     "obs_accounting" -> obsAccounting,
     "ingest_quarantine" -> ingestQuarantine,
@@ -971,6 +1101,23 @@ object Relational {
                 round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY flag, status""",
+    "agg_histogram" ->
+      """SELECT CAST(least(greatest(floor(l_extendedprice / 5000.0), 0), 19)
+                     AS BIGINT) AS bucket,
+                count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY 1 ORDER BY bucket""",
+    "join_nullsafe" ->
+      """WITH a AS (SELECT nullif(o_orderstatus, 'P') AS k,
+                           count(*) AS n_1995
+                    FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+              b AS (SELECT nullif(o_orderstatus, 'P') AS k,
+                           count(*) AS n_1996
+                    FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+         SELECT coalesce(a.k, b.k, 'P(nulled)') AS grp,
+                coalesce(n_1995, 0) AS n_1995,
+                coalesce(n_1996, 0) AS n_1996
+         FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k
+         ORDER BY grp""",
     "agg_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
                 coalesce(o_orderpriority, 'ALL') AS priority,
@@ -1144,6 +1291,10 @@ object Relational {
     // THE SAME STRING the Spark engine executes — one SQL text, two
     // engines, hash-identical result.
     "sql_tpch_q3" -> tpchQ3Sql,
+    "sql_tpch_q18" -> tpchQ18Sql,
+    "sql_recursive" -> recursiveSql,
+    "sql_lateral" -> lateralSql,
+    "sql_exists" -> existsSql,
     // AQE skew-splitting must not change results: oracle is the plain
     // join; the skew=true marker is pinned by PlanSpec.
     "join_skew_aqe" ->

@@ -214,4 +214,21 @@ class LlmSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp === fp2)
   }
+
+  test("dedup_fuzzy deletion-neighborhood blocking equals brute force") {
+    import org.apache.spark.sql.functions._
+    val sf = SharedSpark.sf
+    val blocked = SparkEntry.queries("dedup_fuzzy")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val c = Tables.t(spark, sf, "customer").select("c_custkey", "c_name")
+    val brute = c.as("a").crossJoin(c.as("b"))
+      .where(col("a.c_custkey") < col("b.c_custkey"))
+      .withColumn("dist",
+        levenshtein(col("a.c_name"), col("b.c_name")).cast("long"))
+      .where(col("dist") <= 1)
+      .select(col("a.c_custkey"), col("b.c_custkey"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked === brute, "SymSpell blocking must lose no pair")
+    assert(brute.nonEmpty, "fixture must contain at least one close pair")
+  }
 }

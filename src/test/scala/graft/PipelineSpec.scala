@@ -165,4 +165,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaQuery.columns.toSeq === Seq("doc_id", "ulang", "clean"))
     assert(viaQuery.count() === Tables.t(spark, sf, "documents").count())
   }
+
+  test("text_tfidf: ≤3 terms per doc, rank-ordered by score then word") {
+    val rows = run("text_tfidf")
+      .select("doc_id", "rk", "word", "tfidf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.values.forall(_.length <= 3))
+    byDoc.values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to g.length).toSeq)
+      // score non-increasing with rank; ties broken by word ascending
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+            s"rank order violated: $a then $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("corpus_shard: uniform md5 sharding, contiguous stable positions") {
+    val rows = run("corpus_shard")
+      .select("shard", "pos", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).distinct.length === rows.length, "every doc once")
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).sorted.toSeq === (0L until g.length).toSeq,
+        "positions contiguous from 0 within shard")
+      // position order must follow doc_id order (stable rerun contract)
+      assert(g.sortBy(_._2).map(_._3).toSeq === g.map(_._3).sorted.toSeq)
+    }
+    assert(rows.map(_._1).distinct.sorted.toSeq === (0L to 7L).toSeq,
+      "all 8 shards populated")
+  }
 }

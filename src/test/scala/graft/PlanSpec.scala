@@ -84,4 +84,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("xxhash64"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("sql_lateral decorrelates the per-row LIMIT into a group-limit window") {
+    val p = planOf("sql_lateral")
+    // The correlated ORDER BY … LIMIT 2 must become one shuffle on the
+    // join key + WindowGroupLimit (bounded per-group state), never a
+    // per-outer-row re-execution or a cartesian.
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sql_exists rewrites EXISTS/NOT EXISTS to semi/anti joins") {
+    val p = planOf("sql_exists")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("sql_recursive plans a UnionLoop (native recursive CTE, no driver loop)") {
+    val p = planOf("sql_recursive")
+    assert(p.contains("UnionLoop"), p)
+  }
+
+  test("sql_tpch_q18 semi-reduces orders by the HAVING subquery (LeftSemi, no re-scan blowup)") {
+    val p = planOf("sql_tpch_q18")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

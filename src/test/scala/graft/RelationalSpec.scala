@@ -282,4 +282,23 @@ class RelationalSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSeq === Seq(("ok", 3L, 70L), ("quarantined", 2L, 30L)))
   }
+
+  test("agg_histogram: buckets clamped to [0,19] and counts conserve rows") {
+    val rows = SparkEntry.queries("agg_histogram")(spark, sf).collect()
+    val buckets = rows.map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0L && b <= 19L), buckets.toSeq)
+    assert(buckets.distinct.length === buckets.length)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === Tables.t(spark, sf, "lineitem").count())
+  }
+
+  test("join_nullsafe keeps the NULL group a plain equi join drops") {
+    val nullsafe = SparkEntry.queries("join_nullsafe")(spark, sf).collect()
+    val grps = nullsafe.map(_.getString(0))
+    assert(grps.contains("P(nulled)"), grps.toSeq)
+    // The nulled group matched across BOTH years (not a dangling outer
+    // row): its counts are nonzero on each side.
+    val p = nullsafe.find(_.getString(0) == "P(nulled)").get
+    assert(p.getLong(1) > 0L && p.getLong(2) > 0L, p.toString)
+  }
 }
