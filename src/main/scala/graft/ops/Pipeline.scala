@@ -373,7 +373,29 @@ object Pipeline {
       .orderBy("shard", "pos")
   }
 
+  /** Fixed-size overlapping document chunking (the pre-embedding pass:
+    * retrieval corpora index CHUNKS, not documents): stride 100, window
+    * 120 → 20-char overlap between neighbors, last chunk ragged. The
+    * chunk set is a pure per-row property (generator expression, no
+    * shuffle, no UDF); chunk_id is the stable join-back key to the
+    * parent doc. Empty docs are filtered in both engines (sequence /
+    * generate_series would invert on a negative upper bound). */
+  private def textChunk: Q = (s, d) => {
+    val len = length(col("text"))
+    val lastChunk = floor((len - 1).cast("double") / 100.0d).cast("int")
+    t(s, d, "documents")
+      .where(len > 0)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lastChunk),
+          i => col("text").substr(i * 100 + 1, lit(120)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col").as("chunk_text"),
+        length(col("col")).cast("long").as("chunk_len"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_chunk" -> textChunk,
     "text_tfidf" -> textTfidf,
     "corpus_shard" -> corpusShard,
     "tok_encode" -> tokEncode,
@@ -396,6 +418,16 @@ object Pipeline {
     }
 
   val oracles: Map[String, String] = Map(
+    "text_chunk" ->
+      """SELECT doc_id, i AS chunk_id,
+                substr(text, CAST(i * 100 + 1 AS INT), 120) AS chunk_text,
+                length(substr(text, CAST(i * 100 + 1 AS INT), 120))::BIGINT
+                  AS chunk_len
+         FROM documents,
+              LATERAL unnest(generate_series(0,
+                CAST(floor((length(text) - 1) / 100.0) AS BIGINT))) AS u(i)
+         WHERE length(text) > 0
+         ORDER BY doc_id, chunk_id""",
     "text_tfidf" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS word

@@ -586,6 +586,45 @@ object Relational {
     s.sql(tpchQ18Sql)
   }
 
+  /** Time-interval RANGE window frame (30-day rolling spend per
+    * customer) — the event-time sliding aggregate in BATCH form, shared
+    * text in both engines (named WINDOW clause). The moving sum runs on
+    * DECIMAL inside the frame: engines accumulate moving aggregates in
+    * different orders (segment trees vs running add/subtract), which is
+    * invisible for exact decimals and a hash mismatch for doubles. */
+  private[graft] val windowRangeSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                   AS DOUBLE) AS roll30,
+              count(*) OVER w AS n30
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                    RANGE BETWEEN INTERVAL '30' DAY PRECEDING
+                          AND CURRENT ROW)
+       ORDER BY o_orderkey"""
+  private def sqlWindowRange: Q = (s, d) => {
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql(windowRangeSql)
+  }
+
+  /** Exact distinct counting via two-level BITMAP aggregation — the
+    * scalable exact alternative to approx_count_distinct: level 1
+    * ORs ids into fixed-size per-bucket bitmaps (map-side combinable;
+    * only 4 KB bitmaps cross the shuffle, never raw ids), level 2 sums
+    * popcounts. Unlike count(DISTINCT) there is no per-group id
+    * de-dup shuffle of the full key stream, and unlike HLL the answer
+    * is EXACT — which is why the plain count(DISTINCT) oracle
+    * hash-matches it. */
+  private def aggBitmap: Q = (s, d) =>
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"),
+        expr("bitmap_bucket_number(o_custkey)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+        .as("sub_bitmap"))
+      .groupBy("o_orderpriority")
+      .agg(sum(expr("bitmap_count(sub_bitmap)")).as("exact_distinct"))
+      .orderBy("o_orderpriority")
+
   /** Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): year-over-year
     * reconciliation of order-status groups where the 'P' status is
     * nulled out upstream (NULLIF) — a plain equi join silently DROPS the
@@ -941,6 +980,8 @@ object Relational {
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_rollup" -> aggRollup,
     "agg_histogram" -> aggHistogram,
+    "agg_bitmap" -> aggBitmap,
+    "sql_window_range" -> sqlWindowRange,
     "agg_cube" -> aggCube,
     "agg_gsets" -> aggGsets,
     "agg_pivot" -> aggPivot,
@@ -1295,6 +1336,14 @@ object Relational {
     "sql_recursive" -> recursiveSql,
     "sql_lateral" -> lateralSql,
     "sql_exists" -> existsSql,
+    "sql_window_range" -> windowRangeSql,
+    // Bitmap distinct is EXACT, so the plain distinct count is a valid
+    // oracle — the bitmap path is the distributed-execution strategy,
+    // not an approximation.
+    "agg_bitmap" ->
+      """SELECT o_orderpriority,
+                count(DISTINCT o_custkey) AS exact_distinct
+         FROM orders GROUP BY 1 ORDER BY 1""",
     // AQE skew-splitting must not change results: oracle is the plain
     // join; the skew=true marker is pinned by PlanSpec.
     "join_skew_aqe" ->

@@ -185,6 +185,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("text_chunk: stride-100/window-120 chunks reassemble the document") {
+    import org.apache.spark.sql.functions.col
+    val chunks = run("text_chunk")
+      .select("doc_id", "chunk_id", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).map { case (id, g) =>
+        id -> g.sortBy(_._2).map(_._3)
+      }
+    val texts = Tables.t(spark, sf, "documents")
+      .where(col("text") =!= "").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(chunks.keySet === texts.keySet)
+    chunks.foreach { case (id, cs) =>
+      val rebuilt = cs.dropRight(1).map(_.take(100)).mkString + cs.last
+      assert(rebuilt === texts(id), s"doc $id chunks must tile the text")
+      // A non-last chunk spans [101, 120] chars: ≥101 because another
+      // chunk starts 100 further in, ≤120 by the window size.
+      cs.dropRight(1).foreach(c =>
+        assert(c.length >= 101 && c.length <= 120, c.length))
+    }
+  }
+
   test("corpus_shard: uniform md5 sharding, contiguous stable positions") {
     val rows = run("corpus_shard")
       .select("shard", "pos", "doc_id").collect()

@@ -85,6 +85,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("agg_bitmap shuffles fixed-size bitmaps, not a raw-id distinct expand") {
+    val p = planOf("agg_bitmap")
+    assert(p.contains("bitmap_construct_agg"), p)
+    // count(DISTINCT)'s rewrite inserts an Expand; the bitmap path must not.
+    assert(!p.contains("Expand"), p)
+  }
+
   test("sql_lateral decorrelates the per-row LIMIT into a group-limit window") {
     val p = planOf("sql_lateral")
     // The correlated ORDER BY … LIMIT 2 must become one shuffle on the
