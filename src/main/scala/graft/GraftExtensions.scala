@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expr.DotProductF64].getName, "dot64"),
       (exprs: Seq[Expression]) =>
         graft.expr.DotProductF64(exprs.head, exprs(1))))
+    e.injectFunction((new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[graft.expr.WinnowFps].getName, "winnow_fps"),
+      (exprs: Seq[Expression]) => graft.expr.WinnowFps(exprs.head)))
   }
 }
 

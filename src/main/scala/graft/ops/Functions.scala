@@ -225,7 +225,27 @@ object Functions {
         shiftright(col("o_orderkey"), 2).as("shr2"))
       .orderBy("o_orderkey")
 
+  /** Error-safe kernels (try_cast / try_divide): malformed input yields
+    * NULL instead of failing the task — at 100 TB a single dirty row
+    * three billion rows in must NOT kill the job; the nulls flow to the
+    * quarantine/audit side instead. Dirt is derived deterministically
+    * (every 7th row's "numeric" field is actually a word; every 5th
+    * divisor is zero) so the oracle sees identical rows. */
+  private def fnTry: Q = (s, d) =>
+    events(s, d)
+      .select(col("event_id"),
+        when(pmod(col("event_id"), lit(7)) === 0, col("event_type"))
+          .otherwise(col("event_id").cast("string")).as("raw"),
+        col("value"),
+        pmod(col("event_id"), lit(5)).cast("double").as("den"))
+      .select(col("event_id"),
+        expr("try_cast(raw AS BIGINT)").as("parsed"),
+        try_divide(col("value"), col("den")).as("ratio"))
+      .withColumn("ok", col("parsed").isNotNull && col("ratio").isNotNull)
+      .orderBy("event_id")
+
   val queries: Map[String, Q] = Map(
+    "fn_try" -> fnTry,
     "fn_hash" -> fnHash,
     "fn_conditional" -> fnConditional,
     "fn_bitwise" -> fnBitwise,
@@ -243,6 +263,19 @@ object Functions {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_try" ->
+      """WITH e AS (
+           SELECT event_id,
+                  CASE WHEN event_id % 7 = 0 THEN event_type
+                       ELSE CAST(event_id AS VARCHAR) END AS raw,
+                  value, CAST(event_id % 5 AS DOUBLE) AS den
+           FROM events)
+         SELECT event_id,
+                TRY_CAST(raw AS BIGINT) AS parsed,
+                value / NULLIF(den, 0) AS ratio,
+                (TRY_CAST(raw AS BIGINT) IS NOT NULL
+                 AND value / NULLIF(den, 0) IS NOT NULL) AS ok
+         FROM e ORDER BY event_id""",
     "fn_hash" ->
       """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
                 length(text)::BIGINT AS n_chars_text

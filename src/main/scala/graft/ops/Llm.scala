@@ -904,7 +904,12 @@ object Llm {
     * DuckDB twin hash-matches. Scale shape: per-row HOFs (no
     * cross-row work) → explode of ~len/w 8-byte fingerprints →
     * df-aggregate + join back on the fingerprint; text never shuffles. */
-  private def textWinnow: Q = (s, d) => {
+  /** The nested-HOF formulation of the winnow fingerprint chain — kept
+    * ONLY for LlmSpec's bit-identity cross-check against the native
+    * expression. Interpreted lambdas re-evaluate referenced subtrees
+    * per element, so this is O(len³)/row — never put it on a hot path
+    * (it is why WinnowFps exists). */
+  private[graft] def winnowFpsHof: Column = {
     val k = 8
     val w = 4
     val p = 1000000007L
@@ -913,9 +918,13 @@ object Llm {
       sequence(lit(1), greatest(size(chars) - (k - 1), lit(1))),
       i => aggregate(slice(chars, i, lit(k)), lit(0L),
         (acc, c) => (acc * 31 + c) % p))
-    val fps = array_distinct(transform(
+    array_distinct(transform(
       sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
       j => array_min(slice(grams, j, lit(w)))))
+  }
+
+  private def textWinnow: Q = (s, d) => {
+    val fps = call_function("winnow_fps", col("text"))
     val docFps = fanOut(t(s, d, "documents"))
       .select(col("doc_id"), explode(fps).as("fp"))
     val shared = docFps.groupBy("fp")

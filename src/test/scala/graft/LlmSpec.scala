@@ -215,6 +215,36 @@ class LlmSpec extends AnyFunSuite {
     assert(fp === fp2)
   }
 
+  test("winnow_fps native expression is bit-identical to the HOF formulation") {
+    import org.apache.spark.sql.functions._
+    // The HOF side is O(len³)/row (the very reason the native expression
+    // exists) — cross-check a handful of real docs, not the corpus.
+    val docs = Tables.t(spark, SharedSpark.sf, "documents")
+      .where(col("doc_id") < 5).select(col("doc_id"), col("text"))
+    val native = docs.select(col("doc_id"),
+      call_function("winnow_fps", col("text")).as("fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = docs.select(col("doc_id"),
+      graft.ops.Llm.winnowFpsHof.as("fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet === hof.keySet)
+    // Same distinct fingerprints in the same first-occurrence order.
+    native.foreach { case (id, fps) =>
+      assert(fps === hof(id), s"doc $id fingerprint mismatch")
+    }
+    // Edge cases the corpus lacks: empty, shorter than k, shorter than k+w-1.
+    val edge = spark.createDataFrame(Seq(
+      (0L, ""), (1L, "ab"), (2L, "abcdefgh"), (3L, "abcdefghij")))
+      .toDF("doc_id", "text")
+    val en = edge.select(col("doc_id"),
+      call_function("winnow_fps", col("text")).as("fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val eh = edge.select(col("doc_id"),
+      graft.ops.Llm.winnowFpsHof.as("fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    en.foreach { case (id, fps) => assert(fps === eh(id), s"edge doc $id") }
+  }
+
   test("dedup_fuzzy deletion-neighborhood blocking equals brute force") {
     import org.apache.spark.sql.functions._
     val sf = SharedSpark.sf
