@@ -220,6 +220,35 @@ object Lake {
       .orderBy("c_mktsegment")
   }
 
+  /** Dynamic partition overwrite — INSERT OVERWRITE that replaces ONLY
+    * the partitions the restatement touches: the initial load writes
+    * every year; a late correction rewrites year=1995 alone, and the
+    * other year partitions' files are left physically untouched (static
+    * overwrite mode would truncate the whole table first — the classic
+    * footgun). This is the idempotent backfill primitive at lake scale:
+    * re-running a day's restatement replaces that day, never the table.
+    * Audit: per-year totals — 1995 carries the +1 restatement, other
+    * years prove their survival. */
+  private def sinkOverwriteDynamic: Q = (s, d) => {
+    val base = s"$scratchRoot/dynover/orders"
+    val o = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("yr"))
+    o.write.mode("overwrite").partitionBy("yr").parquet(base)
+    val restated = o.where(col("yr") === 1995)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0d)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val old = s.conf.get(key)
+    s.conf.set(key, "dynamic")
+    try restated.write.mode("overwrite").partitionBy("yr").parquet(base)
+    finally s.conf.set(key, old)
+    s.read.parquet(base)
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+      .select(col("yr").cast("long").as("yr"), col("n"), col("total"))
+      .orderBy("yr")
+  }
+
   /** arg-max/arg-min aggregates (`max_by`/`min_by`) + `mode` — "which
     * row holds the extreme" without a self-join or window: one hash
     * aggregate, partials carry a single (value, arg) pair per group so
@@ -398,6 +427,7 @@ object Lake {
     "scan_json" -> scanJson,
     "scan_dpp" -> scanDpp,
     "sink_scd2" -> sinkScd2,
+    "sink_overwrite_dynamic" -> sinkOverwriteDynamic,
     "agg_argmax" -> aggArgmax,
     "agg_hll_merge" -> aggHllMerge,
   )
@@ -478,6 +508,16 @@ object Lake {
                 round(sum(o_totalprice::DECIMAL(18,4)), 2)::DOUBLE AS total_price
          FROM orders WHERE year(o_orderdate) IN (2000, 2001)
          GROUP BY 1 ORDER BY o_year""",
+    // The restatement only re-prices 1995 (+1 per order); the other
+    // partitions must read back unchanged (LakeSpec pins the files
+    // physically untouched).
+    "sink_overwrite_dynamic" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n,
+                round(sum(CAST(o_totalprice
+                               + CASE WHEN year(o_orderdate) = 1995
+                                      THEN 1.0 ELSE 0.0 END
+                               AS DECIMAL(18,4))), 2)::DOUBLE AS total
+         FROM orders GROUP BY 1 ORDER BY yr""",
     "sink_scd2" ->
       """WITH v AS (
            SELECT c_custkey, c_mktsegment, c_acctbal,

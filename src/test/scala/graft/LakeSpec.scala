@@ -218,4 +218,31 @@ class LakeSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(direct === approx)
   }
+
+  test("dynamic partition overwrite rewrites only the touched partition") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    def listing(dir: String): Set[String] =
+      Files.list(Paths.get(dir)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    val base = s"${Tables.scratchRoot}/dynover_spec"
+    Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1)).toDF("v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(base)
+    val untouchedBefore = listing(s"$base/p=1")
+    val touchedBefore = listing(s"$base/p=0")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try Seq((9L, 0)).toDF("v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(base)
+    finally spark.conf.set(key, old)
+    // p=1's files survive byte-for-byte (same names, never rewritten);
+    // p=0 was replaced. Static mode would have truncated p=1 away.
+    assert(listing(s"$base/p=1") === untouchedBefore)
+    assert(listing(s"$base/p=0") !== touchedBefore)
+    val readBack = spark.read.parquet(base)
+      .select("v", "p").as[(Long, Int)].collect().toSet
+    assert(readBack === Set((9L, 0), (3L, 1), (4L, 1)))
+  }
 }
