@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((new FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[graft.expr.WinnowFps].getName, "winnow_fps"),
       (exprs: Seq[Expression]) => graft.expr.WinnowFps(exprs.head)))
+    e.injectFunction((new FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[graft.expr.RepetitionStats].getName,
+        "repetition_stats"),
+      (exprs: Seq[Expression]) => graft.expr.RepetitionStats(exprs.head)))
   }
 }
 

@@ -1015,7 +1015,11 @@ object Llm {
     * the explode + groupBy(doc, bigram) + top-1 alternative, which
     * pays two full-corpus shuffles to compute the same per-doc scalar.
     * All counts are integers; each fraction is ONE IEEE division. */
-  private def textRepetition: Q = (s, d) => {
+  /** The HOF formulation of the repetition counts — kept ONLY for
+    * LlmSpec's bit-identity cross-check against RepetitionStats.
+    * O(words³)/row (lambdas re-evaluate referenced subtrees per
+    * element); never put it on a hot path. */
+  private[graft] def repetitionHof: Column = {
     val words = split(col("text"), " ")
     val n = size(words)
     val nDistinct = size(array_distinct(words))
@@ -1029,13 +1033,24 @@ object Llm {
       array_max(transform(array_distinct(bigrams),
         b => size(filter(bigrams, x => x === b)))),
       lit(0))
+    struct(n.cast("long").as("n_words"),
+      nDistinct.cast("long").as("n_distinct_words"),
+      topBigram.cast("long").as("top_bigram_n"))
+  }
+
+  private def textRepetition: Q = (s, d) => {
+    val st = call_function("repetition_stats", col("text"))
+    val n = col("st.n_words")
+    val nDistinct = col("st.n_distinct_words")
+    val topBigram = col("st.top_bigram_n")
     t(s, d, "documents")
+      .select(col("doc_id"), st.as("st"))
       .select(col("doc_id"),
-        n.cast("long").as("n_words"),
-        nDistinct.cast("long").as("n_distinct_words"),
+        n.as("n_words"),
+        nDistinct.as("n_distinct_words"),
         ((n - nDistinct).cast("double") / n.cast("double"))
           .as("dup_word_frac"),
-        topBigram.cast("long").as("top_bigram_n"),
+        topBigram.as("top_bigram_n"),
         when(n > 1, topBigram.cast("double") / (n - 1).cast("double"))
           .otherwise(0.0d).as("top_bigram_frac"))
       .withColumn("flagged",

@@ -245,6 +245,30 @@ class LlmSpec extends AnyFunSuite {
     en.foreach { case (id, fps) => assert(fps === eh(id), s"edge doc $id") }
   }
 
+  test("repetition_stats native kernel is bit-identical to the HOF formulation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.t(spark, SharedSpark.sf, "documents")
+      .select(col("doc_id"), col("text"))
+    def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      val s = r.getStruct(1)
+      r.getLong(0) -> (s.getLong(0), s.getLong(1), s.getLong(2))
+    }.toMap
+    val native = asMap(docs.select(col("doc_id"),
+      call_function("repetition_stats", col("text")).as("st")).collect())
+    val hof = asMap(docs.select(col("doc_id"),
+      graft.ops.Llm.repetitionHof.as("st")).collect())
+    assert(native === hof)
+    val edge = spark.createDataFrame(Seq(
+      (0L, ""), (1L, "word"), (2L, "a a a a a"), (3L, "x y x y x y"),
+      (4L, "trailing space "), (5L, "  double  gaps")))
+      .toDF("doc_id", "text")
+    val en = asMap(edge.select(col("doc_id"),
+      call_function("repetition_stats", col("text")).as("st")).collect())
+    val eh = asMap(edge.select(col("doc_id"),
+      graft.ops.Llm.repetitionHof.as("st")).collect())
+    assert(en === eh)
+  }
+
   test("dedup_fuzzy deletion-neighborhood blocking equals brute force") {
     import org.apache.spark.sql.functions._
     val sf = SharedSpark.sf
