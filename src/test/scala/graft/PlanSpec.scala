@@ -85,6 +85,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("join_interval plans an EQUI join on (user, cell), never BNLJ/cartesian") {
+    val p = planOf("join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("cell"), p)
+  }
+
   test("agg_bitmap shuffles fixed-size bitmaps, not a raw-id distinct expand") {
     val p = planOf("agg_bitmap")
     assert(p.contains("bitmap_construct_agg"), p)
