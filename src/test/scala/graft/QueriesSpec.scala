@@ -17,7 +17,9 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   // Queries whose result can legitimately be empty at tiny scale.
-  private val mayBeEmpty = Set("join_range")
+  // join_interval: sf0.001 has no view/purchase pair within 5 minutes
+  // (8 pairs at the sf0.01 gate).
+  private val mayBeEmpty = Set("join_range", "join_interval")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
