@@ -656,6 +656,37 @@ object Relational {
       .agg(sum(expr("bitmap_count(sub_bitmap)")).as("exact_distinct"))
       .orderBy("o_orderpriority")
 
+  /** Exact single-pass Pearson correlation per group — the moment-sums
+    * formulation (n, Σx, Σy, Σx², Σxy, Σy²) with every sum EXACT
+    * decimal (order-insensitive, map-side combinable, mergeable across
+    * partitions — the property built-in `corr` loses by accumulating
+    * doubles in partition order). The final corr assembles from the six
+    * sums in doubles — with each sum ROUNDED TO AN INTEGER decimal
+    * first: a fractional decimal→double cast is correctly rounded in
+    * one engine and off-by-an-ulp near ties in the other (observed on
+    * Σxy), while integers below 2^53 convert EXACTLY everywhere (the
+    * largest moment here, Σy², is ~2.2e14 at sf0.1 — safe through
+    * ~sf10; beyond that, pre-scale y). The rounding perturbs corr by
+    * ~1e-11 relative and is defined identically in both engines.
+    * One hash agg, O(groups·6) shuffle. */
+  private def aggCorr: Q = (s, d) => {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    val nD = col("n").cast("double")
+    def dbl(c: String) = round(col(c), 0).cast("double")
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sxd"), sum(y).as("syd"),
+        sum(x * x).as("sxxd"), sum(x * y).as("sxyd"), sum(y * y).as("syyd"))
+      .select(col("l_returnflag"), col("n"),
+        ((nD * dbl("sxyd") - dbl("sxd") * dbl("syd")) /
+          (sqrt(nD * dbl("sxxd") - dbl("sxd") * dbl("sxd")) *
+            sqrt(nD * dbl("syyd") - dbl("syd") * dbl("syd"))))
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): year-over-year
     * reconciliation of order-status groups where the 'P' status is
     * nulled out upstream (NULLIF) — a plain equi join silently DROPS the
@@ -1013,6 +1044,7 @@ object Relational {
     "agg_rollup" -> aggRollup,
     "agg_histogram" -> aggHistogram,
     "agg_bitmap" -> aggBitmap,
+    "agg_corr" -> aggCorr,
     "sql_window_range" -> sqlWindowRange,
     "agg_cube" -> aggCube,
     "agg_gsets" -> aggGsets,
@@ -1174,6 +1206,28 @@ object Relational {
                 round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY flag, status""",
+    "agg_corr" ->
+      """WITH a AS (
+           SELECT l_returnflag, count(*) AS n,
+                  CAST(round(sum(CAST(l_quantity AS DECIMAL(19,4))), 0)
+                       AS DOUBLE) AS sx,
+                  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(19,4))), 0)
+                       AS DOUBLE) AS sy,
+                  CAST(round(sum(CAST(l_quantity AS DECIMAL(19,4))
+                             * CAST(l_quantity AS DECIMAL(19,4))), 0)
+                       AS DOUBLE) AS sxx,
+                  CAST(round(sum(CAST(l_quantity AS DECIMAL(19,4))
+                             * CAST(l_extendedprice AS DECIMAL(19,4))), 0)
+                       AS DOUBLE) AS sxy,
+                  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                             * CAST(l_extendedprice AS DECIMAL(19,4))), 0)
+                       AS DOUBLE) AS syy
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+                (n * sxy - sx * sy) /
+                (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                  AS corr_qty_price
+         FROM a ORDER BY l_returnflag""",
     "agg_histogram" ->
       """SELECT CAST(least(greatest(floor(l_extendedprice / 5000.0), 0), 19)
                      AS BIGINT) AS bucket,

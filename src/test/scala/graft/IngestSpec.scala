@@ -183,7 +183,7 @@ class IngestSpec extends AnyFunSuite {
 
   test("sink_compact merges the shattered input into target-size files") {
     val before = SparkEntry.queries("sink_compact")(spark, sf).collect()
-    val (nSmall, nOut) = graft.ops.Ingest.compactFileCounts(spark)
+    val (nSmall, nOut) = graft.ops.Ingest.compactFileCounts(spark, sf)
     assert(nSmall === 64, "stage 1 must shatter into 64 splits")
     // sf0.01 lineitem is ~1.5 MB on disk — one 8 MiB target file.
     assert(nOut === 1, s"expected 1 compacted file, got $nOut")
