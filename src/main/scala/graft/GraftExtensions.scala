@@ -36,11 +36,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expr.DotProductF64(exprs.head, exprs(1))))
     e.injectFunction((new FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[graft.expr.WinnowFps].getName, "winnow_fps"),
-      (exprs: Seq[Expression]) => graft.expr.WinnowFps(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"winnow_fps expects 1 argument, got ${exprs.length}")
+        graft.expr.WinnowFps(exprs.head)
+      }))
     e.injectFunction((new FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(classOf[graft.expr.RepetitionStats].getName,
         "repetition_stats"),
-      (exprs: Seq[Expression]) => graft.expr.RepetitionStats(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"repetition_stats expects 1 argument, got ${exprs.length}")
+        graft.expr.RepetitionStats(exprs.head)
+      }))
   }
 }
 

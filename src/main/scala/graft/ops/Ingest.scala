@@ -59,9 +59,13 @@ object Ingest {
   private val compactTargetBytes = 8L << 20
   private[graft] def compactSmallDir(d: String): String =
     s"$scratchRoot/compact/small_${Llm.Scratch.key(d)}"
+  private[graft] def compactOutDir(d: String): String =
+    s"$scratchRoot/compact/out_${Llm.Scratch.key(d)}"
   private def sinkCompact: Q = (s, d) => {
     val smallDir = compactSmallDir(d)
-    val outDir = s"$scratchRoot/compact/out"
+    // outDir keyed like smallDir — a shared out dir would let two
+    // executions over different inputs race last-writer-wins.
+    val outDir = compactOutDir(d)
     // The shattered input is the PRECONDITION (a year of micro-batch
     // emissions already on disk), not the operator under test — build
     // it once per (process, input dir) through the Scratch registry so
@@ -246,7 +250,7 @@ object Ingest {
     def n(p: String): Int =
       fs.listStatus(new org.apache.hadoop.fs.Path(p))
         .count(_.getPath.getName.endsWith(".parquet"))
-    (n(compactSmallDir(d)), n(s"$scratchRoot/compact/out"))
+    (n(compactSmallDir(d)), n(compactOutDir(d)))
   }
 
   // ------------------------------------------------------------- fixture
@@ -740,15 +744,15 @@ object Ingest {
           SELECT (zv >> 26) AS z_bucket, count(*) AS n,
                  min(l_orderkey) AS min_order, max(l_orderkey) AS max_order,
                  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
-                 sum(l_quantity::BIGINT) AS sum_qty
+                 sum(l_quantity)::BIGINT AS sum_qty
           FROM z GROUP BY 1 ORDER BY z_bucket"""
     },
     // Oracle is the SOURCE table: compaction must be content-neutral.
     "sink_compact" ->
       """SELECT l_returnflag, count(*) AS n,
-                sum(l_quantity::BIGINT) AS sum_qty,
+                sum(l_quantity)::BIGINT AS sum_qty,
                 sum(l_orderkey * 1000003 + l_linenumber::BIGINT * 101
-                    + l_partkey) AS row_digest
+                    + l_partkey)::BIGINT AS row_digest
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "scan_partition_pruned" ->
       """SELECT source, count(*) AS n, sum(n_chars)::BIGINT AS total_chars

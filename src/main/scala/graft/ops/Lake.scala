@@ -230,11 +230,17 @@ object Lake {
     * Audit: per-year totals — 1995 carries the +1 restatement, other
     * years prove their survival. */
   private def sinkOverwriteDynamic: Q = (s, d) => {
-    val base = s"$scratchRoot/dynover/orders"
+    val base = s"$scratchRoot/dynover/orders_${Llm.Scratch.key(d)}"
     val o = t(s, d, "orders")
       .select(col("o_orderkey"), col("o_totalprice"),
         year(col("o_orderdate")).as("yr"))
-    o.write.mode("overwrite").partitionBy("yr").parquet(base)
+    // The initial multi-year load is the PRECONDITION (the table that
+    // exists before any restatement) — build once per (process, input);
+    // the measured operator is the dynamic overwrite below, which is
+    // idempotent (same restated content every execution).
+    Llm.Scratch.once(base) {
+      o.write.mode("overwrite").partitionBy("yr").parquet(base)
+    }
     val restated = o.where(col("yr") === 1995)
       .withColumn("o_totalprice", col("o_totalprice") + 1.0d)
     val key = "spark.sql.sources.partitionOverwriteMode"
@@ -437,7 +443,7 @@ object Lake {
     // residual filter makes the result the plain filtered aggregate.
     "scan_manifest_prune" ->
       """SELECT l_returnflag, count(*) AS n,
-                sum(l_quantity::BIGINT) AS sum_qty,
+                sum(l_quantity)::BIGINT AS sum_qty,
                 min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
          FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
          GROUP BY l_returnflag ORDER BY l_returnflag""",
@@ -489,9 +495,9 @@ object Lake {
     // content-neutral.
     "sink_parquet_tuned" ->
       """SELECT l_linestatus, count(*) AS n,
-                sum(l_quantity::BIGINT) AS sum_qty,
+                sum(l_quantity)::BIGINT AS sum_qty,
                 sum(l_orderkey * 1000003 + l_linenumber::BIGINT * 101
-                    + l_partkey) AS row_digest
+                    + l_partkey)::BIGINT AS row_digest
          FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
     // Roundtrip oracles read the SOURCE parquet: equality proves the
     // interchange-format write+read lossless.

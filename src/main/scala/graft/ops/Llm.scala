@@ -245,6 +245,11 @@ object Llm {
         _ => { build.write.mode("overwrite").parquet(path); path })
       s.read.parquet(path)
     }
+
+    /** One-time side-effecting build (e.g. a partitioned fixture write
+      * Scratch.table's plain-parquet writer can't express). */
+    def once(path: String)(build: => Unit): Unit =
+      built.computeIfAbsent(path, _ => { build; path })
   }
 
   private def minhashSigTable(s: org.apache.spark.sql.SparkSession,

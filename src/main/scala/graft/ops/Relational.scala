@@ -597,7 +597,9 @@ object Relational {
     * the grid holds work proportional to true near-coincidences.
     * Integer-µs math end to end. */
   private def joinInterval: Q = (s, d) => {
-    val len = 300000000L // 5-minute interval half-open [ts, ts+len]
+    val len = 300000000L // 5-minute CLOSED interval [ts, ts+len]: both
+    // the predicate and the oracle use <= on both ends, so intervals
+    // that merely touch pair up with overlap_us = 0.
     val cell = 600000000L // 10-minute grid
     val ev = events(s, d)
     def side(tpe: String, p: String) = ev
@@ -1147,7 +1149,7 @@ object Relational {
     // join; the bloom's presence in the plan is pinned by PlanSpec.
     "join_bloom" ->
       """SELECT o_orderkey, count(*) AS n_items,
-                sum(l_quantity::BIGINT) AS sum_qty,
+                sum(l_quantity)::BIGINT AS sum_qty,
                 round(sum(l_extendedprice::DECIMAL(18,4)), 2)::DOUBLE AS gross
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_totalprice > 450000

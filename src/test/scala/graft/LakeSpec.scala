@@ -223,9 +223,12 @@ class LakeSpec extends AnyFunSuite {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     import spark.implicits._
-    def listing(dir: String): Set[String] =
-      Files.list(Paths.get(dir)).iterator().asScala
+    def listing(dir: String): Set[String] = {
+      val s = Files.list(Paths.get(dir))
+      try s.iterator().asScala
         .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
     val base = s"${Tables.scratchRoot}/dynover_spec"
     Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1)).toDF("v", "p")
       .write.mode("overwrite").partitionBy("p").parquet(base)

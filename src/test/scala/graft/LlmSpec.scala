@@ -247,8 +247,10 @@ class LlmSpec extends AnyFunSuite {
 
   test("repetition_stats native kernel is bit-identical to the HOF formulation") {
     import org.apache.spark.sql.functions._
+    // The HOF side is O(words³)/row — cross-check a handful of real
+    // docs (same cap as the winnow test, same reason).
     val docs = Tables.t(spark, SharedSpark.sf, "documents")
-      .select(col("doc_id"), col("text"))
+      .where(col("doc_id") < 5).select(col("doc_id"), col("text"))
     def asMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
       val s = r.getStruct(1)
       r.getLong(0) -> (s.getLong(0), s.getLong(1), s.getLong(2))

@@ -80,11 +80,23 @@ def main(out_dir, sf_dir):
             want = con.execute(oracles[name])
             wcols = [c[0] for c in want.description]
             wrows = want.fetchall()
+            # The DRIVER reads oracle results through pandas, where a
+            # HUGEINT column (any DuckDB sum over an integer type whose
+            # result isn't re-cast) degrades to float64 and hash-breaks
+            # against Spark's int64 even when every value is equal.
+            # fetchall() hides this (HUGEINT -> Python int), so detect
+            # the type explicitly and fail the oracle here.
+            hugeint_cols = [c for c, t, *_ in con.execute(
+                "DESCRIBE " + oracles[name]).fetchall() if t == "HUGEINT"]
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
             continue
         problems = []
+        if hugeint_cols:
+            problems.append(
+                f"oracle column(s) {hugeint_cols} are HUGEINT — add an "
+                "outer ::BIGINT cast (sum(x)::BIGINT, not sum(x::BIGINT))")
         if sorted(gcols) != sorted(wcols):
             problems.append(f"cols spark={sorted(gcols)} duck={sorted(wcols)}")
         elif len(grows) != len(wrows):
