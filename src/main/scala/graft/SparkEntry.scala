@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Functions, Ingest, Lake, Llm, Pipeline, Relational, Streaming}
+import graft.ops.{Functions, Graph, Ingest, Lake, Llm, Pipeline, Relational, Streaming}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each operator key in `queries` has, where SQL-expressible, an
@@ -18,7 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Functions.queries ++ Llm.queries ++
       Streaming.queries ++ Ingest.queries ++ Pipeline.queries ++
-      Lake.queries
+      Lake.queries ++ Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -26,5 +26,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Functions.oracles ++ Llm.oracles ++
       Streaming.oracles ++ Ingest.oracles ++ Pipeline.oracles ++
-      Lake.oracles
+      Lake.oracles ++ Graph.oracles
 }

@@ -255,6 +255,48 @@ object Lake {
       .orderBy("yr")
   }
 
+  /** Incremental materialized-view maintenance (IVM) — the reason a
+    * 100 TB warehouse never recomputes its standing aggregates: the MV
+    * stores ALGEBRAIC partial state (count + exact decimal sum per
+    * group), and a CDC delta batch folds in as
+    * MV' = MV ⊕ agg(delta) — work is O(|delta| + |groups touched|),
+    * independent of base-table size. True IVM consumes RETRACTIONS:
+    * an UPDATE arrives as (old row, sign −1) + (new row, sign +1), so
+    * sum(sign) / sum(sign·value) handle insert, delete, and update
+    * uniformly, and a count whose rows merely changed stays exact.
+    * The delta here is the same year-1995 +1.00 restatement
+    * sink_overwrite_dynamic applies physically — this is its LOGICAL
+    * twin. Oracle: full recompute over the restated table — equality
+    * proves delta-maintenance ≡ recompute. Rounding happens once, on
+    * the merged DECIMAL (dsum2 discipline). */
+  private def mvIncremental: Q = (s, d) => {
+    val o = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("yr"))
+    // The standing MV (yesterday's snapshot) is the PRECONDITION —
+    // built once per (process, input); the measured operator is the
+    // delta aggregation + merge below.
+    val mv0 = Llm.Scratch.table(s,
+      s"$scratchRoot/mv/orders_by_yr_${Llm.Scratch.key(d)}") {
+      o.groupBy("yr")
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("tot"))
+    }
+    val oldRows = o.where(col("yr") === 1995).withColumn("sign", lit(-1L))
+    val newRows = o.where(col("yr") === 1995)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0d)
+      .withColumn("sign", lit(1L))
+    val deltaAgg = oldRows.unionByName(newRows)
+      .groupBy("yr")
+      .agg(sum(col("sign")).as("dn"),
+        sum(col("sign") * dec(col("o_totalprice"))).as("dtot"))
+    mv0.join(deltaAgg, Seq("yr"), "left")
+      .select(col("yr").cast("long").as("yr"),
+        (col("n") + coalesce(col("dn"), lit(0L))).as("n"),
+        round(col("tot") + coalesce(col("dtot"), lit(0)), 2)
+          .cast("double").as("total"))
+      .orderBy("yr")
+  }
+
   /** arg-max/arg-min aggregates (`max_by`/`min_by`) + `mode` — "which
     * row holds the extreme" without a self-join or window: one hash
     * aggregate, partials carry a single (value, arg) pair per group so
@@ -434,6 +476,7 @@ object Lake {
     "scan_dpp" -> scanDpp,
     "sink_scd2" -> sinkScd2,
     "sink_overwrite_dynamic" -> sinkOverwriteDynamic,
+    "mv_incremental" -> mvIncremental,
     "agg_argmax" -> aggArgmax,
     "agg_hll_merge" -> aggHllMerge,
   )
@@ -518,6 +561,17 @@ object Lake {
     // partitions must read back unchanged (LakeSpec pins the files
     // physically untouched).
     "sink_overwrite_dynamic" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n,
+                round(sum(CAST(o_totalprice
+                               + CASE WHEN year(o_orderdate) = 1995
+                                      THEN 1.0 ELSE 0.0 END
+                               AS DECIMAL(18,4))), 2)::DOUBLE AS total
+         FROM orders GROUP BY 1 ORDER BY yr""",
+    // Full recompute over the restated table: equality proves the
+    // delta-merge maintenance path ≡ recompute. The CASE adds the
+    // restatement on the DOUBLE before the decimal cast, exactly as
+    // the Spark delta builds dec(o_totalprice + 1.0d).
+    "mv_incremental" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n,
                 round(sum(CAST(o_totalprice
                                + CASE WHEN year(o_orderdate) = 1995

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for ops/Graph.scala: the distributed PageRank must agree with
+  * an independent single-threaded reference run of the same integer
+  * recurrence over the collected edge list. */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  test("graph_pagerank matches a driver-side reference of the integer recurrence") {
+    val Scale = 1000000000L
+    val Base = 150000000L
+    val edges = ops.Graph.copurchaseEdges(spark, SharedSpark.sf)
+      .select(col("src"), col("dst"), col("outdeg"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(edges.nonEmpty)
+    // Symmetry: co-purchase is undirected, so both directions exist.
+    val set = edges.map(e => (e._1, e._2)).toSet
+    assert(set.forall { case (a, b) => set.contains((b, a)) })
+
+    var rank = edges.map(_._1).distinct.map(_ -> Scale).toMap
+    for (_ <- 1 to 3) {
+      val in = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (src, dst, outdeg) =>
+        in(dst) += rank(src) / outdeg
+      }
+      rank = in.map { case (n, s) => n -> (Base + (85 * s) / 100) }.toMap
+    }
+    val expected = rank.toSeq.sortBy { case (n, r) => (-r, n) }.take(20)
+
+    val got = SparkEntry.queries("graph_pagerank")(spark, SharedSpark.sf)
+      .select(col("node"), col("pr"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("graph_pagerank rank floor is the damping base and ranks vary") {
+    val rows = SparkEntry.queries("graph_pagerank")(spark, SharedSpark.sf)
+      .collect()
+    assert(rows.forall(_.getLong(2) >= 150000000L))
+    assert(rows.map(_.getLong(2)).distinct.length > 1)
+  }
+}

@@ -248,4 +248,29 @@ class LakeSpec extends AnyFunSuite {
       .select("v", "p").as[(Long, Int)].collect().toSet
     assert(readBack === Set((9L, 0), (3L, 1), (4L, 1)))
   }
+
+  test("mv_incremental delta merge equals a full recompute, exactly") {
+    import org.apache.spark.sql.functions._
+    val maintained = SparkEntry.queries("mv_incremental")(spark, SharedSpark.sf)
+    // Independent recompute over the restated table, same decimal
+    // discipline (round once, on the merged DECIMAL).
+    val recomputed = Tables.t(spark, SharedSpark.sf, "orders")
+      .select(year(col("o_orderdate")).as("yr"),
+        when(year(col("o_orderdate")) === 1995,
+          col("o_totalprice") + 1.0d).otherwise(col("o_totalprice"))
+          .as("price"))
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n"), Tables.dsum2(col("price")).as("total"))
+      .select(col("yr").cast("long").as("yr"), col("n"), col("total"))
+    assert(maintained.exceptAll(recomputed).isEmpty)
+    assert(recomputed.exceptAll(maintained).isEmpty)
+    // Counts must survive an update-only delta untouched (retraction
+    // pairs cancel): every group keeps its base cardinality.
+    val baseN = Tables.t(spark, SharedSpark.sf, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    maintained.collect().foreach { r =>
+      assert(r.getLong(1) === baseN(r.getLong(0)))
+    }
+  }
 }
