@@ -49,6 +49,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"repetition_stats expects 1 argument, got ${exprs.length}")
         graft.expr.RepetitionStats(exprs.head)
       }))
+    e.injectFunction((new FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[graft.expr.DeflateLen].getName, "deflate_len"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"deflate_len expects 1 argument, got ${exprs.length}")
+        graft.expr.DeflateLen(exprs.head)
+      }))
   }
 }
 

@@ -550,6 +550,38 @@ object Llm {
       .orderBy("a_id", "b_id")
   }
 
+  /** Compression-ratio quality filter (Gopher-style): documents that
+    * compress too well are repetitive boilerplate — the cheapest
+    * corpus-scale proxy for the repetition rules, and the one signal
+    * that catches templated spam n-gram rules miss. Per doc:
+    * zlib-compressed length via the native [[graft.expr.DeflateLen]]
+    * kernel (one static call/row inside whole-stage codegen, a
+    * thread-local Deflater, no native churn); flag when
+    * comp·100 < raw·45 (ratio < 0.45, integer compare). Only
+    * (lang, source, two longs) leave the scan — text never shuffles,
+    * and the aggregate is map-side combinable: at 100 TB this is one
+    * pass over the corpus with O(groups) shuffle rows.
+    *
+    * Oracle: pinned per-group totals computed by CPython zlib — an
+    * implementation independent of the JVM Deflater under test; both
+    * wrap the same zlib codec, byte-identical at fixed level 6
+    * (verified), so the pin is exact, not a tolerance. The final ratio
+    * is one IEEE division over identical integer operands. */
+  private def textCompressRatio: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("lang"), col("source"),
+        octet_length(col("text")).cast("long").as("raw_len"),
+        expr("deflate_len(text)").as("comp_len"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("raw_len")).as("raw_bytes"),
+        sum(col("comp_len")).as("comp_bytes"),
+        sum(when(col("comp_len") * 100 < col("raw_len") * 45, 1L)
+          .otherwise(0L)).as("n_flagged"))
+      .withColumn("ratio",
+        col("comp_bytes").cast("double") / col("raw_bytes"))
+      .orderBy("lang", "source")
+
   /** Count-based character-bigram LM scoring — the perplexity-filter
     * analog (CCNet-style: score each document by how typical its
     * character sequences are under a corpus-trained model) in EXACT
@@ -1120,6 +1152,7 @@ object Llm {
     "dedup_cluster" -> dedupCluster,
     "text_normalize" -> textNormalize,
     "text_lm_score" -> textLmScore,
+    "text_compress_ratio" -> textCompressRatio,
     "text_pii_scrub" -> textPiiScrub,
     "text_seg_dedup" -> textSegDedup,
     "decontaminate" -> decontaminate,
@@ -1179,6 +1212,7 @@ object Llm {
          t(a_id, b_id, hamming) ORDER BY a_id, b_id""",
     // Same bigram extraction, same integer sums, same single IEEE
     // division — the threshold anchor (corpus mean) derives identically.
+    "text_compress_ratio" -> CompressPins.textCompressRatio,
     "text_lm_score" ->
       """WITH bg AS (
            SELECT doc_id,

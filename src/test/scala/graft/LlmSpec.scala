@@ -245,6 +245,34 @@ class LlmSpec extends AnyFunSuite {
     en.foreach { case (id, fps) => assert(fps === eh(id), s"edge doc $id") }
   }
 
+  test("deflate_len matches CPython zlib pins and behaves on edges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Pin verified against CPython: zlib.compress(s, 6) is 99 bytes for
+    // this string and 8 bytes for "" (header + adler32 only).
+    val s0 = "key agg row scan slow fast table value part hash value table " +
+      "part a row fast merge batch part value fast spark a a the line " +
+      "sort table window table table key"
+    val got = Seq(s0, "").toDF("t")
+      .select(expr("deflate_len(t)").as("n")).as[Long].collect()
+    assert(got.toSeq == Seq(99L, 8L))
+    // Repetition compresses: doubling a real document must cost less
+    // than doubling its compressed size (the signal the filter uses).
+    val docs = Tables.t(spark, SharedSpark.sf, "documents")
+      .where(col("doc_id") < 20)
+      .select(expr("deflate_len(text)").as("single"),
+        expr("deflate_len(concat(text, text))").as("doubled"))
+      .collect()
+    assert(docs.nonEmpty)
+    docs.foreach { r =>
+      assert(r.getLong(1) < 2 * r.getLong(0))
+    }
+    // NULL in, NULL out.
+    val n = spark.sql("SELECT deflate_len(CAST(NULL AS STRING)) AS v")
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("repetition_stats native kernel is bit-identical to the HOF formulation") {
     import org.apache.spark.sql.functions._
     // The HOF side is O(words³)/row — cross-check a handful of real
