@@ -39,6 +39,28 @@ class GraphSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("graph_triangles matches a driver-side reference enumeration") {
+    val edges = ops.Graph.repeatCopurchaseEdges(spark, SharedSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    assert(edges.forall { case (a, b) => a < b })
+    val eset = edges.toSet
+    val byA = edges.groupBy(_._1)
+    val triPerNode =
+      collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (x, y) =>
+      byA.getOrElse(y, Array.empty).foreach { case (_, z) =>
+        if (eset.contains((x, z))) {
+          triPerNode(x) += 1; triPerNode(y) += 1; triPerNode(z) += 1
+        }
+      }
+    }
+    val expected = triPerNode.toSeq.sortBy { case (n, c) => (-c, n) }.take(20)
+    val got = SparkEntry.queries("graph_triangles")(spark, SharedSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
   test("graph_pagerank rank floor is the damping base and ranks vary") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, SharedSpark.sf)
       .collect()
