@@ -774,6 +774,36 @@ object Relational {
     * min windows + one aggregate — one shuffle on user_id, per-row O(1)
     * state, no self-joins (the naive 3-way join formulation shuffles
     * events three times and explodes on ties). */
+  /** Cohort retention matrix — the OTHER canonical behavioral query
+    * (win_funnel covers ordered sequences; this covers cohort
+    * bucketing): users grouped by first-activity day, then counted on
+    * each subsequent day they return. All-integer day math on epoch-µs
+    * (`div 86400000000`), so cohort keys are engine-exact. Shape: one
+    * agg for first-touch (O(users) shuffle), a user-keyed equi-join
+    * back to events, per-(cohort, offset, user) pre-distinct (removes
+    * within-day repeats BEFORE the matrix agg — no count-DISTINCT
+    * Expand), then an O(cohorts×days) aggregate. Retention fraction is
+    * one IEEE division over identical integer operands. At 100 TB the
+    * first-touch table is users-sized (broadcastable per partition of
+    * the activity scan) and everything downstream of the pre-distinct
+    * is matrix-sized. */
+  private def winCohort: Q = (s, d) => {
+    val ev = events(s, d)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+    val firsts = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val sizes = firsts.groupBy("cohort_day").agg(count(lit(1)).as("n_cohort"))
+    ev.join(firsts, "user_id")
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("k"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_day", "k")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("k"), col("n_active"), col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort")).as("retention"))
+      .orderBy("cohort_day", "k")
+  }
+
   private def winFunnel: Q = (s, d) => {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1063,6 +1093,7 @@ object Relational {
     "set_except" -> setExcept,
     "win_dist" -> winDist,
     "win_funnel" -> winFunnel,
+    "win_cohort" -> winCohort,
     "agg_stats" -> aggStats,
     "agg_percentile" -> aggPercentile,
     "join_skew_salted" -> joinSkewSalted,
@@ -1369,6 +1400,23 @@ object Relational {
          ORDER BY o_orderpriority, o_totalprice, o_orderkey""",
     // Identical running-min window spec over the same (ts, event_id)
     // total order — both engines execute the same state machine.
+    "win_cohort" ->
+      s"""WITH e AS (SELECT user_id,
+                            (${duckTsUs("ts")} // 86400000000) AS day
+                     FROM events),
+              f AS (SELECT user_id, min(day) AS cohort_day
+                    FROM e GROUP BY user_id),
+              cs AS (SELECT cohort_day, count(*) AS n_cohort
+                     FROM f GROUP BY cohort_day),
+              a AS (SELECT DISTINCT f.cohort_day, e.day - f.cohort_day AS k,
+                           e.user_id
+                    FROM e JOIN f USING (user_id)),
+              m AS (SELECT cohort_day, k, count(*) AS n_active
+                    FROM a GROUP BY cohort_day, k)
+          SELECT m.cohort_day, m.k, m.n_active, cs.n_cohort,
+                 m.n_active::DOUBLE / cs.n_cohort AS retention
+          FROM m JOIN cs USING (cohort_day)
+          ORDER BY cohort_day, k""",
     "win_funnel" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type,
                             ${duckTsUs("ts")} AS ts_us FROM events),
