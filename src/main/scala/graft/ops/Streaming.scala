@@ -352,6 +352,61 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  /** STREAMING incremental materialized-view maintenance — the
+    * Materialize/Delta-Live-Tables shape, and mv_incremental's
+    * streaming twin: each micro-batch is aggregated to ALGEBRAIC
+    * partials (count + exact decimal sum per key) and folded into a
+    * persisted MV as MV' = MV ⊕ agg(batch) — per-batch work is
+    * O(|batch| + |keys|), and the MV table is the ONLY state (no
+    * streaming state store at all: cheaper than update-mode
+    * aggregation, which keeps every key in the store AND re-emits it).
+    * Each merge writes a NEW version dir keyed by batch id and reads
+    * the previous one — never overwriting what it reads, and a retried
+    * batch overwrites its own version (idempotent, exactly-once
+    * output). The source is staged into 4 files drained 1 per
+    * micro-batch, so ≥4 real merges run. Final MV must equal the batch
+    * aggregate over all events — that equality is the oracle. */
+  private def streamMv: Q = (s, d) => {
+    val src = s"$scratchRoot/stream_mv_src/${Llm.Scratch.key(d)}"
+    Llm.Scratch.once(src) {
+      events(s, d).select(col("event_type"), col("value"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+    }
+    val mvRoot = streamDir("stream_mv/versions")
+    @volatile var current: Option[String] = None
+    val st = s.readStream
+      .schema(new StructType()
+        .add("event_type", org.apache.spark.sql.types.StringType)
+        .add("value", org.apache.spark.sql.types.DoubleType))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    withStatePartitions(s) {
+      val q = st.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val part = batch.groupBy("event_type")
+            .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("tot"))
+          val merged = current match {
+            case None => part
+            case Some(prev) =>
+              s.read.parquet(prev).unionByName(part)
+                .groupBy("event_type")
+                .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"))
+          }
+          val v = s"$mvRoot/v$batchId"
+          merged.write.mode("overwrite").parquet(v)
+          current = Some(v)
+        }
+        .option("checkpointLocation", streamDir("stream_mv/ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(current.get)
+      .select(col("event_type"), col("n"),
+        round(col("tot"), 2).cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
   /** Continuous remote ingest through the custom DSv2 source
     * ([[graft.sources.RemoteFileSource]] as a MicroBatchStream): the
     * reference's cron-triggered remote pipeline as ONE streaming query —
@@ -451,6 +506,7 @@ object Streaming {
     "stream_join" -> streamJoin,
     "stream_enrich" -> streamEnrich,
     "stream_sink" -> streamSink,
+    "stream_mv" -> streamMv,
   )
 
   val oracles: Map[String, String] = Map(
@@ -581,6 +637,12 @@ object Streaming {
                   AS total_value
          FROM events GROUP BY user_id ORDER BY user_id""",
     "stream_sink" ->
+      """SELECT event_type, count(*) AS n,
+                round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS total_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // Incremental maintenance must equal the batch aggregate — the
+    // recompute IS the oracle (same contract as mv_incremental).
+    "stream_mv" ->
       """SELECT event_type, count(*) AS n,
                 round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS total_value
          FROM events GROUP BY event_type ORDER BY event_type""",

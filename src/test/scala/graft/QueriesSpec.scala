@@ -49,6 +49,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream_mv maintains the MV across >= 2 real micro-batch merges") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("stream_mv")(spark, sf)
+      .collect().map(_.toSeq)
+    // The staged 4-file source drained 1 file/trigger must have
+    // produced one MV version per micro-batch — the incremental path
+    // actually ran; a single-batch run would prove nothing.
+    val versions = new java.io.File(
+      s"${Tables.scratchRoot}/stream/stream_mv/versions").listFiles()
+    assert(versions != null && versions.count(_.getName.startsWith("v")) >= 2)
+    val batch = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Tables.dsum2(col("value")).as("total_value"))
+      .orderBy("event_type")
+      .collect().map(_.toSeq)
+    assert(got === batch)
+  }
+
   test("known cardinalities at sf0.001") {
     assert(SparkEntry.queries("scan_parquet")(spark, sf).count() === 5 + 20)
     assert(SparkEntry.queries("agg_hash")(spark, sf).count() <= 6)
