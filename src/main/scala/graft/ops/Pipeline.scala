@@ -394,7 +394,60 @@ object Pipeline {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** The WHOLE training-data assembly as ONE declarative plan —
+    * quality gates → global exact dedup → token counting → sequence
+    * packing → per-source funnel accounting. This is the query a
+    * corpus team actually ships: every stage above exists as its own
+    * verified operator (text_tokens, dedup_exact, pack_sequences,
+    * obs_accounting), and composing them in one DataFrame DAG lets
+    * Catalyst fuse the scan + quality filters + token derivation into
+    * a single stage, run ONE dedup shuffle and ONE per-source pack
+    * window, and share the documents scan across the three funnel
+    * aggregates. The output is the per-source audit row: raw → quality
+    * → deduped counts, surviving tokens, pack count.
+    *
+    * Quality gates are pure-SQL exact kernels (token floor ≥ 20,
+    * distinct-token ratio ≥ 0.3 via n_uniq·10 ≥ n_tok·3 integer
+    * compare, language whitelist) so the composed oracle needs no
+    * pinning. Dedup keeps the lowest doc_id per identical text
+    * (dedup_exact's rule); packing is pack_sequences' running-offset
+    * `div 2048`. At 100 TB: text is projected away before BOTH
+    * shuffles (dedup ships a digest+id, packing ships ids+counts), so
+    * the wide column rides only scan→filter. */
+  private def pipelineCorpus: Q = (s, d) => {
+    val raw = t(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val rawN = raw.groupBy("source").agg(count(lit(1)).as("n_raw"))
+    val toks = raw
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_uniq",
+        size(array_distinct(split(col("text"), " "))).cast("long"))
+    val qual = toks.where(col("lang").isin("en", "fr", "zh") &&
+      col("n_tok") >= 20 && col("n_uniq") * 10 >= col("n_tok") * 3)
+    val qualN = qual.groupBy("source").agg(count(lit(1)).as("n_quality"))
+    // Digest, not text, crosses the dedup shuffle (dedup_exact's rule;
+    // the oracle partitions by text — identical classes).
+    val dedupW = Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
+    val deduped = qual
+      .withColumn("rn", row_number().over(dedupW))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("n_tok"))
+    val packW = Window.partitionBy("source").orderBy("doc_id")
+    val packed = deduped
+      .withColumn("cum", sum(col("n_tok")).over(packW))
+      .withColumn("pack_id", expr("(cum - n_tok) div 2048"))
+    packed.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        countDistinct(col("pack_id")).as("n_packs"))
+      .join(rawN, "source").join(qualN, "source")
+      .select(col("source"), col("n_raw"), col("n_quality"), col("n_docs"),
+        col("total_tokens"), col("n_packs"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_corpus" -> pipelineCorpus,
     "text_chunk" -> textChunk,
     "text_tfidf" -> textTfidf,
     "corpus_shard" -> corpusShard,
@@ -418,6 +471,38 @@ object Pipeline {
     }
 
   val oracles: Map[String, String] = Map(
+    // Stage-for-stage CTE mirror of the one-plan pipeline; every
+    // kernel is exact integer/string SQL, so the composition needs no
+    // pinning.
+    "pipeline_corpus" ->
+      """WITH raw AS (SELECT doc_id, source, lang, text FROM documents),
+           rn0 AS (SELECT source, count(*) AS n_raw FROM raw GROUP BY source),
+           toks AS (SELECT *,
+                      len(string_split(text, ' '))::BIGINT AS n_tok,
+                      len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq
+                    FROM raw),
+           qual AS (SELECT * FROM toks
+                    WHERE lang IN ('en', 'fr', 'zh')
+                      AND n_tok >= 20 AND n_uniq * 10 >= n_tok * 3),
+           qn AS (SELECT source, count(*) AS n_quality FROM qual GROUP BY source),
+           dd AS (SELECT doc_id, source, n_tok,
+                    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                  FROM qual),
+           ded AS (SELECT doc_id, source, n_tok FROM dd WHERE rn = 1),
+           packed AS (SELECT source, doc_id, n_tok,
+                        sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS cum
+                      FROM ded),
+           fin AS (SELECT source, count(*) AS n_docs,
+                     sum(n_tok)::BIGINT AS total_tokens,
+                     count(DISTINCT (cum - n_tok) // 2048) AS n_packs
+                   FROM packed GROUP BY source)
+         SELECT fin.source AS source, rn0.n_raw, qn.n_quality, fin.n_docs,
+                fin.total_tokens, fin.n_packs
+         FROM fin JOIN rn0 ON fin.source = rn0.source
+                  JOIN qn ON fin.source = qn.source
+         ORDER BY fin.source""",
     "text_chunk" ->
       """SELECT doc_id, i AS chunk_id,
                 substr(text, CAST(i * 100 + 1 AS INT), 120) AS chunk_text,
