@@ -255,6 +255,41 @@ object Lake {
       .orderBy("yr")
   }
 
+  /** Column profiling — the data-quality pass every ingest runs before
+    * anything else (null fractions, cardinalities, value ranges per
+    * column): ONE scan computes all per-column statistics as a single
+    * wide aggregate row (Catalyst prunes to exactly the profiled
+    * columns), then `stack` unpivots it to the (column, stats) long
+    * form — no per-column re-scan, no driver loop. Distinct counts are
+    * EXACT here to keep the oracle a hash match; at 100 TB you'd swap
+    * them for approx_count_distinct/HLL (agg_approx / agg_hll_merge
+    * are the demonstrated path) and keep everything else identical.
+    * Min/max are rendered to strings engine-identically (integers and
+    * plain ASCII only — no float formatting hazard); the text column
+    * is profiled by LENGTH, payloads never aggregate. */
+  private def scanProfile: Q = (s, d) => {
+    val d0 = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        length(col("text")).cast("long").as("text_len"))
+    val cols = Seq("doc_id", "lang", "source", "n_chars", "text_len")
+    val aggCols = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val wide = d0.agg(aggCols.head, aggCols.tail: _*)
+    val stackExpr = cols.map { c =>
+      s"'$c', nn_$c, nd_$c, mn_$c, mx_$c"
+    }.mkString(s"stack(${cols.length}, ", ", ", ")")
+    wide.select(col("n_rows"),
+        expr(s"$stackExpr as (col_name, n_nonnull, n_distinct, min_s, max_s)"))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        (col("n_rows") - col("n_nonnull")).as("n_null"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+      .orderBy("col_name")
+  }
+
   /** Incremental materialized-view maintenance (IVM) — the reason a
     * 100 TB warehouse never recomputes its standing aggregates: the MV
     * stores ALGEBRAIC partial state (count + exact decimal sum per
@@ -477,6 +512,7 @@ object Lake {
     "sink_scd2" -> sinkScd2,
     "sink_overwrite_dynamic" -> sinkOverwriteDynamic,
     "mv_incremental" -> mvIncremental,
+    "scan_profile" -> scanProfile,
     "agg_argmax" -> aggArgmax,
     "agg_hll_merge" -> aggHllMerge,
   )
@@ -567,6 +603,27 @@ object Lake {
                                       THEN 1.0 ELSE 0.0 END
                                AS DECIMAL(18,4))), 2)::DOUBLE AS total
          FROM orders GROUP BY 1 ORDER BY yr""",
+    // Per-column UNION ALL mirror of the one-scan stack profile;
+    // min/max rendered ::VARCHAR (integers and plain ASCII only).
+    "scan_profile" -> {
+      val cols = Seq("doc_id", "lang", "source", "n_chars", "text_len")
+      val perCol = cols.map { c =>
+        s"""SELECT '$c' AS col_name, n_rows, nn_$c AS n_nonnull,
+                   nd_$c AS n_distinct, mn_$c AS min_s, mx_$c AS max_s
+            FROM w"""
+      }.mkString(" UNION ALL ")
+      val wideAggs = cols.map { c =>
+        s"""count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c,
+            min($c)::VARCHAR AS mn_$c, max($c)::VARCHAR AS mx_$c"""
+      }.mkString(", ")
+      s"""WITH d0 AS (SELECT doc_id, lang, source, n_chars,
+                             length(text)::BIGINT AS text_len
+                      FROM documents),
+           w AS (SELECT count(*) AS n_rows, $wideAggs FROM d0)
+          SELECT col_name, n_rows, n_nonnull, n_rows - n_nonnull AS n_null,
+                 n_distinct, min_s, max_s
+          FROM ($perCol) ORDER BY col_name"""
+    },
     // Full recompute over the restated table: equality proves the
     // delta-merge maintenance path ≡ recompute. The CASE adds the
     // restatement on the DOUBLE before the decimal cast, exactly as

@@ -124,4 +124,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("pipeline_corpus never ships the text column through a shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("pipeline_corpus")(spark, sf)
+    df.collect() // materialize so AQE finalizes its stages
+    // AQE hides executed subtrees behind stage/adaptive wrapper leaves
+    // — recurse through them (same traversal as the DPP metric test).
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Nil
+      }
+      p +: (p.children ++ inner).flatMap(allNodes)
+    }
+    val shuffles = allNodes(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { e =>
+      val shipped = e.output.map(_.name)
+      assert(!shipped.contains("text"),
+        s"text crosses a shuffle: ${shipped.mkString(",")}")
+    }
+  }
 }
