@@ -401,10 +401,14 @@ object Pipeline {
     * verified operator (text_tokens, dedup_exact, pack_sequences,
     * obs_accounting), and composing them in one DataFrame DAG lets
     * Catalyst fuse the scan + quality filters + token derivation into
-    * a single stage, run ONE dedup shuffle and ONE per-source pack
-    * window, and share the documents scan across the three funnel
-    * aggregates. The output is the per-source audit row: raw → quality
-    * → deduped counts, surviving tokens, pack count.
+    * a single stage and run ONE dedup shuffle and ONE per-source pack
+    * window. The corpus is read twice in total — one conditional-
+    * aggregate pass for the raw→quality funnel counts, one pass for
+    * the dedup/pack path (Spark has no common-subplan reuse across
+    * independent aggregate branches, so the funnel counts deliberately
+    * share a single aggregate rather than two). The output is the
+    * per-source audit row: raw → quality → deduped counts, surviving
+    * tokens, pack count.
     *
     * Quality gates are pure-SQL exact kernels (token floor ≥ 20,
     * distinct-token ratio ≥ 0.3 via n_uniq·10 ≥ n_tok·3 integer
@@ -417,14 +421,21 @@ object Pipeline {
   private def pipelineCorpus: Q = (s, d) => {
     val raw = t(s, d, "documents")
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
-    val rawN = raw.groupBy("source").agg(count(lit(1)).as("n_raw"))
     val toks = raw
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
       .withColumn("n_uniq",
         size(array_distinct(split(col("text"), " "))).cast("long"))
-    val qual = toks.where(col("lang").isin("en", "fr", "zh") &&
-      col("n_tok") >= 20 && col("n_uniq") * 10 >= col("n_tok") * 3)
-    val qualN = qual.groupBy("source").agg(count(lit(1)).as("n_quality"))
+    val qualCond = col("lang").isin("en", "fr", "zh") &&
+      col("n_tok") >= 20 && col("n_uniq") * 10 >= col("n_tok") * 3
+    // Raw and post-quality counts fold into ONE conditional aggregate
+    // — Spark has no common-subplan reuse across independent aggregate
+    // branches, so separate rawN/qualN frames would each re-scan (and
+    // re-decode the text column). Two passes total: this funnel
+    // aggregate and the dedup/pack path below.
+    val funnel = toks.groupBy("source").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(qualCond, 1L).otherwise(0L)).as("n_quality"))
+    val qual = toks.where(qualCond)
     // Digest, not text, crosses the dedup shuffle (dedup_exact's rule;
     // the oracle partitions by text — identical classes).
     val dedupW = Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
@@ -440,7 +451,7 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("total_tokens"),
         countDistinct(col("pack_id")).as("n_packs"))
-      .join(rawN, "source").join(qualN, "source")
+      .join(funnel, "source")
       .select(col("source"), col("n_raw"), col("n_quality"), col("n_docs"),
         col("total_tokens"), col("n_packs"))
       .orderBy("source")
@@ -476,15 +487,18 @@ object Pipeline {
     // pinning.
     "pipeline_corpus" ->
       """WITH raw AS (SELECT doc_id, source, lang, text FROM documents),
-           rn0 AS (SELECT source, count(*) AS n_raw FROM raw GROUP BY source),
            toks AS (SELECT *,
                       len(string_split(text, ' '))::BIGINT AS n_tok,
                       len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq
                     FROM raw),
+           funnel AS (SELECT source, count(*) AS n_raw,
+                        count(*) FILTER (WHERE lang IN ('en', 'fr', 'zh')
+                          AND n_tok >= 20 AND n_uniq * 10 >= n_tok * 3)
+                          AS n_quality
+                      FROM toks GROUP BY source),
            qual AS (SELECT * FROM toks
                     WHERE lang IN ('en', 'fr', 'zh')
                       AND n_tok >= 20 AND n_uniq * 10 >= n_tok * 3),
-           qn AS (SELECT source, count(*) AS n_quality FROM qual GROUP BY source),
            dd AS (SELECT doc_id, source, n_tok,
                     row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
                   FROM qual),
@@ -498,10 +512,9 @@ object Pipeline {
                      sum(n_tok)::BIGINT AS total_tokens,
                      count(DISTINCT (cum - n_tok) // 2048) AS n_packs
                    FROM packed GROUP BY source)
-         SELECT fin.source AS source, rn0.n_raw, qn.n_quality, fin.n_docs,
-                fin.total_tokens, fin.n_packs
-         FROM fin JOIN rn0 ON fin.source = rn0.source
-                  JOIN qn ON fin.source = qn.source
+         SELECT fin.source AS source, funnel.n_raw, funnel.n_quality,
+                fin.n_docs, fin.total_tokens, fin.n_packs
+         FROM fin JOIN funnel ON fin.source = funnel.source
          ORDER BY fin.source""",
     "text_chunk" ->
       """SELECT doc_id, i AS chunk_id,

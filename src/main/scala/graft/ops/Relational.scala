@@ -766,14 +766,6 @@ object Relational {
       .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
   }
 
-  /** Ordered-pattern funnel (MATCH_RECOGNIZE analog): per user, the
-    * first view → first click AT-OR-AFTER that view → first purchase
-    * AT-OR-AFTER that click, in one window pass. Each stage qualifies
-    * against the previous stage's RUNNING minimum over the (ts,
-    * event_id) total order, so the whole state machine is two running-
-    * min windows + one aggregate — one shuffle on user_id, per-row O(1)
-    * state, no self-joins (the naive 3-way join formulation shuffles
-    * events three times and explodes on ties). */
   /** Cohort retention matrix — the OTHER canonical behavioral query
     * (win_funnel covers ordered sequences; this covers cohort
     * bucketing): users grouped by first-activity day, then counted on
@@ -804,6 +796,14 @@ object Relational {
       .orderBy("cohort_day", "k")
   }
 
+  /** Ordered-pattern funnel (MATCH_RECOGNIZE analog): per user, the
+    * first view → first click AT-OR-AFTER that view → first purchase
+    * AT-OR-AFTER that click, in one window pass. Each stage qualifies
+    * against the previous stage's RUNNING minimum over the (ts,
+    * event_id) total order, so the whole state machine is two running-
+    * min windows + one aggregate — one shuffle on user_id, per-row O(1)
+    * state, no self-joins (the naive 3-way join formulation shuffles
+    * events three times and explodes on ties). */
   private def winFunnel: Q = (s, d) => {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -373,7 +373,7 @@ object Streaming {
         .repartition(4).write.mode("overwrite").parquet(src)
     }
     val mvRoot = streamDir("stream_mv/versions")
-    @volatile var current: Option[String] = None
+    @volatile var lastBatch = -1L
     val st = s.readStream
       .schema(new StructType()
         .add("event_type", org.apache.spark.sql.types.StringType)
@@ -385,23 +385,27 @@ object Streaming {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val part = batch.groupBy("event_type")
             .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("tot"))
-          val merged = current match {
-            case None => part
-            case Some(prev) =>
-              s.read.parquet(prev).unionByName(part)
-                .groupBy("event_type")
-                .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"))
-          }
-          val v = s"$mvRoot/v$batchId"
-          merged.write.mode("overwrite").parquet(v)
-          current = Some(v)
+          // The previous version is DERIVED FROM batchId, never from
+          // driver memory: a replayed batch (commit-log failure, query
+          // restart) re-reads v(batchId−1) and overwrites its own
+          // v(batchId) — same inputs, same output, exactly-once. A
+          // remembered "current" pointer would double-fold on replay
+          // (or drop all history after a restart).
+          val merged =
+            if (batchId == 0L) part
+            else s.read.parquet(s"$mvRoot/v${batchId - 1}")
+              .unionByName(part)
+              .groupBy("event_type")
+              .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"))
+          merged.write.mode("overwrite").parquet(s"$mvRoot/v$batchId")
+          if (batchId > lastBatch) lastBatch = batchId
         }
         .option("checkpointLocation", streamDir("stream_mv/ckpt"))
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
-    s.read.parquet(current.get)
+    s.read.parquet(s"$mvRoot/v$lastBatch")
       .select(col("event_type"), col("n"),
         round(col("tot"), 2).cast("double").as("total_value"))
       .orderBy("event_type")

@@ -249,6 +249,25 @@ class LakeSpec extends AnyFunSuite {
     assert(readBack === Set((9L, 0), (3L, 1), (4L, 1)))
   }
 
+  test("mergeMv handles insert of a NEW group and full deletion of a group") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // MV has groups 1994 (2 rows, 30.00) and 1995 (1 row, 5.00).
+    val mv0 = Seq((1994, 2L, 30.0), (1995, 1L, 5.0)).toDF("yr", "n", "v")
+      .select(col("yr"), col("n"), Tables.dec(col("v")).as("tot"))
+    // Delta: INSERT two rows into brand-new group 1996 (absent from the
+    // MV — a left-join merge would silently drop it), and DELETE
+    // 1995's only row (merged count 0 — the group must vanish).
+    val deltaAgg = Seq((1996, 2L, 12.5), (1995, -1L, -5.0))
+      .toDF("yr", "dn", "dv")
+      .select(col("yr"), col("dn"), Tables.dec(col("dv")).as("dtot"))
+    val merged = graft.ops.Lake.mergeMv(mv0, deltaAgg)
+      .orderBy("yr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(merged.toSeq ==
+      Seq((1994L, 2L, 30.0), (1996L, 2L, 12.5)))
+  }
+
   test("mv_incremental delta merge equals a full recompute, exactly") {
     import org.apache.spark.sql.functions._
     val maintained = SparkEntry.queries("mv_incremental")(spark, SharedSpark.sf)

@@ -54,11 +54,12 @@ class QueriesSpec extends AnyFunSuite {
     val got = SparkEntry.queries("stream_mv")(spark, sf)
       .collect().map(_.toSeq)
     // The staged 4-file source drained 1 file/trigger must have
-    // produced one MV version per micro-batch — the incremental path
-    // actually ran; a single-batch run would prove nothing.
+    // produced one MV version per micro-batch — all 4 incremental
+    // merges actually ran; fewer means the staging or the per-file
+    // trigger regressed and the incremental path went unexercised.
     val versions = new java.io.File(
       s"${Tables.scratchRoot}/stream/stream_mv/versions").listFiles()
-    assert(versions != null && versions.count(_.getName.startsWith("v")) >= 2)
+    assert(versions != null && versions.count(_.getName.startsWith("v")) >= 4)
     val batch = Tables.events(spark, sf)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), Tables.dsum2(col("value")).as("total_value"))
