@@ -277,13 +277,19 @@ object Llm {
     * signatures — no join-back to the signature table afterwards; a
     * pair colliding in several bands dedups in the same aggregation
     * that computes its estimate. */
-  private def minhashPairs(sigT: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val bands = sigT.select(col("doc_id"), col("sig"),
+  /** (doc_id, sig, band_idx, band_hash) rows — one per (doc, band);
+    * the LSH bucketing shared by the batch and incremental dedups. */
+  private def bandRows(sigT: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    sigT.select(col("doc_id"), col("sig"),
       posexplode(array((0 until minhashNSig / minhashBandWidth).map(b =>
         xxhash64((0 until minhashBandWidth).map(j =>
           element_at(col("sig"), b * minhashBandWidth + j + 1)): _*)): _*))
         .as(Seq("band_idx", "band_hash")))
+
+  private def minhashPairs(sigT: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bands = bandRows(sigT)
     bands
       .select(col("doc_id").as("a_id"), col("sig").as("sig_a"),
         col("band_idx"), col("band_hash"))
@@ -318,6 +324,61 @@ object Llm {
       .join(dups, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         element_at(col("sig"), 1).as("sig0"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("dup_of"), col("est_jaccard"),
+        when(col("dup_of").isNotNull, lit("dup")).otherwise(lit("keep"))
+          .as("decision"))
+      .orderBy("doc_id")
+  }
+
+  /** INCREMENTAL near-dup dedup — the daily-growth pattern that makes
+    * dedup tractable at 100 TB: yesterday's corpus keeps its signature
+    * index as a STORED artifact (here the checkpointed signature table
+    * filtered to even doc_ids — in production, yesterday's parquet),
+    * and only the NEW batch (odd doc_ids) computes signatures and
+    * probes. A new doc is a dup of its best-matching partner at
+    * est ≥ threshold among (a) any INDEX doc — the index always wins
+    * ties by id where relevant — or (b) a LOWER-id doc within the same
+    * batch (keep-lowest, consistent with dedup_exact/dedup_minhash).
+    * Work per day is O(batch × collisions), never O(corpus²), and the
+    * index is append-only: today's batch signatures become tomorrow's
+    * index rows with no recompute. Oracle: pinned VALUES from the
+    * independent pure-python implementation (tools/incremental_oracle
+    * .py, same validated XXH64 stack as the rest of the minhash
+    * family). */
+  private def dedupIncremental: Q = (s, d) => {
+    val sigT = minhashSigTable(s, d)
+    val idxBands = bandRows(sigT.where(col("doc_id") % 2 === 0))
+      .select(col("doc_id").as("a_id"), col("sig").as("sig_a"),
+        col("band_idx"), col("band_hash"))
+    val newBands = bandRows(sigT.where(col("doc_id") % 2 === 1))
+    val probeSide = newBands
+      .select(col("doc_id").as("a_id"), col("sig").as("sig_a"),
+        col("band_idx"), col("band_hash"))
+      .unionByName(idxBands)
+    val est = probeSide
+      .join(newBands.select(col("doc_id").as("b_id"), col("sig").as("sig_b"),
+        col("band_idx"), col("band_hash")), Seq("band_idx", "band_hash"))
+      // partner = any index doc, or a lower-id doc of the same batch
+      .where(col("a_id") % 2 === 0 || col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (p, q) => when(p === q, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / minhashNSig).as("e"))
+      .groupBy("a_id", "b_id")
+      .agg(max(col("e")).as("est_jaccard"))
+    val candCnt = est.groupBy("b_id")
+      .agg(count(lit(1)).as("n_candidates"))
+    val w = Window.partitionBy("b_id")
+      .orderBy(col("est_jaccard").desc, col("a_id"))
+    val dups = est.where(col("est_jaccard") >= minhashThreshold)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("b_id"), col("a_id").as("dup_of"), col("est_jaccard"))
+    sigT.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("n_shingles"))
+      .join(candCnt.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .join(dups.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         col("dup_of"), col("est_jaccard"),
         when(col("dup_of").isNotNull, lit("dup")).otherwise(lit("keep"))
@@ -1148,6 +1209,7 @@ object Llm {
     "dedup_url" -> dedupUrl,
     "dedup_phash" -> dedupPhash,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_minhash_agg" -> dedupMinhashAgg,
     "dedup_cluster" -> dedupCluster,
     "text_normalize" -> textNormalize,
@@ -1330,6 +1392,7 @@ object Llm {
     "dedup_simhash" -> SimhashPins.dedupSimhash,
     "dedup_simhash_pairs" -> SimhashPins.dedupSimhashPairs,
     "dedup_minhash" -> MinhashPins.dedupMinhash,
+    "dedup_incremental" -> IncrementalPins.dedupIncremental,
     "dedup_minhash_agg" -> MinhashPins.dedupMinhashAgg,
     "dedup_cluster" -> MinhashPins.dedupCluster,
     "text_seg_dedup" ->

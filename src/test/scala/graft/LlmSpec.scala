@@ -245,6 +245,24 @@ class LlmSpec extends AnyFunSuite {
     en.foreach { case (id, fps) => assert(fps === eh(id), s"edge doc $id") }
   }
 
+  test("dedup_incremental: batch docs only, partners are index-or-lower-id, dups clear the threshold") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("dedup_incremental")(spark, SharedSpark.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // Output is exactly the new batch (odd ids).
+    assert(rows.forall(_.getLong(0) % 2 == 1))
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val (doc, dupOf, est) = (r.getLong(0), r.getLong(3), r.getDouble(4))
+      // keep-lowest policy: the partner is an index doc (even) or an
+      // earlier doc of the same batch — never a later batch doc.
+      assert(dupOf % 2 == 0 || dupOf < doc, s"$doc dup_of $dupOf")
+      assert(est >= 0.5)
+      assert(r.getString(5) == "dup")
+    }
+    assert(rows.filter(_.isNullAt(3)).forall(_.getString(5) == "keep"))
+  }
+
   test("deflate_len matches CPython zlib pins and behaves on edges") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
