@@ -457,7 +457,68 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** K-means training (Lloyd iterations) — the job that TRAINS
+    * sim_ann_ivf's coarse quantizer instead of assuming centroids:
+    * k=8, 3 iterations, entirely in DataFrame ops. Determinism uses
+    * the PageRank trick taken to vectors — every coordinate becomes a
+    * POSITIVE integer micro-unit (floor((x+1)·10⁶): one IEEE add, one
+    * IEEE multiply, one floor — each bit-identical in any engine), so
+    * distances are exact integer sums and the centroid update is
+    * integer floor-division (positive everywhere, where negatives
+    * would split Spark's truncating `div` from DuckDB's flooring
+    * `//`). The oracle unrolls the identical three iterations.
+    *
+    * Scale shape per iteration: assignment is a BROADCAST join of the
+    * k×d centroid table against the points (no point ever shuffles for
+    * it) + an argmin window partitioned by point; the update shuffles
+    * (cluster, dim) partial sums — map-side combined, O(k·d) final
+    * rows. Centroids checkpoint per iteration (8 rows) to cut lineage,
+    * exactly like graph_pagerank. Init = the k lowest vec_ids
+    * (deterministic; k-means++ would sample — RNG has no cross-engine
+    * oracle). Empty clusters drop and stay dropped identically in both
+    * engines. */
+  private def mlKmeans: Q = (s, d) => {
+    val K = 8
+    val Iters = 3
+    val pts = t(s, d, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor((x.cast("double") + 1.0d) * 1000000.0d).cast("long"))
+        .as("p"))
+    var cent = pts.where(col("vec_id") < K)
+      .select(col("vec_id").as("cl"), col("p").as("cp"))
+    var assigned: org.apache.spark.sql.DataFrame = null
+    val w = Window.partitionBy("vec_id").orderBy("dist", "cl")
+    for (i <- 1 to Iters) {
+      assigned = pts.crossJoin(broadcast(cent))
+        .withColumn("dist", aggregate(
+          zip_with(col("p"), col("cp"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("vec_id"), col("p"), col("cl"))
+      val upd = assigned
+        .select(col("cl"), posexplode(col("p")).as(Seq("dim", "v")))
+        .groupBy("cl", "dim")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .select(col("cl"), col("dim"), expr("sv div n").as("c"))
+        .groupBy("cl")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("cp"))
+      val path = s"$scratchRoot/kmeans/c_${Llm.Scratch.key(d)}_i$i"
+      upd.coalesce(1).write.mode("overwrite").parquet(path)
+      cent = s.read.parquet(path)
+    }
+    // Report the LAST iteration: per-cluster population + id digest
+    // from the assignment that produced the final centroids, plus the
+    // final centroid's first coordinate (integer micro-units).
+    assigned.groupBy("cl")
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_digest"))
+      .join(cent.select(col("cl"), element_at(col("cp"), 1).as("c0")), "cl")
+      .select(col("cl").as("cluster"), col("n"), col("id_digest"), col("c0"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ml_kmeans" -> mlKmeans,
     "pipeline_corpus" -> pipelineCorpus,
     "text_chunk" -> textChunk,
     "text_tfidf" -> textTfidf,
@@ -481,7 +542,46 @@ object Pipeline {
       case (c, (a, b, m)) => s"replace($c, '|$a|  |$b|', '|$m|')"
     }
 
+  /** DuckDB twin of mlKmeans: the identical three Lloyd iterations
+    * unrolled as CTEs — same integer micro-units, same argmin
+    * tie-break (dist, cl), same positive floor division. */
+  private def kmOracleIter(n: Int, centT: String): String =
+    s"""d$n AS (SELECT a.vec_id, c.cl,
+                 sum((a.pv - c.cv) * (a.pv - c.cv)) AS dist
+          FROM (SELECT vec_id, unnest(p) AS pv,
+                       generate_subscripts(p, 1) AS dim FROM pts) a
+          JOIN (SELECT cl, unnest(p) AS cv,
+                       generate_subscripts(p, 1) AS dim FROM $centT) c
+            USING (dim)
+          GROUP BY a.vec_id, c.cl),
+        a$n AS (SELECT vec_id, cl FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist, cl) AS rn FROM d$n) WHERE rn = 1),
+        c$n AS (SELECT cl, list(s ORDER BY dim) AS p FROM (
+                  SELECT j.cl, dim, (sum(v) // count(*))::BIGINT AS s
+                  FROM (SELECT a$n.cl, unnest(pts.p) AS v,
+                               generate_subscripts(pts.p, 1) AS dim
+                        FROM pts JOIN a$n USING (vec_id)) j
+                  GROUP BY j.cl, dim) GROUP BY cl)"""
+
+  private def kmOracle: String =
+    s"""WITH pts AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> floor((x::DOUBLE + 1.0) * 1000000)::BIGINT) AS p
+           FROM embeddings),
+         c0 AS (SELECT vec_id AS cl, p FROM pts WHERE vec_id < 8),
+         ${kmOracleIter(1, "c0")},
+         ${kmOracleIter(2, "c1")},
+         ${kmOracleIter(3, "c2")},
+         fin AS (SELECT cl AS cluster, count(*) AS n,
+                        sum(vec_id)::BIGINT AS id_digest
+                 FROM a3 GROUP BY cl)
+        SELECT fin.cluster, fin.n, fin.id_digest, c3.p[1] AS c0
+        FROM fin JOIN c3 ON c3.cl = fin.cluster
+        ORDER BY fin.cluster"""
+
   val oracles: Map[String, String] = Map(
+    "ml_kmeans" -> kmOracle,
     // Stage-for-stage CTE mirror of the one-plan pipeline; every
     // kernel is exact integer/string SQL, so the composition needs no
     // pinning.
