@@ -167,22 +167,82 @@ object Graph {
       .limit(20)
   }
 
+  /** COMPACT-FORWARD triangle enumeration — the plan variant the
+    * graph_triangles doc promises for web scale: orient every
+    * undirected edge from the (degree, node)-smaller endpoint to the
+    * larger, then each triangle has exactly ONE node with two
+    * out-edges to the other two, so it is enumerated once as
+    * (u→v, u→w, v→w) with v before w in the orientation order. The
+    * join fanout is Σ outdeg² where the orientation caps outdeg at
+    * O(√m) (a node of degree d > √m has all its edges oriented INTO
+    * it from lower-degree neighbours except those toward even
+    * higher-degree nodes, of which there are < √m… the standard
+    * compact-forward bound) — on a power-law graph this is the
+    * difference between Σ deg² (hub-quadratic) and m^1.5. Output and
+    * oracle are IDENTICAL to graph_triangles: same triangles, counted
+    * from a differently-shaped plan. */
+  private def graphTrianglesFwd: Q = (s, d) => {
+    val e = repeatCopurchaseEdges(s, d)
+    // Undirected degree per node (edges are stored once as pa < pb).
+    val deg = e.select(col("pa").as("node"))
+      .unionAll(e.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // Orient {a,b}: src = (deg, node)-smaller endpoint. The order is
+    // total (node breaks degree ties), so the oriented graph is a DAG.
+    val oriented = e
+      .join(deg.select(col("node").as("pa"), col("deg").as("dega")), "pa")
+      .join(deg.select(col("node").as("pb"), col("deg").as("degb")), "pb")
+      .select(
+        when(col("dega") < col("degb") ||
+            (col("dega") === col("degb") && col("pa") < col("pb")),
+          struct(col("pa").as("src"), col("pb").as("dst"),
+            col("dega").as("dsrc"), col("degb").as("ddst")))
+          .otherwise(struct(col("pb").as("src"), col("pa").as("dst"),
+            col("degb").as("dsrc"), col("dega").as("ddst")))
+          .as("o"))
+      .select(col("o.src"), col("o.dst"), col("o.dsrc"), col("o.ddst"))
+    val out = oriented.select("src", "dst", "ddst")
+    // Wedge at u: out-edges u→v, u→w with v before w in the
+    // orientation order; close with the oriented edge v→w.
+    val wedges = out.as("f1")
+      .join(out.as("f2"),
+        col("f1.src") === col("f2.src") &&
+          (col("f1.ddst") < col("f2.ddst") ||
+            (col("f1.ddst") === col("f2.ddst") &&
+              col("f1.dst") < col("f2.dst"))))
+      .select(col("f1.src").as("u"), col("f1.dst").as("v"),
+        col("f2.dst").as("w"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> graphPagerank,
-    "graph_triangles" -> graphTriangles)
+    "graph_triangles" -> graphTriangles,
+    "graph_triangles_fwd" -> graphTrianglesFwd)
+
+  // Shared by graph_triangles and graph_triangles_fwd: both enumerate
+  // the same triangle set, so both must hash-match the same oracle.
+  private val trianglesOracle: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         pr AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb, a.ok
+                FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         e AS (SELECT pa, pb FROM pr GROUP BY pa, pb
+               HAVING count(*) >= 2),
+         tri AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+                 FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                           JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+         n AS (SELECT unnest([x, y, z]) AS node FROM tri)
+       SELECT node, count(*)::BIGINT AS n_tri FROM n GROUP BY node
+       ORDER BY n_tri DESC, node LIMIT 20"""
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> prOracle,
-    "graph_triangles" ->
-      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-           pr AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb, a.ok
-                  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-           e AS (SELECT pa, pb FROM pr GROUP BY pa, pb
-                 HAVING count(*) >= 2),
-           tri AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
-                   FROM e e1 JOIN e e2 ON e1.pb = e2.pa
-                             JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
-           n AS (SELECT unnest([x, y, z]) AS node FROM tri)
-         SELECT node, count(*)::BIGINT AS n_tri FROM n GROUP BY node
-         ORDER BY n_tri DESC, node LIMIT 20""")
+    "graph_triangles" -> trianglesOracle,
+    "graph_triangles_fwd" -> trianglesOracle)
 }

@@ -61,6 +61,34 @@ class GraphSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("graph_triangles_fwd is row-identical to graph_triangles") {
+    val base = SparkEntry.queries("graph_triangles")(spark, SharedSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fwd = SparkEntry.queries("graph_triangles_fwd")(spark, SharedSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fwd == base)
+    assert(fwd.nonEmpty)
+  }
+
+  test("compact-forward orientation caps out-degree below undirected degree") {
+    val edges = ops.Graph.repeatCopurchaseEdges(spark, SharedSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+    val out = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (a, b) =>
+      val src =
+        if (Ordering[(Long, Long)].lt((deg(a), a), (deg(b), b))) a else b
+      out(src) += 1
+    }
+    val maxDeg = deg.values.max
+    val maxOut = out.values.max
+    // The orientation must strictly reduce the hub fanout the wedge
+    // join squares (equality would mean some node kept every edge
+    // outgoing despite being the max-degree endpoint somewhere).
+    assert(maxOut < maxDeg, s"maxOut=$maxOut maxDeg=$maxDeg")
+  }
+
   test("graph_pagerank rank floor is the damping base and ranks vary") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, SharedSpark.sf)
       .collect()
