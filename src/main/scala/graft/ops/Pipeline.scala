@@ -64,6 +64,51 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** EXACT k-per-group sample as a bounded aggregate — priority
+    * sampling, the deterministic reservoir: each row's priority is a
+    * 52-bit md5 prefix (exact in a double, so the native buffer and
+    * the oracle's BIGINT order identically), and the k highest-priority
+    * rows per language win through [[graft.expr.TopKAgg]]'s k-bounded
+    * buffer. Map-side combinable: each input partition forwards at most
+    * k pairs per group, no group is ever materialized or sorted — the
+    * window formulation (`row_number() <= k`) shuffles and sorts the
+    * ENTIRE corpus to discard all but k·groups rows. This is how you
+    * pull a fixed-size per-stratum eval slice from 100 TB: one pass,
+    * O(k·groups) state, and re-runs select the identical rows (the
+    * priority is a row property, not an RNG draw — same discipline as
+    * sample_hash). PipelineSpec pins bit-identity to the window
+    * formulation; the oracle runs it in DuckDB. */
+  private val reservoirK = 5
+
+  private def sampleReservoir: Q = (s, d) => {
+    graft.expr.TopKAgg.register(s)
+    val pr = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    t(s, d, "documents")
+      .select(col("lang"), col("doc_id"), pr.as("pr"))
+      .groupBy("lang")
+      .agg(call_function("topk_pairs",
+        col("pr").cast("double"), col("doc_id"), lit(reservoirK)).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+        col("p.id").as("doc_id"), col("p.score").cast("long").as("pr"))
+      .orderBy("lang", "rk")
+  }
+
+  /** The window formulation sample_reservoir must be bit-identical to
+    * (PipelineSpec pins it; shares the scale note on topk_group_agg). */
+  private[graft] def sampleReservoirWindow: Q = (s, d) => {
+    val pr = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("lang").orderBy(col("pr").desc, col("doc_id"))
+    t(s, d, "documents")
+      .select(col("lang"), col("doc_id"), pr.as("pr"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .where(col("rk") <= reservoirK)
+      .select(col("lang"), col("rk"), col("doc_id"), col("pr"))
+      .orderBy("lang", "rk")
+  }
+
   /** Dataset mixture with UPSAMPLING: per-source weight w (1.0–2.5) →
     * floor(w) full copies + a hash-sampled fractional epoch — exactly
     * how pretraining mixtures over-represent high-quality sources.
@@ -525,6 +570,7 @@ object Pipeline {
     "corpus_shard" -> corpusShard,
     "tok_encode" -> tokEncode,
     "sample_hash" -> sampleHash,
+    "sample_reservoir" -> sampleReservoir,
     "sample_stratified" -> sampleStratified,
     "data_mixture" -> dataMixture,
     "pack_sequences" -> packSequences,
@@ -680,6 +726,18 @@ object Pipeline {
           FROM documents
           WHERE ${duckBucket("doc_id")} < 1000
           ORDER BY doc_id""",
+    "sample_reservoir" ->
+      s"""WITH pri AS (
+            SELECT lang, doc_id,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT AS pr
+            FROM documents),
+          r AS (
+            SELECT lang, doc_id, pr,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY pr DESC, doc_id) AS rk
+            FROM pri)
+          SELECT lang, rk::INT AS rk, doc_id, pr
+          FROM r WHERE rk <= $reservoirK ORDER BY lang, rk""",
     "sample_stratified" ->
       s"""WITH r AS (
             SELECT lang, ${duckBucket("doc_id")} AS bucket,

@@ -22,6 +22,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.forall(_.getLong(3) < 1000), "every kept row's bucket < rate")
   }
 
+  test("sample_reservoir is bit-identical to the window formulation") {
+    val agg = run("sample_reservoir").collect().toSeq
+    val win = ops.Pipeline.sampleReservoirWindow(spark, sf).collect().toSeq
+    assert(agg === win)
+    assert(agg.nonEmpty)
+    // Every group is exactly k rows (corpus has >= k docs per lang) and
+    // priorities are strictly descending within a group (52-bit md5
+    // prefixes — a tie would break rank determinism across engines).
+    val byLang = agg.groupBy(_.getString(0))
+    byLang.values.foreach { rows =>
+      assert(rows.length == 5)
+      val prs = rows.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(prs == prs.distinct.sorted(Ordering[Long].reverse))
+    }
+  }
+
+  test("sample_reservoir plans as an aggregate, not a window sort") {
+    val df = run("sample_reservoir")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "bounded-heap agg must replace the window")
+    assert(plan.contains("ObjectHashAggregate"), plan.take(400))
+  }
+
   test("sample_stratified: kept <= total per stratum, rare strata kept more") {
     val rows = run("sample_stratified").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
