@@ -109,6 +109,41 @@ object Pipeline {
       .orderBy("lang", "rk")
   }
 
+  /** EXACT corpus heavy hitters in the sketch-then-verify 2-pass shape.
+    * Pass 1 runs [[graft.expr.MisraGriesAgg]] (bounded m-entry summary,
+    * map-side combinable — the full word stream NEVER shuffles, each
+    * partition ships <= m entries) alongside the total word count;
+    * Misra–Gries guarantees every word with share > 1/(m+1) survives,
+    * and m+1 > the support divisor, so the candidate set provably
+    * contains every qualifying word. Pass 2 broadcast-joins the <= m
+    * candidates back and counts ONLY those exactly — the shuffle
+    * carries candidate words alone. Final filter on the EXACT count
+    * (share > 1/500) makes the result independent of sketch noise:
+    * exact answer, oracle-hash-equal to DuckDB's brute-force group-by,
+    * without ever paying the full-cardinality word shuffle that kills
+    * the naive plan at 100 TB. */
+  private val heavyM = 599
+  private val heavySupport = 500 // output: words with cnt * 500 > n
+
+  private def aggHeavyHitters: Q = (s, d) => {
+    require(heavyM + 1 >= heavySupport,
+      "MG guarantee must cover the support threshold")
+    graft.expr.MisraGriesAgg.register(s)
+    val words = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+    val cands = words
+      .agg(count(lit(1)).as("n"),
+        call_function("misra_gries", col("word"), lit(heavyM)).as("mg"))
+      .select(col("n"), explode(col("mg")).as("c"))
+      .select(col("c.word").as("word"), col("n"))
+    words.join(broadcast(cands), Seq("word"))
+      .groupBy("word", "n")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * heavySupport > col("n"))
+      .select(col("word"), col("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
   /** Dataset mixture with UPSAMPLING: per-source weight w (1.0–2.5) →
     * floor(w) full copies + a hash-sampled fractional epoch — exactly
     * how pretraining mixtures over-represent high-quality sources.
@@ -569,6 +604,7 @@ object Pipeline {
     "text_tfidf" -> textTfidf,
     "corpus_shard" -> corpusShard,
     "tok_encode" -> tokEncode,
+    "agg_heavy_hitters" -> aggHeavyHitters,
     "sample_hash" -> sampleHash,
     "sample_reservoir" -> sampleReservoir,
     "sample_stratified" -> sampleStratified,
@@ -726,6 +762,15 @@ object Pipeline {
           FROM documents
           WHERE ${duckBucket("doc_id")} < 1000
           ORDER BY doc_id""",
+    "agg_heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                     FROM documents),
+            tot AS (SELECT count(*) AS n FROM w)
+          SELECT word, count(*)::BIGINT AS cnt
+          FROM w, tot
+          GROUP BY word, n
+          HAVING count(*) * $heavySupport > n
+          ORDER BY cnt DESC, word""",
     "sample_reservoir" ->
       s"""WITH pri AS (
             SELECT lang, doc_id,
