@@ -181,7 +181,7 @@ object Llm {
 
   /** Word-3-gram shingle set (distinct), null-padded tail shingles for
     * very short docs. */
-  private def shingles(text: Column): Column = {
+  private[ops] def shingles(text: Column): Column = {
     val toks = split(text, " ")
     array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - 2, lit(1))),
@@ -206,9 +206,9 @@ object Llm {
     * cache-pinned after the query, unlike round 1). The band self-join
     * shuffles only (band_idx, band_hash, doc_id) triples; candidate
     * verification joins 16-long signatures on bounded pair sets. */
-  private val minhashNSig = 16
-  private val minhashBandWidth = 4
-  private val minhashThreshold = 0.5
+  private[ops] val minhashNSig = 16
+  private[ops] val minhashBandWidth = 4
+  private[ops] val minhashThreshold = 0.5
 
   /** Per-doc MinHash signature table, CHECKPOINTED to scratch parquet
     * (16 longs + 2 ids per doc): signatures are a pure per-row map
@@ -252,7 +252,7 @@ object Llm {
       built.computeIfAbsent(path, _ => { build; path })
   }
 
-  private def minhashSigTable(s: org.apache.spark.sql.SparkSession,
+  private[ops] def minhashSigTable(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     graft.expr.MinHashSketch.register(s)
     Scratch.table(s, s"$scratchRoot/minhash_sig/${Scratch.key(d)}") {
@@ -279,7 +279,7 @@ object Llm {
     * that computes its estimate. */
   /** (doc_id, sig, band_idx, band_hash) rows — one per (doc, band);
     * the LSH bucketing shared by the batch and incremental dedups. */
-  private def bandRows(sigT: org.apache.spark.sql.DataFrame)
+  private[ops] def bandRows(sigT: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     sigT.select(col("doc_id"), col("sig"),
       posexplode(array((0 until minhashNSig / minhashBandWidth).map(b =>

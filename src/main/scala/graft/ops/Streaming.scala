@@ -411,6 +411,123 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  /** STREAMING incremental near-dup dedup — dedup_incremental's
+    * streaming twin, and the shape a 100 TB corpus actually grows in:
+    * the signature BAND INDEX is a stored artifact; new documents
+    * stream in (4 doc_id-ordered files drained 1 per micro-batch), and
+    * each micro-batch computes its own MinHash signatures, probes the
+    * CURRENT index (base evens + every previously-streamed batch) plus
+    * its own lower-id rows via the band equi-join, emits keep/dup
+    * decisions append-only, and appends its band rows to the index —
+    * so per-day work stays O(batch × collisions) and the index never
+    * recomputes. Because staged files are id-ordered, "index ∪
+    * lower-id same batch" here equals the batch twin's "even index ∪
+    * lower-id odd" exactly, and the SAME single predicate
+    * (a even OR a < b) selects partners in both — the streamed result
+    * must therefore be row-identical to dedup_incremental and shares
+    * its python-pinned oracle (tools/incremental_oracle.py).
+    * Idempotency discipline matches stream_mv: per-batch index/result
+    * dirs keyed by batchId (a replay overwrites its own output), and
+    * each execution starts from a wiped streamDir. */
+  private def streamDedupIncremental: Q = (s, d) => {
+    graft.expr.MinHashSketch.register(s)
+    val sigT = Llm.minhashSigTable(s, d)
+    // One-time stored artifacts (immutable per input dir): the base
+    // index = band rows of the even half, and the 4 staged new-doc
+    // files. Strictly increasing mtimes pin the file source's drain
+    // order to doc_id order (it sorts by modification time).
+    val baseIdx = s"$scratchRoot/sdi_base/${Llm.Scratch.key(d)}"
+    Llm.Scratch.once(baseIdx) {
+      Llm.bandRows(sigT.where(col("doc_id") % 2 === 0))
+        .write.mode("overwrite").parquet(baseIdx)
+    }
+    val srcDir = s"$scratchRoot/sdi_src/${Llm.Scratch.key(d)}"
+    Llm.Scratch.once(srcDir) {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val odd = t(s, d, "documents").where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .withColumn("bucket", ntile(4).over(w))
+      new java.io.File(srcDir).mkdirs()
+      for (b <- 1 to 4) {
+        val tmp = s"$srcDir.tmp$b"
+        odd.where(col("bucket") === b).drop("bucket")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get.toPath
+        val dst = java.nio.file.Paths.get(srcDir, f"batch$b%02d.parquet")
+        java.nio.file.Files.move(part, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + b * 60000L))
+        val t2 = new java.io.File(tmp)
+        t2.listFiles().foreach(_.delete()); t2.delete()
+      }
+    }
+    val idxApp = streamDir("sdi/idx")
+    val resRoot = streamDir("sdi/res")
+    val st = s.readStream
+      .schema(new StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("text", org.apache.spark.sql.types.StringType))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    withStatePartitions(s) {
+      val q = st.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val sh = Llm.shingles(col("text"))
+          val sigs = batch.select(col("doc_id"),
+            call_function("minhash_sig", sh).as("sig"),
+            size(sh).cast("long").as("n_shingles"))
+          val newBands = Llm.bandRows(sigs)
+          val prior = (0L until batchId).foldLeft(s.read.parquet(baseIdx)) {
+            (acc, i) => acc.unionByName(s.read.parquet(s"$idxApp/b$i"))
+          }
+          val probe = prior.unionByName(newBands)
+            .select(col("doc_id").as("a_id"), col("sig").as("sig_a"),
+              col("band_idx"), col("band_hash"))
+          val est = probe
+            .join(newBands.select(col("doc_id").as("b_id"),
+              col("sig").as("sig_b"), col("band_idx"), col("band_hash")),
+              Seq("band_idx", "band_hash"))
+            .where(col("a_id") % 2 === 0 || col("a_id") < col("b_id"))
+            .select(col("a_id"), col("b_id"),
+              (aggregate(zip_with(col("sig_a"), col("sig_b"),
+                (p, q2) => when(p === q2, 1).otherwise(0)), lit(0),
+                (acc, v) => acc + v)
+                .cast("double") / Llm.minhashNSig).as("e"))
+            .groupBy("a_id", "b_id")
+            .agg(max(col("e")).as("est_jaccard"))
+          val candCnt = est.groupBy("b_id")
+            .agg(count(lit(1)).as("n_candidates"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("b_id")
+            .orderBy(col("est_jaccard").desc, col("a_id"))
+          val dups = est.where(col("est_jaccard") >= Llm.minhashThreshold)
+            .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+            .select(col("b_id"), col("a_id").as("dup_of"), col("est_jaccard"))
+          sigs.select(col("doc_id"), col("n_shingles"))
+            .join(candCnt.withColumnRenamed("b_id", "doc_id"),
+              Seq("doc_id"), "left")
+            .join(dups.withColumnRenamed("b_id", "doc_id"),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"), col("n_shingles"),
+              coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+              col("dup_of"), col("est_jaccard"),
+              when(col("dup_of").isNotNull, lit("dup")).otherwise(lit("keep"))
+                .as("decision"))
+            .write.mode("overwrite").parquet(s"$resRoot/b$batchId")
+          newBands.write.mode("overwrite").parquet(s"$idxApp/b$batchId")
+        }
+        .option("checkpointLocation", streamDir("sdi/ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.option("recursiveFileLookup", "true").parquet(resRoot)
+      .orderBy("doc_id")
+  }
+
   /** Continuous remote ingest through the custom DSv2 source
     * ([[graft.sources.RemoteFileSource]] as a MicroBatchStream): the
     * reference's cron-triggered remote pipeline as ONE streaming query —
@@ -511,9 +628,14 @@ object Streaming {
     "stream_enrich" -> streamEnrich,
     "stream_sink" -> streamSink,
     "stream_mv" -> streamMv,
+    "stream_dedup_incremental" -> streamDedupIncremental,
   )
 
   val oracles: Map[String, String] = Map(
+    // The streaming twin must be row-identical to dedup_incremental
+    // (same partner predicate over the same ordered growth), so it
+    // shares the python-pinned oracle verbatim.
+    "stream_dedup_incremental" -> IncrementalPins.dedupIncremental,
     // Stream-static enrichment ≡ its batch join (AvailableNow drains
     // the full source); dmul2/dsum2 decimal chain mirrored exactly.
     "stream_enrich" ->

@@ -263,6 +263,19 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.filter(_.isNullAt(3)).forall(_.getString(5) == "keep"))
   }
 
+  test("stream_dedup_incremental is row-identical to batch dedup_incremental") {
+    // The streaming twin drains id-ordered files one per micro-batch and
+    // probes base-index + previously-appended batches; the partner set
+    // per new doc is therefore identical to the batch twin's, at ANY SF.
+    val batch = SparkEntry.queries("dedup_incremental")(spark, SharedSpark.sf)
+      .collect().toSeq
+    val stream =
+      SparkEntry.queries("stream_dedup_incremental")(spark, SharedSpark.sf)
+        .collect().toSeq
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
   test("deflate_len matches CPython zlib pins and behaves on edges") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
