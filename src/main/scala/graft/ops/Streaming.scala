@@ -89,6 +89,39 @@ object Streaming {
         col("n_events"), col("dur_s"))
       .orderBy("user_id", "sess_start_s")
 
+  /** Gap-filled 10-minute RESAMPLE with last-observation-carried-forward
+    * — the time-series normalization every monitoring/feature pipeline
+    * needs (dashboards and join-ready feature frames want a dense,
+    * regular grid; raw events are sparse and bursty). Slots are exact
+    * integer epoch-µs division (no timestamp formatting in the hash),
+    * the dense grid is a per-type `sequence` explode (a generator:
+    * zero shuffle, output proportional to slots not events), missing
+    * slots join as n=0, and the carried value is `last(_, ignoreNulls)`
+    * over an UNBOUNDED PRECEDING row frame — one window pass over the
+    * SLOT grid (types × slots rows), never over raw events. The value
+    * sum rides the dsum2 exact-decimal discipline so LOCF copies
+    * bit-identical doubles in both engines. */
+  private def winGapfill: Q = (s, d) => {
+    val ev = events(s, d).select(col("event_type"),
+      expr("ts_us div 600000000").as("slot"), col("value"))
+    val agg = ev.groupBy("event_type", "slot")
+      .agg(count(lit(1)).as("n_obs"),
+        round(sum(dec(col("value"))), 2).cast("double").as("vs"))
+    val bounds = ev.agg(min("slot").as("lo"), max("slot").as("hi"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("slot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("slot")
+      .rowsBetween(Long.MinValue, 0)
+    grid.join(agg, Seq("event_type", "slot"), "left")
+      .select(col("event_type"), (col("slot") * 600).as("slot_s"),
+        coalesce(col("n_obs"), lit(0L)).as("n"),
+        last(col("vs"), ignoreNulls = true).over(w).as("value_locf"))
+      .orderBy("event_type", "slot_s")
+  }
+
   // ------------------------------------------------------ true streaming
 
   private def streamDir(name: String): String = {
@@ -618,6 +651,7 @@ object Streaming {
     "win_tumbling" -> winTumbling,
     "win_sliding" -> winSliding,
     "win_session" -> winSession,
+    "win_gapfill" -> winGapfill,
     "stream_ingest" -> streamIngest,
     "stream_watermark" -> streamWatermark,
     "stream_dedup" -> streamDedup,
@@ -672,6 +706,25 @@ object Streaming {
            ('txt',  6, 68, 'a.txt|data--.txt|deep.txt|dup_one.txt|empty.txt|report final.txt'))
          t(file_type, n, total_bytes, names)
          ORDER BY file_type""",
+    "win_gapfill" ->
+      s"""WITH ev AS (SELECT event_type, ${duckTsS("ts")} // 600 AS slot,
+                       CAST(value AS DECIMAL(18,4)) AS v FROM events),
+           agg AS (SELECT event_type, slot, count(*) AS n_obs,
+                          round(sum(v), 2)::DOUBLE AS vs
+                   FROM ev GROUP BY event_type, slot),
+           b AS (SELECT min(slot) AS lo, max(slot) AS hi FROM ev),
+           types AS (SELECT DISTINCT event_type FROM ev),
+           grid AS (SELECT t.event_type, unnest(range(b.lo, b.hi + 1)) AS slot
+                    FROM types t, b),
+           j AS (SELECT g.event_type, g.slot,
+                        coalesce(a.n_obs, 0) AS n, a.vs
+                 FROM grid g LEFT JOIN agg a USING (event_type, slot))
+          SELECT event_type, (slot * 600)::BIGINT AS slot_s, n::BIGINT AS n,
+                 last_value(vs IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY slot
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS value_locf
+          FROM j ORDER BY event_type, slot_s""",
     "win_tumbling" ->
       s"""SELECT (${duckTsS("ts")} // 600) * 600 AS wstart_s, event_type,
                  count(*) AS n,

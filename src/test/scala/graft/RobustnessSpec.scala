@@ -86,6 +86,26 @@ class RobustnessSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(1))
   }
 
+  test("win_gapfill emits a dense per-type grid with LOCF over gaps") {
+    val sp = SharedSpark.spark
+    val rows = SparkEntry.queries("win_gapfill")(sp, SharedSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    val sizes = byType.values.map(_.length).toSet
+    assert(sizes.size == 1, s"every type must span the same grid: $sizes")
+    byType.values.foreach { rs =>
+      val slots = rs.map(_.getLong(1)).sorted
+      // Dense: consecutive slots 600 s apart, no holes.
+      assert(slots.zip(slots.tail).forall { case (a, b) => b - a == 600 })
+      // LOCF: a gap slot (n=0) after any observation carries a value.
+      var seen = false
+      rs.sortBy(_.getLong(1)).foreach { r =>
+        if (r.getLong(2) > 0) seen = true
+        else if (seen) assert(!r.isNullAt(3), "gap after data must carry LOCF")
+      }
+    }
+  }
+
   test("topk_pairs rejects non-positive k at registration") {
     val sp = SharedSpark.spark
     graft.expr.TopKAgg.register(sp)
