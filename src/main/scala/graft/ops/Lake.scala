@@ -177,6 +177,102 @@ object Lake {
         col("o_year") === col("cal_year"))
   }
 
+  /** WRITE-AUDIT-PUBLISH with atomic manifest commits — the lakehouse
+    * table-format transaction pattern (Iceberg/Delta commit protocol)
+    * built from primitives: data files stage under an UNREFERENCED
+    * path, an audit runs against the staged files themselves (never
+    * the logical plan — what was actually written is what gets
+    * checked), and only a passing audit publishes, by writing an
+    * immutable manifest (the previous file list + the new files) and
+    * atomically moving a HEAD pointer onto it. Readers resolve
+    * HEAD → manifest → file list, so they see every commit entirely
+    * or not at all; a failed audit leaves orphaned staged files and an
+    * untouched HEAD (write isolation — the cleanup is a GC sweep, not
+    * a rollback). Manifests are immutable and append-only, which is
+    * also what makes [[scanSnapshot]] time travel free. The protocol
+    * here is three commits: two good batches publish v1 and v2; a
+    * third with NULL keys fails the audit and must change nothing.
+    * At 100 TB the manifest write is O(files), the data move is zero
+    * (files never relocate), and concurrent writers serialize on the
+    * single HEAD swap exactly as in Iceberg's optimistic protocol. */
+  private[graft] def wapBase(d: String): String =
+    s"$scratchRoot/wap/${Llm.Scratch.key(d)}"
+
+  /** Run the full 3-commit WAP protocol from scratch; idempotent
+    * (fixed content per input dir), so every execution re-measures the
+    * protocol like sink_scd2. Returns the base dir. */
+  private[graft] def wapRun(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val base = wapBase(d)
+    def del(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(del)
+      x.delete(): Unit
+    }
+    val bf = new java.io.File(base)
+    if (bf.exists()) del(bf)
+    new java.io.File(s"$base/manifests").mkdirs()
+    val o = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    def tryCommit(batch: org.apache.spark.sql.DataFrame, v: Int): Boolean = {
+      val dataDir = s"$base/files/v$v"
+      batch.write.mode("overwrite").parquet(dataDir)
+      // Audit the STAGED files: non-empty, and no null keys.
+      val a = s.read.parquet(dataDir)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("bad"))
+        .collect()(0)
+      if (a.getLong(0) == 0L || a.getLong(1) > 0L) return false
+      val prev: Seq[String] =
+        if (v == 1) Seq.empty
+        else scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get(s"$base/manifests/v${v - 1}.txt")))
+          .asScala.toSeq
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/manifests/v$v.txt"),
+        scala.jdk.CollectionConverters.SeqHasAsJava(prev :+ dataDir).asJava)
+      val tmp = java.nio.file.Paths.get(s"$base/HEAD.tmp")
+      java.nio.file.Files.writeString(tmp, v.toString)
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$base/HEAD"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      true
+    }
+    tryCommit(o.where(pmod(col("o_orderkey"), lit(10)) === 0), 1)
+    tryCommit(o.where(pmod(col("o_orderkey"), lit(10)) === 1), 2)
+    // Poisoned batch: keys nulled — audit must reject, HEAD must stay 2.
+    tryCommit(o.where(pmod(col("o_orderkey"), lit(10)) === 2)
+      .withColumn("o_orderkey", lit(null).cast("long")), 3)
+    base
+  }
+
+  /** Resolve a published version's file list (HEAD if v is None). */
+  private[graft] def wapResolve(base: String, v: Option[Int]): Seq[String] = {
+    val head = v.getOrElse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$base/HEAD")).trim.toInt)
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"$base/manifests/v$head.txt")))
+      .asScala.toSeq
+  }
+
+  private def sinkWap: Q = (s, d) => {
+    val base = wapRun(s, d)
+    s.read.parquet(wapResolve(base, None): _*)
+      .orderBy("o_orderkey")
+  }
+
+  /** Time travel over the WAP manifests: manifests are immutable, so
+    * reading AS OF v1 is just resolving the v1 file list — no data
+    * copies, no log replay. The protocol run is a once-per-process
+    * precondition here (sink_wap is the key that measures the commit
+    * path itself). */
+  private def scanSnapshot: Q = (s, d) => {
+    Llm.Scratch.once(wapBase(d))(wapRun(s, d): Unit)
+    s.read.parquet(wapResolve(wapBase(d), Some(1)): _*)
+      .orderBy("o_orderkey")
+  }
+
   /** SCD2 (type-2 slowly-changing dimension) merge — history-preserving
     * upsert: incoming changes CLOSE the current version (valid_to set)
     * and APPEND a new open version, so every historical fact join can
@@ -528,9 +624,20 @@ object Lake {
     "scan_profile" -> scanProfile,
     "agg_argmax" -> aggArgmax,
     "agg_hll_merge" -> aggHllMerge,
+    "sink_wap" -> sinkWap,
+    "scan_snapshot" -> scanSnapshot,
   )
 
   val oracles: Map[String, String] = Map(
+    // Published table = the two audited batches, entirely; the
+    // rejected third batch must contribute nothing.
+    "sink_wap" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders WHERE o_orderkey % 10 <= 1 ORDER BY o_orderkey""",
+    // AS OF v1 = exactly the first published batch.
+    "scan_snapshot" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""",
     // Manifest pruning only changes WHICH FILES are opened; the
     // residual filter makes the result the plain filtered aggregate.
     "scan_manifest_prune" ->

@@ -292,4 +292,34 @@ class LakeSpec extends AnyFunSuite {
       assert(r.getLong(1) === baseN(r.getLong(0)))
     }
   }
+
+  test("sink_wap: failed audit publishes nothing, commits are atomic and immutable") {
+    import java.nio.file.{Files, Paths}
+    SparkEntry.queries("sink_wap")(spark, SharedSpark.sf).collect()
+    val base = ops.Lake.wapBase(SharedSpark.sf)
+    // The poisoned third commit staged files but never published:
+    // HEAD still points at v2 and no v3 manifest exists.
+    assert(Files.readString(Paths.get(s"$base/HEAD")).trim == "2")
+    assert(Files.exists(Paths.get(s"$base/files/v3")),
+      "staged files remain orphaned (GC's job, not rollback's)")
+    assert(!Files.exists(Paths.get(s"$base/manifests/v3.txt")))
+    // Manifests are append-only snapshots: v2 = v1 files + one dir.
+    val v1 = ops.Lake.wapResolve(base, Some(1))
+    val v2 = ops.Lake.wapResolve(base, Some(2))
+    assert(v2.startsWith(v1) && v2.size == v1.size + 1)
+    // No HEAD.tmp left behind by the atomic swap.
+    assert(!Files.exists(Paths.get(s"$base/HEAD.tmp")))
+  }
+
+  test("scan_snapshot time travel reads exactly the v1 batch") {
+    val v1 = SparkEntry.queries("scan_snapshot")(spark, SharedSpark.sf)
+      .collect()
+    assert(v1.nonEmpty)
+    assert(v1.forall(_.getLong(0) % 10 == 0))
+    // The current table strictly extends the snapshot.
+    val cur = SparkEntry.queries("sink_wap")(spark, SharedSpark.sf).collect()
+    assert(cur.length > v1.length)
+    val curKeys = cur.map(_.getLong(0)).toSet
+    assert(v1.forall(r => curKeys.contains(r.getLong(0))))
+  }
 }
