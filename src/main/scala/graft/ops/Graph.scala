@@ -221,10 +221,45 @@ object Graph {
       .limit(20)
   }
 
+  /** Node-similarity mining — "customers who bought X also bought Y"
+    * as common-neighbor Jaccard over the co-purchase graph: for part
+    * pairs sharing ≥ 2 neighbors, |N(a)∩N(b)| / |N(a)∪N(b)|, top 20.
+    * One wedge self-join on the shared-neighbor key + one count — the
+    * intersection NEVER materializes neighbor sets (each wedge row is
+    * one intersection element, counted map-side); union size is
+    * algebraic (da + db − inter) from the degree table. The similarity
+    * is a SINGLE IEEE division of two exact ints, so doubles are
+    * bit-identical in both engines and the top-20 sort agrees. The
+    * ≥ 2 support floor is the same noise bound as the triangle graph;
+    * at web scale the wedge join gets the hub df-cap (drop neighbors
+    * with deg > K before pairing — exactly dedup_ngram's discipline,
+    * which leaves high-similarity pairs intact because hub-mediated
+    * wedges contribute little Jaccard mass). */
+  private def graphJaccard: Q = (s, d) => {
+    val e2 = copurchaseEdges(s, d)
+    val e = e2.select("src", "dst")
+    val deg = e2.select(col("src"), col("outdeg")).distinct()
+    val inter = e.as("x").join(e.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("a"), col("y.src").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .where(col("inter") >= 2)
+    inter
+      .join(deg.select(col("src").as("a"), col("outdeg").as("da")), "a")
+      .join(deg.select(col("src").as("b"), col("outdeg").as("db")), "b")
+      .select(col("a"), col("b"), col("inter"),
+        (col("da") + col("db") - col("inter")).as("uni"))
+      .withColumn("jac",
+        col("inter").cast("double") / col("uni").cast("double"))
+      .orderBy(col("jac").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
-    "graph_triangles_fwd" -> graphTrianglesFwd)
+    "graph_triangles_fwd" -> graphTrianglesFwd,
+    "graph_jaccard" -> graphJaccard)
 
   // Shared by graph_triangles and graph_triangles_fwd: both enumerate
   // the same triangle set, so both must hash-match the same oracle.
@@ -244,5 +279,20 @@ object Graph {
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> prOracle,
     "graph_triangles" -> trianglesOracle,
-    "graph_triangles_fwd" -> trianglesOracle)
+    "graph_triangles_fwd" -> trianglesOracle,
+    "graph_jaccard" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+                 FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+           deg AS (SELECT src, count(*) AS n FROM e GROUP BY src),
+           w AS (SELECT x.src AS a, y.src AS b, count(*) AS inter
+                 FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
+                 GROUP BY 1, 2 HAVING count(*) >= 2),
+           j AS (SELECT a, b, inter,
+                        da.n + db.n - inter AS uni
+                 FROM w JOIN deg da ON da.src = a
+                        JOIN deg db ON db.src = b)
+         SELECT a, b, inter::BIGINT AS inter, uni::BIGINT AS uni,
+                inter::DOUBLE / uni::DOUBLE AS jac
+         FROM j ORDER BY jac DESC, a, b LIMIT 20""")
 }

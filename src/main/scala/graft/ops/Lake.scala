@@ -273,6 +273,34 @@ object Lake {
       .orderBy("o_orderkey")
   }
 
+  /** VACUUM — the GC sweep that completes the WAP protocol: staged
+    * data dirs not referenced by the CURRENT manifest chain are
+    * orphans (failed audits, abandoned writers) and get deleted;
+    * referenced files are untouchable. Runs the full protocol first so
+    * every execution sweeps the identical state (the poisoned commit's
+    * files/v3 is always the one orphan) — deterministic output at any
+    * SF and across bench trials. At 100 TB this is a metadata-only
+    * pass: list dirs ⋈ manifest file list, delete the difference;
+    * nothing data-sized is read. Emitted paths are RELATIVE to the
+    * table root (scratch roots are per-process). */
+  private def sinkVacuum: Q = (s, d) => {
+    val base = wapRun(s, d)
+    val referenced = wapResolve(base, None).toSet
+    val filesRoot = new java.io.File(s"$base/files")
+    def del(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(del)
+      x.delete(): Unit
+    }
+    val rows = filesRoot.listFiles().filter(_.isDirectory).sortBy(_.getName)
+      .map { dir =>
+        val ref = referenced.contains(dir.getPath)
+        if (!ref) del(dir)
+        (s"files/${dir.getName}", ref, !ref)
+      }.toSeq
+    s.createDataFrame(rows).toDF("dir", "referenced", "deleted")
+      .orderBy("dir")
+  }
+
   /** SCD2 (type-2 slowly-changing dimension) merge — history-preserving
     * upsert: incoming changes CLOSE the current version (valid_to set)
     * and APPEND a new open version, so every historical fact join can
@@ -626,6 +654,7 @@ object Lake {
     "agg_hll_merge" -> aggHllMerge,
     "sink_wap" -> sinkWap,
     "scan_snapshot" -> scanSnapshot,
+    "sink_vacuum" -> sinkVacuum,
   )
 
   val oracles: Map[String, String] = Map(
@@ -638,6 +667,14 @@ object Lake {
     "scan_snapshot" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""",
+    // The sweep outcome is protocol-determined, SF-independent: v1/v2
+    // published and kept, the failed commit's staging dir deleted.
+    "sink_vacuum" ->
+      """SELECT dir, referenced, deleted FROM (VALUES
+           ('files/v1', true, false),
+           ('files/v2', true, false),
+           ('files/v3', false, true)) t(dir, referenced, deleted)
+         ORDER BY dir""",
     // Manifest pruning only changes WHICH FILES are opened; the
     // residual filter makes the result the plain filtered aggregate.
     "scan_manifest_prune" ->

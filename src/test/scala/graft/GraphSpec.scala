@@ -89,6 +89,31 @@ class GraphSpec extends AnyFunSuite {
     assert(maxOut < maxDeg, s"maxOut=$maxOut maxDeg=$maxDeg")
   }
 
+  test("graph_jaccard matches a driver-side reference computation") {
+    val edges = ops.Graph.copurchaseEdges(spark, SharedSpark.sf)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pairs = for {
+      (a, na) <- nbrs.toSeq
+      (b, nb) <- nbrs.toSeq
+      if a < b
+      inter = (na & nb).size
+      if inter >= 2
+    } yield {
+      val uni = na.size + nb.size - inter
+      (a, b, inter.toLong, uni.toLong, inter.toDouble / uni.toDouble)
+    }
+    val expected = pairs
+      .sortBy { case (a, b, _, _, j) => (-j, a, b) }.take(20)
+    val got = SparkEntry.queries("graph_jaccard")(spark, SharedSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("graph_pagerank rank floor is the damping base and ranks vary") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, SharedSpark.sf)
       .collect()
