@@ -109,6 +109,52 @@ object Pipeline {
       .orderBy("lang", "rk")
   }
 
+  /** Windowed word CO-OCCURRENCE with exact lift — association mining
+    * over the corpus ("which words travel together"), the counting
+    * backbone of PMI features and phrase detection. Pair generation is
+    * a PER-ROW nested array transform over the token attribute (window
+    * ≤ 3 positions, pair key sorted so direction collapses) — a
+    * generator, not a self-join: work is O(doc_len × window) per row
+    * with zero shuffle until the count aggregates, where only
+    * (pa, pb) pairs travel. Lambdas reference the token ATTRIBUTE
+    * only (the computed-expression-in-lambda trap recorded in
+    * SURVEY 8c-3 does not apply). Lift = n·c_ab / (c_a·c_b) stays in
+    * exact integer arithmetic until a single IEEE division, so the
+    * top-20 sort is bit-identical in both engines; the c_ab ≥ 5
+    * support floor is the usual noise bound. */
+  private def textCooc: Q = (s, d) => {
+    val base = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val n2 = size(col("toks"))
+    val pairsCol = flatten(transform(sequence(lit(1), n2 - 1), i =>
+      transform(sequence(i + 1, least(i + 3, n2)), j =>
+        struct(
+          least(element_at(col("toks"), i), element_at(col("toks"), j))
+            .as("pa"),
+          greatest(element_at(col("toks"), i), element_at(col("toks"), j))
+            .as("pb")))))
+    // sequence(1, 0) would DESCEND for single-token docs — guard to an
+    // empty pair list instead.
+    val pairs = base
+      .select(explode(when(n2 >= 2, pairsCol)
+        .otherwise(array().cast("array<struct<pa:string,pb:string>>")))
+        .as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+    val words = base.select(explode(col("toks")).as("w"))
+    val cw = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = words.agg(count(lit(1)).as("n"))
+    pairs.groupBy("pa", "pb").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= 5)
+      .join(broadcast(cw.select(col("w").as("pa"), col("c").as("ca"))), "pa")
+      .join(broadcast(cw.select(col("w").as("pb"), col("c").as("cb"))), "pb")
+      .crossJoin(broadcast(tot))
+      .select(col("pa"), col("pb"), col("c_ab"),
+        ((col("n") * col("c_ab")).cast("double") /
+          (col("ca") * col("cb")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("pa"), col("pb"))
+      .limit(20)
+  }
+
   /** EXACT corpus heavy hitters in the sketch-then-verify 2-pass shape.
     * Pass 1 runs [[graft.expr.MisraGriesAgg]] (bounded m-entry summary,
     * map-side combinable — the full word stream NEVER shuffles, each
@@ -605,6 +651,7 @@ object Pipeline {
     "corpus_shard" -> corpusShard,
     "tok_encode" -> tokEncode,
     "agg_heavy_hitters" -> aggHeavyHitters,
+    "text_cooc" -> textCooc,
     "sample_hash" -> sampleHash,
     "sample_reservoir" -> sampleReservoir,
     "sample_stratified" -> sampleStratified,
@@ -762,6 +809,25 @@ object Pipeline {
           FROM documents
           WHERE ${duckBucket("doc_id")} < 1000
           ORDER BY doc_id""",
+    "text_cooc" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents),
+            pos AS (SELECT doc_id, unnest(t) AS w,
+                           generate_subscripts(t, 1) AS i FROM toks),
+            pairs AS (SELECT least(a.w, b.w) AS pa, greatest(a.w, b.w) AS pb
+                      FROM pos a JOIN pos b
+                        ON a.doc_id = b.doc_id
+                       AND b.i > a.i AND b.i <= a.i + 3),
+            cab AS (SELECT pa, pb, count(*) AS c_ab FROM pairs
+                    GROUP BY pa, pb HAVING count(*) >= 5),
+            cw AS (SELECT w, count(*) AS c FROM pos GROUP BY w),
+            tot AS (SELECT count(*) AS n FROM pos)
+          SELECT pa, pb, c_ab::BIGINT AS c_ab,
+                 (n * c_ab)::DOUBLE / (ca.c * cb.c)::DOUBLE AS lift
+          FROM cab, tot
+          JOIN cw ca ON ca.w = pa
+          JOIN cw cb ON cb.w = pb
+          ORDER BY lift DESC, pa, pb LIMIT 20""",
     "agg_heavy_hitters" ->
       s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
                      FROM documents),

@@ -509,9 +509,15 @@ object Streaming {
       val q = st.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val sh = Llm.shingles(col("text"))
+          // The signature subtree feeds three consumers (band rows,
+          // the est join's b-side, the decision projection) — cache it
+          // for the batch so shingling runs once per doc, not three
+          // times; released before the batch commits.
           val sigs = batch.select(col("doc_id"),
             call_function("minhash_sig", sh).as("sig"),
             size(sh).cast("long").as("n_shingles"))
+            .persist()
+          try {
           val newBands = Llm.bandRows(sigs)
           val prior = (0L until batchId).foldLeft(s.read.parquet(baseIdx)) {
             (acc, i) => acc.unionByName(s.read.parquet(s"$idxApp/b$i"))
@@ -549,8 +555,13 @@ object Streaming {
               col("dup_of"), col("est_jaccard"),
               when(col("dup_of").isNotNull, lit("dup")).otherwise(lit("keep"))
                 .as("decision"))
+            // Per-batch outputs are kilobytes — one file each, not one
+            // per shuffle partition.
+            .coalesce(1)
             .write.mode("overwrite").parquet(s"$resRoot/b$batchId")
-          newBands.write.mode("overwrite").parquet(s"$idxApp/b$batchId")
+          newBands.coalesce(1)
+            .write.mode("overwrite").parquet(s"$idxApp/b$batchId")
+          } finally sigs.unpersist()
         }
         .option("checkpointLocation", streamDir("sdi/ckpt"))
         .trigger(Trigger.AvailableNow())

@@ -90,9 +90,9 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("graph_jaccard matches a driver-side reference computation") {
-    val edges = ops.Graph.copurchaseEdges(spark, SharedSpark.sf)
-      .select(col("src"), col("dst")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = ops.Graph.repeatCopurchaseEdges(spark, SharedSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = und ++ und.map { case (a, b) => (b, a) }
     val nbrs = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val pairs = for {
       (a, na) <- nbrs.toSeq
