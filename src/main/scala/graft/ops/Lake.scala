@@ -177,6 +177,44 @@ object Lake {
         col("o_year") === col("cal_year"))
   }
 
+  /** Parquet AGGREGATE pushdown — MIN/MAX/COUNT answered from row-group
+    * FOOTER STATISTICS: the scan reads metadata pages only, zero data
+    * pages, so a whole-table min/max/count over 100 TB touches
+    * O(row-groups) bytes instead of O(table). Needs the DSv2 parquet
+    * path (useV1SourceList cleared) + the pushdown flag, both scoped to
+    * a conf window with EAGER planning inside it (the documented
+    * conf-window discipline — optimization happens at action time).
+    * Falls back transparently when a column/agg isn't footer-answerable
+    * (doubles with NaNs, filters, non-partition group-bys), so the
+    * result is conf-independent — the oracle is the plain aggregate;
+    * LakeSpec pins PushedAggregation in the scan. */
+  private[graft] def aggPushdownFrame(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "lineitem").selectExpr(
+      "count(*) AS n",
+      "min(l_orderkey) AS min_key", "max(l_orderkey) AS max_key",
+      "min(l_linenumber) AS min_ln", "max(l_linenumber) AS max_ln")
+
+  private[graft] def withAggPushdown[T](
+      s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val keys = Seq(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val olds = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  private def scanAggPushdown: Q = (s, d) => withAggPushdown(s) {
+    val df = aggPushdownFrame(s, d)
+    df.queryExecution.executedPlan // plan eagerly inside the conf window
+    df
+  }
+
   /** WRITE-AUDIT-PUBLISH with atomic manifest commits — the lakehouse
     * table-format transaction pattern (Iceberg/Delta commit protocol)
     * built from primitives: data files stage under an UNREFERENCED
@@ -655,6 +693,7 @@ object Lake {
     "sink_wap" -> sinkWap,
     "scan_snapshot" -> scanSnapshot,
     "sink_vacuum" -> sinkVacuum,
+    "scan_agg_pushdown" -> scanAggPushdown,
   )
 
   val oracles: Map[String, String] = Map(
@@ -667,6 +706,13 @@ object Lake {
     "scan_snapshot" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""",
+    // Pushdown only changes WHERE the aggregate is answered (footers
+    // vs data pages) — the result is the plain aggregate.
+    "scan_agg_pushdown" ->
+      """SELECT count(*) AS n,
+                min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+                min(l_linenumber) AS min_ln, max(l_linenumber) AS max_ln
+         FROM lineitem""",
     // The sweep outcome is protocol-determined, SF-independent: v1/v2
     // published and kept, the failed commit's staging dir deleted.
     "sink_vacuum" ->

@@ -293,6 +293,18 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("scan_agg_pushdown answers min/max/count from parquet footers") {
+    ops.Lake.withAggPushdown(spark) {
+      val df = ops.Lake.aggPushdownFrame(spark, SharedSpark.sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)"),
+        s"aggregate not pushed to the scan:\n${plan.take(600)}")
+      assert(plan.contains("MIN(l_orderkey)") && plan.contains("MAX(l_orderkey)"),
+        "min/max must be footer-answered")
+    }
+  }
+
   test("sink_wap: failed audit publishes nothing, commits are atomic and immutable") {
     import java.nio.file.{Files, Paths}
     SparkEntry.queries("sink_wap")(spark, SharedSpark.sf).collect()
