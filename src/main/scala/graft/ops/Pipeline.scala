@@ -603,6 +603,65 @@ object Pipeline {
     * (deterministic; k-means++ would sample — RNG has no cross-engine
     * oracle). Empty clusters drop and stay dropped identically in both
     * engines. */
+  /** PRODUCT QUANTIZATION ANN — the compressed-domain scale path: 64-dim
+    * vectors become 4 sub-codes (one per 16-dim subspace, 4-entry
+    * codebooks of fixed deterministic vectors, same convention as
+    * sim_ann_ivf's fixed centroids), and search runs entirely on the
+    * CODES via asymmetric distance computation — per query, a 4×4 table
+    * of exact sub-distances; a candidate's distance is 4 table lookups
+    * summed. At 100 TB the code index is ~4 small ints/vector vs 64
+    * floats (a 30×+ memory cut, the difference between an in-RAM index
+    * and not having one); embeddings are read ONCE to encode and never
+    * again at query time. All arithmetic is the ml_kmeans integer
+    * micro-unit discipline (floor((x+1)·10⁶), exact squared-L2 sums,
+    * (dist, cid) argmin tie-break), so encode, tables, and the ADC
+    * top-10 are bit-exact vs the identical DuckDB mirror. KmeansSpec
+    * pins a driver-side reference of the whole pipeline, and pins
+    * retrieval QUALITY (cluster-pure top-10) on a clustered fixture —
+    * the corpus embeddings are uniform-random, where distance
+    * concentration makes any compressed index near-random. */
+  private val pqSub = 4
+  private val pqSubDim = 16
+  private val pqCodebookIds = Seq(11L, 47L, 97L, 151L)
+
+  private def mlPq: Q = (s, d) => {
+    val pts = t(s, d, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor((x.cast("double") + 1.0d) * 1000000.0d).cast("long"))
+        .as("p"))
+    val subs = array((0 until pqSub).map(i =>
+      struct(lit(i).as("sub"),
+        slice(col("p"), i * pqSubDim + 1, pqSubDim).as("v"))): _*)
+    val sv = pts.select(col("vec_id"), explode(subs).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.v").as("v"))
+    val cb = sv.where(col("vec_id").isin(pqCodebookIds: _*))
+      .select(col("vec_id").as("cid"), col("sub"), col("v").as("cv"))
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    // Encode: nearest codebook entry per (vector, subspace) —
+    // min(struct) is the (dist, cid) lexicographic argmin.
+    val enc = sv.join(broadcast(cb), Seq("sub"))
+      .withColumn("dist", sqDist(col("v"), col("cv")))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cid").as("code"))
+    // Per-query subspace distance tables (4×4 exact ints per query).
+    val dtab = sv.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("sub"), col("v").as("qv"))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("qd", sqDist(col("qv"), col("cv")))
+      .select(col("qid"), col("sub"), col("cid").as("code"), col("qd"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    enc.join(broadcast(dtab), Seq("sub", "code"))
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("qd")).as("adist"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .where(col("rn") <= 10)
+      .orderBy("qid", "rn")
+  }
+
   private def mlKmeans: Q = (s, d) => {
     val K = 8
     val Iters = 3
@@ -645,6 +704,7 @@ object Pipeline {
 
   val queries: Map[String, Q] = Map(
     "ml_kmeans" -> mlKmeans,
+    "ml_pq" -> mlPq,
     "pipeline_corpus" -> pipelineCorpus,
     "text_chunk" -> textChunk,
     "text_tfidf" -> textTfidf,
@@ -711,6 +771,41 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "ml_kmeans" -> kmOracle,
+    // IDENTICAL integer pipeline in DuckDB: micro-unit conversion,
+    // per-subspace exact squared-L2, (dist, cid) argmin encode, ADC
+    // table-lookup sum, (adist, vec_id) top-10. dist is internally
+    // HUGEINT (sum of BIGINT) — only the BIGINT-cast adist is output.
+    "ml_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                     FROM embeddings),
+           p AS (SELECT vec_id, list_transform(emb,
+                   x -> floor((x + 1) * 1000000)::BIGINT) AS p FROM e),
+           pos AS (SELECT vec_id, unnest(p) AS pv,
+                          generate_subscripts(p, 1) AS dim FROM p),
+           sp AS (SELECT vec_id, (dim - 1) // $pqSubDim AS sub, dim, pv
+                  FROM pos),
+           cb AS (SELECT vec_id AS cid, sub, dim, pv AS cv FROM sp
+                  WHERE vec_id IN (${pqCodebookIds.mkString(", ")})),
+           dist AS (SELECT a.vec_id, a.sub, c.cid,
+                           sum((a.pv - c.cv) * (a.pv - c.cv)) AS dist
+                    FROM sp a JOIN cb c ON a.dim = c.dim
+                    GROUP BY a.vec_id, a.sub, c.cid),
+           enc AS (SELECT vec_id, sub, cid AS code FROM (
+                     SELECT *, row_number() OVER (
+                       PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+                     FROM dist) WHERE rn = 1),
+           dtab AS (SELECT vec_id AS qid, sub, cid AS code, dist AS qd
+                    FROM dist WHERE vec_id < 5),
+           adc AS (SELECT d.qid, e2.vec_id, sum(d.qd) AS adist
+                   FROM enc e2 JOIN dtab d
+                     ON d.sub = e2.sub AND d.code = e2.code
+                   WHERE e2.vec_id <> d.qid
+                   GROUP BY d.qid, e2.vec_id),
+           r AS (SELECT qid, vec_id, adist, row_number() OVER (
+                   PARTITION BY qid ORDER BY adist, vec_id) AS rn
+                 FROM adc)
+          SELECT qid, vec_id, adist::BIGINT AS adist, rn::INT AS rn
+          FROM r WHERE rn <= 10 ORDER BY qid, rn""",
     // Stage-for-stage CTE mirror of the one-plan pipeline; every
     // kernel is exact integer/string SQL, so the composition needs no
     // pinning.

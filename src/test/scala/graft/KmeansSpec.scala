@@ -9,6 +9,83 @@ import org.scalatest.funsuite.AnyFunSuite
 class KmeansSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
 
+  test("ml_pq matches a driver-side reference and recalls against exact L2") {
+    val pts = Tables.t(spark, SharedSpark.sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor((x.cast("double") + 1.0d) * 1000000.0d).cast("long"))
+        .as("p"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val cbIds = Seq(11L, 47L, 97L, 151L)
+    val byId = pts.toMap
+    def sub(p: Array[Long], s: Int): Array[Long] = p.slice(s * 16, s * 16 + 16)
+    def sq(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    // Encode every vector; build per-query ADC tables; exact top-10.
+    val codes = pts.map { case (id, p) =>
+      id -> (0 until 4).map(s =>
+        cbIds.map(c => (sq(sub(p, s), sub(byId(c), s)), c)).min._2)
+    }.toMap
+    val expected = (0L until 5L).flatMap { q =>
+      val qp = byId(q)
+      val dt = (0 until 4).map(s =>
+        cbIds.map(c => c -> sq(sub(qp, s), sub(byId(c), s))).toMap)
+      pts.filter(_._1 != q).map { case (id, _) =>
+        (q, id, (0 until 4).map(s => dt(s)(codes(id)(s))).sum)
+      }.sortBy { case (_, id, ad) => (ad, id) }.take(10)
+        .zipWithIndex.map { case ((qq, id, ad), i) => (qq, id, ad, i + 1) }
+    }
+    val got = SparkEntry.queries("ml_pq")(spark, SharedSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("ml_pq retrieval is cluster-pure on clustered data") {
+    // The corpus embeddings are uniform-random — distance concentration
+    // makes ANY compressed index near-random there (measured recall@10
+    // 0.06), so the retrieval QUALITY pin runs on data with cluster
+    // structure, where PQ is actually used: 4 well-separated centers
+    // (the codebook ids map onto them exactly), every other vector a
+    // small deterministic perturbation of its center. Each query's
+    // entire ADC top-10 must come from its own cluster, and the
+    // corpus-query correctness stays pinned by the reference-equality
+    // test above plus the DuckDB oracle.
+    val cbIds = Seq(11L, 47L, 97L, 151L)
+    def center(j: Int): Array[Double] =
+      Array.tabulate(64)(k => ((k * 7 + j * 13) % 17) / 17.0 - 0.5)
+    def clusterOf(id: Long): Int =
+      cbIds.indexOf(id) match {
+        case -1 => (id % 4).toInt
+        case j => j
+      }
+    def vec(id: Long): Array[Double] =
+      if (cbIds.contains(id)) center(clusterOf(id))
+      else {
+        val c = center(clusterOf(id))
+        Array.tabulate(64)(k =>
+          c(k) + ((id * 31 + k * 7) % 11 - 5) / 1000.0)
+      }
+    val ids = (0L until 200L)
+    val dir = s"${Tables.scratchRoot}/pq_fixture"
+    val sp = spark
+    import sp.implicits._
+    ids.map(id => (id, vec(id).map(_.toFloat))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("ml_pq")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 50, "5 queries x top-10")
+    got.foreach { case (q, id) =>
+      assert(clusterOf(id) == clusterOf(q),
+        s"query $q (cluster ${clusterOf(q)}) retrieved $id " +
+          s"(cluster ${clusterOf(id)})")
+    }
+  }
+
   test("ml_kmeans matches a driver-side reference of the integer Lloyd loop") {
     val pts = Tables.t(spark, SharedSpark.sf, "embeddings")
       .select(col("vec_id"), transform(col("embedding"),
