@@ -32,17 +32,22 @@ object Tables {
     * Scratch from dead JVMs (and pre-pid legacy layouts) is reaped at
     * init so the tmpfs doesn't accumulate across rounds; live sibling
     * processes are left alone. */
+  /** Recursive delete, null-safe on racing listFiles — the one shared
+    * rm -rf used by scratch reaping, streamDir resets, and the WAP
+    * protocol (keep fixes here, not in per-site clones). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(deleteRecursively)
+    }
+    f.delete(): Unit
+  }
+
   val scratchRoot: String = {
     val base = new java.io.File(
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft"
       else "/tmp/graft")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-      }
-      f.delete(): Unit
-    }
+    def rm(f: java.io.File): Unit = deleteRecursively(f)
     // Liveness probing uses /proc, so reap ONLY where /proc exists
     // (Linux): elsewhere a starting JVM would treat every live sibling
     // as dead and delete its scratch mid-query — the exact race the

@@ -242,12 +242,8 @@ object Lake {
   private[graft] def wapRun(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
     val base = wapBase(d)
-    def del(x: java.io.File): Unit = {
-      if (x.isDirectory) x.listFiles().foreach(del)
-      x.delete(): Unit
-    }
     val bf = new java.io.File(base)
-    if (bf.exists()) del(bf)
+    if (bf.exists()) graft.Tables.deleteRecursively(bf)
     new java.io.File(s"$base/manifests").mkdirs()
     val o = t(s, d, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -276,11 +272,16 @@ object Lake {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       true
     }
-    tryCommit(o.where(pmod(col("o_orderkey"), lit(10)) === 0), 1)
-    tryCommit(o.where(pmod(col("o_orderkey"), lit(10)) === 1), 2)
+    // The first two commits must publish — a silent audit failure here
+    // would surface later as an obscure missing-manifest read.
+    require(tryCommit(o.where(pmod(col("o_orderkey"), lit(10)) === 0), 1),
+      "WAP commit 1 must publish")
+    require(tryCommit(o.where(pmod(col("o_orderkey"), lit(10)) === 1), 2),
+      "WAP commit 2 must publish")
     // Poisoned batch: keys nulled — audit must reject, HEAD must stay 2.
-    tryCommit(o.where(pmod(col("o_orderkey"), lit(10)) === 2)
-      .withColumn("o_orderkey", lit(null).cast("long")), 3)
+    require(!tryCommit(o.where(pmod(col("o_orderkey"), lit(10)) === 2)
+      .withColumn("o_orderkey", lit(null).cast("long")), 3),
+      "WAP commit 3 must fail its audit")
     base
   }
 
@@ -325,14 +326,10 @@ object Lake {
     val base = wapRun(s, d)
     val referenced = wapResolve(base, None).toSet
     val filesRoot = new java.io.File(s"$base/files")
-    def del(x: java.io.File): Unit = {
-      if (x.isDirectory) x.listFiles().foreach(del)
-      x.delete(): Unit
-    }
     val rows = filesRoot.listFiles().filter(_.isDirectory).sortBy(_.getName)
       .map { dir =>
         val ref = referenced.contains(dir.getPath)
-        if (!ref) del(dir)
+        if (!ref) graft.Tables.deleteRecursively(dir)
         (s"files/${dir.getName}", ref, !ref)
       }.toSeq
     s.createDataFrame(rows).toDF("dir", "referenced", "deleted")

@@ -356,10 +356,27 @@ object Llm {
       .select(col("doc_id").as("a_id"), col("sig").as("sig_a"),
         col("band_idx"), col("band_hash"))
       .unionByName(idxBands)
-    val est = probeSide
+    incrementalDecisions(
+      incrementalEst(probeSide, newBands),
+      sigT.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("n_shingles")))
+      .orderBy("doc_id")
+  }
+
+  /** Candidate-pair estimates for the incremental dedup twins: probe
+    * rows (a_id, sig_a, band_idx, band_hash) band-join the new batch's
+    * rows; partner = any index doc (even id) or a lower-id doc of the
+    * same batch; estimate = max signature-agreement over colliding
+    * bands. SHARED by dedup_incremental and stream_dedup_incremental —
+    * the two are contractually row-identical (LlmSpec pin, shared
+    * pinned oracle), so the semantics live in exactly one place. */
+  private[ops] def incrementalEst(
+      probeSide: org.apache.spark.sql.DataFrame,
+      newBands: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    probeSide
       .join(newBands.select(col("doc_id").as("b_id"), col("sig").as("sig_b"),
         col("band_idx"), col("band_hash")), Seq("band_idx", "band_hash"))
-      // partner = any index doc, or a lower-id doc of the same batch
       .where(col("a_id") % 2 === 0 || col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
@@ -367,6 +384,15 @@ object Llm {
           .cast("double") / minhashNSig).as("e"))
       .groupBy("a_id", "b_id")
       .agg(max(col("e")).as("est_jaccard"))
+
+  /** Keep/dup decision per new doc from the pair estimates (best
+    * partner at est ≥ threshold, keep-lowest tie-break) — the other
+    * half shared by both incremental twins. `newDocs` is
+    * (doc_id, n_shingles) for the batch being decided. */
+  private[ops] def incrementalDecisions(
+      est: org.apache.spark.sql.DataFrame,
+      newDocs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val candCnt = est.groupBy("b_id")
       .agg(count(lit(1)).as("n_candidates"))
     val w = Window.partitionBy("b_id")
@@ -374,8 +400,7 @@ object Llm {
     val dups = est.where(col("est_jaccard") >= minhashThreshold)
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("b_id"), col("a_id").as("dup_of"), col("est_jaccard"))
-    sigT.where(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), col("n_shingles"))
+    newDocs
       .join(candCnt.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
       .join(dups.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
@@ -383,7 +408,6 @@ object Llm {
         col("dup_of"), col("est_jaccard"),
         when(col("dup_of").isNotNull, lit("dup")).otherwise(lit("keep"))
           .as("decision"))
-      .orderBy("doc_id")
   }
 
   /** MinHash signatures via the native [[graft.expr.MinHashSketch]]

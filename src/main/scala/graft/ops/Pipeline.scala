@@ -603,6 +603,46 @@ object Pipeline {
     * (deterministic; k-means++ would sample — RNG has no cross-engine
     * oracle). Empty clusters drop and stay dropped identically in both
     * engines. */
+  private def mlKmeans: Q = (s, d) => {
+    val K = 8
+    val Iters = 3
+    val pts = t(s, d, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor((x.cast("double") + 1.0d) * 1000000.0d).cast("long"))
+        .as("p"))
+    var cent = pts.where(col("vec_id") < K)
+      .select(col("vec_id").as("cl"), col("p").as("cp"))
+    var assigned: org.apache.spark.sql.DataFrame = null
+    val w = Window.partitionBy("vec_id").orderBy("dist", "cl")
+    for (i <- 1 to Iters) {
+      assigned = pts.crossJoin(broadcast(cent))
+        .withColumn("dist", aggregate(
+          zip_with(col("p"), col("cp"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("vec_id"), col("p"), col("cl"))
+      val upd = assigned
+        .select(col("cl"), posexplode(col("p")).as(Seq("dim", "v")))
+        .groupBy("cl", "dim")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .select(col("cl"), col("dim"), expr("sv div n").as("c"))
+        .groupBy("cl")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("cp"))
+      val path = s"$scratchRoot/kmeans/c_${Llm.Scratch.key(d)}_i$i"
+      upd.coalesce(1).write.mode("overwrite").parquet(path)
+      cent = s.read.parquet(path)
+    }
+    // Report the LAST iteration: per-cluster population + id digest
+    // from the assignment that produced the final centroids, plus the
+    // final centroid's first coordinate (integer micro-units).
+    assigned.groupBy("cl")
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_digest"))
+      .join(cent.select(col("cl"), element_at(col("cp"), 1).as("c0")), "cl")
+      .select(col("cl").as("cluster"), col("n"), col("id_digest"), col("c0"))
+      .orderBy("cluster")
+  }
+
   /** PRODUCT QUANTIZATION ANN — the compressed-domain scale path: 64-dim
     * vectors become 4 sub-codes (one per 16-dim subspace, 4-entry
     * codebooks of fixed deterministic vectors, same convention as
@@ -660,46 +700,6 @@ object Pipeline {
       .withColumn("rn", row_number().over(w).cast("int"))
       .where(col("rn") <= 10)
       .orderBy("qid", "rn")
-  }
-
-  private def mlKmeans: Q = (s, d) => {
-    val K = 8
-    val Iters = 3
-    val pts = t(s, d, "embeddings")
-      .select(col("vec_id"), transform(col("embedding"),
-        x => floor((x.cast("double") + 1.0d) * 1000000.0d).cast("long"))
-        .as("p"))
-    var cent = pts.where(col("vec_id") < K)
-      .select(col("vec_id").as("cl"), col("p").as("cp"))
-    var assigned: org.apache.spark.sql.DataFrame = null
-    val w = Window.partitionBy("vec_id").orderBy("dist", "cl")
-    for (i <- 1 to Iters) {
-      assigned = pts.crossJoin(broadcast(cent))
-        .withColumn("dist", aggregate(
-          zip_with(col("p"), col("cp"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v))
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("vec_id"), col("p"), col("cl"))
-      val upd = assigned
-        .select(col("cl"), posexplode(col("p")).as(Seq("dim", "v")))
-        .groupBy("cl", "dim")
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-        .select(col("cl"), col("dim"), expr("sv div n").as("c"))
-        .groupBy("cl")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-          x => x.getField("c")).as("cp"))
-      val path = s"$scratchRoot/kmeans/c_${Llm.Scratch.key(d)}_i$i"
-      upd.coalesce(1).write.mode("overwrite").parquet(path)
-      cent = s.read.parquet(path)
-    }
-    // Report the LAST iteration: per-cluster population + id digest
-    // from the assignment that produced the final centroids, plus the
-    // final centroid's first coordinate (integer micro-units).
-    assigned.groupBy("cl")
-      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_digest"))
-      .join(cent.select(col("cl"), element_at(col("cp"), 1).as("c0")), "cl")
-      .select(col("cl").as("cluster"), col("n"), col("id_digest"), col("c0"))
-      .orderBy("cluster")
   }
 
   val queries: Map[String, Q] = Map(

@@ -105,8 +105,7 @@ object Streaming {
     val ev = events(s, d).select(col("event_type"),
       expr("ts_us div 600000000").as("slot"), col("value"))
     val agg = ev.groupBy("event_type", "slot")
-      .agg(count(lit(1)).as("n_obs"),
-        round(sum(dec(col("value"))), 2).cast("double").as("vs"))
+      .agg(count(lit(1)).as("n_obs"), dsum2(col("value")).as("vs"))
     val bounds = ev.agg(min("slot").as("lo"), max("slot").as("hi"))
     val grid = ev.select("event_type").distinct()
       .crossJoin(broadcast(bounds))
@@ -127,11 +126,7 @@ object Streaming {
   private def streamDir(name: String): String = {
     val dir = s"$scratchRoot/stream/$name"
     val f = new java.io.File(dir)
-    def del(x: java.io.File): Unit = {
-      if (x.isDirectory) x.listFiles().foreach(del)
-      x.delete(): Unit
-    }
-    if (f.exists()) del(f)
+    if (f.exists()) graft.Tables.deleteRecursively(f)
     f.mkdirs()
     dir
   }
@@ -525,36 +520,12 @@ object Streaming {
           val probe = prior.unionByName(newBands)
             .select(col("doc_id").as("a_id"), col("sig").as("sig_a"),
               col("band_idx"), col("band_hash"))
-          val est = probe
-            .join(newBands.select(col("doc_id").as("b_id"),
-              col("sig").as("sig_b"), col("band_idx"), col("band_hash")),
-              Seq("band_idx", "band_hash"))
-            .where(col("a_id") % 2 === 0 || col("a_id") < col("b_id"))
-            .select(col("a_id"), col("b_id"),
-              (aggregate(zip_with(col("sig_a"), col("sig_b"),
-                (p, q2) => when(p === q2, 1).otherwise(0)), lit(0),
-                (acc, v) => acc + v)
-                .cast("double") / Llm.minhashNSig).as("e"))
-            .groupBy("a_id", "b_id")
-            .agg(max(col("e")).as("est_jaccard"))
-          val candCnt = est.groupBy("b_id")
-            .agg(count(lit(1)).as("n_candidates"))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy("b_id")
-            .orderBy(col("est_jaccard").desc, col("a_id"))
-          val dups = est.where(col("est_jaccard") >= Llm.minhashThreshold)
-            .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-            .select(col("b_id"), col("a_id").as("dup_of"), col("est_jaccard"))
-          sigs.select(col("doc_id"), col("n_shingles"))
-            .join(candCnt.withColumnRenamed("b_id", "doc_id"),
-              Seq("doc_id"), "left")
-            .join(dups.withColumnRenamed("b_id", "doc_id"),
-              Seq("doc_id"), "left")
-            .select(col("doc_id"), col("n_shingles"),
-              coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-              col("dup_of"), col("est_jaccard"),
-              when(col("dup_of").isNotNull, lit("dup")).otherwise(lit("keep"))
-                .as("decision"))
+          // est + decisions are the SHARED batch-twin kernels
+          // (Llm.incrementalEst/incrementalDecisions) — the stream twin
+          // must stay row-identical to dedup_incremental by contract.
+          Llm.incrementalDecisions(
+            Llm.incrementalEst(probe, newBands),
+            sigs.select(col("doc_id"), col("n_shingles")))
             // Per-batch outputs are kilobytes — one file each, not one
             // per shuffle partition.
             .coalesce(1)
