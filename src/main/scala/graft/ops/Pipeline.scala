@@ -544,15 +544,60 @@ object Pipeline {
     * `div 2048`. At 100 TB: text is projected away before BOTH
     * shuffles (dedup ships a digest+id, packing ships ids+counts), so
     * the wide column rides only scan→filter. */
+  /** Stage-for-stage CTE mirror of the corpus assembly — shared as the
+    * oracle by pipeline_corpus AND pipeline_corpus_stream (the stream
+    * twin is contractually row-identical). */
+  private[ops] val corpusOracle: String =
+    """WITH raw AS (SELECT doc_id, source, lang, text FROM documents),
+         toks AS (SELECT *,
+                    len(string_split(text, ' '))::BIGINT AS n_tok,
+                    len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq
+                  FROM raw),
+         funnel AS (SELECT source, count(*) AS n_raw,
+                      count(*) FILTER (WHERE lang IN ('en', 'fr', 'zh')
+                        AND n_tok >= 20 AND n_uniq * 10 >= n_tok * 3)
+                        AS n_quality
+                    FROM toks GROUP BY source),
+         qual AS (SELECT * FROM toks
+                  WHERE lang IN ('en', 'fr', 'zh')
+                    AND n_tok >= 20 AND n_uniq * 10 >= n_tok * 3),
+         dd AS (SELECT doc_id, source, n_tok,
+                  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM qual),
+         ded AS (SELECT doc_id, source, n_tok FROM dd WHERE rn = 1),
+         packed AS (SELECT source, doc_id, n_tok,
+                      sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum
+                    FROM ded),
+         fin AS (SELECT source, count(*) AS n_docs,
+                   sum(n_tok)::BIGINT AS total_tokens,
+                   count(DISTINCT (cum - n_tok) // 2048) AS n_packs
+                 FROM packed GROUP BY source)
+       SELECT fin.source AS source, funnel.n_raw, funnel.n_quality,
+              fin.n_docs, fin.total_tokens, fin.n_packs
+       FROM fin JOIN funnel ON fin.source = funnel.source
+       ORDER BY fin.source"""
+
+  /** Token/uniqueness counts + the quality gate — SHARED by
+    * pipeline_corpus and its streaming twin (pipeline_corpus_stream),
+    * which are contractually row-identical: the gate semantics live in
+    * exactly one place. */
+  private[ops] def corpusToks(raw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = raw
+    .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    .withColumn("n_uniq",
+      size(array_distinct(split(col("text"), " "))).cast("long"))
+
+  private[ops] def corpusQualCond: Column =
+    col("lang").isin("en", "fr", "zh") &&
+      col("n_tok") >= 20 && col("n_uniq") * 10 >= col("n_tok") * 3
+
   private def pipelineCorpus: Q = (s, d) => {
     val raw = t(s, d, "documents")
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
-    val toks = raw
-      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
-      .withColumn("n_uniq",
-        size(array_distinct(split(col("text"), " "))).cast("long"))
-    val qualCond = col("lang").isin("en", "fr", "zh") &&
-      col("n_tok") >= 20 && col("n_uniq") * 10 >= col("n_tok") * 3
+    val toks = corpusToks(raw)
+    val qualCond = corpusQualCond
     // Raw and post-quality counts fold into ONE conditional aggregate
     // — Spark has no common-subplan reuse across independent aggregate
     // branches, so separate rawN/qualN frames would each re-scan (and
@@ -809,37 +854,7 @@ object Pipeline {
     // Stage-for-stage CTE mirror of the one-plan pipeline; every
     // kernel is exact integer/string SQL, so the composition needs no
     // pinning.
-    "pipeline_corpus" ->
-      """WITH raw AS (SELECT doc_id, source, lang, text FROM documents),
-           toks AS (SELECT *,
-                      len(string_split(text, ' '))::BIGINT AS n_tok,
-                      len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq
-                    FROM raw),
-           funnel AS (SELECT source, count(*) AS n_raw,
-                        count(*) FILTER (WHERE lang IN ('en', 'fr', 'zh')
-                          AND n_tok >= 20 AND n_uniq * 10 >= n_tok * 3)
-                          AS n_quality
-                      FROM toks GROUP BY source),
-           qual AS (SELECT * FROM toks
-                    WHERE lang IN ('en', 'fr', 'zh')
-                      AND n_tok >= 20 AND n_uniq * 10 >= n_tok * 3),
-           dd AS (SELECT doc_id, source, n_tok,
-                    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-                  FROM qual),
-           ded AS (SELECT doc_id, source, n_tok FROM dd WHERE rn = 1),
-           packed AS (SELECT source, doc_id, n_tok,
-                        sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                          AS cum
-                      FROM ded),
-           fin AS (SELECT source, count(*) AS n_docs,
-                     sum(n_tok)::BIGINT AS total_tokens,
-                     count(DISTINCT (cum - n_tok) // 2048) AS n_packs
-                   FROM packed GROUP BY source)
-         SELECT fin.source AS source, funnel.n_raw, funnel.n_quality,
-                fin.n_docs, fin.total_tokens, fin.n_packs
-         FROM fin JOIN funnel ON fin.source = funnel.source
-         ORDER BY fin.source""",
+    "pipeline_corpus" -> corpusOracle,
     "text_chunk" ->
       """SELECT doc_id, i AS chunk_id,
                 substr(text, CAST(i * 100 + 1 AS INT), 120) AS chunk_text,

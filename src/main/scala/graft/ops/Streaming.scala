@@ -543,6 +543,158 @@ object Streaming {
       .orderBy("doc_id")
   }
 
+  /** The WHOLE corpus-assembly pipeline as a STREAMING job — the kappa
+    * statement: pipeline_corpus' quality gates, exact dedup, token
+    * accounting, and sequence packing run incrementally over documents
+    * arriving in id-ordered files (1 per micro-batch), with BOUNDED
+    * per-source state, and the final audit is row-identical to the
+    * batch plan (shared oracle; PipelineSpec pins stream ≡ batch).
+    * Per micro-batch:
+    *   - quality gate + token counts are the SHARED batch kernels
+    *     (Pipeline.corpusToks/corpusQualCond);
+    *   - exact dedup probes the stored DIGEST INDEX of previously kept
+    *     docs (anti-join) then keeps the lowest id within the batch —
+    *     with id-ordered arrival this equals global keep-lowest;
+    *   - packing carries (cum_tokens, last_pack, n_packs) per source:
+    *     a doc's pack id is (carried_cum + within-batch exclusive
+    *     cumsum) div 2048, and because pack ids are NONDECREASING in
+    *     doc order, "new packs" is a distinct-count of ids beyond the
+    *     carried last — O(sources) state, not O(docs);
+    *   - funnel counts fold additively (the stream_mv MV discipline:
+    *     state version derived from batchId, replay overwrites itself).
+    * At 100 TB this is the daily-corpus-growth job: per-day work is
+    * O(batch), the digest index is append-only, and no state grows
+    * with corpus size except the index itself. */
+  private def streamPipelineCorpus: Q = (s, d) => {
+    val srcDir = s"$scratchRoot/spc_src/${Llm.Scratch.key(d)}"
+    Llm.Scratch.once(srcDir) {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .withColumn("bucket", ntile(4).over(w))
+      new java.io.File(srcDir).mkdirs()
+      for (b <- 1 to 4) {
+        val tmp = s"$srcDir.tmp$b"
+        docs.where(col("bucket") === b).drop("bucket")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get.toPath
+        val dst = java.nio.file.Paths.get(srcDir, f"batch$b%02d.parquet")
+        java.nio.file.Files.move(part, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + b * 60000L))
+        val t2 = new java.io.File(tmp)
+        t2.listFiles().foreach(_.delete()); t2.delete()
+      }
+    }
+    val digRoot = streamDir("spc/dig")
+    val stRoot = streamDir("spc/state")
+    @volatile var lastBatch = -1L
+    val st = s.readStream
+      .schema(new StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("source", org.apache.spark.sql.types.StringType)
+        .add("lang", org.apache.spark.sql.types.StringType)
+        .add("text", org.apache.spark.sql.types.StringType))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    withStatePartitions(s) {
+      val q = st.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val toks = Pipeline.corpusToks(batch).persist()
+          try {
+            val funnelB = toks.groupBy("source").agg(
+              count(lit(1)).as("n_raw_b"),
+              sum(when(Pipeline.corpusQualCond, 1L).otherwise(0L))
+                .as("n_quality_b"))
+            val qual = toks.where(Pipeline.corpusQualCond)
+              .withColumn("dig", sha2(col("text"), 256))
+            // Dedup: drop digests already kept in earlier batches, then
+            // keep the lowest id within this batch.
+            val prior = (0L until batchId).foldLeft(
+              qual.select(col("dig")).limit(0)) { (acc, i) =>
+              acc.unionByName(s.read.parquet(s"$digRoot/b$i"))
+            }
+            val bw = org.apache.spark.sql.expressions.Window
+              .partitionBy("dig").orderBy("doc_id")
+            val kept = qual
+              .join(prior, Seq("dig"), "left_anti")
+              .withColumn("rn", row_number().over(bw))
+              .where(col("rn") === 1)
+              .select(col("doc_id"), col("source"), col("n_tok"), col("dig"))
+              .persist()
+            try {
+              kept.select("dig").coalesce(1)
+                .write.mode("overwrite").parquet(s"$digRoot/b$batchId")
+              val prevState =
+                if (batchId == 0L)
+                  s.createDataFrame(
+                    Seq.empty[(String, Long, Long, Long, Long, Long, Long, Long)])
+                    .toDF("source", "n_raw", "n_quality", "n_docs",
+                      "total_tokens", "cum", "n_packs", "last_pack")
+                else s.read.parquet(s"$stRoot/b${batchId - 1}")
+              val prev = prevState
+                .select(col("source"), col("n_raw"), col("n_quality"),
+                  col("n_docs"), col("total_tokens"), col("cum"),
+                  col("n_packs"), col("last_pack"))
+              // Per-doc pack id: carried per-source offset + exclusive
+              // within-batch cumsum, div 2048 (the batch plan's rule).
+              val pw = org.apache.spark.sql.expressions.Window
+                .partitionBy("source").orderBy("doc_id")
+              val packedB = kept
+                .join(broadcast(prev.select(col("source"),
+                  col("cum").as("cum0"), col("last_pack").as("lp0"))),
+                  Seq("source"), "left")
+                .na.fill(Map("cum0" -> 0L, "lp0" -> -1L))
+                .withColumn("bcum", sum(col("n_tok")).over(pw))
+                .withColumn("pack_id",
+                  expr("(cum0 + bcum - n_tok) div 2048"))
+                .groupBy("source")
+                .agg(count(lit(1)).as("n_docs_b"),
+                  sum(col("n_tok")).as("tokens_b"),
+                  max(col("pack_id")).as("max_pack_b"),
+                  countDistinct(when(col("pack_id") > col("lp0"),
+                    col("pack_id"))).as("new_packs_b"))
+              val merged = prev
+                .join(funnelB, Seq("source"), "full_outer")
+                .join(packedB, Seq("source"), "full_outer")
+                .select(col("source"),
+                  (coalesce(col("n_raw"), lit(0L)) +
+                    coalesce(col("n_raw_b"), lit(0L))).as("n_raw"),
+                  (coalesce(col("n_quality"), lit(0L)) +
+                    coalesce(col("n_quality_b"), lit(0L))).as("n_quality"),
+                  (coalesce(col("n_docs"), lit(0L)) +
+                    coalesce(col("n_docs_b"), lit(0L))).as("n_docs"),
+                  (coalesce(col("total_tokens"), lit(0L)) +
+                    coalesce(col("tokens_b"), lit(0L))).as("total_tokens"),
+                  (coalesce(col("cum"), lit(0L)) +
+                    coalesce(col("tokens_b"), lit(0L))).as("cum"),
+                  (coalesce(col("n_packs"), lit(0L)) +
+                    coalesce(col("new_packs_b"), lit(0L))).as("n_packs"),
+                  coalesce(col("max_pack_b"), col("last_pack"), lit(-1L))
+                    .as("last_pack"))
+              merged.coalesce(1)
+                .write.mode("overwrite").parquet(s"$stRoot/b$batchId")
+              if (batchId > lastBatch) lastBatch = batchId
+            } finally kept.unpersist()
+          } finally toks.unpersist()
+        }
+        .option("checkpointLocation", streamDir("spc/ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(s"$stRoot/b$lastBatch")
+      // The batch plan inner-joins funnel with the packed aggregate, so
+      // a source with no kept docs drops there — match it.
+      .where(col("n_docs") > 0)
+      .select(col("source"), col("n_raw"), col("n_quality"), col("n_docs"),
+        col("total_tokens"), col("n_packs"))
+      .orderBy("source")
+  }
+
   /** Continuous remote ingest through the custom DSv2 source
     * ([[graft.sources.RemoteFileSource]] as a MicroBatchStream): the
     * reference's cron-triggered remote pipeline as ONE streaming query —
@@ -645,6 +797,7 @@ object Streaming {
     "stream_sink" -> streamSink,
     "stream_mv" -> streamMv,
     "stream_dedup_incremental" -> streamDedupIncremental,
+    "pipeline_corpus_stream" -> streamPipelineCorpus,
   )
 
   val oracles: Map[String, String] = Map(
@@ -652,6 +805,8 @@ object Streaming {
     // (same partner predicate over the same ordered growth), so it
     // shares the python-pinned oracle verbatim.
     "stream_dedup_incremental" -> IncrementalPins.dedupIncremental,
+    // Contractually row-identical to the batch assembly — same oracle.
+    "pipeline_corpus_stream" -> Pipeline.corpusOracle,
     // Stream-static enrichment ≡ its batch join (AvailableNow drains
     // the full source); dmul2/dsum2 decimal chain mirrored exactly.
     "stream_enrich" ->

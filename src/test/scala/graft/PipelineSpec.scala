@@ -46,6 +46,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), plan.take(400))
   }
 
+  test("pipeline_corpus_stream is row-identical to the batch assembly") {
+    val batch = run("pipeline_corpus").collect().toSeq
+    val stream = run("pipeline_corpus_stream").collect().toSeq
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
   test("sample_stratified: kept <= total per stratum, rare strata kept more") {
     val rows = run("sample_stratified").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
