@@ -569,6 +569,41 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Substring-level exact dedup (the "substring dedup" of Lee et al.
+    * 2022, re-expressed for a fixed window): every k=20-token sliding
+    * window of every document is fingerprinted, and a fingerprint
+    * occurring ≥2 times ANYWHERE in the corpus (cross-document or a
+    * within-document repeat) marks duplicated text. Output is the
+    * per-document gate a pipeline filters on: window count, duplicated-
+    * window count, and flagged (≥20% duplicated). True suffix-array
+    * dedup catches variable-length repeats but needs a global sort of
+    * every suffix; the fixed-k window is the distributed equivalent —
+    * any repeated span of ≥ k tokens is caught by its constituent
+    * windows, and the plan is two linear passes.
+    *
+    * Scale shape: tokens materialize as an attribute BEFORE the window
+    * lambda (referencing a computed split() inside the lambda would
+    * re-split per window — the text_winnow lesson, SURVEY 8c-3); only
+    * (doc_id, 16-byte md5) pairs cross the single shuffle — text never
+    * moves; occurrence counting is a partition-by-hash window over that
+    * one exchange, not a second groupBy+join shuffle. */
+  private def dedupSubstring: Q = (s, d) => {
+    val k = 20
+    val base = fanOut(t(s, d, "documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= k)
+    val wins = base.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+        i => md5(concat_ws(" ", slice(col("t"), i, lit(k)))))).as("h"))
+    val counted = wins.withColumn("cnt",
+      count(lit(1)).over(Window.partitionBy("h")))
+    counted.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_win"),
+        count(when(col("cnt") >= 2, 1)).as("n_dup_win"))
+      .withColumn("flagged", col("n_dup_win") * 5 >= col("n_win"))
+      .orderBy("doc_id")
+  }
+
   /** Perceptual-hash near-dup over BINARY blobs — the image-dedup
     * analog of minhash (a re-encoded/re-saved image is byte-different
     * but perceptually identical). Decode is the honest stub used by the
@@ -1241,6 +1276,7 @@ object Llm {
     "text_compress_ratio" -> textCompressRatio,
     "text_pii_scrub" -> textPiiScrub,
     "text_seg_dedup" -> textSegDedup,
+    "dedup_substring" -> dedupSubstring,
     "decontaminate" -> decontaminate,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
@@ -1439,6 +1475,24 @@ object Llm {
                   ' ' ORDER BY seg_idx), '') AS clean_text,
                 sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dropped
          FROM fl GROUP BY doc_id ORDER BY doc_id""",
+    // Same tokenization, same 20-token windows, same md5-of-joined-text
+    // fingerprint, same >=2 global-occurrence rule — counts are BIGINT
+    // throughout (count/count-FILTER, never an integer sum).
+    "dedup_substring" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         b2 AS (SELECT doc_id, t FROM base WHERE len(t) >= 20),
+         wins AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(t) - 18),
+                    i -> md5(array_to_string(t[i:i+19], ' ')))) AS h
+           FROM b2),
+         c AS (SELECT h, count(*) AS cnt FROM wins GROUP BY h)
+         SELECT w.doc_id AS doc_id, count(*) AS n_win,
+                count(*) FILTER (WHERE c.cnt >= 2) AS n_dup_win,
+                count(*) FILTER (WHERE c.cnt >= 2) * 5 >= count(*) AS flagged
+         FROM wins w JOIN c USING (h)
+         GROUP BY w.doc_id ORDER BY doc_id""",
     "decontaminate" ->
       """WITH toks AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents),

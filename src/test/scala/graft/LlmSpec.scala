@@ -346,4 +346,34 @@ class LlmSpec extends AnyFunSuite {
     assert(blocked === brute, "SymSpell blocking must lose no pair")
     assert(brute.nonEmpty, "fixture must contain at least one close pair")
   }
+
+  test("dedup_substring catches cross-doc spans, within-doc repeats, and full copies") {
+    // Planted corpus: A and B share EXACTLY one 20-token span (a5..a24);
+    // C repeats its own 20 tokens back-to-back (windows 1 and 21 equal,
+    // every rotation in between unique); D and E are verbatim copies.
+    val d = s"${Tables.scratchRoot}/substr_fixture"
+    def w(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val aToks = w("a", 40)
+    val bToks = w("bpre", 10) ++ aToks.slice(4, 24) ++ w("bpost", 5)
+    val cToks = w("c", 20) ++ w("c", 20)
+    val dToks = w("d", 25)
+    val docs = Seq(
+      (0L, aToks.mkString(" ")), (1L, bToks.mkString(" ")),
+      (2L, cToks.mkString(" ")), (3L, dToks.mkString(" ")),
+      (4L, dToks.mkString(" ")), (5L, w("f", 5).mkString(" ")))
+      .map { case (id, tx) => (id, tx, "en", "src0", tx.length.toLong) }
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("dedup_substring")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got === Map(
+      0L -> ((21L, 1L, false)), // 40 toks; one shared window
+      1L -> ((16L, 1L, false)),
+      2L -> ((21L, 2L, false)), // self-repeat: first and last window
+      3L -> ((6L, 6L, true)),   // verbatim copy: everything duplicated
+      4L -> ((6L, 6L, true))))  // doc 5 (<20 tokens) has no windows
+  }
 }

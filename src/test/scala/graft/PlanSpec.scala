@@ -125,14 +125,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("pipeline_corpus never ships the text column through a shuffle") {
+  // AQE hides executed subtrees behind stage/adaptive wrapper leaves —
+  // recurse through them (same traversal as the DPP metric test).
+  private def executedShuffles(name: String)
+      : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    val df = SparkEntry.queries("pipeline_corpus")(spark, sf)
+    val df = SparkEntry.queries(name)(spark, sf)
     df.collect() // materialize so AQE finalizes its stages
-    // AQE hides executed subtrees behind stage/adaptive wrapper leaves
-    // — recurse through them (same traversal as the DPP metric test).
     def allNodes(p: SparkPlan): Seq[SparkPlan] = {
       val inner = p match {
         case q: QueryStageExec => Seq(q.plan)
@@ -141,13 +142,33 @@ class PlanSpec extends AnyFunSuite {
       }
       p +: (p.children ++ inner).flatMap(allNodes)
     }
-    val shuffles = allNodes(df.queryExecution.executedPlan)
+    allNodes(df.queryExecution.executedPlan)
       .collect { case e: ShuffleExchangeLike => e }
+  }
+
+  test("pipeline_corpus never ships the text column through a shuffle") {
+    val shuffles = executedShuffles("pipeline_corpus")
     assert(shuffles.nonEmpty)
     shuffles.foreach { e =>
       val shipped = e.output.map(_.name)
       assert(!shipped.contains("text"),
         s"text crosses a shuffle: ${shipped.mkString(",")}")
+    }
+  }
+
+  test("dedup_substring ships only (doc_id, hash) through hash shuffles") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    // The round-robin scan fan-out may carry text (test-scale artifact:
+    // single-file scans arrive as one split; a production scan arrives
+    // in thousands and fanOut no-ops). Every HASH-partitioned exchange —
+    // the shuffles that exist at any scale — must ship hashes, not text.
+    val hashShuffles = executedShuffles("dedup_substring")
+      .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+    assert(hashShuffles.nonEmpty)
+    hashShuffles.foreach { e =>
+      val shipped = e.output.map(_.name)
+      assert(!shipped.contains("text") && !shipped.contains("t"),
+        s"text crosses a hash shuffle: ${shipped.mkString(",")}")
     }
   }
 }
