@@ -528,17 +528,28 @@ object Lake {
     * the algebraic property that makes 100 TB distinct counts cheap and
     * lets sketches be persisted per-partition and re-merged across
     * days/tables without rescanning (agg_approx is the one-shot form).
-    * Approximate by definition → rows-only gate; LakeSpec pins the
-    * estimate within tolerance of exact AND sharded==direct merge
-    * equality. */
+    * Approximate by definition → rows-only gate, but SELF-AUDITING:
+    * the exact distinct count and relative error ride the same plan,
+    * so the gate record embeds its own tolerance evidence (LakeSpec
+    * pins rel_err ≤ 5% AND sharded==direct merge equality). At 100 TB
+    * the exact column is the one you drop. */
   private def aggHllMerge: Q = (s, d) => {
     val shards = t(s, d, "orders")
       .groupBy(col("o_orderpriority"),
         pmod(col("o_custkey"), lit(8)).as("shard"))
       .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"))
-    shards.groupBy("o_orderpriority")
+    val approx = shards.groupBy("o_orderpriority")
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
         .as("approx_customers"))
+    // Audit channel: exact distinct per group (the thing the sketch
+    // replaces at scale), joined back so each row carries its error.
+    val exact = t(s, d, "orders").groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("exact_customers"))
+    approx.join(exact, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("approx_customers"),
+        col("exact_customers"),
+        round(abs(col("approx_customers") - col("exact_customers")) /
+          greatest(col("exact_customers"), lit(1)), 6).as("rel_err"))
       .orderBy("o_orderpriority")
   }
 

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -296,27 +296,64 @@ object Relational {
       .orderBy("l_returnflag")
 
   /** HLL sketch distinct — the 100 TB answer to COUNT(DISTINCT): no
-    * exact shuffle of the key space. Approximate ⇒ rows-only check. */
-  private def aggApprox: Q = (s, d) =>
+    * exact shuffle of the key space. Approximate ⇒ rows-only check,
+    * but the row is SELF-AUDITING: the same plan carries the exact
+    * count and the relative error, so the gate record embeds its own
+    * tolerance evidence. At 100 TB you would drop the exact columns —
+    * they exist here as the audit channel (RobustnessSpec pins
+    * rel_err ≤ 1e-2 per the requested HLL precision). */
+  private def aggApprox: Q = (s, d) => {
+    def relErr(a: Column, e: Column): Column =
+      round(abs(a - e) / greatest(e, lit(1L)), 6)
     t(s, d, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"),
+        col("approx_parts"), col("exact_parts"),
+        col("approx_orders"), col("exact_orders"),
+        greatest(
+          relErr(col("approx_parts"), col("exact_parts")),
+          relErr(col("approx_orders"), col("exact_orders"))).as("rel_err"))
       .orderBy("l_returnflag")
+  }
 
   /** Approximate quantiles (Greenwald-Khanna sketch) — the 100 TB
     * answer to exact percentiles: fixed-size mergeable sketch per
-    * group, no per-group sort. Approximate ⇒ rows-only check; accuracy
-    * vs the exact percentile is pinned in RobustnessSpec. */
-  private def aggApproxQuantile: Q = (s, d) =>
-    t(s, d, "lineitem")
+    * group, no per-group sort. Approximate ⇒ rows-only check. Output
+    * is FLAT SCALARS (q25/q50/q90), not an array — the driver's
+    * rows-only gate sorts cells via pandas and cannot hash an array
+    * cell — and self-auditing: the exact percentiles and the max
+    * relative error ride the same plan (RobustnessSpec pins ≤ 1%). */
+  private def aggApproxQuantile: Q = (s, d) => {
+    def relErr(a: Column, e: Column): Column =
+      abs(a - e) / abs(e)
+    val qs = t(s, d, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         approx_percentile(col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.9)),
-          lit(10000)).as("approx_price_quantiles"),
+          lit(10000)).as("aq"),
+        percentile(col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.9)))
+          .as("xq"),
         count(lit(1)).as("n"))
+    qs.select(col("l_returnflag"),
+        element_at(col("aq"), 1).as("q25"),
+        element_at(col("aq"), 2).as("q50"),
+        element_at(col("aq"), 3).as("q90"),
+        round(element_at(col("xq"), 1), 6).as("exact_q25"),
+        round(element_at(col("xq"), 2), 6).as("exact_q50"),
+        round(element_at(col("xq"), 3), 6).as("exact_q90"),
+        round(greatest(
+          relErr(element_at(col("aq"), 1), element_at(col("xq"), 1)),
+          relErr(element_at(col("aq"), 2), element_at(col("xq"), 2)),
+          relErr(element_at(col("aq"), 3), element_at(col("xq"), 3))), 6)
+          .as("rel_err"),
+        col("n"))
       .orderBy("l_returnflag")
+  }
 
   /** Rollup over the sink hierarchy {server}/{type} analog
     * (child.py:172). Null grouping slots → 'ALL' for oracle parity. */
