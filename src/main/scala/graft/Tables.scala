@@ -12,8 +12,9 @@ import org.apache.spark.sql.types.DecimalType
   *   - double aggregations go through exact DECIMAL(18,4) so the sum is
   *     associative (identical across engine / partitioning / thread count);
   *   - timestamps are emitted as epoch integers, never raw timestamps
-  *     (`events.ts` is ns-precision parquet: Spark truncates to µs,
-  *     DuckDB keeps ns — FIXTURES.md §1).
+  *     (`events.ts` has shipped as both ns- and µs-precision parquet
+  *     across environment refreshes; the epoch-µs domain is the stable
+  *     contract — FIXTURES.md §1, [[Tables.tsUsCol]]).
   */
 object Tables {
   /** Driver-contract query shape: (session, sf-dir) => result. */
@@ -85,13 +86,29 @@ object Tables {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark refuses by
-    * default; read the raw int64 (legacy flag) and derive `ts_us` (epoch
-    * µs, exact integer division — double division would lose precision
-    * above 2^53). Downstream operators use ts_us only. */
+  /** Schema-branched `ts_us` (epoch µs) derivation for `events.ts`.
+    * The upstream writer has shipped BOTH physical encodings across
+    * environment refreshes — TIMESTAMP(NANOS)-as-int64 (readable only
+    * under the legacy nanosAsLong flag) and plain timestamp[us]
+    * (TIMESTAMP / TIMESTAMP_NTZ) — and an engine meant for 100 TB
+    * ingests whatever precision the writer emitted rather than
+    * hard-coding one. Nanos branch: exact integer DIV (double division
+    * would lose precision above 2^53). Timestamp branch: `unix_micros`
+    * after a cast that is exact because every graft session pins
+    * spark.sql.session.timeZone=UTC (NTZ→TZ cast under UTC preserves
+    * the epoch value bit-for-bit). */
+  def tsUsCol(dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+    case _                                   => unix_micros(col("ts").cast("timestamp"))
+  }
+
+  /** events table with a derived `ts_us` column; downstream operators
+    * use ts_us only, so they are independent of the file's physical
+    * timestamp encoding (see [[tsUsCol]]). */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+    val raw = t(s, dir, "events")
+    raw.withColumn("ts_us", tsUsCol(raw.schema("ts").dataType))
   }
 
   /** Exact decimal view of a double column; sums over it are
@@ -118,8 +135,12 @@ object Tables {
   /** Epoch seconds (floor) of a timestamp column. */
   def epochS(c: Column): Column = unix_timestamp(c)
 
-  /** DuckDB SQL fragment: epoch µs of the ns-precision events.ts
-    * truncated exactly the way Spark truncates (floor to µs). */
+  /** DuckDB SQL fragment: epoch µs of events.ts, valid at BOTH physical
+    * precisions the writer has shipped: on ns storage `epoch_ns // 1000`
+    * floors to µs exactly like Spark's `ts DIV 1000`; on µs storage
+    * DuckDB still evaluates epoch_ns (= µs·1000) so the division is
+    * exact. RobustnessSpec pins Spark/DuckDB equivalence at both
+    * precisions. */
   def duckTsUs(col: String): String = s"(epoch_ns($col) // 1000)"
 
   /** DuckDB SQL fragment: epoch seconds (floor) of a ns timestamp. */

@@ -131,8 +131,9 @@ object Streaming {
     dir
   }
 
-  /** On-disk schema (ts as raw int64 ns under the legacy flag) — the
-    * derived ts_us column must NOT be part of the readStream schema. */
+  /** On-disk schema (whatever physical ts encoding the writer emitted —
+    * int64-nanos under the legacy flag, or timestamp[us]) — the derived
+    * ts_us column must NOT be part of the readStream schema. */
   private def eventsFileSchema(s: SparkSession, d: String): StructType =
     events(s, d).drop("ts_us").schema
 
@@ -140,11 +141,12 @@ object Streaming {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source requires a directory; select the single
     // events file via glob filter.
+    val schema = eventsFileSchema(s, d)
     s.readStream
-      .schema(eventsFileSchema(s, d))
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("ts_us", graft.Tables.tsUsCol(schema("ts").dataType))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
   }
 
