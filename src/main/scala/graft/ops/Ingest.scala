@@ -382,30 +382,38 @@ object Ingest {
       .orderBy("file_type")
   }
 
-  /** Multimodal decode plumbing: binary blobs → fixed-shape feature rows
+  /** Multimodal decode: binary image blobs → fixed-shape feature rows
     * via typed mapPartitions (the Scala analog of a vectorized batch
-    * UDF). The decoder is a STUB — image/audio codecs are absent in this
-    * environment — producing deterministic byte-level features; the
-    * Spark-side schema/partitioning/batch shape is real. */
-  private def mmDecode: Q = (s, d) => {
+    * UDF). The decode is REAL — `javax.imageio` over the self-built
+    * BMP/PNG fixture ([[Media]]) — emitting true pixel dimensions plus
+    * integer luma statistics; the pinned oracle is computed by
+    * tools/mm_oracle.py from the pixel spec WITHOUT touching the JVM
+    * codecs, so a match proves the encode→decode round trip. At 100 TB
+    * the same shape holds: binaryFile splits across executors, each
+    * blob decodes where it was read, only (name, 4 longs) ever moves. */
+  private def mmDecode: Q = (s, _) => {
     val sp = s
     import sp.implicits._
-    s.read.format("binaryFile").load(s"$d/*.parquet")
+    s.read.format("binaryFile").load(s"${Media.dir}/img_*")
       .select(
         element_at(split(col("path"), "/"), -1).as("file_name"),
         col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (name, bytes) =>
-          // STUB decode: real impl would decode image/audio frames here.
-          var h = 1125899906842597L
-          val n = math.min(bytes.length, 4096)
+          val (w, h, luma) = Media.decodeLuma(bytes)
+          var sum = 0L
+          var rolling = 1125899906842597L
           var i = 0
-          while (i < n) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
-          (name, bytes.length.toLong, h, (bytes.length % 1024).toLong)
+          while (i < luma.length) {
+            sum += luma(i)
+            rolling = rolling * 31 + luma(i)
+            i += 1
+          }
+          (name, w, h, sum / luma.length, rolling)
         }
       }
-      .toDF("file_name", "n_bytes", "feat_hash", "fake_width")
+      .toDF("file_name", "width", "height", "mean_luma", "luma_hash")
       .orderBy("file_name")
   }
 
@@ -431,12 +439,15 @@ object Ingest {
 
   /** Multimodal frame sampling: treat each blob as a "video", emit every
     * 8th 4 KiB block as a frame row (1→N explode, like R14 but for
-    * media). Frame decode is a STUB (no codecs in this environment); the
-    * schema, explode shape, and per-frame metadata are real. */
-  private def mmFrames: Q = (s, d) => {
+    * media). Frame DECODE stays a stub (no video codecs in the stock
+    * JDK) but the bytes are now the self-built deterministic fixture
+    * "videos" ([[Media]]), so the pinned oracle is independent of the
+    * environment's testdata; the schema, explode shape, and per-frame
+    * metadata are real. */
+  private def mmFrames: Q = (s, _) => {
     val sp = s
     import sp.implicits._
-    s.read.format("binaryFile").load(s"$d/*.parquet")
+    s.read.format("binaryFile").load(s"${Media.dir}/vid_*")
       .select(
         element_at(split(col("path"), "/"), -1).as("file_name"),
         col("content"))
@@ -472,14 +483,17 @@ object Ingest {
       .orderBy("ext")
   }
 
-  /** Multimodal "resize": stride-sample each blob down to a fixed 16×16
-    * byte thumbnail (STUB for a real image resize — codecs absent; the
-    * fixed-shape binary output column, schema, and partition-parallel
-    * shape are what a real kernel would use). */
-  private def mmResize: Q = (s, d) => {
+  /** Multimodal resize: REAL image decode (`javax.imageio`) + exact
+    * integer area-average down to a 16×16 luma thumbnail — the
+    * fixed-shape embedding-ish output a training pipeline feeds
+    * downstream. Pinned from the pixel spec by tools/mm_oracle.py
+    * (pure-python, codec-free), so the pin verifies decode + resample
+    * math end-to-end. Payloads decode where they are read; only the
+    * 16-byte summary row moves. */
+  private def mmResize: Q = (s, _) => {
     val sp = s
     import sp.implicits._
-    s.read.format("binaryFile").load(s"$d/*.parquet")
+    s.read.format("binaryFile").load(s"${Media.dir}/img_*")
       .select(
         element_at(split(col("path"), "/"), -1).as("file_name"),
         col("content"))
@@ -487,15 +501,10 @@ object Ingest {
       .mapPartitions { it =>
         it.map { case (name, bytes) =>
           val side = 16
-          val thumb = new Array[Byte](side * side)
-          val stride = math.max(1, bytes.length / (side * side))
-          var i = 0
-          while (i < side * side && i * stride < bytes.length) {
-            thumb(i) = bytes(i * stride)
-            i += 1
-          }
+          val (w, h, luma) = Media.decodeLuma(bytes)
+          val thumb = Media.thumbnail(w, h, luma, side)
           var checksum = 0L
-          thumb.foreach(b => checksum = checksum * 131 + (b & 0xff))
+          thumb.foreach(v => checksum = checksum * 131 + v)
           (name, side, side, thumb.length.toLong, checksum)
         }
       }
@@ -689,9 +698,10 @@ object Ingest {
             'report final.txt', 1, 16, 'report final.txt'))
          t(content_sha256, keeper, n_copies, size, names)
          ORDER BY keeper""",
-    // Pinned at sf0.01 from tools/mm_oracle.py (independent python
-    // replication of the deterministic stub byte math) — upgrades the
-    // mm plumbing from rows-only to exact-hash verification.
+    // Pinned from tools/mm_oracle.py: pure-python regeneration of the
+    // Media.scala pixel spec (no JVM codec) — a match proves the
+    // javax.imageio encode→decode round trip and the luma/resample
+    // math, independent of any environment-owned bytes.
     "mm_decode" -> MmPins.mmDecode,
     "mm_frames" -> MmPins.mmFrames,
     "mm_resize" -> MmPins.mmResize,

@@ -604,51 +604,31 @@ object Llm {
       .orderBy("doc_id")
   }
 
-  /** Perceptual-hash near-dup over BINARY blobs — the image-dedup
-    * analog of minhash (a re-encoded/re-saved image is byte-different
-    * but perceptually identical). Decode is the honest stub used by the
-    * mm_* family (no codecs in this environment): a 64-sample stride
-    * thumbnail stands in for the decoded bitmap; the HASH and the DEDUP
-    * MACHINERY are real — 64-bit average-hash (bit i = sample i above
-    * the thumbnail mean), LSH-banded into 8×8-bit bands so any pair
-    * within hamming ≤ 7 shares at least one band (pigeonhole), candidate
-    * pairs verified by exact popcount(xor) ≤ 4. Per blob a synthetic
-    * "re-encode" (low bit of every 997th byte flipped) is added; the
-    * pinned oracle (tools/phash_oracle.py, independent python byte
-    * math) shows each blob pairs ONLY with its own re-encode — nearest
-    * cross-file pair sits at hamming 24. Scale shape: per-row kernel →
-    * 8 band rows/image (16 bytes each) shuffle; payloads never move. */
-  private def dedupPhash: Q = (s, d) => {
+  /** Perceptual-hash near-dup over REAL images — the image-dedup analog
+    * of minhash (a re-encoded/re-saved image is byte-different but
+    * perceptually identical). The fixture pairs each BMP original with
+    * a PNG re-encode of the same pixels (±1-LSB noise on ~1/16 of
+    * pixels — see [[graft.ops.Media]]): different container, different
+    * bytes, same picture. Decode is REAL `javax.imageio`; the hash is a
+    * 64-bit average-hash over the decoded 8×8 luma thumbnail
+    * ([[Media.ahash]], all-integer). Dedup machinery: LSH-banded into
+    * 8×8-bit bands so any pair within hamming ≤ 7 shares at least one
+    * band (pigeonhole), candidate pairs verified by exact
+    * popcount(xor) ≤ 4. The pinned oracle (tools/phash_oracle.py,
+    * codec-free python over the pixel spec) shows each original pairs
+    * ONLY with its own re-encode. Scale shape: per-row decode kernel →
+    * 8 band rows/image (16 bytes each) shuffle; pixels never move. */
+  private def dedupPhash: Q = (s, _) => {
     val sp = s
     import sp.implicits._
-    val hashes = s.read.format("binaryFile").load(s"$d/*.parquet")
-      .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+    val hashes = s.read.format("binaryFile").load(s"${graft.ops.Media.dir}/img_*")
+      .select(element_at(split(col("path"), "/"), -1).as("img_id"),
         col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
-        def ahash(b: Array[Byte]): Long = {
-          val n = 64
-          val thumb = new Array[Int](n)
-          val stride = math.max(1, b.length / n)
-          var i = 0
-          while (i < n && i * stride < b.length) {
-            thumb(i) = b(i * stride) & 0xff; i += 1
-          }
-          var sum = 0L
-          thumb.foreach(sum += _)
-          val mean = sum.toDouble / n
-          var h = 0L
-          i = 0
-          while (i < n) { if (thumb(i) > mean) h |= (1L << i); i += 1 }
-          h
-        }
-        it.flatMap { case (name, bytes) =>
-          val variant = bytes.clone()
-          var j = 0
-          while (j < variant.length) {
-            variant(j) = (variant(j) ^ 1).toByte; j += 997
-          }
-          Iterator((name, ahash(bytes)), (name + "~reenc", ahash(variant)))
+        it.map { case (name, bytes) =>
+          val (w, h, luma) = graft.ops.Media.decodeLuma(bytes)
+          (name, graft.ops.Media.ahash(w, h, luma))
         }
       }
       .toDF("img_id", "phash")
@@ -1314,23 +1294,20 @@ object Llm {
          WHERE a.c_custkey < b.c_custkey
            AND levenshtein(a.c_name, b.c_name) <= 1
          ORDER BY a_id, b_id""",
-    // Pinned from tools/phash_oracle.py (independent python replication
-    // of the stub-thumbnail average-hash + re-encode variant + hamming
-    // pair math over the sf0.01 blobs, cross-checked against engine
-    // output before pinning). Each blob pairs ONLY with its own
-    // re-encode; nearest cross-file pair is hamming 24.
+    // Pinned from tools/phash_oracle.py (pure-python regeneration of
+    // the Media.scala pixel spec — no JVM codec — cross-checked against
+    // engine output before pinning). Each BMP original pairs ONLY with
+    // its own PNG re-encode; nearest cross-image pair is hamming 27.
     "dedup_phash" ->
       """SELECT a_id, b_id, hamming::BIGINT AS hamming FROM (VALUES
-('customer.parquet', 'customer.parquet~reenc', 0),
-('documents.parquet', 'documents.parquet~reenc', 0),
-('embeddings.parquet', 'embeddings.parquet~reenc', 0),
-('events.parquet', 'events.parquet~reenc', 1),
-('lineitem.parquet', 'lineitem.parquet~reenc', 0),
-('nation.parquet', 'nation.parquet~reenc', 0),
-('orders.parquet', 'orders.parquet~reenc', 0),
-('part.parquet', 'part.parquet~reenc', 0),
-('region.parquet', 'region.parquet~reenc', 0),
-('supplier.parquet', 'supplier.parquet~reenc', 0))
+('img_00.bmp', 'img_00.png', 0),
+('img_01.bmp', 'img_01.png', 1),
+('img_02.bmp', 'img_02.png', 0),
+('img_03.bmp', 'img_03.png', 0),
+('img_04.bmp', 'img_04.png', 0),
+('img_05.bmp', 'img_05.png', 0),
+('img_06.bmp', 'img_06.png', 0),
+('img_07.bmp', 'img_07.png', 1))
          t(a_id, b_id, hamming) ORDER BY a_id, b_id""",
     // Same bigram extraction, same integer sums, same single IEEE
     // division — the threshold anchor (corpus mean) derives identically.

@@ -1,14 +1,18 @@
-"""Independent replication of the mm_* stub decoders (deterministic
-byte-level math over the sf0.01 parquet files, 64-bit wrap-around like
-Java long arithmetic) — generates pinned VALUES oracles after
-cross-checking against the engine output in /tmp/verify_out."""
+"""Independent replication of the mm_* kernels over the SELF-BUILT
+media fixture (driver-side tooling; see graft/ops/Media.scala PIXEL
+SPEC). Pure-python integer math regenerates the authored pixels from
+the LCG recurrence — it never decodes BMP/PNG — so a pin match proves
+the engine's javax.imageio encode→decode round trip returns exactly
+the authored pixels. Cross-checks engine output in /tmp/verify_out
+when present; --emit rewrites MmPins.scala."""
 import sys
 from pathlib import Path
 
-import duckdb
-
-SF = Path('/root/testdata/sf0.01')
 M = (1 << 64) - 1
+W, H = 48, 32
+N_IMAGES = 8
+VIDEO_SIZES = [100000, 262144, 40000]
+A, C = 6364136223846793005, 1442695040888963407
 
 
 def signed(h):
@@ -16,46 +20,90 @@ def signed(h):
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
-files = sorted(SF.glob('*.parquet'))
+class Lcg:
+    def __init__(self, seed):
+        self.x = seed & M
+
+    def next(self):
+        self.x = (self.x * A + C) & M
+        return self.x
+
+
+def pixels(i, reenc):
+    g = Lcg(1000003 * (i + 1))
+    px = []
+    for _ in range(W * H):
+        x = g.next()
+        px.append(((x >> 40) & 0xff, (x >> 32) & 0xff, (x >> 24) & 0xff))
+    if reenc:
+        p = Lcg(7777777 * (i + 1))
+        for k in range(len(px)):
+            if ((p.next() >> 60) & 0xf) == 0:
+                r, g_, b = px[k]
+                px[k] = (r ^ 1, g_ ^ 1, b ^ 1)
+    return px
+
+
+def luma(px):
+    return [(77 * r + 150 * g + 29 * b) >> 8 for r, g, b in px]
+
+
+def thumbnail(lm, side):
+    bw, bh = W // side, H // side
+    out = []
+    for ty in range(side):
+        for tx in range(side):
+            s = sum(lm[y * W + x]
+                    for y in range(ty * bh, (ty + 1) * bh)
+                    for x in range(tx * bw, (tx + 1) * bw))
+            out.append(s // (bw * bh))
+    return out
+
+
+def ahash(lm):
+    t = thumbnail(lm, 8)
+    total = sum(t)
+    return sum(1 << i for i in range(64) if t[i] * 64 > total)
+
 
 decode_rows = []
-frame_rows = []
 resize_rows = []
-for f in files:
-    b = f.read_bytes()
-    n = len(b)
-    # mm_decode: rolling *31 hash over the first 4096 bytes
-    h = 1125899906842597
-    for x in b[:4096]:
-        h = (h * 31 + x) & M
-    decode_rows.append((f.name, n, signed(h), n % 1024))
-    # mm_frames: 4096-byte blocks sampled every 32768 bytes, *131 checksum
+for i in range(N_IMAGES):
+    for ext, reenc in (('bmp', False), ('png', True)):
+        name = f'img_{i:02d}.{ext}'
+        lm = luma(pixels(i, reenc))
+        # mm_decode: real dims + mean luma + rolling *31 luma hash
+        rolling = 1125899906842597
+        for v in lm:
+            rolling = (rolling * 31 + v) & M
+        decode_rows.append((name, W, H, sum(lm) // len(lm), signed(rolling)))
+        # mm_resize: 16x16 area-average thumbnail, *131 checksum
+        c = 0
+        for v in thumbnail(lm, 16):
+            c = (c * 131 + v) & M
+        resize_rows.append((name, 16, 16, 256, signed(c)))
+
+frame_rows = []
+for i, sz in enumerate(VIDEO_SIZES):
+    g = Lcg(424242 * (i + 1))
+    b = bytes((g.next() >> 56) & 0xff for _ in range(sz))
     block, stride = 4096, 8
-    for off in range(0, n, block * stride):
-        end = min(off + block, n)
+    for off in range(0, sz, block * stride):
+        end = min(off + block, sz)
         c = 0
         for x in b[off:end]:
             c = (c * 131 + x) & M
-        frame_rows.append((f.name, off // (block * stride), end - off,
-                           signed(c)))
-    # mm_resize: 16x16 byte thumbnail at stride len//256, *131 checksum
-    side = 16
-    st = max(1, n // (side * side))
-    thumb = bytearray(side * side)
-    i = 0
-    while i < side * side and i * st < n:
-        thumb[i] = b[i * st]
-        i += 1
-    c = 0
-    for x in thumb:
-        c = (c * 131 + x) & M
-    resize_rows.append((f.name, side, side, side * side, signed(c)))
+        frame_rows.append((f'vid_{i}.bin', off // (block * stride),
+                           end - off, signed(c)))
 
+decode_rows.sort(key=lambda r: r[0])
+resize_rows.sort(key=lambda r: r[0])
 frame_rows.sort(key=lambda r: (r[0], r[1]))
 
 
 def check(name, sql_cols, rows, order):
     try:
+        import duckdb
         eng = duckdb.sql(
             f"SELECT {sql_cols} FROM '/tmp/verify_out/{name}/*.parquet'"
             f" ORDER BY {order}").fetchall()
@@ -70,7 +118,7 @@ def check(name, sql_cols, rows, order):
         print(f'{name}: no engine output:', e)
 
 
-check('mm_decode', 'file_name, n_bytes, feat_hash, fake_width',
+check('mm_decode', 'file_name, width, height, mean_luma, luma_hash',
       decode_rows, 'file_name')
 check('mm_frames', 'file_name, frame_idx, frame_bytes, frame_checksum',
       frame_rows, 'file_name, frame_idx')
@@ -79,13 +127,13 @@ check('mm_resize', 'file_name, width, height, thumb_bytes, thumb_checksum',
 
 if '--emit' in sys.argv:
     out = {}
-    vals = ',\n'.join(f"('{f}', {n}, {h}, {w})"
-                      for f, n, h, w in decode_rows)
+    vals = ',\n'.join(f"('{f}', {w}, {h}, {m}, {hh})"
+                      for f, w, h, m, hh in decode_rows)
     out['mm_decode'] = (
-        "SELECT file_name, n_bytes::BIGINT AS n_bytes,"
-        " feat_hash::BIGINT AS feat_hash, fake_width::BIGINT AS fake_width"
+        "SELECT file_name, width::INT AS width, height::INT AS height,"
+        " mean_luma::BIGINT AS mean_luma, luma_hash::BIGINT AS luma_hash"
         " FROM (VALUES\n" + vals
-        + ")\n t(file_name, n_bytes, feat_hash, fake_width)"
+        + ")\n t(file_name, width, height, mean_luma, luma_hash)"
         " ORDER BY file_name")
     vals = ',\n'.join(f"('{f}', {i}, {nb}, {c})"
                       for f, i, nb, c in frame_rows)
@@ -103,22 +151,20 @@ if '--emit' in sys.argv:
         " thumb_checksum::BIGINT AS thumb_checksum FROM (VALUES\n" + vals
         + ")\n t(file_name, width, height, thumb_bytes, thumb_checksum)"
         " ORDER BY file_name")
-    def scala_triple(s):
-        return s.replace('\\', '\\\\')
     body = f'''package graft.ops
 
-/** GENERATED pinned oracles for the mm_* stub decoders (tools/
-  * mm_oracle.py: independent python replication of the deterministic
-  * byte-level stub math over the sf0.01 parquet files, cross-checked
-  * against engine output before pinning). The STUB decode itself stays
-  * honestly labeled — these pins verify the Spark plumbing (binaryFile
-  * scan, typed mapPartitions batch shape, flatMap framing) end-to-end. */
+/** GENERATED pinned oracles for the mm_* kernels (tools/mm_oracle.py:
+  * pure-python regeneration of the Media.scala PIXEL SPEC — no JVM
+  * codec involved — cross-checked against engine output before
+  * pinning). A match proves the javax.imageio encode→decode round
+  * trip plus the luma/resample math end-to-end, independent of any
+  * environment-owned bytes. */
 object MmPins {{
-  val mmDecode: String = """{scala_triple(out['mm_decode'])}"""
+  val mmDecode: String = """{out['mm_decode']}"""
 
-  val mmFrames: String = """{scala_triple(out['mm_frames'])}"""
+  val mmFrames: String = """{out['mm_frames']}"""
 
-  val mmResize: String = """{scala_triple(out['mm_resize'])}"""
+  val mmResize: String = """{out['mm_resize']}"""
 }}
 '''
     Path('/root/repo/src/main/scala/graft/ops/MmPins.scala').write_text(body)

@@ -1,38 +1,29 @@
-"""Independent replication of dedup_phash (driver-side tooling): the
-64-sample average-hash + re-encode variant + hamming pairs over the
-sf0.01 parquet blobs, in pure python byte math. Emits the pinned VALUES
-oracle after cross-checking against engine output in /tmp/verify_out
-(when present). Usage: python3 tools/phash_oracle.py"""
+"""Independent replication of dedup_phash (driver-side tooling) over
+the SELF-BUILT media fixture: regenerates the authored pixels from the
+Media.scala PIXEL SPEC in pure python (no JVM codec), computes the 8x8
+integer average-hash per image file, and emits the hamming<=4 pairs as
+the pinned VALUES oracle after cross-checking engine output in
+/tmp/verify_out (when present). Each BMP original must pair ONLY with
+its own PNG re-encode. Usage: python3 tools/phash_oracle.py"""
 from itertools import combinations
-from pathlib import Path
 
-SF = Path('/root/testdata/sf0.01')
-
-
-def ahash(b):
-    n = 64
-    stride = max(1, len(b) // n)
-    thumb = [0] * n
-    i = 0
-    while i < n and i * stride < len(b):
-        thumb[i] = b[i * stride]
-        i += 1
-    mean = sum(thumb) / n
-    return sum(1 << i for i in range(n) if thumb[i] > mean)
-
+from mm_oracle import N_IMAGES, ahash, luma, pixels
 
 hs = {}
-for f in sorted(SF.glob('*.parquet')):
-    b = bytearray(f.read_bytes())
-    v = bytearray(b)
-    for j in range(0, len(v), 997):
-        v[j] ^= 1
-    hs[f.name] = ahash(b)
-    hs[f.name + '~reenc'] = ahash(v)
+for i in range(N_IMAGES):
+    hs[f'img_{i:02d}.bmp'] = ahash(luma(pixels(i, reenc=False)))
+    hs[f'img_{i:02d}.png'] = ahash(luma(pixels(i, reenc=True)))
 
 pairs = [(a, b, bin(hs[a] ^ hs[b]).count('1'))
          for a, b in combinations(sorted(hs), 2)]
 close = sorted(p for p in pairs if p[2] <= 4)
+cross = min((p for p in pairs if p[0][:6] != p[1][:6]),
+            key=lambda p: p[2])
+print(f'-- {len(close)} close pairs; nearest cross-image pair at '
+      f'hamming {cross[2]} ({cross[0]} ~ {cross[1]})')
+assert all(a[:6] == b[:6] for a, b, _ in close), \
+    'close pairs must be original~reencode only'
+assert len(close) == N_IMAGES, 'every original must pair with its re-encode'
 
 try:
     import duckdb
