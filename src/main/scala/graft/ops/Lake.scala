@@ -543,10 +543,13 @@ object Lake {
         .as("approx_customers"))
     // Audit channel: exact distinct per group (the thing the sketch
     // replaces at scale), joined back so each row carries its error.
+    // Null-safe join key: a null group would silently vanish under
+    // plain equality (TPC-H o_orderpriority happens to be non-null,
+    // but the audit must not depend on that).
     val exact = t(s, d, "orders").groupBy("o_orderpriority")
       .agg(countDistinct(col("o_custkey")).as("exact_customers"))
-    approx.join(exact, Seq("o_orderpriority"))
-      .select(col("o_orderpriority"), col("approx_customers"),
+    approx.join(exact, approx("o_orderpriority") <=> exact("o_orderpriority"))
+      .select(approx("o_orderpriority"), col("approx_customers"),
         col("exact_customers"),
         round(abs(col("approx_customers") - col("exact_customers")) /
           greatest(col("exact_customers"), lit(1)), 6).as("rel_err"))

@@ -296,64 +296,43 @@ object Relational {
       .orderBy("l_returnflag")
 
   /** HLL sketch distinct — the 100 TB answer to COUNT(DISTINCT): no
-    * exact shuffle of the key space. Approximate ⇒ rows-only check,
-    * but the row is SELF-AUDITING: the same plan carries the exact
-    * count and the relative error, so the gate record embeds its own
-    * tolerance evidence. At 100 TB you would drop the exact columns —
-    * they exist here as the audit channel (RobustnessSpec pins
-    * rel_err ≤ 1e-2 per the requested HLL precision). */
-  private def aggApprox: Q = (s, d) => {
-    def relErr(a: Column, e: Column): Column =
-      round(abs(a - e) / greatest(e, lit(1L)), 6)
+    * exact shuffle of the key space, and no multi-distinct Expand
+    * either (PlanSpec pins the plan Expand-free, same as agg_bitmap —
+    * the round-5 in-plan audit had reintroduced exactly that shape).
+    * Approximate ⇒ rows-only gate; the tolerance evidence lives in
+    * RobustnessSpec, which recomputes the exact counts spec-side and
+    * asserts rel_err ≤ 3×rsd (rsd=0.01 ⇒ 0.03 — a pin AT the rsd
+    * would be a coin flip on the sketch's own standard error). */
+  private def aggApprox: Q = (s, d) =>
     t(s, d, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
-      .select(col("l_returnflag"),
-        col("approx_parts"), col("exact_parts"),
-        col("approx_orders"), col("exact_orders"),
-        greatest(
-          relErr(col("approx_parts"), col("exact_parts")),
-          relErr(col("approx_orders"), col("exact_orders"))).as("rel_err"))
+        count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
-  }
 
   /** Approximate quantiles (Greenwald-Khanna sketch) — the 100 TB
     * answer to exact percentiles: fixed-size mergeable sketch per
-    * group, no per-group sort. Approximate ⇒ rows-only check. Output
-    * is FLAT SCALARS (q25/q50/q90), not an array — the driver's
-    * rows-only gate sorts cells via pandas and cannot hash an array
-    * cell — and self-auditing: the exact percentiles and the max
-    * relative error ride the same plan (RobustnessSpec pins ≤ 1%). */
-  private def aggApproxQuantile: Q = (s, d) => {
-    def relErr(a: Column, e: Column): Column =
-      abs(a - e) / abs(e)
-    val qs = t(s, d, "lineitem")
+    * group, no per-group sort (the shipped plan carries NO exact
+    * `percentile` — that sort-based audit now lives in RobustnessSpec,
+    * which recomputes it spec-side and asserts ≤ 1%). Approximate ⇒
+    * rows-only check. Output is FLAT SCALARS (q25/q50/q90), not an
+    * array — the driver's rows-only gate sorts cells via pandas and
+    * cannot hash an array cell. */
+  private def aggApproxQuantile: Q = (s, d) =>
+    t(s, d, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         approx_percentile(col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.9)),
           lit(10000)).as("aq"),
-        percentile(col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.9)))
-          .as("xq"),
         count(lit(1)).as("n"))
-    qs.select(col("l_returnflag"),
+      .select(col("l_returnflag"),
         element_at(col("aq"), 1).as("q25"),
         element_at(col("aq"), 2).as("q50"),
         element_at(col("aq"), 3).as("q90"),
-        round(element_at(col("xq"), 1), 6).as("exact_q25"),
-        round(element_at(col("xq"), 2), 6).as("exact_q50"),
-        round(element_at(col("xq"), 3), 6).as("exact_q90"),
-        round(greatest(
-          relErr(element_at(col("aq"), 1), element_at(col("xq"), 1)),
-          relErr(element_at(col("aq"), 2), element_at(col("xq"), 2)),
-          relErr(element_at(col("aq"), 3), element_at(col("xq"), 3))), 6)
-          .as("rel_err"),
         col("n"))
       .orderBy("l_returnflag")
-  }
 
   /** Rollup over the sink hierarchy {server}/{type} analog
     * (child.py:172). Null grouping slots → 'ALL' for oracle parity. */
@@ -1078,11 +1057,18 @@ object Relational {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(dir.getAbsolutePath)
       .cache()
-    parsed
+    val audit = parsed
       .select(when(col("_corrupt_record").isNull, "ok")
         .otherwise("quarantined").as("status"), col("size"))
       .groupBy("status")
       .agg(count(lit(1)).as("n"), coalesce(sum(col("size")), lit(0L)).as("total_size"))
+      .orderBy("status")
+    // The output is an O(statuses) audit summary (2 rows): materialize
+    // it so the cache can be released HERE instead of leaking past the
+    // operator (the one unpaired cache() in src/main through round 5).
+    val rows = audit.collect()
+    parsed.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), audit.schema)
       .orderBy("status")
   }
 

@@ -99,6 +99,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Expand"), p)
   }
 
+  test("agg_approx ships a sketch-only plan: no Expand, no exact distinct") {
+    // The round-5 in-plan audit put two countDistincts next to the HLL
+    // sketches — a multi-distinct Expand over the fact table, the exact
+    // anti-pattern the sketch exists to avoid. The audit now lives in
+    // RobustnessSpec; the shipped plan must stay sketch-only.
+    val p = planOf("agg_approx")
+    assert(p.contains("approx_count_distinct"), p)
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("count(distinct"), p)
+  }
+
+  test("agg_approx_quantile ships sketch-only: no exact percentile sort") {
+    val p = planOf("agg_approx_quantile")
+    assert(p.contains("approx_percentile"), p)
+    // exact `percentile(` (not approx_percentile) must not ride along
+    assert("(?<!approx_)percentile\\(".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("sql_lateral decorrelates the per-row LIMIT into a group-limit window") {
     val p = planOf("sql_lateral")
     // The correlated ORDER BY … LIMIT 2 must become one shuffle on the

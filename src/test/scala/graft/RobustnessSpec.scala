@@ -16,7 +16,9 @@ class RobustnessSpec extends AnyFunSuite {
     assert(ops.Llm.Scratch.key("/data/Aa") === ops.Llm.Scratch.key("/data/Aa"))
   }
 
-  test("agg_approx_quantile is self-auditing: rel_err column ≤ 1%") {
+  test("agg_approx_quantile: approx percentiles within 1% of spec-side exact") {
+    // The shipped plan is sketch-only (no exact `percentile` sort rides
+    // along — round-6 slimming); the tolerance evidence lives HERE.
     import org.apache.spark.sql.functions._
     val sf = SharedSpark.sf
     val out = SparkEntry.queries("agg_approx_quantile")(spark, sf)
@@ -26,19 +28,82 @@ class RobustnessSpec extends AnyFunSuite {
       !f.dataType.typeName.startsWith("array")), "no array columns")
     val rows = out.collect()
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val err = r.getAs[Double]("rel_err")
-      assert(err <= 0.01, s"${r.getString(0)}: rel_err $err > 1%")
-    }
-    // and the audit channel itself is honest: recompute one exact
-    // percentile independently and compare to the embedded exact_q50
     val exact = Tables.t(spark, sf, "lineitem")
       .groupBy("l_returnflag")
-      .agg(round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("x"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.9))).as("xq"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    def relErr(a: Double, e: Double): Double =
+      math.abs(a - e) / math.max(math.abs(e), 1e-9)
     rows.foreach { r =>
-      assert(math.abs(r.getAs[Double]("exact_q50") - exact(r.getString(0))) < 1e-6)
+      val xs = exact(r.getString(0))
+      Seq("q25", "q50", "q90").zip(xs).foreach { case (c, x) =>
+        val err = relErr(r.getAs[Double](c), x)
+        assert(err <= 0.01, s"${r.getString(0)}.$c: rel_err $err > 1%")
+      }
     }
+  }
+
+  test("agg_approx: HLL estimates within 3×rsd of spec-side exact counts") {
+    // rsd=0.01 is a STANDARD error — a pin at 1×rsd would be a coin
+    // flip; 3×rsd is the honest tolerance (ADVICE r5).
+    import org.apache.spark.sql.functions._
+    val sf = SharedSpark.sf
+    val rows = SparkEntry.queries("agg_approx")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val exact = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("p"),
+        countDistinct(col("l_orderkey")).as("o"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (p, o) = exact(r.getString(0))
+      def relErr(a: Long, e: Long): Double =
+        math.abs(a - e).toDouble / math.max(e, 1L)
+      assert(relErr(r.getAs[Long]("approx_parts"), p) <= 0.03,
+        s"${r.getString(0)}: parts estimate off by >3×rsd")
+      assert(relErr(r.getAs[Long]("approx_orders"), o) <= 0.03,
+        s"${r.getString(0)}: orders estimate off by >3×rsd")
+    }
+  }
+
+  test("Tables.events reads int64-nanos AND timestamp[us] encodings to identical ts_us") {
+    // The environment's events.parquet has shipped both physical ts
+    // encodings across refreshes (r5 verdict: 26 queries died on the
+    // µs→ns assumption). Re-encode the same rows both ways and pin that
+    // tsUsCol lands on the identical epoch-µs domain for each.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val sp = SharedSpark.spark
+    val base = Tables.events(sp, SharedSpark.sf)
+      .select("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .limit(500)
+    val nsDir = s"${Tables.scratchRoot}/events-enc-ns"
+    val usDir = s"${Tables.scratchRoot}/events-enc-us"
+    // ns encoding: raw int64 nanos WITH sub-µs residue so the exact
+    // integer flooring (DIV 1000) is exercised, not just a ×1000 round
+    // trip.
+    base.withColumn("ts", col("ts_us") * 1000L + pmod(col("event_id"), lit(1000L)))
+      .drop("ts_us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$nsDir/events.parquet")
+    // µs encoding: TIMESTAMP_NTZ, the type Spark infers from the
+    // pandas-written timestamp[us] file.
+    base.withColumn("ts", timestamp_micros(col("ts_us")).cast(TimestampNTZType))
+      .drop("ts_us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$usDir/events.parquet")
+    val evNs = Tables.events(sp, nsDir)
+    val evUs = Tables.events(sp, usDir)
+    assert(evNs.schema("ts").dataType === LongType)
+    assert(evUs.schema("ts").dataType === TimestampNTZType)
+    def m(df: org.apache.spark.sql.DataFrame) = df.select("event_id", "ts_us")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (a, b) = (m(evNs), m(evUs))
+    assert(a.nonEmpty && a === b,
+      "ts_us must be identical across physical encodings")
   }
 
   test("RemoteFileSource rejects a missing/empty 'urls' option loudly") {
@@ -52,6 +117,42 @@ class RobustnessSpec extends AnyFunSuite {
         .option("urls", " , ").load().count()
     }
     assert(e2.getMessage.contains("urls"))
+  }
+
+  test("RemoteFileSource fetch retries: fail-once-then-succeed, bounded, loud when exhausted") {
+    // The reference's own open TODO (config.py:11-13 "retry download")
+    // and its error log show transient fetch failures are the expected
+    // remote failure mode; chaosFailFirstFetches injects exactly that.
+    import org.apache.spark.sql.functions._
+    val fixture = ops.Ingest.buildFixture()
+    val url = s"ftp://localhost:21$fixture"
+    def readAll(extra: Map[String, String]) = {
+      val r = spark.read.format("graft.sources.RemoteFileSource")
+        .option("urls", url).option("numPartitions", "2")
+      extra.foreach { case (k, v) => r.option(k, v) }
+      r.load()
+        .where(col("file_name") =!= "archive.zip")
+        // content must be referenced — pruning would skip the fetch path
+        .select(col("file_name"), crc32(col("content")).as("crc"))
+        .collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
+    }
+    val clean = readAll(Map.empty)
+    val before = sources.RemoteRetry.observedRetries.get()
+    val flaky = readAll(Map(
+      "chaosFailFirstFetches" -> "1", "retryBackoffMs" -> "1"))
+    val retries = sources.RemoteRetry.observedRetries.get() - before
+    assert(retries >= 1, "at least one retry must be recorded")
+    assert(flaky === clean,
+      "payloads after retry must be identical to a clean read")
+    // Exhausted retries must fail loudly with the attempt count.
+    val e = intercept[Exception] {
+      readAll(Map("chaosFailFirstFetches" -> "99", "maxRetries" -> "1",
+        "retryBackoffMs" -> "0"))
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(messages.contains("after 2 attempts"), messages)
   }
 
   test("RemoteMicroBatchStream fails loudly when a batch record is missing") {
