@@ -467,6 +467,43 @@ object Ingest {
       .orderBy("file_name", "frame_idx")
   }
 
+  /** Multimodal audio features: REAL WAV decode (`javax.sound.sampled`
+    * — PCM WAV needs no codec beyond the stock JDK) over the self-built
+    * fixture clips, then per-1000-sample windows of the energy (Σ|s|)
+    * and zero-crossing counts — the VAD/energy features an audio
+    * curation pipeline gates speech/music/silence on. All integer math;
+    * the pinned oracle (tools/mm_oracle.py) regenerates the samples
+    * from the authored spec without touching the JVM decoder, so a
+    * match proves the WAV encode→decode round trip. 1→N flatMap frame
+    * shape; clips decode where read, only 5-long feature rows move. */
+  private def mmAudio: Q = (s, _) => {
+    val sp = s
+    import sp.implicits._
+    s.read.format("binaryFile").load(s"${Media.dir}/aud_*")
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (name, bytes) =>
+        val pcm = Media.decodeAudio(bytes)
+        val win = 1000
+        Iterator.range(0, pcm.length, win).map { off =>
+          val end = math.min(off + win, pcm.length)
+          var absSum = 0L
+          var zc = 0L
+          var i = off
+          while (i < end) {
+            absSum += math.abs(pcm(i).toLong)
+            if (i > off && ((pcm(i) >= 0) != (pcm(i - 1) >= 0))) zc += 1
+            i += 1
+          }
+          (name, (off / win).toLong, (end - off).toLong, absSum, zc)
+        }
+      }
+      .toDF("file_name", "win_idx", "n_samples", "abs_sum", "zero_crossings")
+      .orderBy("file_name", "win_idx")
+  }
+
   /** Custom DataSource V2 scan ([[graft.sources.FileMetaSource]]): file
     * METADATA rows over the deterministic fixture — catalog queries that
     * read zero payload bytes (R9/R10 HEAD-only probes). Includes the
@@ -675,6 +712,7 @@ object Ingest {
     "mm_decode" -> mmDecode,
     "mm_frames" -> mmFrames,
     "mm_resize" -> mmResize,
+    "mm_audio" -> mmAudio,
     "catalog_ops" -> catalogOps,
   )
 
@@ -705,6 +743,7 @@ object Ingest {
     "mm_decode" -> MmPins.mmDecode,
     "mm_frames" -> MmPins.mmFrames,
     "mm_resize" -> MmPins.mmResize,
+    "mm_audio" -> MmPins.mmAudio,
     // Correctness SF is sf0.01 by driver contract (TESTDATA.md).
     "scan_binary" ->
       """SELECT split_part(filename, '/', -1) AS file_name, size AS length

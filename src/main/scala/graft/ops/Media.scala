@@ -35,6 +35,9 @@ import javax.imageio.ImageIO
   *     (a ±1-LSB perceptual-noop, byte-level difference).
   *   - video i: sizes (100000, 262144, 40000); seed 424242·(i+1); per
   *     byte advance once, byte = (x>>>56)&0xff.
+  *   - audio clip i: mono 16-bit PCM at 8000 Hz, sample counts
+  *     (12000, 8000, 20000); seed 987654321·(i+1); per sample advance
+  *     once, sample = int16 of (x>>>48)&0xffff (two's complement).
   *   - integer luma: (77·r + 150·g + 29·b) >> 8.
   *   - side×side thumbnail: exact block area-average, integer floor
   *     division (48 and 32 are multiples of both 16 and 8).
@@ -46,6 +49,8 @@ object Media {
   val height = 32
   val numImages = 8
   val videoSizes: Seq[Int] = Seq(100000, 262144, 40000)
+  val audioSampleRate = 8000
+  val audioSizes: Seq[Int] = Seq(12000, 8000, 20000)
 
   private final class Lcg(seed: Long) {
     private var x = seed
@@ -70,8 +75,14 @@ object Media {
     px
   }
 
+  /** Authored int16 PCM samples of fixture audio clip i. */
+  def audioSamples(i: Int): Array[Short] = {
+    val g = new Lcg(987654321L * (i + 1))
+    Array.fill(audioSizes(i))(((g.next() >>> 48) & 0xffff).toShort)
+  }
+
   /** Fixture dir (built once per JVM): 8 BMP originals, 8 PNG
-    * re-encodes, 3 raw "videos". */
+    * re-encodes, 3 raw "videos", 3 PCM WAV clips. */
   lazy val dir: String = {
     val d = new File(s"${graft.Tables.scratchRoot}/media")
     if (d.exists()) graft.Tables.deleteRecursively(d)
@@ -88,7 +99,44 @@ object Media {
       val o = new FileOutputStream(new File(d, s"vid_$i.bin"))
       try o.write(b) finally o.close()
     }
+    for (i <- audioSizes.indices) {
+      val samples = audioSamples(i)
+      val pcm = new Array[Byte](samples.length * 2)
+      var k = 0
+      while (k < samples.length) {
+        pcm(2 * k) = (samples(k) & 0xff).toByte
+        pcm(2 * k + 1) = ((samples(k) >> 8) & 0xff).toByte
+        k += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        audioSampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE,
+        new File(d, s"aud_$i.wav")): Unit
+    }
     d.getAbsolutePath
+  }
+
+  /** REAL audio decode: WAV bytes → int16 PCM samples via
+    * `javax.sound.sampled` (stock JDK — PCM WAV needs no external
+    * codec). Lossless, so the round trip returns the authored samples
+    * exactly. */
+  def decodeAudio(bytes: Array[Byte]): Array[Short] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+      fmt.getChannels == 1, s"unexpected WAV format $fmt")
+    val raw = ais.readAllBytes()
+    val out = new Array[Short](raw.length / 2)
+    var k = 0
+    while (k < out.length) {
+      out(k) = ((((raw(2 * k + 1) & 0xff) << 8) | (raw(2 * k) & 0xff))).toShort
+      k += 1
+    }
+    out
   }
 
   private def writeImage(f: File, px: Array[Int], fmt: String): Unit = {

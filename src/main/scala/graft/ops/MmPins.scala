@@ -61,4 +61,47 @@ object MmPins {
 ('img_07.bmp', 16, 16, 256, -4135010105686994678),
 ('img_07.png', 16, 16, 256, 4634164413857326710))
  t(file_name, width, height, thumb_bytes, thumb_checksum) ORDER BY file_name"""
+
+  val mmAudio: String = """SELECT file_name, win_idx::BIGINT AS win_idx, n_samples::BIGINT AS n_samples, abs_sum::BIGINT AS abs_sum, zero_crossings::BIGINT AS zero_crossings FROM (VALUES
+('aud_0.wav', 0, 1000, 16031306, 534),
+('aud_0.wav', 1, 1000, 16900635, 495),
+('aud_0.wav', 2, 1000, 16695913, 519),
+('aud_0.wav', 3, 1000, 16530748, 493),
+('aud_0.wav', 4, 1000, 16797296, 491),
+('aud_0.wav', 5, 1000, 16938110, 491),
+('aud_0.wav', 6, 1000, 16629274, 516),
+('aud_0.wav', 7, 1000, 16295771, 498),
+('aud_0.wav', 8, 1000, 16110349, 514),
+('aud_0.wav', 9, 1000, 15965662, 493),
+('aud_0.wav', 10, 1000, 15928697, 528),
+('aud_0.wav', 11, 1000, 16248220, 499),
+('aud_1.wav', 0, 1000, 16457793, 500),
+('aud_1.wav', 1, 1000, 16293729, 488),
+('aud_1.wav', 2, 1000, 16183010, 488),
+('aud_1.wav', 3, 1000, 15630996, 476),
+('aud_1.wav', 4, 1000, 16089807, 510),
+('aud_1.wav', 5, 1000, 16047939, 494),
+('aud_1.wav', 6, 1000, 16575619, 517),
+('aud_1.wav', 7, 1000, 16266888, 516),
+('aud_2.wav', 0, 1000, 15904572, 466),
+('aud_2.wav', 1, 1000, 16642948, 512),
+('aud_2.wav', 2, 1000, 16217089, 502),
+('aud_2.wav', 3, 1000, 16266193, 495),
+('aud_2.wav', 4, 1000, 16816685, 478),
+('aud_2.wav', 5, 1000, 15733968, 494),
+('aud_2.wav', 6, 1000, 15850203, 492),
+('aud_2.wav', 7, 1000, 16789585, 548),
+('aud_2.wav', 8, 1000, 16909610, 527),
+('aud_2.wav', 9, 1000, 16788489, 483),
+('aud_2.wav', 10, 1000, 16672764, 460),
+('aud_2.wav', 11, 1000, 16017815, 525),
+('aud_2.wav', 12, 1000, 16635433, 503),
+('aud_2.wav', 13, 1000, 16248810, 508),
+('aud_2.wav', 14, 1000, 16074043, 477),
+('aud_2.wav', 15, 1000, 16691846, 497),
+('aud_2.wav', 16, 1000, 16187715, 488),
+('aud_2.wav', 17, 1000, 16354135, 477),
+('aud_2.wav', 18, 1000, 16471064, 488),
+('aud_2.wav', 19, 1000, 16981461, 475))
+ t(file_name, win_idx, n_samples, abs_sum, zero_crossings) ORDER BY file_name, win_idx"""
 }

@@ -64,6 +64,31 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV round trip: decoded PCM equals the authored sample spec") {
+    val d = ops.Media.dir
+    for (i <- ops.Media.audioSizes.indices) {
+      val f = new java.io.File(d, s"aud_$i.wav")
+      assert(f.isFile, s"$f must exist")
+      val decoded = ops.Media.decodeAudio(
+        java.nio.file.Files.readAllBytes(f.toPath))
+      assert(decoded.sameElements(ops.Media.audioSamples(i)),
+        s"aud_$i.wav decode must return the authored samples")
+    }
+  }
+
+  test("mm_audio windows tile each clip exactly") {
+    val rows = SparkEntry.queries("mm_audio")(spark, SharedSpark.sf).collect()
+    val byFile = rows.groupBy(_.getString(0))
+    assert(byFile.keySet === ops.Media.audioSizes.indices.map(i => s"aud_$i.wav").toSet)
+    ops.Media.audioSizes.indices.foreach { i =>
+      val rs = byFile(s"aud_$i.wav").sortBy(_.getLong(1))
+      assert(rs.map(_.getLong(2)).sum === ops.Media.audioSizes(i).toLong,
+        "window sample counts must sum to the clip length")
+      assert(rs.map(_.getLong(1)).toSeq === rs.indices.map(_.toLong),
+        "window indices must be dense from 0")
+    }
+  }
+
   test("thumbnail is an exact integer area-average (4x4 hand case)") {
     // 4x4 plane → 2x2 thumb: each cell is the floor-average of its 2x2 block.
     val luma = Array(

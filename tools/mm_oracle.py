@@ -12,6 +12,7 @@ M = (1 << 64) - 1
 W, H = 48, 32
 N_IMAGES = 8
 VIDEO_SIZES = [100000, 262144, 40000]
+AUDIO_SIZES = [12000, 8000, 20000]
 A, C = 6364136223846793005, 1442695040888963407
 
 
@@ -96,9 +97,25 @@ for i, sz in enumerate(VIDEO_SIZES):
         frame_rows.append((f'vid_{i}.bin', off // (block * stride),
                            end - off, signed(c)))
 
+audio_rows = []
+for i, sz in enumerate(AUDIO_SIZES):
+    g = Lcg(987654321 * (i + 1))
+    pcm = []
+    for _ in range(sz):
+        v = (g.next() >> 48) & 0xffff
+        pcm.append(v - 65536 if v >= 32768 else v)  # int16 two's complement
+    win = 1000
+    for off in range(0, sz, win):
+        end = min(off + win, sz)
+        abs_sum = sum(abs(s) for s in pcm[off:end])
+        zc = sum(1 for j in range(off + 1, end)
+                 if (pcm[j] >= 0) != (pcm[j - 1] >= 0))
+        audio_rows.append((f'aud_{i}.wav', off // win, end - off, abs_sum, zc))
+
 decode_rows.sort(key=lambda r: r[0])
 resize_rows.sort(key=lambda r: r[0])
 frame_rows.sort(key=lambda r: (r[0], r[1]))
+audio_rows.sort(key=lambda r: (r[0], r[1]))
 
 
 def check(name, sql_cols, rows, order):
@@ -124,6 +141,8 @@ check('mm_frames', 'file_name, frame_idx, frame_bytes, frame_checksum',
       frame_rows, 'file_name, frame_idx')
 check('mm_resize', 'file_name, width, height, thumb_bytes, thumb_checksum',
       resize_rows, 'file_name')
+check('mm_audio', 'file_name, win_idx, n_samples, abs_sum, zero_crossings',
+      audio_rows, 'file_name, win_idx')
 
 if '--emit' in sys.argv:
     out = {}
@@ -151,6 +170,14 @@ if '--emit' in sys.argv:
         " thumb_checksum::BIGINT AS thumb_checksum FROM (VALUES\n" + vals
         + ")\n t(file_name, width, height, thumb_bytes, thumb_checksum)"
         " ORDER BY file_name")
+    vals = ',\n'.join(f"('{f}', {w}, {n}, {a}, {z})"
+                      for f, w, n, a, z in audio_rows)
+    out['mm_audio'] = (
+        "SELECT file_name, win_idx::BIGINT AS win_idx,"
+        " n_samples::BIGINT AS n_samples, abs_sum::BIGINT AS abs_sum,"
+        " zero_crossings::BIGINT AS zero_crossings FROM (VALUES\n" + vals
+        + ")\n t(file_name, win_idx, n_samples, abs_sum, zero_crossings)"
+        " ORDER BY file_name, win_idx")
     body = f'''package graft.ops
 
 /** GENERATED pinned oracles for the mm_* kernels (tools/mm_oracle.py:
@@ -165,6 +192,8 @@ object MmPins {{
   val mmFrames: String = """{out['mm_frames']}"""
 
   val mmResize: String = """{out['mm_resize']}"""
+
+  val mmAudio: String = """{out['mm_audio']}"""
 }}
 '''
     Path('/root/repo/src/main/scala/graft/ops/MmPins.scala').write_text(body)
