@@ -60,6 +60,30 @@ object Functions {
         element_at(split(col("p_name"), " "), 1).as("first_word"))
       .orderBy("p_partkey")
 
+  /** URL component extraction — the reference's scheme/host/port
+    * dispatch (scrap/child_otherftp.py:129-162, default-port handling
+    * child.py:16-18) as a COLUMN kernel over synthesized deterministic
+    * URLs: Spark's codegen'd `parse_url` for HOST/PATH/QUERY-param/REF
+    * plus regexp_extract for scheme and explicit port. The oracle
+    * mirrors with regexes whose semantics coincide with parse_url on
+    * well-formed URLs (the synthesized shape). Pure map stage. */
+  private def fnUrl: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com:8080/docs/"),
+          col("lang"), lit("/"), col("doc_id"),
+          lit("?ref="), col("source"), lit("&page="), pmod(col("doc_id"), lit(7)),
+          lit("#sec"), pmod(col("doc_id"), lit(3))).as("url"))
+      .select(col("doc_id"), col("url"),
+        regexp_extract(col("url"), "^([a-z][a-z0-9+.-]*)://", 1).as("scheme"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        regexp_extract(col("url"), "^[a-z]+://[^:/?#]+:([0-9]+)", 1)
+          .cast("long").as("port"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("page")).as("page_param"),
+        parse_url(col("url"), lit("REF")).as("fragment"))
+      .orderBy("doc_id")
+
   /** Date/time kernel: extract, trunc, diff, add_months, epoch
     * (R10/R13 epoch handling, child.py:58,105). Truncated timestamps are
     * emitted as epoch seconds — never raw timestamps (oracle parity). */
@@ -251,6 +275,7 @@ object Functions {
     "fn_bitwise" -> fnBitwise,
     "proj_derive" -> projDerive,
     "fn_string" -> fnString,
+    "fn_url" -> fnUrl,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
     "fn_array" -> fnArray,
@@ -313,6 +338,23 @@ object Functions {
                 CASE WHEN contains(split_part(url, '/', -1), '.')
                      THEN split_part(split_part(url, '/', -1), '.', -1)
                      ELSE 'none' END AS file_type
+         FROM u ORDER BY doc_id""",
+    // Same URL synthesis; components via regexes whose semantics
+    // coincide with Spark's parse_url on these well-formed URLs.
+    "fn_url" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  'https://' || source || '.example.com:8080/docs/' || lang
+                  || '/' || doc_id || '?ref=' || source
+                  || '&page=' || (doc_id % 7) || '#sec' || (doc_id % 3) AS url
+           FROM documents)
+         SELECT doc_id, url,
+                regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+                regexp_extract(url, '://([^:/?#]+)', 1) AS host,
+                regexp_extract(url, '^[a-z]+://[^:/?#]+:([0-9]+)', 1)::BIGINT AS port,
+                regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS path,
+                regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page_param,
+                regexp_extract(url, '#(.*)$', 1) AS fragment
          FROM u ORDER BY doc_id""",
     "fn_string" ->
       """SELECT p_partkey,

@@ -517,6 +517,53 @@ object Llm {
       .withColumn("norm_chars", length(col("norm_text")).cast("long"))
       .orderBy("doc_id")
 
+  /** HTML → text extraction (boilerplate stripping) — the FIRST stage
+    * of every web-corpus pipeline, reduced to its deterministic
+    * skeleton: drop script/style blocks, strip tags, decode the five
+    * core entities (&amp; LAST — decoding it first would corrupt
+    * double-escaped text like `&amp;lt;`, a planted trap in the
+    * fixture), squeeze whitespace. The corpus has no markup, so the
+    * fixture side synthesizes a full page around each doc (head junk,
+    * nav, heading, paragraph breaks, entity-encoded runs, footer) and
+    * the extractor recovers readable text. Every step is a codegen'd
+    * regexp_replace/replace with RE2-safe patterns applied literally
+    * identically in the oracle (lazy `.*?` and inline `(?s)` are
+    * common to Java regex and RE2). Scale: pure map stage — text never
+    * shuffles, no UDF, no parse tree. */
+  private def textHtmlExtract: Q = (s, d) => {
+    val body = regexp_replace(
+      regexp_replace(col("text"), " spark ", "</p>\n<p>spark "),
+      " data ", "&nbsp;data&nbsp;")
+    val page = concat(
+      lit("<html><head><title>"), col("source"),
+      lit("</title><style>body{margin:0} p{line-height:1.4}</style>" +
+        "<script>var a=1; if(a&lt;2){a=2;}</script></head>" +
+        "<body><nav><a href=\"/\">home</a> <a href=\"/p?x=1&amp;y=2\">next</a></nav><h1>"),
+      col("source"), lit(" #"), col("doc_id"),
+      lit("</h1><p>"), body,
+      lit("</p><footer>graft &amp; co &amp;lt;not-a-tag&gt;</footer></body></html>"))
+    def strip(c: Column): Column = {
+      val noScript = regexp_replace(c, "(?s)<script[^>]*>.*?</script>", " ")
+      val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+      val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+      // entity decode — &amp; strictly last (see scaladoc)
+      val ent = replace(replace(replace(replace(replace(noTags,
+        lit("&nbsp;"), lit(" ")),
+        lit("&lt;"), lit("<")),
+        lit("&gt;"), lit(">")),
+        lit("&quot;"), lit("\"")),
+        lit("&amp;"), lit("&"))
+      trim(regexp_replace(ent, "\\s+", " "))
+    }
+    t(s, d, "documents")
+      .select(col("doc_id"), page.as("page"))
+      .select(col("doc_id"),
+        (size(split(col("page"), "<p>", -1)) - 1).cast("long").as("n_paragraphs"),
+        strip(col("page")).as("clean_text"))
+      .withColumn("n_chars", length(col("clean_text")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** PII scrubbing: emails and phone numbers replaced by typed redaction
     * tokens — a compliance pass every public-corpus pipeline runs.
     * Adversarial inputs are synthesized deterministically (the corpus
@@ -1252,6 +1299,7 @@ object Llm {
     "dedup_minhash_agg" -> dedupMinhashAgg,
     "dedup_cluster" -> dedupCluster,
     "text_normalize" -> textNormalize,
+    "text_html_extract" -> textHtmlExtract,
     "text_lm_score" -> textLmScore,
     "text_compress_ratio" -> textCompressRatio,
     "text_pii_scrub" -> textPiiScrub,
@@ -1495,6 +1543,42 @@ object Llm {
                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))::BIGINT
                   AS norm_chars
          FROM documents ORDER BY doc_id""",
+    // Identical synthesis + strip chain, literal-for-literal; both
+    // engines run the same RE2-safe patterns (inline (?s), lazy .*?)
+    // and the same decode ORDER (&amp; last).
+    "text_html_extract" ->
+      """WITH pg AS (
+           SELECT doc_id,
+                  '<html><head><title>' || source ||
+                  '</title><style>body{margin:0} p{line-height:1.4}</style>' ||
+                  '<script>var a=1; if(a&lt;2){a=2;}</script></head>' ||
+                  '<body><nav><a href="/">home</a> <a href="/p?x=1&amp;y=2">next</a></nav><h1>' ||
+                  source || ' #' || doc_id || '</h1><p>' ||
+                  regexp_replace(
+                    regexp_replace(text, ' spark ',
+                      '</p>' || chr(10) || '<p>spark ', 'g'),
+                    ' data ', '&nbsp;data&nbsp;', 'g') ||
+                  '</p><footer>graft &amp; co &amp;lt;not-a-tag&gt;</footer></body></html>'
+                    AS page
+           FROM documents),
+           st AS (
+           SELECT doc_id, page,
+                  trim(regexp_replace(
+                    replace(replace(replace(replace(replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(page,
+                            '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                        '<[^>]+>', ' ', 'g'),
+                      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                      '&quot;', '"'), '&amp;', '&'),
+                    '\s+', ' ', 'g')) AS clean_text
+           FROM pg)
+         SELECT doc_id,
+                (len(string_split(page, '<p>')) - 1)::BIGINT AS n_paragraphs,
+                clean_text, length(clean_text)::BIGINT AS n_chars
+         FROM st ORDER BY doc_id""",
     "text_pii_scrub" ->
       """WITH r AS (
            SELECT doc_id,
