@@ -550,10 +550,13 @@ object Ingest {
   }
 
   /** Remote-protocol ingest through [[graft.sources.RemoteFileSource]]
-    * (R11 download + R31 scheme dispatch): two "servers" (ftp:// and
-    * sftp:// URLs over local-dir stand-ins, as in the reference's
-    * localhost test source) are listed on the driver and fetched on
-    * executors, then audited per (scheme, server_folder). The zip is
+    * (R11 download + R31 scheme dispatch): two "servers" — the ftp://
+    * URL is served by a GENUINE loopback FTP server and fetched over
+    * real sockets (PASV/NLST/SIZE/MDTM/RETR, [[graft.sources.MiniFtp]]
+    * — the reference's own localhost ftp_server.py arrangement); the
+    * sftp:// URL stays a local-dir stand-in (SSH crypto out of scope) —
+    * listed on the driver and fetched on executors, then audited per
+    * (scheme, server_folder). The zip is
     * excluded because its bytes vary with the deflate implementation;
     * all pins (counts, sizes, crc32 sum, names — including the
     * zero-byte file Spark's own file index drops) were computed

@@ -49,8 +49,15 @@ object RemoteUrl {
       path: String) {
     /** `hostname_port` sink-folder derivation (child.py:16-18). */
     def serverFolder: String = s"${host}_$port"
+    /** Per-scheme transport: ftp:// is a REAL socket protocol client
+      * ([[FtpSocketClient]] — localhost URLs are served by the
+      * in-process loopback [[MiniFtpServer]], the reference's own
+      * ftp_server.py arrangement; non-local hosts connect literally).
+      * sftp:// and file:// remain local-dir stand-ins (an SSH
+      * transport needs crypto out of scope in this environment). */
     def client: RemoteClient = scheme match {
-      case "ftp" | "sftp" | "file" => new LocalDirClient(path)
+      case "ftp" => new FtpSocketClient(host, port, path)
+      case "sftp" | "file" => new LocalDirClient(path)
       case other => throw new IllegalArgumentException(
         s"unsupported protocol '$other' in $url (supported: ftp, sftp, file)")
     }
@@ -142,7 +149,12 @@ object RemoteListing {
   def listAll(urls: Seq[String]): Array[RemoteTask] =
     urls.flatMap { u =>
       val parsed = RemoteUrl.parse(u)
-      parsed.client.list().map(f => RemoteTask(parsed.url, f))
+      val c = parsed.client
+      try c.list().map(f => RemoteTask(parsed.url, f))
+      finally c match {
+        case a: AutoCloseable => try a.close() catch { case _: Exception => () }
+        case _ => ()
+      }
     }.sortBy(t => (t.url, t.ref.name)).toArray
 
   /** Round-robin dealing, empty buckets dropped (main.py:65-78). */
@@ -413,7 +425,11 @@ class RemoteFileReaderFactory(required: StructType,
           case "content" => if (wantContent) bytes else Array.emptyByteArray
         }.toIndexedSeq: _*)
       }
-      override def close(): Unit = ()
+      override def close(): Unit =
+        clients.values.foreach {
+          case c: AutoCloseable => try c.close() catch { case _: Exception => () }
+          case _ => ()
+        }
     }
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wire-level pins for the genuine FTP transport (round-6): the
+  * loopback MiniFtpServer + FtpSocketClient pair must agree with the
+  * filesystem byte-for-byte, and protocol errors must surface loudly. */
+class FtpSpec extends AnyFunSuite {
+
+  test("FtpSocketClient lists and fetches byte-identical payloads over real sockets") {
+    val fixture = ops.Ingest.buildFixture()
+    val client = new sources.FtpSocketClient("localhost", 21, fixture)
+    try {
+      val listed = client.list()
+      val disk = Option(new java.io.File(fixture).listFiles()).get
+        .filter(_.isFile).sortBy(_.getName)
+      assert(listed.map(_.name) === disk.map(_.getName).toSeq,
+        "NLST must equal the directory listing, sorted")
+      // stat probes (SIZE/MDTM) must match the filesystem exactly
+      listed.zip(disk).foreach { case (ref, f) =>
+        assert(ref.size === f.length(), s"${ref.name}: SIZE mismatch")
+        assert(ref.mtimeS === f.lastModified() / 1000, s"${ref.name}: MDTM mismatch")
+      }
+      // payloads over the PASV data channel are byte-identical,
+      // including the zero-byte file and the unicode-named one
+      assert(listed.exists(_.size == 0L), "fixture includes a zero-byte file")
+      listed.foreach { ref =>
+        val wire = client.fetch(ref.name)
+        val fs = java.nio.file.Files.readAllBytes(
+          new java.io.File(fixture, ref.name).toPath)
+        assert(wire.sameElements(fs), s"${ref.name}: RETR bytes differ from disk")
+      }
+    } finally client.close()
+  }
+
+  test("a missing file surfaces as a loud protocol error, not empty bytes") {
+    val fixture = ops.Ingest.buildFixture()
+    val client = new sources.FtpSocketClient("localhost", 21, fixture)
+    try {
+      val e = intercept[java.io.IOException](client.fetch("no_such_file.bin"))
+      assert(e.getMessage.contains("550"), e.getMessage)
+      // and the control connection recovers for the next operation
+      assert(client.list().nonEmpty)
+    } finally client.close()
+  }
+
+  test("ingest_remote's ftp side flows through the socket transport end-to-end") {
+    // The gate query itself (not just the unit client) must exercise
+    // the wire: a clean read through RemoteFileSource over ftp:// must
+    // equal the sftp:// local-dir stand-in on the same fixture.
+    import org.apache.spark.sql.functions._
+    val spark = SharedSpark.spark
+    val fixture = ops.Ingest.buildFixture()
+    def crcs(url: String): Map[String, Long] =
+      spark.read.format("graft.sources.RemoteFileSource")
+        .option("urls", url).load()
+        .select(col("file_name"), crc32(col("content")).as("crc"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaFtp = crcs(s"ftp://localhost:21$fixture")
+    val viaDir = crcs(s"sftp://mirror.example.com:2222$fixture")
+    assert(viaFtp.nonEmpty && viaFtp === viaDir,
+      "socket transport and local-dir stand-in must agree byte-for-byte")
+  }
+}
