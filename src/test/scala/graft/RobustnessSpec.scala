@@ -7,6 +7,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class RobustnessSpec extends AnyFunSuite {
   import SharedSpark.spark
 
+  test("operator registry has no cross-module key collisions and no orphan oracles") {
+    // Map ++ silently overwrites on duplicate keys — a collision would
+    // drop an operator from the driver gate without any error.
+    val maps = Seq(
+      "Relational" -> ops.Relational.queries, "Functions" -> ops.Functions.queries,
+      "Llm" -> ops.Llm.queries, "Streaming" -> ops.Streaming.queries,
+      "Ingest" -> ops.Ingest.queries, "Pipeline" -> ops.Pipeline.queries,
+      "Lake" -> ops.Lake.queries, "Graph" -> ops.Graph.queries)
+    val all = maps.flatMap { case (m, q) => q.keys.map(_ -> m) }
+    val dups = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty, s"duplicate keys across modules: $dups")
+    assert(SparkEntry.queries.size === all.size)
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a query: $orphans")
+  }
+
   test("scratch checkpoint keys survive String.hashCode collisions") {
     // "Aa" and "BB" collide under String.hashCode (2112) — the round-2
     // keying would have silently shared these two datasets' checkpoints.
