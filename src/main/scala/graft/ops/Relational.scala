@@ -812,6 +812,49 @@ object Relational {
       .orderBy("cohort_day", "k")
   }
 
+  /** Time-series motif bucketing — iSAX-style similarity indexing with
+    * an EXACT symbolization (cf. PAPERS.md "Time Series Similarity
+    * Search for Streaming Data in Distributed Systems"): each user's
+    * event-value series (first 40 events in (ts, id) order; every SF's
+    * users have ≥45) reduces to 4 PAA segment sums over exact decimals,
+    * and the SHAPE WORD is the permutation of segment ranks — the
+    * Bandt-Pompe ordinal pattern: scale- and offset-free like
+    * z-normalized SAX, but with no gaussian breakpoints and no float
+    * division, so the word is bit-identical across engines. Users
+    * sharing a word form a motif bucket = candidate similar series
+    * (4 segments ⇒ 24 patterns, so buckets genuinely form; 8 segments
+    * left every user unique on this data). At 100 TB the word is a
+    * small index key (the iSAX trick): one shuffle by user builds
+    * words, one by word buckets them — series never pairwise-join,
+    * and the bucket join replaces an O(users²) distance matrix exactly
+    * the way LSH bands do for minhash. */
+  private def tsMotif: Q = (s, d) => {
+    val len = 40
+    val segs = 4
+    val perSeg = len / segs
+    val wUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sums = events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      .withColumn("rn", row_number().over(wUser))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+      .where(col("n") >= len && col("rn") <= len)
+      .groupBy(col("user_id"), expr(s"(rn - 1) div $perSeg").as("seg"))
+      .agg(sum(dec(col("value"))).as("s"))
+    // seg is unique per user ⇒ rank over (s, seg) is a tie-free
+    // permutation of 1..4
+    val wRank = Window.partitionBy("user_id").orderBy(col("s"), col("seg"))
+    val words = sums.withColumn("r", rank().over(wRank))
+      .groupBy("user_id")
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(struct(col("seg"), col("r")))),
+          x => x.getField("r").cast("string"))).as("word"))
+    words.groupBy("word")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("user_id")).as("id_digest"),
+        min(col("user_id")).as("min_user"))
+      .orderBy("word")
+  }
+
   /** Ordered-pattern funnel (MATCH_RECOGNIZE analog): per user, the
     * first view → first click AT-OR-AFTER that view → first purchase
     * AT-OR-AFTER that click, in one window pass. Each stage qualifies
@@ -1117,6 +1160,7 @@ object Relational {
     "win_dist" -> winDist,
     "win_funnel" -> winFunnel,
     "win_cohort" -> winCohort,
+    "ts_motif" -> tsMotif,
     "agg_stats" -> aggStats,
     "agg_percentile" -> aggPercentile,
     "join_skew_salted" -> joinSkewSalted,
@@ -1440,6 +1484,31 @@ object Relational {
                  m.n_active::DOUBLE / cs.n_cohort AS retention
           FROM m JOIN cs USING (cohort_day)
           ORDER BY cohort_day, k""",
+    // Identical exact pipeline: decimal PAA segment sums → tie-free
+    // rank permutation → word; no float enters until never.
+    "ts_motif" ->
+      s"""WITH o AS (SELECT user_id, event_id,
+                            ${duckTsUs("ts")} AS ts_us, value,
+                            row_number() OVER
+                              (PARTITION BY user_id
+                               ORDER BY ${duckTsUs("ts")}, event_id) AS rn,
+                            count(*) OVER (PARTITION BY user_id) AS n
+                     FROM events),
+              seg AS (SELECT user_id, (rn - 1) // 10 AS seg,
+                             sum(CAST(value AS DECIMAL(18,4))) AS s
+                      FROM o WHERE n >= 40 AND rn <= 40
+                      GROUP BY user_id, (rn - 1) // 10),
+              ranked AS (SELECT user_id, seg,
+                                rank() OVER (PARTITION BY user_id
+                                             ORDER BY s, seg) AS r
+                         FROM seg),
+              words AS (SELECT user_id,
+                               string_agg(r::VARCHAR, '' ORDER BY seg) AS word
+                        FROM ranked GROUP BY user_id)
+         SELECT word, count(*)::BIGINT AS n_users,
+                sum(user_id)::BIGINT AS id_digest,
+                min(user_id) AS min_user
+         FROM words GROUP BY word ORDER BY word""",
     "win_funnel" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type,
                             ${duckTsUs("ts")} AS ts_us FROM events),
