@@ -45,8 +45,12 @@ object MiniFtp {
 /** Minimal passive-mode binary FTP server over one flat directory.
   * Thread-per-connection, daemon threads, ephemeral loopback port. */
 class MiniFtpServer(dir: String) {
+  // Bind IPv4 loopback EXPLICITLY: PASV advertises dotted-quad digits
+  // (127,0,0,1), so the data/control sockets must live there too —
+  // getLoopbackAddress can resolve to ::1 under preferIPv6Addresses,
+  // which would refuse the client's advertised-address connect.
   private val server =
-    new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+    new ServerSocket(0, 16, InetAddress.getByName("127.0.0.1"))
   def port: Int = server.getLocalPort
 
   @volatile private var running = true
@@ -78,7 +82,7 @@ class MiniFtpServer(dir: String) {
     var dataSock: ServerSocket = null
     def openPasv(): Unit = {
       if (dataSock != null) dataSock.close()
-      dataSock = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+      dataSock = new ServerSocket(0, 1, InetAddress.getByName("127.0.0.1"))
       val p = dataSock.getLocalPort
       reply(s"227 Entering Passive Mode (127,0,0,1,${p / 256},${p % 256})")
     }
@@ -174,12 +178,21 @@ class FtpSocketClient(host: String, port: Int, dir: String)
     sock = null
   }
 
-  /** Read one reply (skipping `NNN-` multiline continuations), return
-    * (code, text). */
+  /** Read one reply, handling RFC 959 multiline form: `NNN-` opens a
+    * block whose intermediate lines are FREE TEXT (need not carry a
+    * code) and which ends only at a line starting `NNN ` with the SAME
+    * code. Returns (code, final-line text). */
   private def readReply(): (Int, String) = {
     var line = in.readLine()
     if (line == null) throw new java.io.IOException("control connection closed")
-    while (line.length >= 4 && line.charAt(3) == '-') line = in.readLine()
+    if (line.length >= 4 && line.charAt(3) == '-') {
+      val terminator = line.take(3) + " "
+      while (!line.startsWith(terminator)) {
+        line = in.readLine()
+        if (line == null)
+          throw new java.io.IOException("control connection closed mid-reply")
+      }
+    }
     (line.take(3).toInt, line.drop(4))
   }
 

@@ -146,11 +146,18 @@ object RemoteListing {
   /** Driver-side: parse + LIST only (dispatch fails fast on an
     * unsupported scheme, before any executor work is scheduled).
     * Deterministic total order so streaming offsets are stable. */
-  def listAll(urls: Seq[String]): Array[RemoteTask] =
+  def listAll(urls: Seq[String],
+      policy: FetchPolicy = FetchPolicy.default): Array[RemoteTask] =
     urls.flatMap { u =>
       val parsed = RemoteUrl.parse(u)
       val c = parsed.client
-      try c.list().map(f => RemoteTask(parsed.url, f))
+      // The listing is as exposed to transient refusals as the fetch —
+      // an FTP list() is 2 control round trips PER FILE (SIZE/MDTM
+      // stat probes) — so it retries under the same policy; the client
+      // resets its control connection on failure, so a retry
+      // reconnects cleanly.
+      try RemoteRetry.withRetry(s"list $u", policy.maxRetries,
+        policy.backoffMs)(c.list()).map(f => RemoteTask(parsed.url, f))
       finally c match {
         case a: AutoCloseable => try a.close() catch { case _: Exception => () }
         case _ => ()
@@ -180,7 +187,7 @@ class RemoteScanBuilder(urls: Seq[String], numPartitions: Int, batchSize: Int,
     override def readSchema(): StructType = required
     override def toBatch: Batch = new Batch {
       override def planInputPartitions(): Array[InputPartition] =
-        RemoteListing.deal(RemoteListing.listAll(urls), numPartitions)
+        RemoteListing.deal(RemoteListing.listAll(urls, policy), numPartitions)
       override def createReaderFactory(): PartitionReaderFactory =
         new RemoteFileReaderFactory(required, policy)
     }
@@ -245,7 +252,8 @@ class RemoteMicroBatchStream(urls: Seq[String], numPartitions: Int,
   private def record(start: Long): Option[(Long, Seq[String])] =
     admittedThisRun.get(start).orElse(persisted.get(start))
 
-  private lazy val listing: Array[RemoteTask] = RemoteListing.listAll(urls)
+  private lazy val listing: Array[RemoteTask] =
+    RemoteListing.listAll(urls, policy)
   private lazy val byKey: Map[String, RemoteTask] =
     listing.map(t => taskKey(t) -> t).toMap
 
@@ -377,7 +385,12 @@ object RemoteRetry {
           observedRetries.incrementAndGet()
           graft.GraftLog.error(
             s"fetch failed ($what), retry ${attempt + 1}/$maxRetries: ${e.getMessage}")
-          if (backoffMs > 0) Thread.sleep(backoffMs << attempt)
+          // doubling capped at 64×base and an absolute 10 s ceiling:
+          // an uncapped `backoffMs << attempt` overflows Long (negative
+          // sleep → IllegalArgumentException ESCAPING the retry loop)
+          // and sleeps for hours long before that.
+          if (backoffMs > 0)
+            Thread.sleep(math.min(backoffMs << math.min(attempt, 6), 10000L))
           attempt += 1
       }
     }

@@ -93,9 +93,12 @@ class RobustnessSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val sp = SharedSpark.spark
+    // Deterministic row selection: a bare limit() re-executes per
+    // action with no guarantee of picking the same rows — each write
+    // below is its own action.
     val base = Tables.events(sp, SharedSpark.sf)
       .select("event_id", "ts_us", "user_id", "event_type", "value", "props")
-      .limit(500)
+      .where(col("event_id") < 500)
     val nsDir = s"${Tables.scratchRoot}/events-enc-ns"
     val usDir = s"${Tables.scratchRoot}/events-enc-us"
     // ns encoding: raw int64 nanos WITH sub-µs residue so the exact

@@ -67,55 +67,59 @@ def ahash(lm):
     return sum(1 << i for i in range(64) if t[i] * 64 > total)
 
 
-decode_rows = []
-resize_rows = []
-for i in range(N_IMAGES):
-    for ext, reenc in (('bmp', False), ('png', True)):
-        name = f'img_{i:02d}.{ext}'
-        lm = luma(pixels(i, reenc))
-        # mm_decode: real dims + mean luma + rolling *31 luma hash
-        rolling = 1125899906842597
-        for v in lm:
-            rolling = (rolling * 31 + v) & M
-        decode_rows.append((name, W, H, sum(lm) // len(lm), signed(rolling)))
-        # mm_resize: 16x16 area-average thumbnail, *131 checksum
-        c = 0
-        for v in thumbnail(lm, 16):
-            c = (c * 131 + v) & M
-        resize_rows.append((name, 16, 16, 256, signed(c)))
+def build_rows():
+    decode_rows = []
+    resize_rows = []
+    for i in range(N_IMAGES):
+        for ext, reenc in (('bmp', False), ('png', True)):
+            name = f'img_{i:02d}.{ext}'
+            lm = luma(pixels(i, reenc))
+            # mm_decode: real dims + mean luma + rolling *31 luma hash
+            rolling = 1125899906842597
+            for v in lm:
+                rolling = (rolling * 31 + v) & M
+            decode_rows.append((name, W, H, sum(lm) // len(lm),
+                                signed(rolling)))
+            # mm_resize: 16x16 area-average thumbnail, *131 checksum
+            c = 0
+            for v in thumbnail(lm, 16):
+                c = (c * 131 + v) & M
+            resize_rows.append((name, 16, 16, 256, signed(c)))
 
-frame_rows = []
-for i, sz in enumerate(VIDEO_SIZES):
-    g = Lcg(424242 * (i + 1))
-    b = bytes((g.next() >> 56) & 0xff for _ in range(sz))
-    block, stride = 4096, 8
-    for off in range(0, sz, block * stride):
-        end = min(off + block, sz)
-        c = 0
-        for x in b[off:end]:
-            c = (c * 131 + x) & M
-        frame_rows.append((f'vid_{i}.bin', off // (block * stride),
-                           end - off, signed(c)))
+    frame_rows = []
+    for i, sz in enumerate(VIDEO_SIZES):
+        g = Lcg(424242 * (i + 1))
+        b = bytes((g.next() >> 56) & 0xff for _ in range(sz))
+        block, stride = 4096, 8
+        for off in range(0, sz, block * stride):
+            end = min(off + block, sz)
+            c = 0
+            for x in b[off:end]:
+                c = (c * 131 + x) & M
+            frame_rows.append((f'vid_{i}.bin', off // (block * stride),
+                               end - off, signed(c)))
 
-audio_rows = []
-for i, sz in enumerate(AUDIO_SIZES):
-    g = Lcg(987654321 * (i + 1))
-    pcm = []
-    for _ in range(sz):
-        v = (g.next() >> 48) & 0xffff
-        pcm.append(v - 65536 if v >= 32768 else v)  # int16 two's complement
-    win = 1000
-    for off in range(0, sz, win):
-        end = min(off + win, sz)
-        abs_sum = sum(abs(s) for s in pcm[off:end])
-        zc = sum(1 for j in range(off + 1, end)
-                 if (pcm[j] >= 0) != (pcm[j - 1] >= 0))
-        audio_rows.append((f'aud_{i}.wav', off // win, end - off, abs_sum, zc))
+    audio_rows = []
+    for i, sz in enumerate(AUDIO_SIZES):
+        g = Lcg(987654321 * (i + 1))
+        pcm = []
+        for _ in range(sz):
+            v = (g.next() >> 48) & 0xffff
+            pcm.append(v - 65536 if v >= 32768 else v)  # int16 two's complement
+        win = 1000
+        for off in range(0, sz, win):
+            end = min(off + win, sz)
+            abs_sum = sum(abs(s) for s in pcm[off:end])
+            zc = sum(1 for j in range(off + 1, end)
+                     if (pcm[j] >= 0) != (pcm[j - 1] >= 0))
+            audio_rows.append((f'aud_{i}.wav', off // win, end - off,
+                               abs_sum, zc))
 
-decode_rows.sort(key=lambda r: r[0])
-resize_rows.sort(key=lambda r: r[0])
-frame_rows.sort(key=lambda r: (r[0], r[1]))
-audio_rows.sort(key=lambda r: (r[0], r[1]))
+    decode_rows.sort(key=lambda r: r[0])
+    resize_rows.sort(key=lambda r: r[0])
+    frame_rows.sort(key=lambda r: (r[0], r[1]))
+    audio_rows.sort(key=lambda r: (r[0], r[1]))
+    return decode_rows, resize_rows, frame_rows, audio_rows
 
 
 def check(name, sql_cols, rows, order):
@@ -135,16 +139,22 @@ def check(name, sql_cols, rows, order):
         print(f'{name}: no engine output:', e)
 
 
-check('mm_decode', 'file_name, width, height, mean_luma, luma_hash',
-      decode_rows, 'file_name')
-check('mm_frames', 'file_name, frame_idx, frame_bytes, frame_checksum',
-      frame_rows, 'file_name, frame_idx')
-check('mm_resize', 'file_name, width, height, thumb_bytes, thumb_checksum',
-      resize_rows, 'file_name')
-check('mm_audio', 'file_name, win_idx, n_samples, abs_sum, zero_crossings',
-      audio_rows, 'file_name, win_idx')
+# Script body guarded so `from mm_oracle import pixels, luma, ahash`
+# (phash_oracle.py) stays a PURE import: unguarded, a sibling tool run
+# with --emit would silently rewrite MmPins.scala as an import side
+# effect.
+if __name__ == '__main__':
+    decode_rows, resize_rows, frame_rows, audio_rows = build_rows()
+    check('mm_decode', 'file_name, width, height, mean_luma, luma_hash',
+          decode_rows, 'file_name')
+    check('mm_frames', 'file_name, frame_idx, frame_bytes, frame_checksum',
+          frame_rows, 'file_name, frame_idx')
+    check('mm_resize', 'file_name, width, height, thumb_bytes, thumb_checksum',
+          resize_rows, 'file_name')
+    check('mm_audio', 'file_name, win_idx, n_samples, abs_sum, zero_crossings',
+          audio_rows, 'file_name, win_idx')
 
-if '--emit' in sys.argv:
+if __name__ == '__main__' and '--emit' in sys.argv:
     out = {}
     vals = ',\n'.join(f"('{f}', {w}, {h}, {m}, {hh})"
                       for f, w, h, m, hh in decode_rows)
