@@ -855,6 +855,47 @@ object Relational {
       .orderBy("word")
   }
 
+  /** Robust anomaly detection — median/MAD outlier flagging with EXACT
+    * integer math: values become cents (decimal ×100 → long, exact),
+    * per-type center = lower median (the value at sorted position
+    * (n+1) div 2 — tie-order-invariant, no interpolation), spread =
+    * MAD (lower median of |x − med|), flag dev > 3·max(MAD, 1). The
+    * events value distribution is right-skewed (median ≈ 35, max
+    * ≈ 490), so the flagged set is the distribution's true heavy tail
+    * — what median/MAD exists to find where mean/stddev would be
+    * dragged by the very outliers it hunts — plus ~1% deterministic
+    * PLANTED spikes (×50 when event_id % 97 = 0, same rule in the
+    * oracle) that guarantee unambiguous detections at every type. The
+    * exact two-pass median (sort window per type) is the correctness
+    * baseline; at 100 TB you swap in the mergeable sketch
+    * (agg_approx_quantile's GK path) and keep this as the audit. */
+  private def tsAnomaly: Q = (s, d) => {
+    val ev = events(s, d)
+      .select(col("event_id"), col("event_type"),
+        ((dec(col("value")) * 100).cast("long") *
+          when(pmod(col("event_id"), lit(97)) === 0, 50L).otherwise(1L))
+          .as("cents"))
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(v)
+      val wAll = Window.partitionBy("event_type")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        // integer div — Column./ is IEEE division and (n+1)/2 = 2.5
+        // would match no row_number on even-count groups
+        .where(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col(v).as(out))
+    }
+    val med = lowerMedian(ev, "cents", "med")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .where(col("dev") > lit(3) * greatest(col("mad"), lit(1L)))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("med"), col("mad"), col("dev"))
+      .orderBy("event_id")
+  }
+
   /** Ordered-pattern funnel (MATCH_RECOGNIZE analog): per user, the
     * first view → first click AT-OR-AFTER that view → first purchase
     * AT-OR-AFTER that click, in one window pass. Each stage qualifies
@@ -1161,6 +1202,7 @@ object Relational {
     "win_funnel" -> winFunnel,
     "win_cohort" -> winCohort,
     "ts_motif" -> tsMotif,
+    "ts_anomaly" -> tsAnomaly,
     "agg_stats" -> aggStats,
     "agg_percentile" -> aggPercentile,
     "join_skew_salted" -> joinSkewSalted,
@@ -1509,6 +1551,32 @@ object Relational {
                 sum(user_id)::BIGINT AS id_digest,
                 min(user_id) AS min_user
          FROM words GROUP BY word ORDER BY word""",
+    // Identical planted spikes, identical integer median/MAD pipeline.
+    "ts_anomaly" ->
+      """WITH e AS (SELECT event_id, event_type,
+                           ((CAST(value AS DECIMAL(18,4)) * 100)::BIGINT *
+                            CASE WHEN event_id % 97 = 0 THEN 50 ELSE 1 END)
+                             AS cents
+                    FROM events),
+              m AS (SELECT event_type, cents AS med FROM (
+                      SELECT event_type, cents,
+                             row_number() OVER (PARTITION BY event_type
+                                                ORDER BY cents) AS rn,
+                             count(*) OVER (PARTITION BY event_type) AS n
+                      FROM e) WHERE rn = (n + 1) // 2),
+              dv AS (SELECT e.event_id, e.event_type, e.cents, m.med,
+                            abs(e.cents - m.med) AS dev
+                     FROM e JOIN m USING (event_type)),
+              md AS (SELECT event_type, dev AS mad FROM (
+                      SELECT event_type, dev,
+                             row_number() OVER (PARTITION BY event_type
+                                                ORDER BY dev) AS rn,
+                             count(*) OVER (PARTITION BY event_type) AS n
+                      FROM dv) WHERE rn = (n + 1) // 2)
+         SELECT dv.event_id, dv.event_type, dv.cents, dv.med, md.mad, dv.dev
+         FROM dv JOIN md USING (event_type)
+         WHERE dv.dev > 3 * greatest(md.mad, 1)
+         ORDER BY event_id""",
     "win_funnel" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type,
                             ${duckTsUs("ts")} AS ts_us FROM events),
