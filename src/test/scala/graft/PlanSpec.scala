@@ -110,6 +110,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("count(distinct"), p)
   }
 
+  test("ts_anomaly joins its tiny per-type stats by broadcast, never sort-merge") {
+    val p = planOf("ts_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ts_motif buckets series without any join of the series themselves") {
+    val p = planOf("ts_motif")
+    // words bucket via hash agg — series must never pairwise-join
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("agg_approx_quantile ships sketch-only: no exact percentile sort") {
     val p = planOf("agg_approx_quantile")
     assert(p.contains("approx_percentile"), p)
