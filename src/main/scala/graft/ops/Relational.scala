@@ -602,6 +602,46 @@ object Relational {
     s.sql(tpchQ18Sql)
   }
 
+  /** 2-D spatial ε-join via grid blocking — the planar sibling of
+    * joinInterval's 1-D grid and the dedup family's LSH bands:
+    * deterministic integer points derive from customer keys, each
+    * point lands in ONE ε-sized cell on the build side while the probe
+    * side explodes to its 3×3 neighbor cells, so every L∞-within-ε
+    * pair shares exactly one (build-cell, probe-key) match — a point
+    * within ε sits in the same or an adjacent cell by construction,
+    * and a build point has a single cell, so no dedup pass is needed.
+    * The join is a plain equi join on the cell string; the exact
+    * integer predicate filters candidates. Work ∝ true near-pairs +
+    * 9× point count, never O(n²); at 100 TB the cell key shuffles a
+    * few bytes per point and skew equals real spatial density
+    * (saltable like any hot key). */
+  private def joinSpatial: Q = (s, d) => {
+    val eps = 75L
+    // md5-derived coordinates (the sample_hash bucket discipline, one
+    // salt per axis): linear key maps put every point on a lattice
+    // line — x- and y-deltas both determined by the key delta — and
+    // the plane degenerates to ~zero within-ε pairs.
+    def coord(salt: String): Column =
+      pmod(conv(substring(md5(concat(col("c_custkey").cast("string"),
+        lit(salt))), 1, 8), 16, 10).cast("long"), lit(10000L))
+    val pts = t(s, d, "customer").select(
+      col("c_custkey").as("id"), coord("x").as("x"), coord("y").as("y"))
+    val build = pts.select(col("id"), col("x"), col("y"),
+      concat_ws(":", expr(s"x div $eps"), expr(s"y div $eps")).as("cellkey"))
+    val offs = Seq(-1L, 0L, 1L)
+    val probe = pts.select(col("id").as("b_id"),
+      col("x").as("bx"), col("y").as("by"),
+      explode(array(offs.flatMap(dx => offs.map(dy =>
+        concat_ws(":", expr(s"x div $eps") + dx, expr(s"y div $eps") + dy))): _*))
+        .as("cellkey"))
+    build.join(probe, "cellkey")
+      .where(col("id") < col("b_id") &&
+        abs(col("x") - col("bx")) <= eps && abs(col("y") - col("by")) <= eps)
+      .select(col("id").as("a_id"), col("b_id"),
+        abs(col("x") - col("bx")).as("dx"), abs(col("y") - col("by")).as("dy"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Interval-OVERLAP join via grid-cell blocking — the standard trick
     * for interval joins Spark has no native operator for: each 5-minute
     * interval registers in the 10-minute grid cells it touches (≤ 2),
@@ -1171,6 +1211,7 @@ object Relational {
     "join_full" -> joinFull,
     "join_nullsafe" -> joinNullsafe,
     "join_interval" -> joinInterval,
+    "join_spatial" -> joinSpatial,
     "join_cross" -> joinCross,
     "join_bloom" -> joinBloom,
     "join_range" -> joinRange,
@@ -1551,6 +1592,30 @@ object Relational {
                 sum(user_id)::BIGINT AS id_digest,
                 min(user_id) AS min_user
          FROM words GROUP BY word ORDER BY word""",
+    // Identical grid derivation; build side has ONE cell per point so
+    // each within-ε pair matches exactly once — no DISTINCT needed.
+    "join_spatial" ->
+      """WITH p AS (SELECT c_custkey AS id,
+                           (('0x' || substr(md5(c_custkey::VARCHAR || 'x'), 1, 8))::BIGINT
+                             % 10000) AS x,
+                           (('0x' || substr(md5(c_custkey::VARCHAR || 'y'), 1, 8))::BIGINT
+                             % 10000) AS y
+                    FROM customer),
+              b AS (SELECT id, x, y,
+                           (x // 75)::VARCHAR || ':' || (y // 75)::VARCHAR
+                             AS cellkey
+                    FROM p),
+              pr AS (SELECT p.id AS b_id, x AS bx, y AS by,
+                            ((x // 75) + dx.o)::VARCHAR || ':' ||
+                            ((y // 75) + dy.o)::VARCHAR AS cellkey
+                     FROM p, (VALUES (-1), (0), (1)) dx(o),
+                             (VALUES (-1), (0), (1)) dy(o))
+         SELECT b.id AS a_id, pr.b_id,
+                abs(b.x - pr.bx) AS dx, abs(b.y - pr.by) AS dy
+         FROM b JOIN pr USING (cellkey)
+         WHERE b.id < pr.b_id
+           AND abs(b.x - pr.bx) <= 75 AND abs(b.y - pr.by) <= 75
+         ORDER BY a_id, b_id""",
     // Identical planted spikes, identical integer median/MAD pipeline.
     "ts_anomaly" ->
       """WITH e AS (SELECT event_id, event_type,
