@@ -582,6 +582,40 @@ object Lake {
 
   private[graft] def tunedDir: String = s"$scratchRoot/tuned/lineitem"
 
+  /** Parquet BLOOM-FILTER write — the point-lookup complement to
+    * [[sinkParquetTuned]]'s min/max stats: stats skip row groups by
+    * RANGE, but a random-valued high-cardinality key (customer id,
+    * content digest) spans every group's min/max, so only a per-group
+    * bloom can prove absence. Blooms are written for o_custkey only
+    * (expected-NDV-sized); an equality probe for an absent key then
+    * skips every row group footer-side. Content neutrality is the
+    * oracle; LakeSpec opens the FOOTERS and asserts the bloom offset
+    * exists for o_custkey and NOT for the un-indexed columns, and that
+    * the bloom proves a planted-absent key out. Dictionary encoding is
+    * disabled for the indexed column: parquet suppresses a bloom when
+    * the chunk is fully dictionary-encoded (the dictionary already
+    * proves membership exactly), and a test-scale key set always fits
+    * the dictionary — at 100 TB real cardinality blows past the
+    * dictionary page and this is the difference between a point lookup
+    * reading one bloom page per group and reading every data page of a
+    * 100 GB partition. */
+  private def sinkParquetBloom: Q = (s, d) => {
+    t(s, d, "orders")
+      .sort("o_orderkey")
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#o_custkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#o_custkey", "2000")
+      .option("parquet.enable.dictionary#o_custkey", "false")
+      .option("parquet.block.size", (1 << 20).toString)
+      .parquet(bloomDir)
+    s.read.parquet(bloomDir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  private[graft] def bloomDir: String = s"$scratchRoot/tuned/orders_bloom"
+
   /** Raw-log text ingest — the reference's own observability files are
     * exactly this shape (log/monitor.log): render events as log LINES,
     * write via the text source, read back and re-parse with
@@ -692,6 +726,7 @@ object Lake {
     "agg_unpivot" -> aggUnpivot,
     "scan_cdc" -> scanCdc,
     "sink_parquet_tuned" -> sinkParquetTuned,
+    "sink_parquet_bloom" -> sinkParquetBloom,
     "scan_csv" -> scanCsv,
     "scan_json" -> scanJson,
     "scan_dpp" -> scanDpp,
@@ -792,6 +827,11 @@ object Lake {
                 sum(l_orderkey * 1000003 + l_linenumber::BIGINT * 101
                     + l_partkey)::BIGINT AS row_digest
          FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "sink_parquet_bloom" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE
+                  AS total
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // Roundtrip oracles read the SOURCE parquet: equality proves the
     // interchange-format write+read lossless.
     "scan_csv" ->

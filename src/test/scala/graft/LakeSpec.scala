@@ -157,6 +157,41 @@ class LakeSpec extends AnyFunSuite {
       s"row groups per file: ${footers.map(_.size).mkString(",")}")
   }
 
+  test("sink_parquet_bloom writes blooms for the indexed column and proves absence") {
+    SparkEntry.queries("sink_parquet_bloom")(spark, "/root/testdata/sf0.01")
+      .collect()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    import scala.jdk.CollectionConverters._
+    val files = fs.listStatus(
+        new org.apache.hadoop.fs.Path(graft.ops.Lake.bloomDir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    var sawBloom = false
+    files.foreach { st =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+      try rd.getFooter.getBlocks.asScala.foreach { block =>
+        val byName = block.getColumns.asScala
+          .map(c => c.getPath.toDotString -> c).toMap
+        // bloom on the indexed column only — each bloom page costs
+        // bytes, so un-probed columns must not pay for one
+        assert(byName("o_custkey").getBloomFilterOffset >= 0,
+          "o_custkey must carry a bloom filter")
+        assert(byName("o_orderkey").getBloomFilterOffset < 0,
+          "o_orderkey must NOT carry a bloom filter")
+        // the bloom must prove a planted-absent key out of this group
+        val bloom = rd.getBloomFilterDataReader(block)
+          .readBloomFilter(byName("o_custkey"))
+        assert(bloom != null)
+        assert(!bloom.findHash(bloom.hash(java.lang.Long.valueOf(-987654321L))),
+          "bloom must exclude a key that was never written")
+        sawBloom = true
+      } finally rd.close()
+    }
+    assert(sawBloom)
+  }
+
   test("embed_normalize emits unit vectors (norm of normalized = 1)") {
     import spark.implicits._
     val e = Tables.t(spark, sf, "embeddings")
