@@ -621,9 +621,12 @@ object Relational {
     // salt per axis): linear key maps put every point on a lattice
     // line — x- and y-deltas both determined by the key delta — and
     // the plane degenerates to ~zero within-ε pairs.
+    // 3000² plane: dense enough that even sf0.001's 150 points form
+    // pairs (expected ≈ 28; a 10000² plane left the smoke SF at 0)
+    // without exploding the sf0.1 result.
     def coord(salt: String): Column =
       pmod(conv(substring(md5(concat(col("c_custkey").cast("string"),
-        lit(salt))), 1, 8), 16, 10).cast("long"), lit(10000L))
+        lit(salt))), 1, 8), 16, 10).cast("long"), lit(3000L))
     val pts = t(s, d, "customer").select(
       col("c_custkey").as("id"), coord("x").as("x"), coord("y").as("y"))
     val build = pts.select(col("id"), col("x"), col("y"),
@@ -910,6 +913,11 @@ object Relational {
     * baseline; at 100 TB you swap in the mergeable sketch
     * (agg_approx_quantile's GK path) and keep this as the audit. */
   private def tsAnomaly: Q = (s, d) => {
+    // cast(decimal→long) TRUNCATES in Spark while DuckDB's ::BIGINT
+    // ROUNDS — the oracle carries an explicit trunc() so a future
+    // testdata regen emitting sub-cent precision cannot split the
+    // engines (values today are exactly 2-decimal; latent-bug class
+    // of the r5 events regen).
     val ev = events(s, d)
       .select(col("event_id"), col("event_type"),
         ((dec(col("value")) * 100).cast("long") *
@@ -1597,9 +1605,9 @@ object Relational {
     "join_spatial" ->
       """WITH p AS (SELECT c_custkey AS id,
                            (('0x' || substr(md5(c_custkey::VARCHAR || 'x'), 1, 8))::BIGINT
-                             % 10000) AS x,
+                             % 3000) AS x,
                            (('0x' || substr(md5(c_custkey::VARCHAR || 'y'), 1, 8))::BIGINT
-                             % 10000) AS y
+                             % 3000) AS y
                     FROM customer),
               b AS (SELECT id, x, y,
                            (x // 75)::VARCHAR || ':' || (y // 75)::VARCHAR
@@ -1619,7 +1627,8 @@ object Relational {
     // Identical planted spikes, identical integer median/MAD pipeline.
     "ts_anomaly" ->
       """WITH e AS (SELECT event_id, event_type,
-                           ((CAST(value AS DECIMAL(18,4)) * 100)::BIGINT *
+                           (CAST(trunc(CAST(value AS DECIMAL(18,4)) * 100)
+                                 AS BIGINT) *
                             CASE WHEN event_id % 97 = 0 THEN 50 ELSE 1 END)
                              AS cents
                     FROM events),

@@ -104,8 +104,12 @@ class MiniFtpServer(dir: String) {
           val sp = line.indexOf(' ')
           val cmd = (if (sp < 0) line else line.substring(0, sp)).toUpperCase
           val arg = if (sp < 0) "" else line.substring(sp + 1)
+          // direct name resolution (the directory is flat): going via
+          // files() costs a full directory scan PER stat probe — 2n
+          // scans for one listing; separator check blocks traversal
           def resolved: Option[File] =
-            files().find(_.getName == arg)
+            Option(new File(dir, arg))
+              .filter(f => !arg.contains('/') && !arg.contains('\\') && f.isFile)
           cmd match {
             case "USER" => reply("331 Any password will do")
             case "PASS" => reply("230 Logged in")
@@ -160,9 +164,12 @@ class FtpSocketClient(host: String, port: Int, dir: String)
     if (sock == null || sock.isClosed) {
       val isLocal = host == "localhost" || host == "127.0.0.1"
       val (addr, p) =
-        if (isLocal) (InetAddress.getLoopbackAddress, MiniFtp.serve(dir))
+        if (isLocal) (InetAddress.getByName("127.0.0.1"), MiniFtp.serve(dir))
         else (InetAddress.getByName(host), port)
-      sock = new Socket(addr, p)
+      sock = new Socket()
+      // explicit connect timeout: without one a blackholed host blocks
+      // for the OS default (~2 min) PER RETRY, unbounding the policy
+      sock.connect(new java.net.InetSocketAddress(addr, p), 15000)
       sock.setSoTimeout(15000)
       in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
       out = new OutputStreamWriter(sock.getOutputStream, UTF_8)
@@ -208,18 +215,21 @@ class FtpSocketClient(host: String, port: Int, dir: String)
     expect(code)
   }
 
-  /** PASV + `c`, drain the data channel fully, confirm 226. */
+  /** PASV + `c`, drain the data channel fully, confirm 226. Only the
+    * PORT is taken from the 227 reply — the data channel reuses the
+    * CONTROL connection's address, as standard clients do: a server
+    * behind NAT advertises its private IP in the PASV octets, and
+    * connecting there reaches the wrong machine or nothing. */
   private def transfer(c: String): Array[Byte] = {
     val pasv = cmd("PASV", 227)
     val nums = "\\d+".r.findAllIn(pasv).map(_.toInt).toSeq.takeRight(6)
     val dp = nums(4) * 256 + nums(5)
-    val dAddr = InetAddress.getByAddress(
-      Array(nums(0), nums(1), nums(2), nums(3)).map(_.toByte))
     out.write(c + "\r\n"); out.flush()
     expect(150)
-    val d = new Socket(dAddr, dp)
+    val d = new Socket()
     val buf = new ByteArrayOutputStream()
     try {
+      d.connect(new java.net.InetSocketAddress(sock.getInetAddress, dp), 15000)
       d.setSoTimeout(15000)
       val bytes = new Array[Byte](8192)
       var n = d.getInputStream.read(bytes)
@@ -237,8 +247,10 @@ class FtpSocketClient(host: String, port: Int, dir: String)
       names.map { n =>
         val size = cmd(s"SIZE $n", 213).trim.toLong
         val mdtm = cmd(s"MDTM $n", 213).trim
-        val mtimeS = LocalDateTime.parse(mdtm,
-          DateTimeFormatter.ofPattern("yyyyMMddHHmmss")).toEpochSecond(ZoneOffset.UTC)
+        // shared formatter (MiniFtp.mdtmFmt) — a duplicated pattern
+        // literal invites one-sided format drift vs the server
+        val mtimeS = LocalDateTime.parse(mdtm, MiniFtp.mdtmFmt)
+          .toEpochSecond(ZoneOffset.UTC)
         RemoteFileRef(n, size, mtimeS)
       }
     } catch { case e: Exception => reset(); throw e }
