@@ -437,13 +437,15 @@ object Ingest {
     s.read.parquet(s"$scratchRoot/sink/documents_partitioned")
       .where(col("lang") === "en")
 
-  /** Multimodal frame sampling: treat each blob as a "video", emit every
-    * 8th 4 KiB block as a frame row (1→N explode, like R14 but for
-    * media). Frame DECODE stays a stub (no video codecs in the stock
-    * JDK) but the bytes are now the self-built deterministic fixture
-    * "videos" ([[Media]]), so the pinned oracle is independent of the
-    * environment's testdata; the schema, explode shape, and per-frame
-    * metadata are real. */
+  /** Multimodal frame extraction — REAL multi-frame decode: the
+    * fixture "videos" are animated GIFs (the one multi-frame codec in
+    * the stock JDK), and each blob explodes 1→N into true decoded
+    * frames (R14's explode shape for media) with per-frame luma
+    * statistics. The pinned oracle (tools/mm_oracle.py) regenerates
+    * the frames from the authored grayscale spec without touching the
+    * JVM codec, so a match proves the animated encode→decode round
+    * trip frame-for-frame. Blobs decode where they are read; only
+    * (name, 5 longs) per frame ever moves. */
   private def mmFrames: Q = (s, _) => {
     val sp = s
     import sp.implicits._
@@ -453,17 +455,20 @@ object Ingest {
         col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (name, bytes) =>
-        val block = 4096
-        val stride = 8
-        Iterator.range(0, bytes.length, block * stride).map { off =>
-          val end = math.min(off + block, bytes.length)
-          var checksum = 0L
-          var i = off
-          while (i < end) { checksum = checksum * 131 + (bytes(i) & 0xff); i += 1 }
-          (name, off.toLong / (block * stride), (end - off).toLong, checksum)
+        Media.decodeGifFrames(bytes).iterator.zipWithIndex.map {
+          case ((w, h, luma), k) =>
+            var sum = 0L
+            var rolling = 1125899906842597L
+            var i = 0
+            while (i < luma.length) {
+              sum += luma(i)
+              rolling = rolling * 31 + luma(i)
+              i += 1
+            }
+            (name, k.toLong, w, h, sum / luma.length, rolling)
         }
       }
-      .toDF("file_name", "frame_idx", "frame_bytes", "frame_checksum")
+      .toDF("file_name", "frame_idx", "width", "height", "mean_luma", "luma_hash")
       .orderBy("file_name", "frame_idx")
   }
 

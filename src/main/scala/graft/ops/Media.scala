@@ -1,7 +1,7 @@
 package graft.ops
 
 import java.awt.image.BufferedImage
-import java.io.{ByteArrayInputStream, File, FileOutputStream}
+import java.io.{ByteArrayInputStream, File}
 import javax.imageio.ImageIO
 
 /** Deterministic media fixture + REAL image decode kernels for the
@@ -33,8 +33,10 @@ import javax.imageio.ImageIO
   *     second LCG seeded 7777777·(i+1), advance once per pixel and
   *     where (x>>>60)&0xf == 0 flip the low bit of all three channels
   *     (a ±1-LSB perceptual-noop, byte-level difference).
-  *   - video i: sizes (100000, 262144, 40000); seed 424242·(i+1); per
-  *     byte advance once, byte = (x>>>56)&0xff.
+  *   - video i (0..2): an animated GIF of 6 grayscale 48×32 frames;
+  *     frame k seeded 5550001·(i+1) + 1000003·k; per pixel advance
+  *     once, gray level = ((x>>>44)&0xf)·17 (16 levels — palette-safe,
+  *     so the GIF round trip is lossless), luma == level.
   *   - audio clip i: mono 16-bit PCM at 8000 Hz, sample counts
   *     (12000, 8000, 20000); seed 987654321·(i+1); per sample advance
   *     once, sample = int16 of (x>>>48)&0xffff (two's complement).
@@ -48,7 +50,7 @@ object Media {
   val width = 48
   val height = 32
   val numImages = 8
-  val videoSizes: Seq[Int] = Seq(100000, 262144, 40000)
+  val numVideos = 3
   val audioSampleRate = 8000
   val audioSizes: Seq[Int] = Seq(12000, 8000, 20000)
 
@@ -75,6 +77,20 @@ object Media {
     px
   }
 
+  val videoFrames = 6
+
+  /** Authored grayscale pixels of video i, frame k (16 gray levels —
+    * palette-safe, so the GIF round trip is lossless): seed
+    * 5550001·(i+1) + 1000003·k; per pixel advance once, level =
+    * ((x>>>44)&0xf)·17, rgb = (level, level, level). */
+  def framePixels(vid: Int, frame: Int): Array[Int] = {
+    val g = new Lcg(5550001L * (vid + 1) + 1000003L * frame)
+    Array.fill(width * height) {
+      val l = (((g.next() >>> 44) & 0xf) * 17).toInt
+      (l << 16) | (l << 8) | l
+    }
+  }
+
   /** Authored int16 PCM samples of fixture audio clip i. */
   def audioSamples(i: Int): Array[Short] = {
     val g = new Lcg(987654321L * (i + 1))
@@ -82,7 +98,7 @@ object Media {
   }
 
   /** Fixture dir (built once per JVM): 8 BMP originals, 8 PNG
-    * re-encodes, 3 raw "videos", 3 PCM WAV clips. */
+    * re-encodes, 3 animated-GIF "videos", 3 PCM WAV clips. */
   lazy val dir: String = {
     val d = new File(s"${graft.Tables.scratchRoot}/media")
     if (d.exists()) graft.Tables.deleteRecursively(d)
@@ -91,14 +107,8 @@ object Media {
       writeImage(new File(d, f"img_$i%02d.bmp"), pixels(i, reenc = false), "bmp")
       writeImage(new File(d, f"img_$i%02d.png"), pixels(i, reenc = true), "png")
     }
-    for ((sz, i) <- videoSizes.zipWithIndex) {
-      val g = new Lcg(424242L * (i + 1))
-      val b = new Array[Byte](sz)
-      var k = 0
-      while (k < sz) { b(k) = ((g.next() >>> 56) & 0xff).toByte; k += 1 }
-      val o = new FileOutputStream(new File(d, s"vid_$i.bin"))
-      try o.write(b) finally o.close()
-    }
+    for (i <- 0 until numVideos)
+      writeAnimatedGif(new File(d, s"vid_$i.gif"), i)
     for (i <- audioSizes.indices) {
       val samples = audioSamples(i)
       val pcm = new Array[Byte](samples.length * 2)
@@ -117,6 +127,57 @@ object Media {
         new File(d, s"aud_$i.wav")): Unit
     }
     d.getAbsolutePath
+  }
+
+  /** Write an animated GIF (the one MULTI-FRAME codec in the stock
+    * JDK) of [[videoFrames]] authored grayscale frames. */
+  def writeAnimatedGif(f: File, vid: Int): Unit = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val out = ImageIO.createImageOutputStream(f)
+    try {
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      for (k <- 0 until videoFrames) {
+        val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+        img.setRGB(0, 0, width, height, framePixels(vid, k), 0, width)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      out.close()
+    }
+  }
+
+  /** REAL multi-frame decode: animated-GIF bytes → per-frame
+    * (width, height, luma plane) via the stock JDK's GIF ImageReader.
+    * GIF stores exact palette indices, and the authored frames use a
+    * ≤16-color grayscale palette, so the round trip is lossless. */
+  def decodeGifFrames(bytes: Array[Byte]): Seq[(Int, Int, Array[Int])] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n).map { k =>
+        val img = reader.read(k)
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val luma = new Array[Int](w * h)
+        var j = 0
+        while (j < luma.length) {
+          val p = px(j)
+          luma(j) =
+            (77 * ((p >> 16) & 0xff) + 150 * ((p >> 8) & 0xff) + 29 * (p & 0xff)) >> 8
+          j += 1
+        }
+        (w, h, luma)
+      }
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
   }
 
   /** REAL audio decode: WAV bytes → int16 PCM samples via

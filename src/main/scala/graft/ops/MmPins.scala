@@ -26,22 +26,26 @@ object MmPins {
 ('img_07.png', 48, 32, 125, 3429489011590881816))
  t(file_name, width, height, mean_luma, luma_hash) ORDER BY file_name"""
 
-  val mmFrames: String = """SELECT file_name, frame_idx::BIGINT AS frame_idx, frame_bytes::BIGINT AS frame_bytes, frame_checksum::BIGINT AS frame_checksum FROM (VALUES
-('vid_0.bin', 0, 4096, 2124786329875993834),
-('vid_0.bin', 1, 4096, -4887536081932908038),
-('vid_0.bin', 2, 4096, -8459192955298950660),
-('vid_0.bin', 3, 1696, 615433397587812846),
-('vid_1.bin', 0, 4096, -4160293651971873527),
-('vid_1.bin', 1, 4096, -5953878220596687395),
-('vid_1.bin', 2, 4096, -8729581590314063849),
-('vid_1.bin', 3, 4096, 8174178314161143888),
-('vid_1.bin', 4, 4096, 4509103225589578037),
-('vid_1.bin', 5, 4096, -5630318984867773502),
-('vid_1.bin', 6, 4096, 2328443242086616456),
-('vid_1.bin', 7, 4096, -4637071635919060885),
-('vid_2.bin', 0, 4096, 9022022038724121763),
-('vid_2.bin', 1, 4096, -1371558367969979217))
- t(file_name, frame_idx, frame_bytes, frame_checksum) ORDER BY file_name, frame_idx"""
+  val mmFrames: String = """SELECT file_name, frame_idx::BIGINT AS frame_idx, width::INT AS width, height::INT AS height, mean_luma::BIGINT AS mean_luma, luma_hash::BIGINT AS luma_hash FROM (VALUES
+('vid_0.gif', 0, 48, 32, 124, 7329563734601796624),
+('vid_0.gif', 1, 48, 32, 127, -9016364359316462156),
+('vid_0.gif', 2, 48, 32, 127, -8992121004254207132),
+('vid_0.gif', 3, 48, 32, 124, 1681011277388276811),
+('vid_0.gif', 4, 48, 32, 129, -7983609370901195650),
+('vid_0.gif', 5, 48, 32, 126, -7430330792843848747),
+('vid_1.gif', 0, 48, 32, 127, 1808131526570129033),
+('vid_1.gif', 1, 48, 32, 125, -4270853030613308371),
+('vid_1.gif', 2, 48, 32, 127, 9128342465201133444),
+('vid_1.gif', 3, 48, 32, 126, -6136243902161239211),
+('vid_1.gif', 4, 48, 32, 125, -3899436871774024250),
+('vid_1.gif', 5, 48, 32, 128, 8830604683332787141),
+('vid_2.gif', 0, 48, 32, 123, 4346450120218639842),
+('vid_2.gif', 1, 48, 32, 126, -6857386476360868880),
+('vid_2.gif', 2, 48, 32, 128, -4919812902174999173),
+('vid_2.gif', 3, 48, 32, 129, -2382345735998151910),
+('vid_2.gif', 4, 48, 32, 127, -1567545018544779169),
+('vid_2.gif', 5, 48, 32, 126, -2502582703500499963))
+ t(file_name, frame_idx, width, height, mean_luma, luma_hash) ORDER BY file_name, frame_idx"""
 
   val mmResize: String = """SELECT file_name, width::INT AS width, height::INT AS height, thumb_bytes::BIGINT AS thumb_bytes, thumb_checksum::BIGINT AS thumb_checksum FROM (VALUES
 ('img_00.bmp', 16, 16, 256, 1723629264318177964),

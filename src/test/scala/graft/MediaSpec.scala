@@ -64,6 +64,20 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("animated GIF round trip: every decoded frame equals the authored spec") {
+    val f = new java.io.File(Tables.scratchRoot, "probe.gif")
+    ops.Media.writeAnimatedGif(f, 0)
+    val frames = ops.Media.decodeGifFrames(
+      java.nio.file.Files.readAllBytes(f.toPath))
+    assert(frames.length === ops.Media.videoFrames)
+    frames.zipWithIndex.foreach { case ((w, h, luma), k) =>
+      assert(w === ops.Media.width && h === ops.Media.height)
+      // authored gray level l has r=g=b=l, so integer luma == l exactly
+      val expected = ops.Media.framePixels(0, k).map(_ & 0xff)
+      assert(luma.sameElements(expected), s"frame $k decode differs from spec")
+    }
+  }
+
   test("WAV round trip: decoded PCM equals the authored sample spec") {
     val d = ops.Media.dir
     for (i <- ops.Media.audioSizes.indices) {

@@ -11,7 +11,8 @@ from pathlib import Path
 M = (1 << 64) - 1
 W, H = 48, 32
 N_IMAGES = 8
-VIDEO_SIZES = [100000, 262144, 40000]
+N_VIDEOS = 3
+VIDEO_FRAMES = 6
 AUDIO_SIZES = [12000, 8000, 20000]
 A, C = 6364136223846793005, 1442695040888963407
 
@@ -87,17 +88,17 @@ def build_rows():
             resize_rows.append((name, 16, 16, 256, signed(c)))
 
     frame_rows = []
-    for i, sz in enumerate(VIDEO_SIZES):
-        g = Lcg(424242 * (i + 1))
-        b = bytes((g.next() >> 56) & 0xff for _ in range(sz))
-        block, stride = 4096, 8
-        for off in range(0, sz, block * stride):
-            end = min(off + block, sz)
-            c = 0
-            for x in b[off:end]:
-                c = (c * 131 + x) & M
-            frame_rows.append((f'vid_{i}.bin', off // (block * stride),
-                               end - off, signed(c)))
+    for i in range(N_VIDEOS):
+        for k in range(VIDEO_FRAMES):
+            # animated-GIF frame: gray level ((x>>44)&0xf)*17; with
+            # r=g=b=l the integer luma equals the level exactly
+            g = Lcg(5550001 * (i + 1) + 1000003 * k)
+            lm = [((g.next() >> 44) & 0xf) * 17 for _ in range(W * H)]
+            rolling = 1125899906842597
+            for v in lm:
+                rolling = (rolling * 31 + v) & M
+            frame_rows.append((f'vid_{i}.gif', k, W, H,
+                               sum(lm) // len(lm), signed(rolling)))
 
     audio_rows = []
     for i, sz in enumerate(AUDIO_SIZES):
@@ -147,7 +148,8 @@ if __name__ == '__main__':
     decode_rows, resize_rows, frame_rows, audio_rows = build_rows()
     check('mm_decode', 'file_name, width, height, mean_luma, luma_hash',
           decode_rows, 'file_name')
-    check('mm_frames', 'file_name, frame_idx, frame_bytes, frame_checksum',
+    check('mm_frames',
+          'file_name, frame_idx, width, height, mean_luma, luma_hash',
           frame_rows, 'file_name, frame_idx')
     check('mm_resize', 'file_name, width, height, thumb_bytes, thumb_checksum',
           resize_rows, 'file_name')
@@ -164,13 +166,14 @@ if __name__ == '__main__' and '--emit' in sys.argv:
         " FROM (VALUES\n" + vals
         + ")\n t(file_name, width, height, mean_luma, luma_hash)"
         " ORDER BY file_name")
-    vals = ',\n'.join(f"('{f}', {i}, {nb}, {c})"
-                      for f, i, nb, c in frame_rows)
+    vals = ',\n'.join(f"('{f}', {i}, {w}, {h}, {m}, {hh})"
+                      for f, i, w, h, m, hh in frame_rows)
     out['mm_frames'] = (
         "SELECT file_name, frame_idx::BIGINT AS frame_idx,"
-        " frame_bytes::BIGINT AS frame_bytes,"
-        " frame_checksum::BIGINT AS frame_checksum FROM (VALUES\n" + vals
-        + ")\n t(file_name, frame_idx, frame_bytes, frame_checksum)"
+        " width::INT AS width, height::INT AS height,"
+        " mean_luma::BIGINT AS mean_luma, luma_hash::BIGINT AS luma_hash"
+        " FROM (VALUES\n" + vals
+        + ")\n t(file_name, frame_idx, width, height, mean_luma, luma_hash)"
         " ORDER BY file_name, frame_idx")
     vals = ',\n'.join(f"('{f}', {w}, {hh}, {tb}, {c})"
                       for f, w, hh, tb, c in resize_rows)
