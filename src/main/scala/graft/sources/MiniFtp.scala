@@ -106,10 +106,16 @@ class MiniFtpServer(dir: String) {
           val arg = if (sp < 0) "" else line.substring(sp + 1)
           // direct name resolution (the directory is flat): going via
           // files() costs a full directory scan PER stat probe — 2n
-          // scans for one listing; separator check blocks traversal
-          def resolved: Option[File] =
-            Option(new File(dir, arg))
-              .filter(f => !arg.contains('/') && !arg.contains('\\') && f.isFile)
+          // scans for one listing. Separator check blocks traversal;
+          // the getName equality keeps EXACT listed-name semantics (a
+          // case-insensitive filesystem would otherwise serve names
+          // NLST never advertised).
+          def resolved: Option[File] = {
+            val f = new File(dir, arg)
+            if (!arg.contains('/') && !arg.contains('\\') &&
+              f.isFile && f.getName == arg) Some(f)
+            else None
+          }
           cmd match {
             case "USER" => reply("331 Any password will do")
             case "PASS" => reply("230 Logged in")
