@@ -719,6 +719,46 @@ object Streaming {
       .orderBy("scheme")
   }
 
+  /** Streaming twin of mm_decode — the multimodal path in micro-batch
+    * form: the media fixture drains through the DSv2 remote source
+    * (REAL loopback-FTP fetches, 8 files per micro-batch), each batch's
+    * image payloads decode via `javax.imageio` on the executor that
+    * fetched them, and the per-image features append to the sink.
+    * Pinned to the SAME oracle as batch mm_decode (MmPins.mmDecode):
+    * stream ≡ batch, the pipeline_corpus_stream discipline applied to
+    * media. At 100 TB this is the arriving-media shape — decode cost
+    * scales with the batch, never the corpus, and pixels never leave
+    * the fetching executor. */
+  private def streamMedia: Q = (s, _) => {
+    val sp = s
+    import sp.implicits._
+    val media = graft.ops.Media.dir
+    val st = s.readStream.format("graft.sources.RemoteFileSource")
+      .option("urls", s"ftp://localhost:21$media")
+      .option("batchSize", "8")
+      .load()
+      .where(col("file_name").startsWith("img_"))
+      .select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (name, bytes) =>
+          val (w, h, luma) = graft.ops.Media.decodeLuma(bytes)
+          var sum = 0L
+          var rolling = 1125899906842597L
+          var i = 0
+          while (i < luma.length) {
+            sum += luma(i)
+            rolling = rolling * 31 + luma(i)
+            i += 1
+          }
+          (name, w, h, sum / luma.length, rolling)
+        }
+      }
+      .toDF("file_name", "width", "height", "mean_luma", "luma_hash")
+    runToMemory(s, st, "stream_media_t", OutputMode.Append())
+      .orderBy("file_name")
+  }
+
   /** The ENTIRE reference pipeline as one streaming query (EP1,
     * main.py:58-109 → child.py:128-221): remote source (scheme
     * dispatch, executor-side fetch, 3 files per micro-batch =
@@ -783,6 +823,7 @@ object Streaming {
 
   val queries: Map[String, Q] = Map(
     "stream_remote" -> streamRemote,
+    "stream_media" -> streamMedia,
     "stream_ingest_e2e" -> streamIngestE2e,
     "win_tumbling" -> winTumbling,
     "win_sliding" -> winSliding,
@@ -827,6 +868,10 @@ object Streaming {
                 round(sum(CAST(weighted AS DECIMAL(18,4))), 2)::DOUBLE
                   AS total_weighted
          FROM e GROUP BY category ORDER BY category""",
+    // The batch twin's EXACT pin (MmPins.mmDecode, regenerated from
+    // the codec-free python pixel spec): stream ≡ batch for the
+    // multimodal decode path.
+    "stream_media" -> MmPins.mmDecode,
     // 7 non-zip fixture files, 97 payload bytes (pins shared with
     // ingest_remote, computed independently with python zlib).
     "stream_remote" ->
