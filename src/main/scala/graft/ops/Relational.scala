@@ -198,20 +198,31 @@ object Relational {
   }
 
   /** Range join: events within 10 minutes after a signup by the same
-    * user. Equi on user_id keeps it a hash join with a range residual —
-    * the scale-safe formulation (no BNLJ). µs-domain comparison matches
-    * the DuckDB oracle exactly (ns truncation). */
+    * user — planned through GRID-CELL BLOCKING, same trick as
+    * [[joinInterval]]. A bare (user_id) equi join with the ±10-min bound
+    * as a post-join residual builds events×signups candidates PER USER
+    * before filtering — O(per-user²) on hot users at 100×. Here each
+    * signup's window [s, s+10min) registers in the ≤2 10-minute grid
+    * cells it touches, each event (a point) lands in exactly 1 cell,
+    * and the join is EQUI on (user, cell): candidates are bounded by
+    * temporal neighbors, not per-user history. No distinct needed —
+    * a point matches a window in exactly one cell (the point's own).
+    * µs-domain comparison matches the DuckDB oracle exactly. */
   private def joinRange: Q = (s, d) => {
+    val len = 600000000L // 10-minute window AND grid-cell width
     val ev = events(s, d)
     val e = ev.select(col("user_id").as("e_user"), col("ts_us").as("e_us"),
-      col("event_id").as("e_id"))
+      col("event_id").as("e_id"), expr(s"ts_us div ${len}").as("e_cell"))
     val g = ev.where(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("ts_us").as("s_us"),
         col("event_id").as("s_id"))
+      .withColumn("s_cell", explode(sequence(
+        expr(s"s_us div ${len}"), expr(s"(s_us + ${len - 1}) div ${len}"))))
     e.join(g,
         col("e_user") === col("s_user") &&
+          col("e_cell") === col("s_cell") &&
           col("e_us") >= col("s_us") &&
-          col("e_us") < col("s_us") + lit(600000000L) &&
+          col("e_us") < col("s_us") + lit(len) &&
           col("e_id") =!= col("s_id"))
       .groupBy("s_id")
       .agg(count(lit(1)).as("n_follow"))
@@ -219,10 +230,42 @@ object Relational {
   }
 
   /** As-of join: for every purchase, the latest view by the same user at
-    * or before it ("latest matching blob", child.py:174-191). Spark has
-    * no native as-of; the scalable form is equi-join on the key + range
-    * filter + max_by — one shuffle on user_id. */
+    * or before it ("latest matching blob", child.py:174-191) plus the
+    * count of all prior views — computed as a SINGLE-PASS RUNNING WINDOW
+    * over the unioned event stream, with NO JOIN AT ALL. The composable
+    * join formulation (equi on user + `v_us <= p_us` residual, then
+    * aggregate) explodes purchases×all-prior-views per user before
+    * collapsing — per-user quadratic at 100×. Here views and purchases
+    * sort once per user (one shuffle, one sort, O(1) running state) and
+    * each purchase row reads the running max/count of views at-or-before
+    * it. Views sort BEFORE purchases at equal ts (tag 0 < 1) so the
+    * `v_us <= p_us` tie semantics match the oracle exactly. The naive
+    * explode formulation survives as a spec-side cross-check
+    * ([[joinAsofNaive]], RelationalSpec). */
   private def joinAsof: Q = (s, d) => {
+    val ev = events(s, d)
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(col("event_type") === "view", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("last_view_us",
+        max(when(col("tag") === 0, col("ts_us"))).over(w))
+      .withColumn("n_prior_views",
+        count(when(col("tag") === 0, lit(1))).over(w))
+      .where(col("tag") === 1)
+      .select(col("event_id").as("p_id"),
+        coalesce(col("last_view_us"), lit(-1L)).as("last_view_us"),
+        col("n_prior_views"))
+      .orderBy("p_id")
+  }
+
+  /** The naive join-then-aggregate as-of formulation — per-user
+    * quadratic, kept ONLY as a spec-side cross-check against the
+    * registered single-pass window plan (RelationalSpec). */
+  private[graft] def joinAsofNaive: Q = (s, d) => {
     val ev = events(s, d)
     val p = ev.where(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
@@ -909,20 +952,51 @@ object Relational {
     * dragged by the very outliers it hunts — plus ~1% deterministic
     * PLANTED spikes (×50 when event_id % 97 = 0, same rule in the
     * oracle) that guarantee unambiguous detections at every type. The
-    * exact two-pass median (sort window per type) is the correctness
-    * baseline; at 100 TB you swap in the mergeable sketch
-    * (agg_approx_quantile's GK path) and keep this as the audit. */
+    * registered plan computes both medians with the MERGEABLE GK
+    * sketch (`approx_percentile`) — a map-side-combinable aggregate
+    * whose state is bounded by the accuracy knob, never by group
+    * cardinality, so no per-type series ever sorts through one
+    * reducer. In the sketch's uncompressed regime (group rows <
+    * compress threshold 10k — true at every verify SF: ~2k rows/type
+    * at sf0.01) GK answers the EXACT rank ceil(n/2) = the oracle's
+    * lower median (n+1) div 2, so the exact-hash gate still holds;
+    * beyond that it degrades gracefully to rank error ≤ εn by design.
+    * The exact two-pass window median survives as the spec-side audit
+    * ([[tsAnomalyExact]], RelationalSpec pins sketch == exact at test
+    * SF). */
   private def tsAnomaly: Q = (s, d) => {
-    // cast(decimal→long) TRUNCATES in Spark while DuckDB's ::BIGINT
-    // ROUNDS — the oracle carries an explicit trunc() so a future
-    // testdata regen emitting sub-cent precision cannot split the
-    // engines (values today are exactly 2-decimal; latent-bug class
-    // of the r5 events regen).
-    val ev = events(s, d)
+    val ev = tsAnomalyCents(s, d)
+    def med(df: DataFrame, v: String, out: String): DataFrame =
+      df.groupBy("event_type")
+        .agg(percentile_approx(col(v), lit(0.5), lit(10000)).as(out))
+    val dev = ev.join(broadcast(med(ev, "cents", "med")), "event_type")
+      .withColumn("dev", abs(col("cents") - col("med")))
+    dev.join(broadcast(med(dev, "dev", "mad")), "event_type")
+      .where(col("dev") > lit(3) * greatest(col("mad"), lit(1L)))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("med"), col("mad"), col("dev"))
+      .orderBy("event_id")
+  }
+
+  // cast(decimal→long) TRUNCATES in Spark while DuckDB's ::BIGINT
+  // ROUNDS — the oracle carries an explicit trunc() so a future
+  // testdata regen emitting sub-cent precision cannot split the
+  // engines (values today are exactly 2-decimal; latent-bug class
+  // of the r5 events regen).
+  private def tsAnomalyCents(s: SparkSession, d: String): DataFrame =
+    events(s, d)
       .select(col("event_id"), col("event_type"),
         ((dec(col("value")) * 100).cast("long") *
           when(pmod(col("event_id"), lit(97)) === 0, 50L).otherwise(1L))
           .as("cents"))
+
+  /** Exact two-pass window median/MAD — the audit path for
+    * [[tsAnomaly]]'s GK-sketch plan. Per-type sort through a single
+    * window partition: correct at any SF but the wrong default at
+    * 100 TB, so it is NOT registered; RelationalSpec asserts it is
+    * row-identical to the sketch plan at test SF. */
+  private[graft] def tsAnomalyExact: Q = (s, d) => {
+    val ev = tsAnomalyCents(s, d)
     def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
       val w = Window.partitionBy("event_type").orderBy(v)
       val wAll = Window.partitionBy("event_type")
@@ -1011,15 +1085,31 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
-  /** Exact percentiles (p25/p50/p90) of quantity per return flag —
-    * `percentile()` sorts within the aggregation (one shuffle, no global
-    * sort). l_quantity is integer-valued, so linear interpolation lands
-    * on exactly-representable doubles (x.0 / x.5) in every engine; at
-    * 100 TB the exact variant would switch to `approx_percentile`
-    * (t-digest sketch, already covered by agg_approx's HLL sibling) —
-    * exact percentile's per-group sorted buffer is the documented
-    * scale limit here, not a shuffle problem. */
+  /** Percentiles (p25/p50/p90) of quantity per return flag via the
+    * MERGEABLE GK sketch (`approx_percentile`) — the registered plan
+    * buffers O(accuracy) sketch entries per group regardless of group
+    * cardinality, unlike exact `percentile()` whose per-group buffer
+    * holds EVERY value (the documented scale limit at 100 TB).
+    * Discrete-rank semantics: both engines answer the dataset element
+    * at rank ceil(q·n) — Spark's GK query in its exact regime (rank
+    * error εn = 20k/50k = 0.4 < 1 at the verify SF) and DuckDB's
+    * `quantile_disc` — so the exact-hash gate holds; at larger SFs the
+    * sketch degrades gracefully to rank error ≤ εn by design. The
+    * exact interpolating `percentile()` survives as the spec-side
+    * audit (RelationalSpec). */
   private def aggPercentile: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.25), lit(50000)).as("p25"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(50000)).as("p50"),
+        percentile_approx(col("l_quantity"), lit(0.9), lit(50000)).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Exact interpolating percentile — audit path for [[aggPercentile]]'s
+    * sketch plan; per-group full-value buffer, so spec-side only. */
+  private[graft] def aggPercentileExact: Q = (s, d) =>
     t(s, d, "lineitem")
       .groupBy("l_returnflag")
       .agg(
@@ -1704,9 +1794,9 @@ object Relational {
          FROM m ORDER BY o_orderstatus""",
     "agg_percentile" ->
       """SELECT l_returnflag,
-                quantile_cont(l_quantity, 0.25) AS p25,
-                quantile_cont(l_quantity, 0.5) AS p50,
-                quantile_cont(l_quantity, 0.9) AS p90,
+                quantile_disc(l_quantity, 0.25) AS p25,
+                quantile_disc(l_quantity, 0.5) AS p50,
+                quantile_disc(l_quantity, 0.9) AS p90,
                 count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // Salting must not change results: the oracle is the UNSALTED join.

@@ -40,10 +40,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("join_range stays an equi hash/sort-merge join with a range residual") {
+  test("join_range plans an EQUI join on (user, cell) — no bare-user range residual") {
     val p = planOf("join_range")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // grid-cell blocking: the cell must be a JOIN KEY, bounding the
+    // candidate set by temporal neighbors instead of per-user history
+    assert(p.contains("e_cell"), p)
+    assert(p.contains("s_cell"), p)
+  }
+
+  test("join_asof is a single-pass running window — no join node at all") {
+    val p = planOf("join_asof")
+    // the naive formulation explodes purchases×prior-views per user
+    // through a join before aggregating; the registered plan must not
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("agg_percentile ships the bounded GK sketch, not a full-value buffer") {
+    val p = planOf("agg_percentile")
+    // prettyName in DataFrame-API plans is percentile_approx
+    assert(p.contains("percentile_approx") || p.contains("approx_percentile"), p)
+    assert("(?<!approx_)percentile\\(".r.findFirstIn(p).isEmpty, p)
   }
 
   test("decontaminate broadcasts the eval gram set (corpus never shuffles as a join side)") {
@@ -115,6 +134,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ts_anomaly computes medians via the GK sketch, never a per-type window sort") {
+    val p = planOf("ts_anomaly")
+    assert(p.contains("percentile_approx") || p.contains("approx_percentile"), p)
+    // the exact path's row_number/count windows sort each type's whole
+    // series through one reducer — audit-only, must not ship
+    assert(!p.contains("Window"), p)
   }
 
   test("ts_motif buckets series without any join of the series themselves") {

@@ -301,4 +301,48 @@ class RelationalSpec extends AnyFunSuite {
     val p = nullsafe.find(_.getString(0) == "P(nulled)").get
     assert(p.getLong(1) > 0L && p.getLong(2) > 0L, p.toString)
   }
+
+  // -------- scale-safe-plan audits: the registered sketch/window plans
+  // must be row-identical to their exact (but non-scalable) twins at
+  // test SF. The exact twins are deliberately NOT registered queries.
+
+  test("join_asof window plan equals the naive join-then-aggregate audit") {
+    val win = SparkEntry.queries("join_asof")(spark, sf).collect().map(_.toSeq)
+    val naive = ops.Relational.joinAsofNaive(spark, sf).collect().map(_.toSeq)
+    assert(win.length === naive.length)
+    assert(win === naive)
+  }
+
+  test("ts_anomaly GK-sketch plan equals the exact window-median audit") {
+    val sketch = SparkEntry.queries("ts_anomaly")(spark, sf)
+      .collect().map(_.toSeq)
+    val exact = ops.Relational.tsAnomalyExact(spark, sf)
+      .collect().map(_.toSeq)
+    assert(sketch.length === exact.length)
+    assert(sketch === exact)
+  }
+
+  test("agg_percentile sketch answers the exact discrete rank ceil(q*n)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("agg_percentile")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    val li = Tables.t(spark, sf, "lineitem")
+    val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    val wAll = Window.partitionBy("l_returnflag")
+    val ranked = li.select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+    def disc(q: Double) = ranked
+      .where(col("rn") === ceil(lit(q) * col("n")).cast("int"))
+      .select(col("l_returnflag"), col("l_quantity"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (p25, p50, p90) = (disc(0.25), disc(0.5), disc(0.9))
+    got.foreach { case (flag, g25, g50, g90, _) =>
+      assert(g25 === p25(flag), s"p25($flag)")
+      assert(g50 === p50(flag), s"p50($flag)")
+      assert(g90 === p90(flag), s"p90($flag)")
+    }
+  }
 }
