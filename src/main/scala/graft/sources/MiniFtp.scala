@@ -32,6 +32,13 @@ import java.time.format.DateTimeFormatter
 object MiniFtp {
   private val servers = scala.collection.mutable.Map.empty[String, MiniFtpServer]
 
+  // One server (socket + acceptor thread) lives per served directory
+  // for the JVM's life; stop them at exit so a long-lived driver does
+  // not leak listeners unbounded (ADVICE r6).
+  Runtime.getRuntime.addShutdownHook(new Thread(() => synchronized {
+    servers.values.foreach(s => try s.stop() catch { case _: Exception => () })
+  }, "mini-ftp-shutdown"))
+
   /** Start (or reuse) the loopback server rooted at `dir`; returns its
     * actual ephemeral port. */
   def serve(dir: String): Int = synchronized {
@@ -43,8 +50,14 @@ object MiniFtp {
 }
 
 /** Minimal passive-mode binary FTP server over one flat directory.
-  * Thread-per-connection, daemon threads, ephemeral loopback port. */
-class MiniFtpServer(dir: String) {
+  * Thread-per-connection, daemon threads, ephemeral loopback port.
+  * Logins are VERIFIED against `accounts` (user → password): the
+  * reference's production URLs embed `user:pass@host` credentials
+  * (FIXTURES.md corpus), so the loopback server must be able to
+  * reject a wrong password with a genuine 530 — an accept-anything
+  * server can't prove the credential path works. */
+class MiniFtpServer(dir: String,
+    accounts: Map[String, String] = Map("graft" -> "graft")) {
   // Bind IPv4 loopback EXPLICITLY: PASV advertises dotted-quad digits
   // (127,0,0,1), so the data/control sockets must live there too —
   // getLoopbackAddress can resolve to ::1 under preferIPv6Addresses,
@@ -97,6 +110,8 @@ class MiniFtpServer(dir: String) {
     try {
       reply("220 graft mini-ftp ready")
       var open = true
+      var pendingUser: String = null
+      var loggedIn = false
       while (open) {
         val line = in.readLine()
         if (line == null) open = false
@@ -117,8 +132,16 @@ class MiniFtpServer(dir: String) {
             else None
           }
           cmd match {
-            case "USER" => reply("331 Any password will do")
-            case "PASS" => reply("230 Logged in")
+            case "USER" =>
+              pendingUser = arg; loggedIn = false
+              reply("331 Password required")
+            case "PASS" =>
+              if (pendingUser != null && accounts.get(pendingUser).contains(arg)) {
+                loggedIn = true
+                reply("230 Logged in")
+              } else reply("530 Login incorrect")
+            case "QUIT" => reply("221 Bye"); open = false
+            case _ if !loggedIn => reply("530 Not logged in")
             case "TYPE" => reply("200 Binary it is")
             case "CWD" => reply("250 OK (single-directory server)")
             case "PASV" => openPasv()
@@ -141,7 +164,6 @@ class MiniFtpServer(dir: String) {
                 withData(d => d.getOutputStream.write(Files.readAllBytes(f.toPath)))
               case None => reply(s"550 No such file: $arg")
             }
-            case "QUIT" => reply("221 Bye"); open = false
             case _ => reply(s"502 Not implemented: $cmd")
           }
         }
@@ -158,8 +180,13 @@ class MiniFtpServer(dir: String) {
 /** FTP protocol client over real sockets. One control connection per
   * client instance (one per partition reader — single-threaded use),
   * one PASV data channel per transfer; a mid-protocol failure resets
-  * the control connection so the [[RemoteRetry]] loop reconnects. */
-class FtpSocketClient(host: String, port: Int, dir: String)
+  * the control connection so the [[RemoteRetry]] loop reconnects.
+  * Credentials come from the URL's `user:pass@` userinfo (reference
+  * URLs embed them, child.py:16-18); 5xx replies raise
+  * [[PermanentProtocolException]] so the retry policy fails fast
+  * instead of burning backoff on a login or missing-file error. */
+class FtpSocketClient(host: String, port: Int, dir: String,
+    user: String = "graft", pass: String = "graft")
     extends RemoteClient with AutoCloseable {
 
   @transient private var sock: Socket = _
@@ -180,9 +207,14 @@ class FtpSocketClient(host: String, port: Int, dir: String)
       in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
       out = new OutputStreamWriter(sock.getOutputStream, UTF_8)
       expect(220)
-      cmd("USER graft", 331)
-      cmd("PASS graft", 230)
+      cmd(s"USER $user", 331)
+      cmd(s"PASS $pass", 230)
       cmd("TYPE I", 200)
+      // Honor the URL's directory path on ANY server: without CWD a
+      // real server rooting users above the target directory would
+      // list/fetch the wrong files (ADVICE r6). The loopback server is
+      // rooted at the directory already and acknowledges the no-op.
+      if (dir.nonEmpty && dir != "/") cmd(s"CWD $dir", 250)
     }
   }
 
@@ -211,9 +243,12 @@ class FtpSocketClient(host: String, port: Int, dir: String)
 
   private def expect(code: Int): String = {
     val (c, text) = readReply()
-    if (c != code)
-      throw new java.io.IOException(s"ftp: expected $code, got $c $text")
-    text
+    if (c == code) text
+    else if (c >= 500)
+      // 5xx is RFC 959 "permanent negative completion" — retrying the
+      // same command can only fail the same way
+      throw new PermanentProtocolException(s"ftp: expected $code, got $c $text")
+    else throw new java.io.IOException(s"ftp: expected $code, got $c $text")
   }
 
   private def cmd(c: String, code: Int): String = {

@@ -43,37 +43,43 @@ class LocalDirClient(dir: String) extends RemoteClient {
 
 /** URL parsing + per-scheme client dispatch (reference
   * scrap/child_otherftp.py:129-162: branch ftp vs sftp, else raise;
-  * default ports 21/22 as in child.py:16-18). */
+  * default ports 21/22 as in child.py:16-18). Inline `user:pass@host`
+  * userinfo is parsed and handed to the protocol client — the
+  * reference's production source URLs embed credentials this way
+  * (FIXTURES.md corpus); absent userinfo falls back to the anonymous
+  * `graft`/`graft` account. */
 object RemoteUrl {
   case class Parsed(url: String, scheme: String, host: String, port: Int,
-      path: String) {
-    /** `hostname_port` sink-folder derivation (child.py:16-18). */
+      path: String, user: Option[String] = None, pass: Option[String] = None) {
+    /** `hostname_port` sink-folder derivation (child.py:16-18) —
+      * credentials never leak into folder names. */
     def serverFolder: String = s"${host}_$port"
     /** Per-scheme transport: ftp:// is a REAL socket protocol client
       * ([[FtpSocketClient]] — localhost URLs are served by the
       * in-process loopback [[MiniFtpServer]], the reference's own
       * ftp_server.py arrangement; non-local hosts connect literally).
-      * sftp:// and file:// remain local-dir stand-ins (an SSH
-      * transport needs crypto out of scope in this environment). */
+      * file:// remains a local-dir stand-in. */
     def client: RemoteClient = scheme match {
-      case "ftp" => new FtpSocketClient(host, port, path)
+      case "ftp" => new FtpSocketClient(host, port, path,
+        user.getOrElse("graft"), pass.getOrElse("graft"))
       case "sftp" | "file" => new LocalDirClient(path)
       case other => throw new IllegalArgumentException(
         s"unsupported protocol '$other' in $url (supported: ftp, sftp, file)")
     }
   }
 
-  private val Re = "(?i)^([a-z][a-z0-9+.-]*)://([^:/]+)(?::([0-9]+))?(/.*)$".r
+  private val Re =
+    "(?i)^([a-z][a-z0-9+.-]*)://(?:([^/@:]+)(?::([^/@]*))?@)?([^:/@]+)(?::([0-9]+))?(/.*)$".r
 
   def parse(url: String): Parsed = url.trim match {
-    case Re(scheme, host, port, path) =>
+    case Re(scheme, user, pass, host, port, path) =>
       val sl = scheme.toLowerCase
       val p = Option(port).map(_.toInt).getOrElse(sl match {
         case "ftp" => 21
         case "sftp" => 22
         case _ => 0
       })
-      Parsed(url.trim, sl, host, p, path)
+      Parsed(url.trim, sl, host, p, path, Option(user), Option(pass))
     case other =>
       throw new IllegalArgumentException(s"malformed remote url: $other")
   }
@@ -110,10 +116,16 @@ class RemoteFileSource extends TableProvider {
         "(comma-separated ftp://, sftp:// or file:// URLs)")
     val urls = opts.get("urls").split(",").map(_.trim).filter(_.nonEmpty).toSeq
     require(urls.nonEmpty, "RemoteFileSource 'urls' option is empty")
+    // Fault injection is namespaced `test.` so a stray production
+    // config key can't silently arm it (ADVICE r6); the bare legacy
+    // name is rejected loudly rather than ignored.
+    require(!opts.containsKey("chaosFailFirstFetches"),
+      "option 'chaosFailFirstFetches' was renamed to " +
+        "'test.chaosFailFirstFetches' (fault injection is test-only)")
     val policy = FetchPolicy(
       maxRetries = opts.getInt("maxRetries", FetchPolicy.default.maxRetries),
       backoffMs = opts.getLong("retryBackoffMs", FetchPolicy.default.backoffMs),
-      chaosFailFirstFetches = opts.getInt("chaosFailFirstFetches", 0))
+      chaosFailFirstFetches = opts.getInt("test.chaosFailFirstFetches", 0))
     new RemoteFileTable(urls, opts.getInt("numPartitions", 4),
       opts.getInt("batchSize", Int.MaxValue), policy)
   }
@@ -365,6 +377,14 @@ object FetchPolicy {
     FetchPolicy(maxRetries = 3, backoffMs = 50L, chaosFailFirstFetches = 0)
 }
 
+/** A protocol-level PERMANENT failure (FTP 5xx, SSH auth rejection):
+  * retrying the identical request can only fail identically, so
+  * [[RemoteRetry]] rethrows it immediately instead of burning
+  * maxRetries×backoff per fetch and again at the listing level
+  * (ADVICE r6 — a missing file cost 4 attempts with exponential
+  * backoff twice over). */
+class PermanentProtocolException(msg: String) extends java.io.IOException(msg)
+
 object RemoteRetry {
   /** Retries observed in this JVM — an executor-local observability
     * counter (tests read it under local[*]; a cluster deployment would
@@ -372,15 +392,18 @@ object RemoteRetry {
   val observedRetries = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Run `f`, retrying up to `maxRetries` times with exponential
-    * backoff (backoffMs · 2^attempt). Every retry is logged to the
-    * error channel (the reference logs each failed fetch,
-    * custom_logging.py analog); the final failure propagates with the
-    * attempt count attached. */
+    * backoff (backoffMs · 2^attempt). Permanent protocol errors fail
+    * fast. Every retry is logged to the error channel (the reference
+    * logs each failed fetch, custom_logging.py analog); the final
+    * failure propagates with the attempt count attached. */
   def withRetry[T](what: String, maxRetries: Int, backoffMs: Long)(f: => T): T = {
     var attempt = 0
     while (attempt < maxRetries) {
       try return f
       catch {
+        case e: PermanentProtocolException =>
+          graft.GraftLog.error(s"fetch failed permanently ($what): ${e.getMessage}")
+          throw e
         case e: Exception =>
           observedRetries.incrementAndGet()
           graft.GraftLog.error(
@@ -396,6 +419,9 @@ object RemoteRetry {
     }
     try f
     catch {
+      case e: PermanentProtocolException =>
+        graft.GraftLog.error(s"fetch failed permanently ($what): ${e.getMessage}")
+        throw e
       case e: Exception =>
         throw new java.io.IOException(
           s"fetch failed ($what) after ${maxRetries + 1} attempts", e)

@@ -158,14 +158,14 @@ class RobustnessSpec extends AnyFunSuite {
     val clean = readAll(Map.empty)
     val before = sources.RemoteRetry.observedRetries.get()
     val flaky = readAll(Map(
-      "chaosFailFirstFetches" -> "1", "retryBackoffMs" -> "1"))
+      "test.chaosFailFirstFetches" -> "1", "retryBackoffMs" -> "1"))
     val retries = sources.RemoteRetry.observedRetries.get() - before
     assert(retries >= 1, "at least one retry must be recorded")
     assert(flaky === clean,
       "payloads after retry must be identical to a clean read")
     // Exhausted retries must fail loudly with the attempt count.
     val e = intercept[Exception] {
-      readAll(Map("chaosFailFirstFetches" -> "99", "maxRetries" -> "1",
+      readAll(Map("test.chaosFailFirstFetches" -> "99", "maxRetries" -> "1",
         "retryBackoffMs" -> "0"))
     }
     val messages = Iterator.iterate[Throwable](e)(_.getCause)
