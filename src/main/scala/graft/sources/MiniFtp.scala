@@ -22,8 +22,7 @@ import java.time.format.DateTimeFormatter
   * data rule, child.py:35-65), RETR payload transfer. A non-local ftp
   * host gets the same client pointed at the literal host:port — the
   * production path, unreachable (hence untested) in this sandbox.
-  * sftp:// remains a local-dir stand-in: an SSH transport needs crypto
-  * machinery out of scope here (documented in SURVEY §8).
+  * sftp:// has its own genuine SSH-2 wire transport: [[MiniSftp]].
   *
   * The client integrates with [[FetchPolicy]] retries: any mid-protocol
   * IOException closes and resets the control connection, so the next

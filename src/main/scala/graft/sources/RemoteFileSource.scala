@@ -54,15 +54,17 @@ object RemoteUrl {
     /** `hostname_port` sink-folder derivation (child.py:16-18) —
       * credentials never leak into folder names. */
     def serverFolder: String = s"${host}_$port"
-    /** Per-scheme transport: ftp:// is a REAL socket protocol client
-      * ([[FtpSocketClient]] — localhost URLs are served by the
-      * in-process loopback [[MiniFtpServer]], the reference's own
-      * ftp_server.py arrangement; non-local hosts connect literally).
-      * file:// remains a local-dir stand-in. */
+    /** Per-scheme transport: ftp:// and sftp:// are REAL socket
+      * protocol clients ([[FtpSocketClient]] / [[SftpSocketClient]] —
+      * localhost URLs are served by in-process loopback servers, the
+      * reference's own ftp_server.py arrangement; non-local hosts
+      * connect literally). file:// remains a local-dir stand-in. */
     def client: RemoteClient = scheme match {
       case "ftp" => new FtpSocketClient(host, port, path,
         user.getOrElse("graft"), pass.getOrElse("graft"))
-      case "sftp" | "file" => new LocalDirClient(path)
+      case "sftp" => new SftpSocketClient(host, port, path,
+        user.getOrElse("graft"), pass.getOrElse("graft"))
+      case "file" => new LocalDirClient(path)
       case other => throw new IllegalArgumentException(
         s"unsupported protocol '$other' in $url (supported: ftp, sftp, file)")
     }

@@ -89,7 +89,8 @@ class FtpSpec extends AnyFunSuite {
   test("ingest_remote's ftp side flows through the socket transport end-to-end") {
     // The gate query itself (not just the unit client) must exercise
     // the wire: a clean read through RemoteFileSource over ftp:// must
-    // equal the sftp:// local-dir stand-in on the same fixture.
+    // byte-equal the same fixture over the independent SSH-2/SFTP
+    // transport AND the file:// local-dir stand-in.
     import org.apache.spark.sql.functions._
     val spark = SharedSpark.spark
     val fixture = ops.Ingest.buildFixture()
@@ -99,8 +100,11 @@ class FtpSpec extends AnyFunSuite {
         .select(col("file_name"), crc32(col("content")).as("crc"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val viaFtp = crcs(s"ftp://localhost:21$fixture")
-    val viaDir = crcs(s"sftp://mirror.example.com:2222$fixture")
+    val viaSftp = crcs(s"sftp://localhost:2222$fixture")
+    val viaDir = crcs(s"file://localhost:0$fixture")
     assert(viaFtp.nonEmpty && viaFtp === viaDir,
-      "socket transport and local-dir stand-in must agree byte-for-byte")
+      "ftp transport and local-dir stand-in must agree byte-for-byte")
+    assert(viaSftp === viaDir,
+      "sftp transport and local-dir stand-in must agree byte-for-byte")
   }
 }

@@ -115,13 +115,13 @@ class IngestSpec extends AnyFunSuite {
   test("remote source round-trips payload bytes intact") {
     val fixture = ops.Ingest.buildFixture()
     val rows = spark.read.format("graft.sources.RemoteFileSource")
-      .option("urls", s"sftp://h:22$fixture").load()
+      .option("urls", s"sftp://localhost:22$fixture").load()
       .where(org.apache.spark.sql.functions.col("file_name") === "dup_one.txt")
       .collect()
     assert(rows.length === 1)
     assert(new String(rows.head.getAs[Array[Byte]]("content"), "UTF-8")
       === "same content twice")
-    assert(rows.head.getAs[String]("server_folder") === "h_22")
+    assert(rows.head.getAs[String]("server_folder") === "localhost_22")
   }
 
   test("remote stream drains in batchSize micro-batches under AvailableNow") {
