@@ -648,6 +648,53 @@ object Ingest {
       .orderBy("status")
   }
 
+  /** Object-store sink CONNECTOR seam (R19 blob upload + R27
+    * ensure-container + R20 post-write verify, child.py:160-218): the
+    * sink root is an explicit URI and EVERY sink-side filesystem
+    * operation — container existence check + create, overwrite of a
+    * prior generation, post-write stat verification over the file
+    * listing — goes through `org.apache.hadoop.fs.FileSystem`, the
+    * SAME interface the `abfss://` (hadoop-azure), `s3a://`
+    * (hadoop-aws) and `gs://` connectors implement. Pointing `root` at
+    * `abfss://container@account.dfs.core.windows.net/dir` with the
+    * connector jar on the classpath is a CONFIG change, not a code
+    * change — this zero-egress environment demonstrates the identical
+    * code path on the `file://` scheme (RawLocalFileSystem). The audit
+    * is the read-back per-lang aggregate (content-neutral oracle =
+    * source-table aggregate, the sink_parquet discipline) — it passes
+    * only if the partitioned write + FS metadata verify + re-read all
+    * round-trip. */
+  private def sinkFsConnector: Q = (s, d) => {
+    val rootUri = new java.net.URI(s"file://$scratchRoot/sink/fs_connector")
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(rootUri, conf)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(rootUri))
+    if (!fs.exists(root)) fs.mkdirs(root): Unit // ensure-container (R27)
+    val table = new org.apache.hadoop.fs.Path(root, "documents")
+    if (fs.exists(table)) fs.delete(table, true): Unit // overwrite (R18/R19)
+    t(s, d, "documents").write.partitionBy("lang").parquet(table.toString)
+    // Post-write verification through FS METADATA (R20 read-back
+    // check, child.py:210-218): the partition directories must exist
+    // and the listed data files must carry real bytes.
+    val parts = fs.listStatus(table).filter(_.isDirectory)
+    require(parts.nonEmpty, s"sink write produced no partition dirs at $table")
+    val it = fs.listFiles(table, true)
+    var files = 0L; var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) { files += 1; bytes += f.getLen }
+    }
+    require(files > 0 && bytes > 0,
+      s"sink verify failed: $files files / $bytes bytes at $table")
+    graft.GraftLog.monitor(
+      s"sink_fs_connector: ${parts.length} partitions, $files files, " +
+        s"$bytes bytes via ${fs.getClass.getSimpleName} at $table")
+    s.read.parquet(table.toString)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+  }
+
   /** Catalog DDL + scan (R27 ensure-container, R28 list-blobs): create a
     * database/table if absent, append-or-replace, then answer from the
     * catalog table. */
@@ -725,6 +772,7 @@ object Ingest {
     "mm_resize" -> mmResize,
     "mm_audio" -> mmAudio,
     "catalog_ops" -> catalogOps,
+    "sink_fs_connector" -> sinkFsConnector,
   )
 
   val oracles: Map[String, String] = Map(
@@ -761,6 +809,12 @@ object Ingest {
          FROM read_blob('/root/testdata/sf0.01/*.parquet')
          ORDER BY file_name""",
     "sink_parquet" ->
+      """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS total_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // Content-neutral sink oracle (the sink_parquet discipline): the
+    // read-back aggregate equals the source aggregate iff the
+    // FS-connector write + verify + re-read round-tripped.
+    "sink_fs_connector" ->
       """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS total_chars
          FROM documents GROUP BY lang ORDER BY lang""",
     "scan_evolve" ->

@@ -101,6 +101,25 @@ class IngestSpec extends AnyFunSuite {
     assert(df.count() === 8)
   }
 
+  test("sink_fs_connector writes through the Hadoop FileSystem interface") {
+    // The seam claim: every sink-side FS operation goes through
+    // org.apache.hadoop.fs.FileSystem, so an object-store connector
+    // (abfss://, s3a://) is a config change. Pin that the demonstrated
+    // scheme resolves to the local connector implementation and that
+    // the partitioned layout is visible THROUGH the interface.
+    SparkEntry.queries("sink_fs_connector")(spark, sf).collect()
+    val uri = new java.net.URI(s"file://${Tables.scratchRoot}/sink/fs_connector")
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(uri, spark.sparkContext.hadoopConfiguration)
+    assert(fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem],
+      s"file:// must resolve to the local Hadoop connector, got ${fs.getClass}")
+    val table = new org.apache.hadoop.fs.Path(
+      fs.makeQualified(new org.apache.hadoop.fs.Path(uri)), "documents")
+    val langDirs = fs.listStatus(table).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("lang="))
+    assert(langDirs.nonEmpty, "partition dirs must be listed through the FS API")
+  }
+
   test("remote source dispatches by scheme and rejects unknown protocols") {
     val fixture = ops.Ingest.buildFixture()
     val e = intercept[Throwable] {
