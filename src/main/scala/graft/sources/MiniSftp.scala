@@ -75,7 +75,7 @@ object MiniSftp {
 }
 
 /** SSH wire-format encode/decode helpers (RFC 4251 §5). */
-private[sources] object SshWire {
+private[graft] object SshWire {
   final class Buf {
     private val out = new java.io.ByteArrayOutputStream()
     def byte(b: Int): Buf = { out.write(b); this }
@@ -112,7 +112,13 @@ private[sources] object SshWire {
   * negotiation, group14 DH kex with an RSA host-key signature, then
   * encrypted + MACed binary packets. Role-symmetric — the client
   * verifies the server's signature over the exchange hash; directional
-  * keys are derived per §7.2 and swapped by role. */
+  * keys are derived per §7.2 and swapped by role.
+  *
+  * Scope notes (loopback transport, not a general SSH stack): no
+  * re-keying (RFC 4253 §9 recommends rekey per GB/hour — sessions here
+  * live for one partition read) and channel windows are opened at
+  * Int.MaxValue with flow control left to TCP (both ends are ours;
+  * a general client must send CHANNEL_WINDOW_ADJUST). */
 private[graft] final class SshTransport(sock: Socket, isClient: Boolean,
     hostKey: => KeyPair) {
   import SshWire._
@@ -171,6 +177,7 @@ private[graft] final class SshTransport(sock: Socket, isClient: Boolean,
         r.byte() // message type
         val ksBlob = r.strBytes()
         val f = r.mpint()
+        checkDhPublic(f)
         val sigBlob = r.strBytes()
         val ka = KeyAgreement.getInstance("DH")
         ka.init(kp.getPrivate)
@@ -184,6 +191,7 @@ private[graft] final class SshTransport(sock: Socket, isClient: Boolean,
         val r = new Reader(readExpect(30)) // KEXDH_INIT
         r.byte() // message type
         val e = r.mpint()
+        checkDhPublic(e)
         val kpg = KeyPairGenerator.getInstance("DH")
         kpg.initialize(new DHParameterSpec(MiniSftp.P, MiniSftp.G))
         val kp = kpg.generateKeyPair()
@@ -212,10 +220,24 @@ private[graft] final class SshTransport(sock: Socket, isClient: Boolean,
     deriveKeys(k, h)
   }
 
+  /** RFC 4253 §8: a peer public value outside [2, p-2] collapses the
+    * shared secret into a trivial subgroup (0/1/p-1 degenerate-key
+    * attack) — reject before doing any agreement with it. */
+  private def checkDhPublic(y: BigInteger): Unit =
+    if (y.compareTo(BigInteger.TWO) < 0 ||
+      y.compareTo(MiniSftp.P.subtract(BigInteger.TWO)) > 0)
+      throw new IOException("ssh: peer DH public value out of range")
+
   private def readLine(): String = {
     val sb = new StringBuilder
     var c = in.read()
-    while (c != '\n' && c != -1) { if (c != '\r') sb.append(c.toChar); c = in.read() }
+    while (c != '\n' && c != -1) {
+      if (c != '\r') sb.append(c.toChar)
+      // version lines are ≤255 bytes by spec; a peer streaming garbage
+      // without a newline must not grow the buffer unbounded
+      if (sb.length > 1024) throw new IOException("ssh: oversized banner line")
+      c = in.read()
+    }
     if (c == -1) throw new IOException("ssh: connection closed during version exchange")
     sb.toString
   }

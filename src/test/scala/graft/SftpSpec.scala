@@ -159,6 +159,29 @@ class SftpSpec extends AnyFunSuite {
     } finally { sock.close(); server.close() }
   }
 
+  test("SshWire Buf/Reader round-trip fuzz: ints, longs, strings, mpints") {
+    val rnd = new scala.util.Random(77)
+    (1 to 200).foreach { _ =>
+      val i = rnd.nextInt()
+      val l = rnd.nextLong()
+      // alphanumeric: arbitrary UTF-16 from nextString can contain
+      // unpaired surrogates, which legitimately do not survive UTF-8
+      val s = rnd.alphanumeric.take(rnd.nextInt(64)).mkString
+      val raw = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(raw)
+      val m = new java.math.BigInteger(rnd.nextInt(512) + 1, rnd.self)
+      val b = new sources.SshWire.Buf()
+        .int(i).long(l).str(s).str(raw).mpint(m).bool(true).byte(0xab).bytes
+      val r = new sources.SshWire.Reader(b)
+      assert(r.int() === i)
+      assert(r.long() === l)
+      assert(r.str() === s)
+      assert(r.strBytes().sameElements(raw))
+      assert(r.mpint() === m)
+      assert(r.bool() === true)
+      assert(r.byte() === 0xab)
+    }
+  }
+
   private def int32(v: Int): Array[Byte] =
     Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
       ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
