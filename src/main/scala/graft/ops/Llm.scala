@@ -1043,6 +1043,63 @@ object Llm {
       .orderBy("label", "rn")
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster-blocked embedding near-dup DECISIONS — the embedding
+    * analog of dedup_minhash's keep/dup output. Blocking = Voronoi
+    * assignment to k=8 deterministic data seeds (the vectors with
+    * vec_id < 8) under the ml_kmeans integer micro-unit metric: the
+    * paper's k-means stage reduced to its essential role of bounding
+    * the pair space by cluster instead of corpus² (cross-cluster pairs
+    * are forgone BY DESIGN — the SemDeDup approximation; the oracle
+    * applies the IDENTICAL blocking, so the gate verifies the
+    * decisions, not mere plausibility). Within a cluster, a vector is
+    * a semantic DUP of its best lower-id neighbor at cosine ≥ τ=0.45
+    * (the synthetic embeddings carry no planted near-identical pairs,
+    * so τ sits at the top of the observed similarity range to keep the
+    * decision path exercised); a vector with no such neighbor is the
+    * group keeper. Scale shape: assignment is a broadcast of k seed
+    * vectors + per-row argmin (no shuffle of embeddings for it); the
+    * pair join is EQUI on the cluster id with per-cluster candidate
+    * sets; decisions join back on vec_id. */
+  private def dedupSemantic: Q = (s, d) => {
+    val kSeeds = 8
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("qv", transform(col("emb"),
+        x => floor((x + lit(1.0d)) * 1000000).cast("long")))
+    val seeds = e.where(col("vec_id") < kSeeds)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    val aw = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    val clustered = e.crossJoin(broadcast(seeds))
+      .withColumn("dist",
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(aw))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("cid"))
+      .withColumn("nrm", norm(col("emb")))
+    val a = clustered.select(col("vec_id").as("a_id"), col("cid"),
+      col("emb").as("ea"), col("nrm").as("na"))
+    val b = clustered.select(col("vec_id").as("b_id"), col("cid"),
+      col("emb").as("eb"), col("nrm").as("nb"))
+    val pw = Window.partitionBy("b_id").orderBy(col("cos").desc, col("a_id"))
+    val best = a.join(b, "cid")
+      .where(col("a_id") < col("b_id"))
+      .select(col("b_id"), col("a_id"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= 0.45d)
+      .withColumn("rn", row_number().over(pw))
+      .where(col("rn") === 1)
+      .select(col("b_id").as("vec_id"), col("a_id").as("dup_of_id"),
+        col("cos"))
+    clustered.join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("cluster"),
+        when(col("dup_of_id").isNull, "keep").otherwise("dup").as("status"),
+        coalesce(col("dup_of_id"), lit(-1L)).as("dup_of"),
+        round(coalesce(col("cos"), lit(0.0d)), 6).as("cos"))
+      .orderBy("vec_id")
+  }
+
   /** LSH-bucketed approximate nearest neighbours: 4 deterministic
     * pseudo-random hyperplanes → 16 buckets; queries probe only their
     * own bucket (the IVF-style scale path; sim_cosine_topk is the exact
@@ -1298,6 +1355,7 @@ object Llm {
     "dedup_incremental" -> dedupIncremental,
     "dedup_minhash_agg" -> dedupMinhashAgg,
     "dedup_cluster" -> dedupCluster,
+    "dedup_semantic" -> dedupSemantic,
     "text_normalize" -> textNormalize,
     "text_html_extract" -> textHtmlExtract,
     "text_lm_score" -> textLmScore,
@@ -1642,6 +1700,44 @@ object Llm {
                      ORDER BY cos DESC, a_id, b_id) AS rn
             FROM pairs)
           WHERE rn <= 20 ORDER BY label, rn""",
+    // Identical Voronoi-seed blocking (same integer micro-unit metric,
+    // same (dist, cid) argmin tie-break) + identical cosine fold and
+    // (cos DESC, a_id) best-neighbor selection — decisions, not
+    // plausibility, are what hash-matches.
+    "dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                     FROM embeddings),
+          q AS (SELECT vec_id, emb,
+                       list_transform(emb,
+                         x -> floor((x + 1) * 1000000)::BIGINT) AS qv
+                FROM e),
+          seeds AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
+          asg AS (SELECT q.vec_id, q.emb, s.cid,
+                         list_reduce(list_transform(list_zip(q.qv, s.cv),
+                           p -> (p[1] - p[2]) * (p[1] - p[2])),
+                           (acc, x) -> acc + x) AS dist
+                  FROM q CROSS JOIN seeds s),
+          cl AS (SELECT vec_id, emb, cid FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn
+                   FROM asg) WHERE rn = 1),
+          best AS (SELECT vec_id, dup_of, cos FROM (
+                     SELECT b.vec_id AS vec_id, a.vec_id AS dup_of,
+                            ${duckCosOf("a", "b")} AS cos,
+                            row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY ${duckCosOf("a", "b")} DESC,
+                                       a.vec_id) AS rn
+                     FROM cl a JOIN cl b
+                       ON a.cid = b.cid AND a.vec_id < b.vec_id
+                     WHERE ${duckCosOf("a", "b")} >= 0.45)
+                   WHERE rn = 1)
+          SELECT cl.vec_id, cl.cid AS cluster,
+                 CASE WHEN best.dup_of IS NULL THEN 'keep' ELSE 'dup' END
+                   AS status,
+                 coalesce(best.dup_of, -1) AS dup_of,
+                 round(coalesce(best.cos, 0), 6) AS cos
+          FROM cl LEFT JOIN best USING (vec_id)
+          ORDER BY vec_id""",
     "text_fingerprint" ->
       """SELECT doc_id,
                 list_reduce(

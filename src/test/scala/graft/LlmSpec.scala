@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * near-duplicates (the driver-data corpus has none, so the oracle gate
   * alone cannot pin pair detection). */
 class LlmSpec extends AnyFunSuite {
-  import SharedSpark.spark
+  import SharedSpark.{spark, sf}
 
   /** Fixture dir with documents+embeddings parquet: doc/vec 0 and 1 are
     * near-duplicates, the rest are unrelated. */
@@ -375,5 +375,37 @@ class LlmSpec extends AnyFunSuite {
       2L -> ((21L, 2L, false)), // self-repeat: first and last window
       3L -> ((6L, 6L, true)),   // verbatim copy: everything duplicated
       4L -> ((6L, 6L, true))))  // doc 5 (<20 tokens) has no windows
+  }
+
+  test("dedup_semantic decisions: dup_of is a lower-id same-cluster vector at cos >= tau") {
+    val rows = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.length === Tables.t(spark, sf, "embeddings").count())
+    val cluster = rows.map(r => r._1 -> r._2).toMap
+    val dups = rows.filter(_._3 == "dup")
+    assert(dups.nonEmpty, "tau must sit inside the observed similarity range")
+    dups.foreach { case (id, cid, _, dupOf, cos) =>
+      assert(dupOf >= 0 && dupOf < id, s"$id: keeper must be lower-id")
+      assert(cluster(dupOf) === cid, s"$id: keeper must share the cluster")
+      assert(cos >= 0.45d, s"$id: cos $cos below tau")
+    }
+    rows.filter(_._3 == "keep").foreach { case (id, _, _, dupOf, cos) =>
+      assert(dupOf === -1L && cos === 0.0d, s"$id: keeper row malformed")
+    }
+  }
+
+  test("ml_quality_classifier recovers the generating rule's weight signs at >=90% accuracy") {
+    val rows = SparkEntry.queries("ml_quality_classifier")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // learned signs: bias free, +stopwords, -tokens, +clamped-length —
+    // the signs of the rule the labels came from
+    val signs = rows.filter(_._1 == "weight_sign").map(r => r._2 -> r._4).toMap
+    assert(signs(1L) === 1L && signs(2L) === -1L && signs(3L) === 1L, signs)
+    val conf = rows.filter(_._1 == "confusion")
+    val total = conf.map(_._4).sum
+    val correct = conf.filter(r => r._2 == r._3).map(_._4).sum
+    assert(total > 0 && correct.toDouble / total >= 0.9,
+      s"accuracy ${correct.toDouble / total} below 0.9")
   }
 }
