@@ -719,6 +719,65 @@ object Lake {
       .orderBy("lang", "source")
   }
 
+  /** XML roundtrip scan — Spark 4's built-in XML data source (the
+    * spark-xml connector folded into spark-sql), the enterprise-feed
+    * interchange format the CSV/JSON pair doesn't cover. Write with an
+    * explicit rowTag, read back with a DECLARED schema (XML inference
+    * is the costliest of the three text formats — every element fully
+    * parsed — so at 100 TB you always declare). Each row element is
+    * independently parseable, so the reader splits files on element
+    * boundaries like CSV lines. Aggregate equality vs the parquet
+    * source proves the markup round trip lossless — including `text`
+    * through XML entity escaping (`&amp;` etc.), which is where a
+    * hand-rolled XML path usually loses bytes. */
+  private def scanXml: Q = (s, d) => {
+    val out = s"$scratchRoot/formats/documents_xml"
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+      .write.mode("overwrite")
+      .format("xml").option("rootTag", "docs").option("rowTag", "doc")
+      .save(out)
+    s.read.format("xml")
+      .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, text STRING")
+      .option("rowTag", "doc")
+      .load(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("doc_id")).as("id_digest"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(length(col("text"))).as("total_text_len"))
+      .orderBy("lang")
+  }
+
+  /** Compressed-text roundtrip scan: JSON-lines under GZIP, the shape
+    * most web-corpus drops actually arrive in. The write pre-shards
+    * (repartition(8)) because gzip is NOT splittable — one file is one
+    * task forever, so at 100 TB the ingest parallelism is exactly the
+    * file count and the upstream writer must size shards accordingly
+    * (or use a splittable codec; parquet/ORC pages compress internally
+    * and never have this problem — this operator documents the text
+    * legacy path). Read-back is codec-transparent (extension-dispatched
+    * Hadoop codec), schema declared as always. */
+  private def scanCompressed: Q = (s, d) => {
+    val out = s"$scratchRoot/formats/documents_jsonl_gz"
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+      .repartition(8)
+      .write.mode("overwrite").option("compression", "gzip").json(out)
+    s.read
+      .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, text STRING")
+      .json(out)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(length(col("text"))).as("total_text_len"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_manifest_prune" -> scanManifestPrune,
     "scan_orc" -> scanOrc,
@@ -729,6 +788,8 @@ object Lake {
     "sink_parquet_bloom" -> sinkParquetBloom,
     "scan_csv" -> scanCsv,
     "scan_json" -> scanJson,
+    "scan_xml" -> scanXml,
+    "scan_compressed" -> scanCompressed,
     "scan_dpp" -> scanDpp,
     "sink_scd2" -> sinkScd2,
     "sink_overwrite_dynamic" -> sinkOverwriteDynamic,
@@ -840,6 +901,16 @@ object Lake {
          FROM documents GROUP BY lang ORDER BY lang""",
     "scan_json" ->
       """SELECT source, count(*) AS n, sum(n_chars)::BIGINT AS total_chars,
+                sum(length(text))::BIGINT AS total_text_len
+         FROM documents GROUP BY source ORDER BY source""",
+    "scan_xml" ->
+      """SELECT lang, count(*) AS n, sum(doc_id)::BIGINT AS id_digest,
+                sum(n_chars)::BIGINT AS total_chars,
+                sum(length(text))::BIGINT AS total_text_len
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "scan_compressed" ->
+      """SELECT source, count(*) AS n, min(doc_id) AS min_id,
+                max(doc_id) AS max_id, sum(n_chars)::BIGINT AS total_chars,
                 sum(length(text))::BIGINT AS total_text_len
          FROM documents GROUP BY source ORDER BY source""",
     "scan_dpp" ->

@@ -766,6 +766,53 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Word-bigram PERPLEXITY scoring — the other half of the CCNet
+    * perplexity-filter recipe next to [[textLmScore]]'s support mean:
+    * train an add-one-smoothed word-bigram LM on the corpus, then score
+    * every document by per-token cross-entropy
+    * H = (Σ ln(c(prev)+V) − Σ ln(c(prev,word)+1)) / n_bigrams and
+    * perplexity e^H — low-perplexity docs read like the corpus, the
+    * high tail is boilerplate/noise. Unlike the char-bigram model the
+    * word-bigram table is NOT charset-bounded, so the model probe is an
+    * EQUI JOIN on (prev, word) (shuffle keys are two words + a count —
+    * text never moves), not a broadcast; at 100 TB you'd additionally
+    * prune the model to top-k bigrams + an OOV backoff row, which
+    * changes no plan shape. The only floats are ln() of exact integers
+    * accumulated per doc and rounded to 6 decimals — ~1e-13 relative
+    * summation noise against a 1e-6 grid, so the hash gate holds across
+    * engines. Single-token docs have no bigrams and drop out (same
+    * inner-join semantics in the oracle). */
+  private def textPerplexity: Q = (s, d) => {
+    val toks = fanOut(t(s, d, "documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val inst = toks.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (p, w) => struct(p.as("p"), w.as("w")))).as("bg"))
+      .select(col("doc_id"), col("bg.p").as("p"), col("bg.w").as("w"))
+    // Train-once artifact, checkpointed like the lm_model/minhash
+    // signatures so repeated queries measure the scoring probe.
+    val model = Scratch.table(s, s"$scratchRoot/ppl_model/${Scratch.key(d)}") {
+      inst.groupBy("p", "w").agg(count(lit(1)).as("cbi"))
+    }
+    val prefix = model.groupBy("p").agg(sum(col("cbi")).as("cp"))
+    val vocab = toks.select(explode(col("tk")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    inst.join(model, Seq("p", "w"))
+      .join(prefix, Seq("p"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log(col("cp") + col("v"))).as("sden"),
+        sum(log(col("cbi") + lit(1L))).as("snum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round((col("sden") - col("snum")) / col("n_bigrams"), 6).as("h_nats"),
+        round(exp((col("sden") - col("snum")) / col("n_bigrams")), 4)
+          .as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** URL-canonicalization dedup — the first dedup pass of every web
     * corpus (pages fetched under cosmetically different URLs are the
     * same page): case-folded scheme/host, default port stripped,
@@ -1359,6 +1406,7 @@ object Llm {
     "text_normalize" -> textNormalize,
     "text_html_extract" -> textHtmlExtract,
     "text_lm_score" -> textLmScore,
+    "text_perplexity" -> textPerplexity,
     "text_compress_ratio" -> textCompressRatio,
     "text_pii_scrub" -> textPiiScrub,
     "text_seg_dedup" -> textSegDedup,
@@ -1435,6 +1483,25 @@ object Llm {
                 (support::DOUBLE / n_bigrams)
                   >= 0.5 * (ts::DOUBLE / tn) AS keep
          FROM scored, tot ORDER BY doc_id""",
+    // Same add-one bigram model, same ln-of-integer sums, same 1e-6
+    // rounding grid; single-token docs drop on both sides.
+    "text_perplexity" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+         idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk),
+         inst AS (SELECT doc_id, t[i] AS p, t[i+1] AS w FROM idx),
+         model AS (SELECT p, w, count(*) AS cbi FROM inst GROUP BY p, w),
+         prefix AS (SELECT p, sum(cbi)::BIGINT AS cp FROM model GROUP BY p),
+         vocab AS (SELECT count(DISTINCT tok)::BIGINT AS v
+                   FROM (SELECT unnest(t) AS tok FROM tk)),
+         sc AS (SELECT doc_id, count(*) AS n_bigrams,
+                       sum(ln(cp + v)) AS sden, sum(ln(cbi + 1)) AS snum
+                FROM inst JOIN model USING (p, w) JOIN prefix USING (p), vocab
+                GROUP BY doc_id)
+         SELECT doc_id, n_bigrams,
+                round((sden - snum) / n_bigrams, 6) AS h_nats,
+                round(exp((sden - snum) / n_bigrams), 4) AS ppl
+         FROM sc ORDER BY doc_id""",
     // Same deterministic messy-URL synthesis, same RE2-safe
     // canonicalization chain (DuckDB regexp_replace is RE2 — the Spark
     // side deliberately avoids lookahead so both engines run the

@@ -228,6 +228,46 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Temperature-scaled source sampling (τ = 0.5) — the multilingual /
+    * multi-source rebalancing classic: sampling probability ∝ n_s^τ,
+    * so small sources are up-weighted relative to their share and the
+    * head source stops dominating the mixture. Everything stays EXACT
+    * INTEGER so the oracle hash-matches: the weight is isqrt(n_s)
+    * (IEEE sqrt is correctly rounded, so floor(sqrt) is bit-identical
+    * in every engine), the per-source acceptance rate in basis points
+    * is one integer division, and row selection is the hash-Bernoulli
+    * bucket (sample_hash's md5 discipline — no RNG, reproducible at
+    * any scale with zero coordination). Scale shape: the source stat
+    * table is dim-sized → broadcast back onto the corpus; the corpus
+    * itself is touched once, filter codegen'd into the scan. The
+    * integer products fit a long until corpora of ~10^12 docs/source;
+    * past that, lift the arithmetic to DECIMAL(38,0) unchanged. */
+  private def sampleTemperature: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val rates = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_s"))
+      .withColumn("w_s", floor(sqrt(col("n_s").cast("double"))).cast("long"))
+      .withColumn("w_tot",
+        sum(col("w_s")).over(Window.partitionBy(lit(1))))
+      .withColumn("n_tot",
+        sum(col("n_s")).over(Window.partitionBy(lit(1))))
+      .withColumn("accept_bp",
+        least(lit(10000L),
+          expr("(10000 * (n_tot DIV 2) * w_s) DIV (w_tot * n_s)")))
+      .select("source", "n_s", "w_s", "accept_bp")
+    docs.join(broadcast(rates), "source")
+      .where(hashBucket(col("doc_id")) < col("accept_bp"))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_orig"),
+        max(col("w_s")).as("w_s"),
+        max(col("accept_bp")).as("accept_bp"),
+        count(lit(1)).as("n_sampled"),
+        sum(col("n_tok")).as("tokens_sampled"))
+      .orderBy("source")
+  }
+
   /** Context-window sequence packing (concatenate-and-split, the
     * standard pretraining packing): within each source, documents are
     * concatenated in doc_id order and split at a 2048-token budget; a
@@ -841,6 +881,7 @@ object Pipeline {
     "sample_reservoir" -> sampleReservoir,
     "sample_stratified" -> sampleStratified,
     "data_mixture" -> dataMixture,
+    "sample_temperature" -> sampleTemperature,
     "pack_sequences" -> packSequences,
     "tok_vocab" -> tokVocab,
     "tok_bpe" -> tokBpe,
@@ -1133,6 +1174,28 @@ object Pipeline {
                  count(*) AS n_mixed,
                  sum(n_tok)::BIGINT AS tokens_mixed
           FROM mixed GROUP BY source ORDER BY source""",
+    // Same isqrt weights (IEEE sqrt + floor is engine-invariant), same
+    // integer basis-point division, same md5 bucket — exact end to end.
+    "sample_temperature" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_s
+                     FROM documents GROUP BY source),
+          wts AS (SELECT source, n_s,
+                         floor(sqrt(n_s::DOUBLE))::BIGINT AS w_s FROM c),
+          tot AS (SELECT sum(n_s)::BIGINT AS n_tot,
+                         sum(w_s)::BIGINT AS w_tot FROM wts),
+          rates AS (SELECT source, n_s, w_s,
+                           least(10000,
+                             (10000 * (n_tot // 2) * w_s) // (w_tot * n_s))
+                             AS accept_bp
+                    FROM wts, tot),
+          samp AS (SELECT d.source, r.n_s, r.w_s, r.accept_bp,
+                          len(string_split(d.text, ' '))::BIGINT AS n_tok
+                   FROM documents d JOIN rates r USING (source)
+                   WHERE ${duckBucket("d.doc_id")} < r.accept_bp)
+          SELECT source, max(n_s)::BIGINT AS n_orig, max(w_s)::BIGINT AS w_s,
+                 max(accept_bp)::BIGINT AS accept_bp, count(*) AS n_sampled,
+                 sum(n_tok)::BIGINT AS tokens_sampled
+          FROM samp GROUP BY source ORDER BY source""",
     "pack_sequences" ->
       """WITH toks AS (
            SELECT source, doc_id,

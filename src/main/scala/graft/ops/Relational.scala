@@ -1018,6 +1018,48 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Truncated exponentially-weighted moving average — the streaming
+    * smoother next to [[tsAnomaly]]'s robust outliers: per event_type
+    * series in (ts, event_id) order, ewma_t = Σ_{j<K} λ^j·x_{t-j} /
+    * Σ_{j<K} λ^j with λ = 7/8 and K = 64. The kernel is TRUNCATED on
+    * purpose: the infinite-history recurrence is inherently sequential
+    * (and its closed-form window rewrite λ^{-i} overflows past ~4k
+    * rows), while a K-term kernel is a bounded ROWS frame — O(K) state
+    * per row, and at 100 TB a giant series can be range-chunked with a
+    * K-row halo and computed embarrassingly parallel (the rewrite the
+    * truncation exists to admit; series-count parallelism is the
+    * partitionBy). Determinism: the 64 weights are literals computed
+    * once by repeated multiplication and PASTED into both engines
+    * (shortest-roundtrip repr = same doubles), the per-row fold is over
+    * the frame-ordered history list, and outputs round to the 1e-6
+    * grid — ~1e-13 summation noise, engine-safe. */
+  private val ewmaK = 64
+  private val ewmaWeights: Array[Double] = Array.iterate(1.0d, ewmaK)(_ * 0.875d)
+  private def tsEwma: Q = (s, d) => {
+    val wl = array(ewmaWeights.map(lit(_)): _*)
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-(ewmaK - 1), Window.currentRow)
+    val raw = col("num") / col("den")
+    events(s, d)
+      .select(col("event_id"), col("event_type"), col("ts_us"), col("value"))
+      .withColumn("hist", collect_list(col("value")).over(w))
+      .withColumn("m", size(col("hist")))
+      .withColumn("num", aggregate(
+        zip_with(reverse(col("hist")), slice(wl, lit(1), col("m")),
+          (x, wt) => x * wt),
+        lit(0.0d), (acc, v) => acc + v))
+      .withColumn("den", aggregate(slice(wl, lit(1), col("m")),
+        lit(0.0d), (acc, v) => acc + v))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("m").cast("long").as("m"),
+        round(raw, 6).as("ewma"),
+        round(col("value") - raw, 6).as("dev"))
+      .orderBy("event_id")
+  }
+  private def ewmaWeightsSql: String =
+    ewmaWeights.map(w => s"$w::DOUBLE").mkString("[", ", ", "]")
+
   /** Ordered-pattern funnel (MATCH_RECOGNIZE analog): per user, the
     * first view → first click AT-OR-AFTER that view → first purchase
     * AT-OR-AFTER that click, in one window pass. Each stage qualifies
@@ -1342,6 +1384,7 @@ object Relational {
     "win_cohort" -> winCohort,
     "ts_motif" -> tsMotif,
     "ts_anomaly" -> tsAnomaly,
+    "ts_ewma" -> tsEwma,
     "agg_stats" -> aggStats,
     "agg_percentile" -> aggPercentile,
     "join_skew_salted" -> joinSkewSalted,
@@ -1741,6 +1784,25 @@ object Relational {
          FROM dv JOIN md USING (event_type)
          WHERE dv.dev > 3 * greatest(md.mad, 1)
          ORDER BY event_id""",
+    // Identical pasted weight literals, identical frame-ordered fold.
+    "ts_ewma" ->
+      s"""WITH ev AS (SELECT event_id, event_type,
+                             ${graft.Tables.duckTsUs("ts")} AS ts_us, value
+                      FROM events),
+          h AS (SELECT event_id, event_type, value,
+                       list(value) OVER (PARTITION BY event_type
+                            ORDER BY ts_us, event_id
+                            ROWS BETWEEN 63 PRECEDING AND CURRENT ROW) AS hist
+                FROM ev),
+          sc AS (SELECT event_id, event_type, value, len(hist)::BIGINT AS m,
+                        list_sum(list_transform(list_reverse(hist),
+                          (x, i) -> x * ($ewmaWeightsSql)[i])) AS num,
+                        list_sum(($ewmaWeightsSql)[1:len(hist)]) AS den
+                 FROM h)
+          SELECT event_id, event_type, value, m,
+                 round(num / den, 6) AS ewma,
+                 round(value - num / den, 6) AS dev
+          FROM sc ORDER BY event_id""",
     "win_funnel" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type,
                             ${duckTsUs("ts")} AS ts_us FROM events),

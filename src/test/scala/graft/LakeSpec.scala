@@ -49,6 +49,44 @@ class LakeSpec extends AnyFunSuite {
     assert(src.where($"text".contains("\n") || $"text" === "").count() === 0)
   }
 
+  test("scan_xml roundtrip is lossless row-for-row (entity escaping included)") {
+    val src = Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang", "source", "n_chars", "text")
+    val out = s"${Tables.scratchRoot}/formats_spec/xml"
+    src.write.mode("overwrite")
+      .format("xml").option("rootTag", "docs").option("rowTag", "doc")
+      .save(out)
+    val back = spark.read.format("xml")
+      .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, text STRING")
+      .option("rowTag", "doc").load(out)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("scan_compressed writes REAL gzip members and reads back losslessly") {
+    val src = Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang", "source", "n_chars", "text")
+    val out = s"${Tables.scratchRoot}/formats_spec/jsonl_gz"
+    src.repartition(8).write.mode("overwrite")
+      .option("compression", "gzip").json(out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(files.length === 8, "one gzip member per pre-shard")
+    // gzip magic bytes prove a real codec ran, not a renamed plain file
+    files.foreach { f =>
+      val in = new java.io.FileInputStream(f)
+      try {
+        val magic = Array.ofDim[Byte](2); in.read(magic)
+        assert((magic(0) & 0xff) === 0x1f && (magic(1) & 0xff) === 0x8b,
+          s"${f.getName}: not a gzip stream")
+      } finally in.close()
+    }
+    val back = spark.read
+      .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, text STRING")
+      .json(out)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
   test("scan_json roundtrip is lossless row-for-row") {
     val src = Tables.t(spark, sf, "documents")
       .select("doc_id", "lang", "source", "n_chars", "text")

@@ -408,4 +408,33 @@ class LlmSpec extends AnyFunSuite {
     assert(total > 0 && correct.toDouble / total >= 0.9,
       s"accuracy ${correct.toDouble / total} below 0.9")
   }
+
+  test("text_perplexity matches a from-first-principles Scala recomputation") {
+    val got = SparkEntry.queries("text_perplexity")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // independent model build: plain Scala maps over the collected corpus
+    val corpus = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val bigrams = corpus.values.flatMap(t => t.zip(t.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val prefix = bigrams.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val vocab = corpus.values.flatten.toSet.size.toLong
+    val expected = corpus.collect {
+      case (id, toks) if toks.length >= 2 =>
+        val bs = toks.zip(toks.tail)
+        val h = bs.map(b => math.log(prefix(b._1) + vocab) -
+          math.log(bigrams(b) + 1)).sum / bs.length
+        id -> (bs.length.toLong, h)
+    }
+    assert(got.length === expected.size, "one row per multi-token doc")
+    got.foreach { case (id, n, hNats, ppl) =>
+      val (en, eh) = expected(id)
+      assert(n === en, s"doc $id: bigram count")
+      assert(math.abs(hNats - eh) < 2e-6, s"doc $id: H $hNats vs $eh")
+      assert(math.abs(ppl - math.exp(eh)) < 1e-3, s"doc $id: ppl")
+      assert(hNats > 0 && ppl >= 1.0, s"doc $id: degenerate score")
+    }
+  }
 }

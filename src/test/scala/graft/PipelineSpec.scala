@@ -252,4 +252,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_._1).distinct.sorted.toSeq === (0L to 7L).toSeq,
       "all 8 shards populated")
   }
+
+  test("sample_temperature: tau=0.5 up-weights small sources monotonically") {
+    val rows = run("sample_temperature")
+      .select("source", "n_orig", "w_s", "accept_bp", "n_sampled").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nOrig, wS, bp, nSamp) =>
+      assert(wS === math.sqrt(nOrig.toDouble).toLong, s"$src: isqrt weight")
+      assert(bp >= 0 && bp <= 10000, s"$src: bp out of range")
+      assert(nSamp <= nOrig, s"$src: sampled more than it has")
+    }
+    // temperature contract: acceptance rate is non-increasing in source
+    // size (small sources keep a larger share), while absolute sampled
+    // counts still grow with size under tau=0.5
+    val bySize = rows.sortBy(_._2)
+    bySize.sliding(2).foreach {
+      case Array((s1, n1, _, bp1, _), (s2, n2, _, bp2, _)) if n1 < n2 =>
+        assert(bp1 >= bp2, s"$s1($n1)=$bp1 bp vs $s2($n2)=$bp2 bp")
+      case _ =>
+    }
+    // the sample is the hash-Bernoulli subset, re-derived independently
+    val docs = Tables.t(spark, sf, "documents")
+    val md5bp = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.conv(
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(
+            org.apache.spark.sql.functions.col("doc_id").cast("string")),
+          1, 8), 16, 10).cast("long"),
+      org.apache.spark.sql.functions.lit(10000L))
+    val bpMap = rows.map(r => r._1 -> r._4).toMap
+    val expected = docs.withColumn("bp", md5bp).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bp")))
+      .filter { case (src, b) => bpMap.contains(src) && b < bpMap(src) }
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (src, _, _, _, nSamp) =>
+      assert(expected(src) === nSamp, s"$src: hash-sample mismatch")
+    }
+  }
 }

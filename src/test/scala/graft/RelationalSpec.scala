@@ -345,4 +345,42 @@ class RelationalSpec extends AnyFunSuite {
       assert(g90 === p90(flag), s"p90($flag)")
     }
   }
+
+  test("ts_ewma: convex smoother, m=1 identity, K-halo chunk rewrite agrees") {
+    val rows = SparkEntry.queries("ts_ewma")(spark, sf)
+      .select("event_id", "event_type", "value", "m", "ewma").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // first row of each series smooths to itself
+    rows.filter(_._4 == 1L).foreach { case (id, _, v, _, e) =>
+      assert(math.abs(e - v) < 1e-6, s"event $id: m=1 must give ewma=value")
+    }
+    // independent sequential recompute per series + the halo claim:
+    // recomputing any row from only its last-64 slice must agree —
+    // which is exactly why a 100 TB series can be chunked with a
+    // 63-row halo and smoothed embarrassingly parallel.
+    val series = Tables.events(spark, sf)
+      .select("event_type", "ts_us", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._2, t._3)).map(t => (t._3, t._4)).toArray)
+      .toMap
+    val weights = Array.iterate(1.0d, 64)(_ * 0.875d)
+    val byId = rows.map(r => r._1 -> r._5).toMap
+    series.foreach { case (_, evs) =>
+      // spot-check a spread of positions including deep-history ones
+      val picks = Seq(0, 1, 63, 64, evs.length / 2, evs.length - 1)
+        .filter(i => i >= 0 && i < evs.length).distinct
+      picks.foreach { i =>
+        val hist = evs.slice(math.max(0, i - 63), i + 1).map(_._2).reverse
+        val num = hist.zip(weights).map { case (x, w) => x * w }.sum
+        val den = weights.take(hist.length).sum
+        val want = BigDecimal(num / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(byId(evs(i)._1) - want) < 2e-6,
+          s"event ${evs(i)._1}: halo recompute ${want} vs ${byId(evs(i)._1)}")
+      }
+    }
+  }
 }
