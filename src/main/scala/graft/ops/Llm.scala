@@ -995,8 +995,12 @@ object Llm {
     // has ≤ 16 docs, so the cap drops nothing and the result is
     // bit-identical to the uncapped query; the oracle applies the same
     // cap.) Jaccard is then over the capped gram universe on BOTH
-    // intersection and union sides — consistent semantics.
-    val dfCap = 64
+    // intersection and union sides — consistent semantics. 64 → 16
+    // after the 2026-08-14 testdata regen: sf0.1 blocks grew to ~112
+    // docs, putting most grams under the old cap and the pair join at
+    // 12.2M rows (10.6 s); at 16 the same join is 1.2M rows — and the
+    // cap stays a no-op at the sf0.01 gate (max block = exactly 16).
+    val dfCap = 16
     // One windowed pass (shuffle g once) instead of agg + join-back;
     // the self-join below then reuses the same exchange.
     val wdf = Window.partitionBy("source", "lang", "gram_h")
@@ -1721,7 +1725,7 @@ object Llm {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY doc_id""",
-    // Same df-cap (64) as the Spark plan: grams in > 64 docs of a
+    // Same df-cap (16) as the Spark plan: grams in > 16 docs of a
     // (source, lang) block are dropped before pairing; jaccard is over
     // the capped gram universe. At sf0.01 blocks have ≤ 16 docs, so the
     // cap is a no-op and the result equals the uncapped query.
@@ -1734,7 +1738,7 @@ object Llm {
            FROM documents),
          keep AS (
            SELECT source, lang, gram FROM g
-           GROUP BY source, lang, gram HAVING count(*) <= 64),
+           GROUP BY source, lang, gram HAVING count(*) <= 16),
          gk AS (SELECT g.* FROM g JOIN keep USING (source, lang, gram)),
          sizes AS (SELECT doc_id, count(*) AS n FROM gk GROUP BY doc_id),
          inter AS (
