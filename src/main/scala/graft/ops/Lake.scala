@@ -778,6 +778,45 @@ object Lake {
       .orderBy("source")
   }
 
+  /** Parquet MODULAR ENCRYPTION sink — the encrypted-lake write path
+    * (parquet-format PME): footer encrypted under one master key,
+    * `o_totalprice` pages under a second, via parquet-hadoop's real
+    * AES-GCM module crypto + envelope key wrapping against the
+    * [[graft.sources.InMemoryKms]] key seam. Everything travels as
+    * PER-RELATION datasource options (Spark folds them into the
+    * per-query Hadoop conf), so no global session conf is mutated and
+    * the returned DataFrame stays self-contained for any later action.
+    * The oracle aggregates the decrypted read-back against the
+    * plaintext source — equality proves the encrypt→decrypt round trip
+    * lossless; LakeSpec proves the ciphertext is real (PARE magic, read
+    * without keys fails, flipped byte fails GCM). At 100 TB this is
+    * per-file parallel exactly like any parquet write — the only
+    * central piece is the KMS, hit once per writer for key wrapping. */
+  private[graft] val cryptoConf: Map[String, String] = Map(
+    "parquet.crypto.factory.class" ->
+      "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory",
+    "parquet.encryption.kms.client.class" -> "graft.sources.InMemoryKms",
+    graft.sources.InMemoryKms.KeyListProp ->
+      graft.sources.InMemoryKms.testKeyList)
+  private[graft] def encryptedDir: String =
+    s"$scratchRoot/formats/orders_encrypted"
+  private def sinkParquetEncrypted: Q = (s, d) => {
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+      .write.mode("overwrite")
+      .options(cryptoConf)
+      .option("parquet.encryption.footer.key", "kf")
+      .option("parquet.encryption.column.keys", "kc:o_totalprice")
+      .parquet(encryptedDir)
+    s.read.options(cryptoConf).parquet(encryptedDir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_custkey")).as("cust_digest"),
+        round(sum(dec(col("o_totalprice"))), 2).cast("double").as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_manifest_prune" -> scanManifestPrune,
     "scan_orc" -> scanOrc,
@@ -786,6 +825,7 @@ object Lake {
     "scan_cdc" -> scanCdc,
     "sink_parquet_tuned" -> sinkParquetTuned,
     "sink_parquet_bloom" -> sinkParquetBloom,
+    "sink_parquet_encrypted" -> sinkParquetEncrypted,
     "scan_csv" -> scanCsv,
     "scan_json" -> scanJson,
     "scan_xml" -> scanXml,
@@ -893,6 +933,15 @@ object Lake {
                 round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE
                   AS total
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // Decrypted read-back vs the plaintext source: equality proves the
+    // encrypt→decrypt round trip lossless (the ciphertext-is-real
+    // proofs live in LakeSpec).
+    "sink_parquet_encrypted" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                sum(o_custkey)::BIGINT AS cust_digest,
+                round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE
+                  AS total
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // Roundtrip oracles read the SOURCE parquet: equality proves the
     // interchange-format write+read lossless.
     "scan_csv" ->

@@ -87,6 +87,48 @@ class LakeSpec extends AnyFunSuite {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("sink_parquet_encrypted: PARE magic, keyless read fails, tamper fails GCM") {
+    SparkEntry.queries("sink_parquet_encrypted")(spark, sf).collect()
+    val dir = new java.io.File(ops.Lake.encryptedDir)
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    // encrypted-footer parquet replaces the PAR1 magic with PARE at
+    // BOTH ends of the file — the physical proof encryption happened
+    files.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      assert(new String(bytes.take(4), "US-ASCII") === "PARE", f.getName)
+      assert(new String(bytes.takeRight(4), "US-ASCII") === "PARE", f.getName)
+    }
+    // a reader WITHOUT the key material must fail loudly, not leak rows
+    val noKeys = intercept[Throwable] {
+      spark.read.parquet(ops.Lake.encryptedDir).collect()
+    }
+    assert(noKeys.getMessage != null)
+    // a single flipped ciphertext byte must fail GCM authentication
+    val victim = files.head
+    val tampered = s"${Tables.scratchRoot}/formats_spec/tampered_enc"
+    val tdir = new java.io.File(tampered)
+    org.apache.commons.io.FileUtils.deleteQuietly(tdir); tdir.mkdirs()
+    // flip the LAST FOOTER CIPHERTEXT byte (tail layout is
+    // [footer ct][4-byte len][PARE]) — the footer is always GCM'd in
+    // encrypted-footer mode, so this fails authentication
+    // deterministically (a random mid-file byte might land in an
+    // unlisted column's plaintext pages)
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    bytes(bytes.length - 9) = (bytes(bytes.length - 9) ^ 0x01).toByte
+    java.nio.file.Files.write(
+      new java.io.File(tdir, victim.getName).toPath, bytes)
+    intercept[Throwable] {
+      spark.read.options(ops.Lake.cryptoConf).parquet(tampered).collect()
+    }
+    // and WITH keys, the plaintext round-trips exactly
+    val src = Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    val back = spark.read.options(ops.Lake.cryptoConf)
+      .parquet(ops.Lake.encryptedDir)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
   test("scan_json roundtrip is lossless row-for-row") {
     val src = Tables.t(spark, sf, "documents")
       .select("doc_id", "lang", "source", "n_chars", "text")
