@@ -261,10 +261,73 @@ object Graph {
       .limit(20)
   }
 
+  /** Symmetric FREQUENT co-purchase edges (pair support ≥ 3 orders) —
+    * the sparse "item family" backbone where connected components are
+    * meaningful (at support 1–2 the random-basket graph is one giant
+    * component and CC says nothing). Checkpointed one-time artifact
+    * like [[copurchaseEdges]]. */
+  private[graft] def frequentEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Llm.Scratch.table(s, s"$scratchRoot/graph/freqedges_${Llm.Scratch.key(d)}") {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val p = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
+        .agg(count(lit(1)).as("c")).where(col("c") >= 3)
+      p.select(col("x").as("src"), col("y").as("dst"))
+        .unionAll(p.select(col("y").as("src"), col("x").as("dst")))
+    }
+
+  /** Connected components over the frequent co-purchase backbone —
+    * iterative MIN-LABEL propagation run to CONVERGENCE (not a fixed
+    * unroll): each round every node takes the min of its own label and
+    * its neighbors' labels; a round that lowers no label ends the loop,
+    * at which point every label is provably the component's min node id
+    * (the dedup_cluster discipline applied to a declared graph op).
+    * Each round is one equi-join + min-aggregate — shuffle on node id,
+    * O(1) state per node, re-shuffling the SAME key every round (bucket
+    * the edges once on a cluster and the join is exchange-free). Rounds
+    * needed = graph diameter, a property of the data, not its size —
+    * at 100 TB the loop is as deep as the longest item-family chain.
+    * Per-round label materialization truncates lineage (the pagerank
+    * lesson); the changed-count is coordinator metadata (one long).
+    * The oracle computes true components INDEPENDENTLY via a recursive
+    * transitive closure — algorithm-level cross-validation, not a
+    * re-run; GraphSpec adds a third implementation (driver union-find). */
+  private def graphCc: Q = (s, d) => {
+    val e = frequentEdges(s, d)
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0) {
+      i += 1
+      val prop = e.join(labels, col("src") === col("node"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(prop, col("node") === col("dst"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
+      val path = s"$scratchRoot/graph/cc_${Llm.Scratch.key(d)}_i$i"
+      next.coalesce(1).write.mode("overwrite").parquet(path)
+      val cur = s.read.parquet(path)
+      changed = cur.where(col("chg")).count()
+      labels = cur.select("node", "lbl")
+    }
+    labels.groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("node")).as("id_digest"),
+        max(col("node")).as("max_node"))
+      .orderBy("component")
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
     "graph_triangles_fwd" -> graphTrianglesFwd,
+    "graph_cc" -> graphCc,
     "graph_jaccard" -> graphJaccard)
 
   // Shared by graph_triangles and graph_triangles_fwd: both enumerate
@@ -283,6 +346,27 @@ object Graph {
        ORDER BY n_tri DESC, node LIMIT 20"""
 
   val oracles: Map[String, String] = Map(
+    // Independent ALGORITHM, not a re-run: true components via a
+    // recursive transitive closure (min reachable id), vs the engine's
+    // converged label propagation.
+    "graph_cc" ->
+      """WITH RECURSIVE
+           li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem),
+           p AS (SELECT a.pk AS x, b.pk AS y
+                 FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                 GROUP BY x, y HAVING count(*) >= 3),
+           e AS (SELECT x AS s, y AS t FROM p
+                 UNION ALL SELECT y AS s, x AS t FROM p),
+           reach(a, b) AS (
+             SELECT s, t FROM e
+             UNION
+             SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s),
+           comp AS (SELECT a AS node, least(a, min(b)) AS component
+                    FROM reach GROUP BY a)
+         SELECT component, count(*) AS n_nodes,
+                sum(node)::BIGINT AS id_digest, max(node) AS max_node
+         FROM comp GROUP BY component ORDER BY component""",
     "graph_pagerank" -> prOracle,
     "graph_triangles" -> trianglesOracle,
     "graph_triangles_fwd" -> trianglesOracle,

@@ -292,6 +292,46 @@ object Pipeline {
       .orderBy("source", "pack_id")
   }
 
+  /** First-fit-decreasing BIN PACKING — the other packing discipline
+    * next to [[packSequences]]'s concatenate-and-split: documents must
+    * stay WHOLE (no mid-document truncation), so each source's docs are
+    * taken longest-first and placed into the first 512-token bin with
+    * room, opening a new bin when none fits (FFD wastes ≤ 22% more
+    * bins than optimal; greedy order makes it deterministic). The fold
+    * is a sequential state machine BY NATURE, so the unit of
+    * sequentiality is the blocking group: each source packs
+    * independently (parallelism = source count; at 100 TB you pack per
+    * (source, shard) — corpus_shard's output is exactly the right
+    * granularity, keeping every group collect_list-bounded). Both
+    * engines run the IDENTICAL first-fit fold over the identically
+    * sorted queue — pure integer state, exact hash match. */
+  private def packFfd: Q = (s, d) => {
+    val budget = 512L
+    val docs = t(s, d, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // ascending struct sort on (−n_tok, doc_id) = FFD's longest-first
+    val queue = docs.groupBy("source")
+      .agg(sort_array(collect_list(struct((-col("n_tok")).as("neg"),
+        col("doc_id").as("id")))).as("q"))
+    val bins = aggregate(
+      transform(col("q"), x => -x.getField("neg")),
+      expr("CAST(array() AS ARRAY<BIGINT>)"),
+      (acc, tok) => {
+        val fits = filter(
+          transform(acc, (b, i) => when(b + tok <= budget, i)),
+          v => v.isNotNull)
+        when(size(fits) === 0, concat(acc, array(tok)))
+          .otherwise(transform(acc, (b, i) =>
+            when(i === element_at(fits, 1), b + tok).otherwise(b)))
+      })
+    queue.select(col("source"), bins.as("bins"))
+      .select(col("source"), posexplode(col("bins")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("bin"),
+        col("col").as("load"))
+      .orderBy("source", "bin")
+  }
+
   /** Vocabulary building: top-100 tokens by corpus frequency with
     * document frequency — the tokenizer-training first pass. Explode →
     * one hash aggregation (map-side combinable); the top-k is a
@@ -883,6 +923,7 @@ object Pipeline {
     "data_mixture" -> dataMixture,
     "sample_temperature" -> sampleTemperature,
     "pack_sequences" -> packSequences,
+    "pack_ffd" -> packFfd,
     "tok_vocab" -> tokVocab,
     "tok_bpe" -> tokBpe,
     "sim_ann_ivf" -> simAnnIvf,
@@ -1196,6 +1237,33 @@ object Pipeline {
                  max(accept_bp)::BIGINT AS accept_bp, count(*) AS n_sampled,
                  sum(n_tok)::BIGINT AS tokens_sampled
           FROM samp GROUP BY source ORDER BY source""",
+    // The identical first-fit fold over the identically sorted queue:
+    // list_reduce needs acc and element types to match, so sizes ride
+    // as single-element lists.
+    "pack_ffd" ->
+      """WITH t0 AS (SELECT source, doc_id,
+                     len(string_split(text, ' '))::BIGINT AS n_tok
+              FROM documents),
+         q AS (SELECT source,
+                      list(n_tok ORDER BY n_tok DESC, doc_id) AS sizes
+               FROM t0 GROUP BY source),
+         b AS (SELECT source, list_reduce(
+                 list_transform(sizes, x -> [x]),
+                 (acc, x) -> CASE
+                   WHEN len(list_filter(list_transform(acc,
+                          (bb, i) -> CASE WHEN bb + x[1] <= 512 THEN i END),
+                          v -> v IS NOT NULL)) = 0
+                   THEN list_append(acc, x[1])
+                   ELSE list_transform(acc, (bb, i) ->
+                          CASE WHEN i = list_filter(list_transform(acc,
+                                 (b2, i2) -> CASE WHEN b2 + x[1] <= 512
+                                             THEN i2 END),
+                                 v -> v IS NOT NULL)[1]
+                               THEN bb + x[1] ELSE bb END) END) AS bins
+               FROM q)
+         SELECT source, generate_subscripts(bins, 1)::BIGINT AS bin,
+                unnest(bins) AS load
+         FROM b ORDER BY source, bin""",
     "pack_sequences" ->
       """WITH toks AS (
            SELECT source, doc_id,

@@ -114,6 +114,53 @@ class GraphSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("graph_cc matches a driver-side union-find (third independent algorithm)") {
+    val got = SparkEntry.queries("graph_cc")(spark, SharedSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // third implementation: classic union-find over the collected edges
+    // (the registered query is label propagation, the oracle a recursive
+    // closure — three algorithms, one answer)
+    val edges = ops.Graph.frequentEdges(spark, SharedSpark.sf)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comps = parent.keys.toSeq.groupBy(find)
+    val expected = comps.map { case (c, ns) =>
+      (c, ns.size.toLong, ns.sum, ns.max)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq === expected)
+  }
+
+  test("pack_ffd matches a driver-side first-fit-decreasing recompute") {
+    val got = SparkEntry.queries("pack_ffd")(spark, SharedSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.t(spark, SharedSpark.sf, "documents")
+      .selectExpr("source", "doc_id",
+        "cast(size(split(text, ' ')) AS BIGINT) AS n_tok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      val bins = scala.collection.mutable.ArrayBuffer[Long]()
+      ds.sortBy(d => (-d._3, d._2)).foreach { case (_, _, tok) =>
+        bins.indexWhere(_ + tok <= 512L) match {
+          case -1 => bins += tok
+          case i  => bins(i) += tok
+        }
+      }
+      bins.zipWithIndex.map { case (load, i) => (src, (i + 1).toLong, load) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === expected)
+    assert(got.forall(_._3 <= 512L), "no bin over budget")
+  }
+
   test("graph_pagerank rank floor is the damping base and ranks vary") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, SharedSpark.sf)
       .collect()
