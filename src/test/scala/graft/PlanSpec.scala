@@ -230,4 +230,24 @@ class PlanSpec extends AnyFunSuite {
         s"text crosses a hash shuffle: ${shipped.mkString(",")}")
     }
   }
+
+  test("sample_temperature broadcasts the dim-sized rate table onto the corpus") {
+    val p = planOf("sample_temperature")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ts_ewma is one window pass — no self-join of the series") {
+    val p = planOf("ts_ewma")
+    assert(!p.contains("Join"), p)
+    // exactly one Window node computes the frame history
+    assert("Window".r.findAllIn(p).size === 1, p)
+  }
+
+  test("ts_ewma shuffles each series once (single hash exchange on event_type)") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val shuffles = executedShuffles("ts_ewma")
+      .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+    assert(shuffles.size === 1, shuffles.map(_.outputPartitioning).mkString(";"))
+  }
 }
