@@ -315,6 +315,71 @@ object Ingest {
     dir.getAbsolutePath
   }
 
+  /** Deterministic TAR fixture: a commons-compress-WRITTEN `.tar.gz`
+    * bundle (independent producer — proves the hand-rolled parser reads
+    * real tars), with a directory entry (skipped), flattened nested
+    * paths, a basename collision across directories, and a tar-inside-
+    * a-tar whose member must surface as its own row. */
+  private[graft] def buildTarFixture(): String = {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val dir = new File(s"$scratchRoot/tarfixture")
+    dir.mkdirs()
+    def tar(members: Seq[(String, Array[Byte], Long)]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val t = new TarArchiveOutputStream(bos)
+      members.foreach { case (name, data, mtimeSec) =>
+        val e = new TarArchiveEntry(name)
+        if (!name.endsWith("/")) e.setSize(data.length.toLong)
+        e.setModTime(mtimeSec * 1000L)
+        t.putArchiveEntry(e)
+        if (!name.endsWith("/")) t.write(data)
+        t.closeArchiveEntry()
+      }
+      t.close()
+      bos.toByteArray
+    }
+    val inner = tar(Seq(
+      ("c.txt", "nested member inside inner tar\n".getBytes("UTF-8"),
+        1700000002L)))
+    val bundle = tar(Seq(
+      ("a.txt", "alpha payload for tar\n".getBytes("UTF-8"),
+        1700000001L),
+      ("sub/", Array.emptyByteArray, 1700000000L),
+      ("sub/b.bin", "binary-ish payload 0123456789\n".getBytes("UTF-8"),
+        1700000003L),
+      ("inner.tar", inner, 1700000006L),
+      ("x/d.txt", "first d payload\n".getBytes("UTF-8"), 1700000004L),
+      ("y/d.txt", "second d payload\n".getBytes("UTF-8"), 1700000005L)))
+    val gz = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(gz)
+    g.write(bundle); g.close()
+    val f = new File(dir, "bundle.tar.gz")
+    val o = new FileOutputStream(f)
+    o.write(gz.toByteArray); o.close()
+    dir.getAbsolutePath
+  }
+
+  /** Tar-archive ingest — the sibling of the zip explode for the other
+    * archive family (software drops, corpus bundles, `.tar.gz` web
+    * exports): binaryFile scan → [[graft.expr.TarEntries]] explode
+    * (hand-rolled ustar parser, checksum-verified, gzip-sniffing,
+    * recursive into nested tars) → per-member name/mtime/size/crc32.
+    * The oracle is a pinned VALUES table whose CRCs were computed by
+    * CPython's zlib over the authored member contents — matching them
+    * through the commons-compress-written, gzip-wrapped, hand-parsed
+    * round trip proves the whole archive path end to end. Scale shape:
+    * archives explode in executor space (one row in, N rows out);
+    * member bytes never shuffle — downstream keys are name + digest. */
+  private def ingestTar: Q = (s, _) => {
+    val dir = buildTarFixture()
+    s.read.format("binaryFile").load(s"$dir/bundle.tar.gz")
+      .select(explode(graft.expr.TarEntries.tar_entries(col("content")))
+        .as("m"))
+      .select(col("m.name").as("name"), col("m.mtime").as("mtime"),
+        col("m.size").as("size"), crc32(col("m.content")).as("crc"))
+      .orderBy("name", "crc")
+  }
+
   /** End-to-end ingest pipeline over the fixture:
     * scan → derive → zip-explode (flat union, R15 dispatch) → sanitize →
     * manifest anti-join (R18 skip) → collision rename (R17, rank-derived
@@ -773,9 +838,23 @@ object Ingest {
     "mm_audio" -> mmAudio,
     "catalog_ops" -> catalogOps,
     "sink_fs_connector" -> sinkFsConnector,
+    "ingest_tar" -> ingestTar,
   )
 
   val oracles: Map[String, String] = Map(
+    // Pinned VALUES with CPython-zlib CRCs over the authored member
+    // contents: a match proves commons-compress write → gzip → hand-
+    // rolled ustar parse (incl. the nested inner.tar recursion and the
+    // basename flatten/collision) returns exactly the authored bytes.
+    // The sub/ directory entry must contribute nothing.
+    "ingest_tar" ->
+      """SELECT * FROM (VALUES
+           ('a.txt',  1700000001::BIGINT, 22::BIGINT, 4216356312::BIGINT),
+           ('b.bin',  1700000003::BIGINT, 30::BIGINT,  645686464::BIGINT),
+           ('c.txt',  1700000002::BIGINT, 31::BIGINT, 2845671034::BIGINT),
+           ('d.txt',  1700000005::BIGINT, 17::BIGINT,  228137218::BIGINT),
+           ('d.txt',  1700000004::BIGINT, 16::BIGINT, 2136971414::BIGINT))
+         t(name, mtime, size, crc) ORDER BY name, crc""",
     // Deterministic fixture → pinned audit; sha256 digests computed
     // independently (python hashlib) over the known payload bytes.
     // empty.txt is absent: Spark's file index drops zero-byte files

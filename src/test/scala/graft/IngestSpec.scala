@@ -243,4 +243,47 @@ class IngestSpec extends AnyFunSuite {
     val all = Tables.t(spark, sf, "customer").count()
     assert(semi + anti === all)
   }
+
+  test("tar parser matches commons-compress entry-for-entry; checksum tamper dies") {
+    val dir = ops.Ingest.buildTarFixture()
+    val gzBytes = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "bundle.tar.gz").toPath)
+    val gun = {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(gzBytes))
+      try in.readAllBytes() finally in.close()
+    }
+    // reference reader: commons-compress (INDEPENDENT implementation),
+    // recursing into inner.tar the same way the hand parser does
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    def ccParse(bytes: Array[Byte]): Seq[(String, Long, Long, Seq[Byte])] = {
+      val t = new TarArchiveInputStream(new java.io.ByteArrayInputStream(bytes))
+      val b = Seq.newBuilder[(String, Long, Long, Seq[Byte])]
+      var e = t.getNextEntry
+      while (e != null) {
+        if (e.isFile) {
+          val content = t.readAllBytes()
+          val base = e.getName.split('/').last
+          if (base.endsWith(".tar")) b ++= ccParse(content)
+          else b += ((base, e.getModTime.getTime / 1000, e.getSize,
+            content.toSeq))
+        }
+        e = t.getNextEntry
+      }
+      b.result()
+    }
+    val ref = ccParse(gun).sortBy(x => (x._1, x._4.hashCode))
+    val mine = graft.expr.TarEntries.extract(gzBytes)
+      .map(en => (en.name, en.mtime, en.size, en.content.toSeq))
+      .sortBy(x => (x._1, x._4.hashCode))
+    assert(mine === ref, "hand-rolled ustar parse must equal commons-compress")
+    assert(mine.map(_._1).sorted ===
+      Seq("a.txt", "b.bin", "c.txt", "d.txt", "d.txt"), "expected member set")
+    // a flipped byte inside the first header's checksum field must die
+    val bad = gun.clone()
+    bad(150) = (bad(150) ^ 0x01).toByte
+    intercept[IllegalArgumentException] {
+      graft.expr.TarEntries.extract(bad)
+    }
+  }
 }
