@@ -72,6 +72,11 @@ object TarEntries {
         }
         val rawName = new String(hdr, 0, nameLen, "US-ASCII")
         val size = octal(hdr, 124, 12)
+        // In-memory explode requires the member to fit an Int; a silent
+        // negative toInt would also walk `off` BACKWARD (infinite loop
+        // on a malicious size field), so bound it loudly.
+        require(size >= 0 && size <= Int.MaxValue - 1024L,
+          s"tar member size out of supported range: $size")
         val mtime = octal(hdr, 136, 12)
         val typeflag = hdr(156).toChar
         val isFile = (typeflag == '0' || typeflag == 0.toChar) &&
