@@ -1060,6 +1060,56 @@ object Relational {
   private def ewmaWeightsSql: String =
     ewmaWeights.map(w => s"$w::DOUBLE").mkString("[", ", ", "]")
 
+  /** Linear INTERPOLATION over the regular slot grid — the missing-data
+    * answer between [[graft.ops.Streaming]]'s win_gapfill (LOCF) and a
+    * model: an empty slot between two observed slots gets the value on
+    * the straight line between them; slots before the first / after the
+    * last observation carry the nearest edge value. Two window passes
+    * over the SAME partitioning (prev-observed via running last, next-
+    * observed via reversed-frame first) — one shuffle per series, O(1)
+    * state per row. Exactness without rounding: slot means are one IEEE
+    * division of exact integers (cents), and the interpolation
+    * `pm + (nm − pm)·(t − t₀)/(t₁ − t₀)` is the same fixed chain of
+    * exact-rounded IEEE ops in both engines, so the raw doubles match
+    * bitwise — the discipline the verify skill's rounding gotcha
+    * prescribes (identical single IEEE ops, no round() of raw doubles). */
+  private def tsInterp: Q = (s, d) => {
+    val slotUs = 600000000L
+    val ev = events(s, d).select(col("event_type"),
+      expr(s"ts_us div $slotUs").as("slot"),
+      (dec(col("value")) * 100).cast("long").as("cents"))
+    val agg = ev.groupBy("event_type", "slot")
+      .agg(count(lit(1)).as("n_obs"), sum(col("cents")).as("sc"))
+      .withColumn("m", col("sc").cast("double") / col("n_obs"))
+    val bounds = ev.agg(min("slot").as("lo"), max("slot").as("hi"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("slot"))
+    val wPrev = Window.partitionBy("event_type").orderBy("slot")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("event_type").orderBy("slot")
+      .rowsBetween(0, Window.unboundedFollowing)
+    grid.join(agg, Seq("event_type", "slot"), "left")
+      .withColumn("pm", last(col("m"), ignoreNulls = true).over(wPrev))
+      .withColumn("ps", last(when(col("m").isNotNull, col("slot")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nm", first(col("m"), ignoreNulls = true).over(wNext))
+      .withColumn("ns", first(when(col("m").isNotNull, col("slot")),
+        ignoreNulls = true).over(wNext))
+      .select(col("event_type"), (col("slot") * 600).as("slot_s"),
+        coalesce(col("n_obs"), lit(0L)).as("n"),
+        when(col("m").isNotNull, lit("obs"))
+          .when(col("pm").isNotNull && col("nm").isNotNull, lit("interp"))
+          .otherwise(lit("edge")).as("kind"),
+        when(col("m").isNotNull, col("m"))
+          .when(col("pm").isNotNull && col("nm").isNotNull,
+            col("pm") + (col("nm") - col("pm")) *
+              (col("slot") - col("ps")) / (col("ns") - col("ps")))
+          .otherwise(coalesce(col("pm"), col("nm"))).as("value"))
+      .orderBy("event_type", "slot_s")
+  }
+
   /** Ordered-pattern funnel (MATCH_RECOGNIZE analog): per user, the
     * first view → first click AT-OR-AFTER that view → first purchase
     * AT-OR-AFTER that click, in one window pass. Each stage qualifies
@@ -1385,6 +1435,7 @@ object Relational {
     "ts_motif" -> tsMotif,
     "ts_anomaly" -> tsAnomaly,
     "ts_ewma" -> tsEwma,
+    "ts_interp" -> tsInterp,
     "agg_stats" -> aggStats,
     "agg_percentile" -> aggPercentile,
     "join_skew_salted" -> joinSkewSalted,
@@ -1784,6 +1835,49 @@ object Relational {
          FROM dv JOIN md USING (event_type)
          WHERE dv.dev > 3 * greatest(md.mad, 1)
          ORDER BY event_id""",
+    // Same cents trunc, same slot div, same IGNORE NULLS windows, and
+    // the interpolation is the same fixed chain of exact-rounded IEEE
+    // ops — raw doubles match bitwise, no rounding.
+    "ts_interp" ->
+      s"""WITH ev AS (SELECT event_type,
+                             (${graft.Tables.duckTsUs("ts")}) // 600000000
+                               AS slot,
+                             CAST(trunc(CAST(value AS DECIMAL(18,4)) * 100)
+                                  AS BIGINT) AS cents
+                      FROM events),
+          agg AS (SELECT event_type, slot, count(*) AS n_obs,
+                         sum(cents)::BIGINT AS sc
+                  FROM ev GROUP BY event_type, slot),
+          a2 AS (SELECT *, sc::DOUBLE / n_obs AS m FROM agg),
+          bounds AS (SELECT min(slot) AS lo, max(slot) AS hi FROM ev),
+          grid AS (SELECT event_type, unnest(range(lo, hi + 1)) AS slot
+                   FROM (SELECT DISTINCT event_type FROM ev), bounds),
+          j AS (SELECT g.event_type, g.slot, a2.n_obs, a2.m
+                FROM grid g LEFT JOIN a2 USING (event_type, slot)),
+          w AS (SELECT *,
+                 last_value(m IGNORE NULLS) OVER wp AS pm,
+                 last_value(CASE WHEN m IS NOT NULL THEN slot END
+                            IGNORE NULLS) OVER wp AS ps,
+                 first_value(m IGNORE NULLS) OVER wn AS nm,
+                 first_value(CASE WHEN m IS NOT NULL THEN slot END
+                             IGNORE NULLS) OVER wn AS ns
+                FROM j
+                WINDOW wp AS (PARTITION BY event_type ORDER BY slot
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW),
+                       wn AS (PARTITION BY event_type ORDER BY slot
+                              ROWS BETWEEN CURRENT ROW
+                                       AND UNBOUNDED FOLLOWING))
+          SELECT event_type, slot * 600 AS slot_s,
+                 coalesce(n_obs, 0)::BIGINT AS n,
+                 CASE WHEN m IS NOT NULL THEN 'obs'
+                      WHEN pm IS NOT NULL AND nm IS NOT NULL THEN 'interp'
+                      ELSE 'edge' END AS kind,
+                 CASE WHEN m IS NOT NULL THEN m
+                      WHEN pm IS NOT NULL AND nm IS NOT NULL
+                      THEN pm + (nm - pm) * (slot - ps) / (ns - ps)
+                      ELSE coalesce(pm, nm) END AS value
+          FROM w ORDER BY event_type, slot_s""",
     // Identical pasted weight literals, identical frame-ordered fold.
     "ts_ewma" ->
       s"""WITH ev AS (SELECT event_id, event_type,

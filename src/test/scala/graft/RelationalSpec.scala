@@ -346,6 +346,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_interp: interpolated slots are collinear with their observed neighbors") {
+    val rows = SparkEntry.queries("ts_interp")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._4 == "interp"), "grid must contain gaps to fill")
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      val sorted = series.sortBy(_._2)
+      val obs = sorted.filter(_._4 == "obs").map(r => r._2 -> r._5)
+      sorted.filter(_._4 == "interp").foreach { case (_, t, n, _, v) =>
+        assert(n === 0L, "an interp slot must have no observations")
+        val (t0, v0) = obs.filter(_._1 < t).maxBy(_._1)
+        val (t1, v1) = obs.filter(_._1 > t).minBy(_._1)
+        val want = v0 + (v1 - v0) * (t - t0) / (t1 - t0)
+        assert(math.abs(v - want) < 1e-9, s"slot $t: $v vs line $want")
+      }
+      // edge slots carry the nearest observed value
+      sorted.filter(_._4 == "edge").foreach { case (_, t, _, _, v) =>
+        val nearest =
+          if (t < obs.head._1) obs.head._2 else obs.last._2
+        assert(v === nearest, s"edge slot $t")
+      }
+    }
+  }
+
   test("ts_ewma: convex smoother, m=1 identity, K-halo chunk rewrite agrees") {
     val rows = SparkEntry.queries("ts_ewma")(spark, sf)
       .select("event_id", "event_type", "value", "m", "ewma").collect()
