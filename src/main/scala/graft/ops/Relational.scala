@@ -262,6 +262,48 @@ object Relational {
       .orderBy("p_id")
   }
 
+  /** NEAREST-direction as-of — the pandas `merge_asof(direction=
+    * 'nearest')` semantics completing the family (join_asof = backward,
+    * join_asof_native = backward via the custom exec): each purchase
+    * pairs with whichever view is closer in time, before OR after, tie
+    * to the earlier one. Same single-pass shape as [[joinAsof]]: union
+    * the streams, ONE shuffle on user, a running-last window for the
+    * previous view and a reversed-frame first window for the next —
+    * O(1) state per row, no join node, per-user history never
+    * materializes as pairs. Same-timestamp views sort before purchases
+    * ((ts, tag) order), so they are "previous" at distance 0 — the
+    * deterministic tie the oracle mirrors. */
+  private def joinAsofNearest: Q = (s, d) => {
+    val ev = events(s, d)
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(col("event_type") === "view", 0).otherwise(1).as("tag"))
+    val wPrev = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("tag"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val isView = col("tag") === 0
+    ev
+      .withColumn("pv", last(when(isView, col("ts_us")), ignoreNulls = true)
+        .over(wPrev))
+      .withColumn("nv", first(when(isView, col("ts_us")), ignoreNulls = true)
+        .over(wNext))
+      .where(col("tag") === 1)
+      .where(col("pv").isNotNull || col("nv").isNotNull)
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts_us").as("p_us"),
+        when(col("nv").isNull ||
+          (col("pv").isNotNull &&
+            col("ts_us") - col("pv") <= col("nv") - col("ts_us")),
+          col("pv")).otherwise(col("nv")).as("v_us"))
+      .withColumn("dir",
+        when(col("v_us") <= col("p_us"), "prev").otherwise("next"))
+      .withColumn("delta_us", abs(col("p_us") - col("v_us")))
+      .orderBy("p_id")
+  }
+
   /** The naive join-then-aggregate as-of formulation — per-user
     * quadratic, kept ONLY as a spec-side cross-check against the
     * registered single-pass window plan (RelationalSpec). */
@@ -1407,6 +1449,7 @@ object Relational {
     "join_range" -> joinRange,
     "join_asof" -> joinAsof,
     "join_asof_native" -> joinAsofNative,
+    "join_asof_nearest" -> joinAsofNearest,
     "agg_hash" -> aggHash,
     "agg_distinct" -> aggDistinct,
     "agg_approx" -> aggApprox,
@@ -1544,6 +1587,26 @@ object Relational {
           LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
             ON p.user_id = v.user_id AND ${duckTsUs("v.ts")} <= ${duckTsUs("p.ts")}
           GROUP BY p.event_id ORDER BY p_id""",
+    // Independent formulation: argmin |Δ| over the full pair space with
+    // the (distance, prev-first) tie order — vs the engine's O(n)
+    // two-window pass.
+    "join_asof_nearest" ->
+      s"""WITH p AS (SELECT event_id AS p_id, user_id,
+                            ${duckTsUs("ts")} AS p_us
+                     FROM events WHERE event_type = 'purchase'),
+              v AS (SELECT user_id, ${duckTsUs("ts")} AS v_us
+                    FROM events WHERE event_type = 'view'),
+              c AS (SELECT p.p_id, p.user_id, p.p_us, v.v_us,
+                           abs(p.p_us - v.v_us) AS d,
+                           CASE WHEN v.v_us <= p.p_us THEN 0 ELSE 1 END
+                             AS side
+                    FROM p JOIN v USING (user_id)),
+              r AS (SELECT *, row_number() OVER (PARTITION BY p_id
+                      ORDER BY d, side, v_us) AS rn FROM c)
+          SELECT p_id, user_id, p_us, v_us,
+                 CASE WHEN v_us <= p_us THEN 'prev' ELSE 'next' END AS dir,
+                 d AS delta_us
+          FROM r WHERE rn = 1 ORDER BY p_id""",
     // DuckDB's NATIVE ASOF LEFT JOIN vs the custom physical operator.
     "join_asof_native" ->
       s"""WITH p AS (SELECT event_id AS p_id, user_id,

@@ -231,6 +231,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("join_asof_nearest is the single-pass two-window plan — no join node") {
+    val p = planOf("join_asof_nearest")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("sample_temperature broadcasts the dim-sized rate table onto the corpus") {
     val p = planOf("sample_temperature")
     assert(p.contains("BroadcastHashJoin"), p)
