@@ -1029,6 +1029,51 @@ object Llm {
       .limit(10)
   }
 
+  /** LSH QUALITY EVALUATION — "measure, don't guess" applied to the
+    * engine's own approximation: every TRUE near-dup pair (exact
+    * shingle-set Jaccard ≥ 1/2) is listed with whether the MinHash/LSH
+    * band join would have surfaced it. The truth side is EXACT yet
+    * subquadratic: a qualifying pair must share ≥ 1 shingle, so the
+    * shared-shingle inverted index loses nothing, and the Jaccard
+    * test is pure integers (I/(na+nb−I) ≥ 1/2 ⟺ 3I ≥ na+nb — no
+    * division). Shingles ride as 8-byte xxhash64 keys (the dedup_ngram
+    * discipline; the python pin hashes identically, so collisions —
+    * ~n²/2⁶⁴ — would be caught, not hidden). At 100 TB the index adds
+    * a df-cap like dedup_ngram's (a shingle in every doc is stopword
+    * noise); the synthetic corpus needs none. Oracle: pinned VALUES
+    * from the independent pure-python XXH64 stack
+    * (tools/recall_oracle.py — same shingling, same band hashing,
+    * zero JVM involvement). */
+  private def dedupMinhashRecall: Q = (s, d) => {
+    val sigT = minhashSigTable(s, d)
+    val sh = fanOut(t(s, d, "documents"))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val inter = sh.select(col("doc_id").as("a_id"), col("gh"))
+      .join(sh.select(col("doc_id").as("b_id"), col("gh")), Seq("gh"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+    val sz = sigT.select(col("doc_id"), col("n_shingles"))
+    val bands = bandRows(sigT)
+    val cand = bands
+      .select(col("doc_id").as("a_id"), col("band_idx"), col("band_hash"))
+      .join(bands.select(col("doc_id").as("b_id"), col("band_idx"),
+        col("band_hash")), Seq("band_idx", "band_hash"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .withColumn("in_lsh", lit(true))
+    inter
+      .join(sz.select(col("doc_id").as("a_id"),
+        col("n_shingles").as("na")), Seq("a_id"))
+      .join(sz.select(col("doc_id").as("b_id"),
+        col("n_shingles").as("nb")), Seq("b_id"))
+      .where(lit(3) * col("n_shared") >= col("na") + col("nb"))
+      .join(cand, Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"), col("n_shared"), col("na"),
+        col("nb"), coalesce(col("in_lsh"), lit(false)).as("in_lsh"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** 4 deterministic pseudo-random hyperplanes (seeded LCG — no
     * Math.random) shared by sim_ann_lsh and dedup_embed. The SAME
     * constants are inlined as double literals into the DuckDB oracles
@@ -1411,6 +1456,7 @@ object Llm {
     "text_html_extract" -> textHtmlExtract,
     "text_lm_score" -> textLmScore,
     "text_perplexity" -> textPerplexity,
+    "dedup_minhash_recall" -> dedupMinhashRecall,
     "text_compress_ratio" -> textCompressRatio,
     "text_pii_scrub" -> textPiiScrub,
     "text_seg_dedup" -> textSegDedup,
@@ -1487,6 +1533,42 @@ object Llm {
                 (support::DOUBLE / n_bigrams)
                   >= 0.5 * (ts::DOUBLE / tn) AS keep
          FROM scored, tot ORDER BY doc_id""",
+    // Pinned from tools/recall_oracle.py (independent python XXH64
+    // stack): 25 exact truth pairs, 24 surfaced by LSH — recall 0.96;
+    // the one miss is the (26,455) pair of 9/10-shingle documents,
+    // exactly the small-doc blind spot banding theory predicts.
+    "dedup_minhash_recall" ->
+      """SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id,
+                n_shared::BIGINT AS n_shared, na::BIGINT AS na,
+                nb::BIGINT AS nb, in_lsh
+         FROM (VALUES
+           (8, 245, 81, 82, 81, true),
+           (26, 455, 9, 10, 9, false),
+           (31, 383, 41, 41, 42, true),
+           (44, 446, 22, 22, 23, true),
+           (45, 267, 75, 77, 75, true),
+           (45, 413, 76, 77, 76, true),
+           (58, 293, 69, 70, 69, true),
+           (61, 185, 56, 57, 56, true),
+           (70, 447, 91, 92, 91, true),
+           (72, 377, 40, 40, 41, true),
+           (87, 134, 21, 21, 22, true),
+           (92, 450, 23, 24, 23, true),
+           (98, 290, 91, 91, 92, true),
+           (107, 387, 37, 38, 37, true),
+           (120, 332, 34, 35, 34, true),
+           (152, 178, 36, 37, 36, true),
+           (166, 323, 59, 59, 60, true),
+           (267, 413, 75, 75, 76, true),
+           (285, 301, 91, 92, 91, true),
+           (295, 374, 29, 30, 29, true),
+           (310, 389, 25, 25, 26, true),
+           (326, 457, 34, 34, 35, true),
+           (393, 420, 78, 79, 78, true),
+           (435, 486, 29, 29, 30, true),
+           (458, 462, 57, 57, 58, true))
+         t(a_id, b_id, n_shared, na, nb, in_lsh)
+         ORDER BY a_id, b_id""",
     // Same add-one bigram model, same ln-of-integer sums, same 1e-6
     // rounding grid; single-token docs drop on both sides.
     "text_perplexity" ->

@@ -409,6 +409,41 @@ class LlmSpec extends AnyFunSuite {
       s"accuracy ${correct.toDouble / total} below 0.9")
   }
 
+  test("dedup_minhash_recall: high recall; in_lsh flag equals the banding mechanics") {
+    val rows = SparkEntry.queries("dedup_minhash_recall")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty, "planted near-dups must produce truth pairs")
+    rows.foreach { case (a, b, i, na, nb, _) =>
+      assert(a < b, "canonical pair order")
+      assert(3 * i >= na + nb, "every listed pair passes the exact test")
+      assert(i <= math.min(na, nb), "intersection bounded by set sizes")
+    }
+    val recall = rows.count(_._6).toDouble / rows.length
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 on planted dups")
+    // the flag is MECHANICAL, not statistical: in_lsh ⟺ some band of 4
+    // consecutive signature slots agrees. (At K=16 fixed seeds even a
+    // j≈0.96 pair can miss when its few disagreeing slots spread one
+    // per band — sf0.001's (45,487) does exactly that, which is the
+    // honest caveat this eval operator exists to expose.)
+    graft.expr.MinHashSketch.register(spark)
+    import org.apache.spark.sql.functions._
+    val toks = split(col("text"), " ")
+    val sh = array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2))))
+    val sigs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), call_function("minhash_sig", sh).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { case (a, b, _, _, _, inLsh) =>
+      val bandAgrees = (0 until 4).exists(band =>
+        (0 until 4).forall(j => sigs(a)(band * 4 + j) == sigs(b)(band * 4 + j)))
+      assert(bandAgrees === inLsh,
+        s"($a,$b): banding mechanics disagree with in_lsh=$inLsh")
+    }
+  }
+
   test("text_perplexity matches a from-first-principles Scala recomputation") {
     val got = SparkEntry.queries("text_perplexity")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
