@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables._
 import graft.ops.Llm.{dot, norm, duckCosOf}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -330,6 +330,48 @@ object Pipeline {
       .select(col("source"), (col("pos") + 1).cast("long").as("bin"),
         col("col").as("load"))
       .orderBy("source", "bin")
+  }
+
+  /** Dataset CARD — the release artifact every corpus ships with, as
+    * one query: per-language and per-source inventories, the corpus
+    * total, quality-gate pass/fail splits (the text_score rule), and
+    * the exact-dedup unique count. All exact integers except the one
+    * IEEE division inside the quality rule (the text_score
+    * discipline), one scan feeding four small aggregations — at
+    * 100 TB this is a single pass plus dim-sized shuffles, the cheap
+    * final step of a release pipeline, not a new heavy job. */
+  private def pipelineDatasetCard: Q = (s, d) => {
+    val toksArr = split(col("text"), " ")
+    val base = t(s, d, "documents").select(
+      col("doc_id"), col("lang"), col("source"), col("text"),
+      size(toksArr).cast("long").as("n_tok"),
+      (size(filter(toksArr, x => x.isin("the", "a", "of", "and", "to")))
+        .cast("long") * 600L +
+        least(length(col("text")).cast("long"), lit(500L)) * 3L)
+        .cast("double").as("score_num"))
+      .withColumn("keep",
+        col("score_num") / col("n_tok").cast("double") >= 50.0d)
+    def sect(df: DataFrame, section: String): DataFrame =
+      df.select(lit(section).as("section"), col("k"),
+        col("n_docs"), col("n_tokens"))
+    val byLang = base.groupBy(col("lang").as("k"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val bySource = base.groupBy(col("source").as("k"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val overall = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens")).withColumn("k", lit("corpus"))
+    val quality = base.groupBy(
+      when(col("keep"), "keep").otherwise("drop").as("k"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val dedup = base.agg(
+      count_distinct(sha2(col("text"), 256)).as("n_docs"),
+      lit(0L).as("n_tokens")).withColumn("k", lit("unique_text"))
+    sect(byLang, "lang")
+      .unionByName(sect(bySource, "source"))
+      .unionByName(sect(overall, "overall"))
+      .unionByName(sect(quality, "quality"))
+      .unionByName(sect(dedup, "dedup"))
+      .orderBy("section", "k")
   }
 
   /** Vocabulary building: top-100 tokens by corpus frequency with
@@ -924,6 +966,7 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature,
     "pack_sequences" -> packSequences,
     "pack_ffd" -> packFfd,
+    "pipeline_dataset_card" -> pipelineDatasetCard,
     "tok_vocab" -> tokVocab,
     "tok_bpe" -> tokBpe,
     "sim_ann_ivf" -> simAnnIvf,
@@ -1237,6 +1280,35 @@ object Pipeline {
                  max(accept_bp)::BIGINT AS accept_bp, count(*) AS n_sampled,
                  sum(n_tok)::BIGINT AS tokens_sampled
           FROM samp GROUP BY source ORDER BY source""",
+    // Same sections, same quality rule (one IEEE division of exact
+    // integers), same sha256 distinct.
+    "pipeline_dataset_card" ->
+      """WITH base AS (
+           SELECT doc_id, lang, source, text,
+                  len(string_split(text, ' '))::BIGINT AS n_tok,
+                  (len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the', 'a', 'of', 'and', 'to')))::BIGINT
+                     * 600
+                   + least(length(text)::BIGINT, 500) * 3)::DOUBLE
+                    AS score_num
+           FROM documents),
+         b2 AS (SELECT *, score_num / n_tok::DOUBLE >= 50.0 AS keep
+                FROM base)
+         SELECT * FROM (
+           SELECT 'lang' AS section, lang AS k, count(*) AS n_docs,
+                  sum(n_tok)::BIGINT AS n_tokens FROM b2 GROUP BY lang
+           UNION ALL
+           SELECT 'source', source, count(*), sum(n_tok)::BIGINT
+           FROM b2 GROUP BY source
+           UNION ALL
+           SELECT 'overall', 'corpus', count(*), sum(n_tok)::BIGINT FROM b2
+           UNION ALL
+           SELECT 'quality', CASE WHEN keep THEN 'keep' ELSE 'drop' END,
+                  count(*), sum(n_tok)::BIGINT FROM b2 GROUP BY 2
+           UNION ALL
+           SELECT 'dedup', 'unique_text',
+                  count(DISTINCT sha256(text)), 0::BIGINT FROM b2)
+         ORDER BY section, k""",
     // The identical first-fit fold over the identically sorted queue:
     // list_reduce needs acc and element types to match, so sizes ride
     // as single-element lists.
