@@ -1428,6 +1428,175 @@ object Relational {
       .orderBy("status")
   }
 
+  /** TPC-H Q1 (pricing summary report) — ONE SQL text, TWO engines,
+    * like [[tpchQ3Sql]]. The scan-heavy single-table aggregate that
+    * defines columnar-engine throughput: one pass over lineitem, 4
+    * distinct group keys, partial aggregation does ~all the work
+    * map-side, the shuffle carries O(groups) rows. Decimal discipline
+    * inside the shared text; the triple product (price·(1−disc)·(1+tax))
+    * uses NARROW casts ((12,2)/(4,2)) so the product scale (6) stays far
+    * from either engine's precision clamp — at (18,4)³ Spark's
+    * allowPrecisionLoss clamps scale where DuckDB widens to 38, and the
+    * engines round differently. Averages are exact-decimal sums cast to
+    * double then ONE IEEE division by the group count. */
+  private[graft] val tpchQ1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                   AS DOUBLE) AS sum_base_price,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                   AS DOUBLE) AS sum_disc_price,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                             * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2)
+                   AS DOUBLE) AS sum_charge,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                / count(*) AS avg_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                / count(*) AS avg_price,
+              CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                / count(*) AS avg_disc,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+  private def sqlTpchQ1: Q = (s, d) => {
+    t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(tpchQ1Sql)
+  }
+
+  /** TPC-H Q5 (local supplier volume) — the star-join benchmark shape:
+    * fact⋈fact (orders⋈lineitem) plus FOUR dimension joins, where every
+    * dimension side is broadcast-sized (region 5 / nation 25 / supplier
+    * and customer dim-scale), so the physical plan is one shuffle pair
+    * for the fact join and broadcast hash joins for everything else —
+    * at 100 TB the date filter prunes orders at the scan and the
+    * c_nationkey = s_nationkey residual rides the broadcast joins, never
+    * a shuffle of its own. ONE SQL text, two engines; date window
+    * shifted to this dataset's 1995–2001 order range. */
+  private[graft] val tpchQ5Sql: String =
+    """SELECT n_name,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                   AS DOUBLE) AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY n_name
+       ORDER BY revenue DESC, n_name"""
+  private def sqlTpchQ5: Q = (s, d) => {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(tpchQ5Sql)
+  }
+
+  /** Slot width shared by the ts_* series operators (10 min in µs). */
+  private val acfSlotUs = 600000000L
+
+  /** Per-series slot-count grid shared by ts_acf / ts_changepoint:
+    * event counts on the COMPLETE [lo, hi] 10-min slot grid (missing
+    * slots count 0 — an autocorrelation over only-observed slots is a
+    * different, biased series). Same grid construction as [[tsInterp]]:
+    * bounds are a 1-row broadcast, the grid is O(types × slots). */
+  private def slotCounts(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      expr(s"ts_us div $acfSlotUs").as("slot"))
+    val bounds = ev.agg(min("slot").as("lo"), max("slot").as("hi"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), col("lo"), col("hi"),
+        explode(sequence(col("lo"), col("hi"))).as("slot"))
+    val cnt = ev.groupBy("event_type", "slot").agg(count(lit(1)).as("c"))
+    grid.join(cnt, Seq("event_type", "slot"), "left")
+      .select(col("event_type"), col("lo"), col("hi"), col("slot"),
+        coalesce(col("c"), lit(0L)).as("x"))
+  }
+
+  /** Sample AUTOCORRELATION of per-slot event counts at lags 1–3 —
+    * the seasonality probe a monitoring pipeline runs per metric. The
+    * series never leaves its partition: counts are one grid aggregate,
+    * the lagged pairing is lead() over the per-series slot order (one
+    * shuffle on event_type, O(1) state per row), and each lag's ACF is
+    * Pearson r of (head, tail) computed from EXACT integer power sums —
+    * n·Σxy − ΣxΣy over sqrt((n·Σx²−(Σx)²)(n·Σx²ₜ−(Σxₜ)²)) — with the
+    * doubles entering only for the final sqrt/divide chain, identical
+    * IEEE ops in both engines (the [[aggStats]] discipline). At 100 TB
+    * the grid is slots × types (time-bounded, not data-bounded); power
+    * sums fit a long until n·Σ(x·xₖ) ≈ 2⁶³ — lift to DECIMAL(38,0)
+    * past ~10⁹ events per slot. */
+  private def tsAcf: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("slot")
+    val led = slotCounts(s, d)
+      .withColumn("x1", lead(col("x"), 1).over(w))
+      .withColumn("x2", lead(col("x"), 2).over(w))
+      .withColumn("x3", lead(col("x"), 3).over(w))
+    val melted = led.select(col("event_type"), col("x"),
+        explode(array(
+          struct(lit(1L).as("lag"), col("x1").as("xk")),
+          struct(lit(2L).as("lag"), col("x2").as("xk")),
+          struct(lit(3L).as("lag"), col("x3").as("xk")))).as("p"))
+      .select(col("event_type"), col("p.lag"), col("x"), col("p.xk"))
+      .where(col("xk").isNotNull)
+    melted.groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("nk"),
+        sum(col("x")).as("sh"), sum(col("x") * col("x")).as("shh"),
+        sum(col("xk")).as("st"), sum(col("xk") * col("xk")).as("stt"),
+        sum(col("x") * col("xk")).as("sxy"))
+      .select(col("event_type"), col("lag"), col("nk"),
+        (col("nk") * col("sxy") - col("sh") * col("st")).as("num"),
+        (col("nk") * col("shh") - col("sh") * col("sh")).as("var_head"),
+        (col("nk") * col("stt") - col("st") * col("st")).as("var_tail"))
+      .withColumn("acf",
+        when(col("var_head") > 0 && col("var_tail") > 0,
+          col("num").cast("double") /
+            sqrt(col("var_head").cast("double") *
+              col("var_tail").cast("double"))))
+      .orderBy("event_type", "lag")
+  }
+
+  /** CUSUM change-point detection per event-type series: cumulative
+    * deviation of per-slot counts from the series mean, scaled by n so
+    * every term stays integer (S_t = Σ_{i≤t} (n·x_i − T)); the change
+    * point is the slot maximizing |S| (ties → earliest). One grid
+    * aggregate + two windows over the SAME per-series slot order (one
+    * shuffle total), then a row_number pick — state per row is O(1), so
+    * the plan survives any series length. Before/after means are exact
+    * integer sums with ONE IEEE division each; n·x−T overflows long only
+    * past ~2⁶³/n events per slot. The oracle runs the identical
+    * windowed recurrence in DuckDB. */
+  private def tsChangepoint: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("slot")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("event_type")
+    val staged = slotCounts(s, d)
+      .withColumn("n", col("hi") - col("lo") + 1)
+      .withColumn("t_sum", sum(col("x")).over(tot))
+      .withColumn("s_cusum",
+        sum(col("n") * col("x") - col("t_sum")).over(w))
+      .withColumn("run_x", sum(col("x")).over(w))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(abs(col("s_cusum")).desc, col("slot"))
+    staged.withColumn("rn", row_number().over(pick))
+      .where(col("rn") === 1)
+      .select(col("event_type"), (col("slot") * 600).as("cp_slot_s"),
+        col("s_cusum"),
+        signum(col("s_cusum")).cast("long").as("direction"),
+        (col("slot") - col("lo") + 1).as("n_before"),
+        (col("hi") - col("slot")).as("n_after"),
+        (col("run_x").cast("double") /
+          (col("slot") - col("lo") + 1)).as("mean_before"),
+        when(col("hi") > col("slot"),
+          (col("t_sum") - col("run_x")).cast("double") /
+            (col("hi") - col("slot"))).as("mean_after"))
+      .orderBy("event_type")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
@@ -1483,8 +1652,12 @@ object Relational {
     "agg_percentile" -> aggPercentile,
     "join_skew_salted" -> joinSkewSalted,
     "join_skew_aqe" -> joinSkewAqe,
+    "sql_tpch_q1" -> sqlTpchQ1,
     "sql_tpch_q3" -> sqlTpchQ3,
+    "sql_tpch_q5" -> sqlTpchQ5,
     "sql_tpch_q18" -> sqlTpchQ18,
+    "ts_acf" -> tsAcf,
+    "ts_changepoint" -> tsChangepoint,
     "sql_recursive" -> sqlRecursive,
     "sql_lateral" -> sqlLateral,
     "sql_exists" -> sqlExists,
@@ -2027,8 +2200,88 @@ object Relational {
          GROUP BY 1, 2 ORDER BY hot_key""",
     // THE SAME STRING the Spark engine executes — one SQL text, two
     // engines, hash-identical result.
+    "sql_tpch_q1" -> tpchQ1Sql,
     "sql_tpch_q3" -> tpchQ3Sql,
+    "sql_tpch_q5" -> tpchQ5Sql,
     "sql_tpch_q18" -> tpchQ18Sql,
+    "ts_acf" ->
+      s"""WITH ev AS (SELECT event_type,
+                             ${duckTsUs("ts")} // 600000000 AS slot
+                      FROM events),
+           b AS (SELECT min(slot) AS lo, max(slot) AS hi FROM ev),
+           g AS (SELECT t.event_type, u.slot
+                 FROM (SELECT DISTINCT event_type FROM ev) t
+                 CROSS JOIN (SELECT unnest(range(lo, hi + 1)) AS slot
+                             FROM b) u),
+           c AS (SELECT event_type, slot, count(*)::BIGINT AS c
+                 FROM ev GROUP BY 1, 2),
+           x AS (SELECT g.event_type, g.slot, coalesce(c.c, 0)::BIGINT AS x
+                 FROM g LEFT JOIN c
+                   ON c.event_type = g.event_type AND c.slot = g.slot),
+           led AS (SELECT event_type, x,
+                          lead(x, 1) OVER w AS x1,
+                          lead(x, 2) OVER w AS x2,
+                          lead(x, 3) OVER w AS x3
+                   FROM x
+                   WINDOW w AS (PARTITION BY event_type ORDER BY slot)),
+           m AS (SELECT event_type, 1::BIGINT AS lag, x, x1 AS xk FROM led
+                 UNION ALL SELECT event_type, 2, x, x2 FROM led
+                 UNION ALL SELECT event_type, 3, x, x3 FROM led),
+           a AS (SELECT event_type, lag, count(*)::BIGINT AS nk,
+                        sum(x)::BIGINT AS sh, sum(x * x)::BIGINT AS shh,
+                        sum(xk)::BIGINT AS st, sum(xk * xk)::BIGINT AS stt,
+                        sum(x * xk)::BIGINT AS sxy
+                 FROM m WHERE xk IS NOT NULL GROUP BY 1, 2)
+         SELECT event_type, lag, nk,
+                (nk * sxy - sh * st)::BIGINT AS num,
+                (nk * shh - sh * sh)::BIGINT AS var_head,
+                (nk * stt - st * st)::BIGINT AS var_tail,
+                CASE WHEN nk * shh - sh * sh > 0 AND nk * stt - st * st > 0
+                     THEN (nk * sxy - sh * st)::DOUBLE /
+                          sqrt((nk * shh - sh * sh)::DOUBLE
+                               * (nk * stt - st * st)::DOUBLE)
+                END AS acf
+         FROM a ORDER BY event_type, lag""",
+    "ts_changepoint" ->
+      s"""WITH ev AS (SELECT event_type,
+                             ${duckTsUs("ts")} // 600000000 AS slot
+                      FROM events),
+           b AS (SELECT min(slot) AS lo, max(slot) AS hi FROM ev),
+           g AS (SELECT t.event_type, b.lo, b.hi, u.slot
+                 FROM (SELECT DISTINCT event_type FROM ev) t
+                 CROSS JOIN b
+                 CROSS JOIN (SELECT unnest(range(lo, hi + 1)) AS slot
+                             FROM b) u),
+           c AS (SELECT event_type, slot, count(*)::BIGINT AS c
+                 FROM ev GROUP BY 1, 2),
+           x AS (SELECT g.event_type, g.lo, g.hi, g.slot,
+                        coalesce(c.c, 0)::BIGINT AS x
+                 FROM g LEFT JOIN c
+                   ON c.event_type = g.event_type AND c.slot = g.slot),
+           tt AS (SELECT event_type, sum(x)::BIGINT AS t_sum
+                  FROM x GROUP BY 1),
+           st AS (SELECT x.event_type, lo, hi, slot, x.x, tt.t_sum,
+                         sum((hi - lo + 1) * x.x - tt.t_sum) OVER w::BIGINT
+                           AS s_cusum,
+                         sum(x.x) OVER w::BIGINT AS run_x
+                  FROM x JOIN tt USING (event_type)
+                  WINDOW w AS (PARTITION BY x.event_type ORDER BY slot
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)),
+           p AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                           ORDER BY abs(s_cusum) DESC, slot) AS rn
+                 FROM st)
+         SELECT event_type, (slot * 600)::BIGINT AS cp_slot_s, s_cusum,
+                (CASE WHEN s_cusum > 0 THEN 1
+                      WHEN s_cusum < 0 THEN -1 ELSE 0 END)::BIGINT
+                  AS direction,
+                (slot - lo + 1)::BIGINT AS n_before,
+                (hi - slot)::BIGINT AS n_after,
+                run_x::DOUBLE / (slot - lo + 1) AS mean_before,
+                CASE WHEN hi > slot
+                     THEN (t_sum - run_x)::DOUBLE / (hi - slot)
+                END AS mean_after
+         FROM p WHERE rn = 1 ORDER BY event_type""",
     "sql_recursive" -> recursiveSql,
     "sql_lateral" -> lateralSql,
     "sql_exists" -> existsSql,

@@ -408,4 +408,67 @@ class RelationalSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Independent slot-count series per event_type over the SAME 10-min
+    * grid the ts_acf/ts_changepoint operators use, rebuilt from raw
+    * events driver-side (shared by the two specs below). */
+  private def slotSeries(): Map[String, Array[Long]] = {
+    val ev = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.expr("ts_us div 600000000").as("slot"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val lo = ev.map(_._2).min
+    val hi = ev.map(_._2).max
+    ev.groupBy(_._1).map { case (et, rows) =>
+      val cnt = rows.groupBy(_._2).map { case (s, g) => s -> g.length.toLong }
+      et -> (lo to hi).map(s => cnt.getOrElse(s, 0L)).toArray
+    }
+  }
+
+  test("ts_acf: matches a driver-side Pearson recompute; |r| <= 1") {
+    val series = slotSeries()
+    val rows = SparkEntry.queries("ts_acf")(spark, sf)
+      .select("event_type", "lag", "acf").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(rows.length === series.size * 3)
+    rows.foreach { case (et, k, r) =>
+      assert(r.isNaN || (r >= -1.0 && r <= 1.0), s"$et lag $k: r=$r")
+      val x = series(et)
+      val n = x.length - k.toInt
+      val h = x.take(n).map(BigInt(_)); val t = x.drop(k.toInt).map(BigInt(_))
+      val num = BigInt(n) * h.zip(t).map { case (a, b) => a * b }.sum -
+        h.sum * t.sum
+      val a = BigInt(n) * h.map(v => v * v).sum - h.sum * h.sum
+      val b = BigInt(n) * t.map(v => v * v).sum - t.sum * t.sum
+      if (a > 0 && b > 0) {
+        val want = num.toDouble / math.sqrt(a.toDouble * b.toDouble)
+        assert(math.abs(r - want) < 1e-12, s"$et lag $k: $r vs $want")
+      } else assert(r.isNaN, s"$et lag $k: constant series must yield null")
+    }
+  }
+
+  test("ts_changepoint: reported |S| is the series max; total CUSUM is zero") {
+    val series = slotSeries()
+    val rows = SparkEntry.queries("ts_changepoint")(spark, sf)
+      .select("event_type", "cp_slot_s", "s_cusum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === series.size)
+    rows.foreach { case (et, cpS, sAt) =>
+      val x = series(et)
+      val n = x.length.toLong
+      val tot = x.sum
+      val cusum = x.scanLeft(0L)((acc, v) => acc + (n * v - tot)).drop(1)
+      // telescoping: the final cumulative deviation is exactly zero
+      assert(cusum.last === 0L, s"$et: S_n=${cusum.last}")
+      val maxAbs = cusum.map(math.abs).max
+      assert(math.abs(sAt) === maxAbs, s"$et: |S|=$sAt vs max $maxAbs")
+      // the reported slot is the EARLIEST argmax (tie discipline)
+      val firstIdx = cusum.indexWhere(v => math.abs(v) == maxAbs)
+      val lo = Tables.events(spark, sf)
+        .select(org.apache.spark.sql.functions.expr(
+          "min(ts_us div 600000000)")).collect()(0).getLong(0)
+      assert(cpS === (lo + firstIdx) * 600, s"$et: slot $cpS")
+    }
+  }
 }
