@@ -323,7 +323,53 @@ object Graph {
       .orderBy("component")
   }
 
+  /** k-CORE decomposition (k=3) over the repeat co-purchase graph —
+    * the densest-region extractor (spam-farm detection on web graphs,
+    * "always bought together" nuclei here): iteratively peel nodes of
+    * degree < k until the fixpoint; what survives is the maximal
+    * subgraph where every node keeps ≥ k neighbors. Each round is one
+    * degree aggregate + two semi-join prunes — shuffle on node id,
+    * O(1) state per node, SAME key every round (bucket the edges once
+    * on a cluster and rounds are exchange-free). Round count is the
+    * peel depth — a degeneracy property of the data, not its size.
+    * Per-round materialization truncates lineage (the pagerank
+    * lesson); the removed-edge count is coordinator metadata. The
+    * oracle peels the IDENTICAL recurrence unrolled [[kcoreRounds]]
+    * deep (GraphSpec pins convergence within that depth, and a
+    * driver-side independent peeler agrees). */
+  private[graft] val kcoreRounds = 16
+  private def graphKcore: Q = (s, d) => {
+    val und = repeatCopurchaseEdges(s, d)
+    var edges = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(und.select(col("pb").as("src"), col("pa").as("dst")))
+    var nEdges = edges.count()
+    var removed = 1L
+    var i = 0
+    while (removed > 0) {
+      i += 1
+      require(i <= kcoreRounds,
+        s"k-core peel exceeded $kcoreRounds rounds — widen the oracle unroll")
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= 3).select(col("src").as("node"))
+      val pruned = edges
+        .join(keep.select(col("node").as("src")), "src")
+        .join(keep.select(col("node").as("dst")), "dst")
+        .select("src", "dst")
+      val path = s"$scratchRoot/graph/kcore_${Llm.Scratch.key(d)}_i$i"
+      pruned.coalesce(1).write.mode("overwrite").parquet(path)
+      val cur = s.read.parquet(path)
+      val m = cur.count()
+      removed = nEdges - m
+      nEdges = m
+      edges = cur
+    }
+    edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_kcore" -> graphKcore,
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
     "graph_triangles_fwd" -> graphTrianglesFwd,
@@ -345,7 +391,34 @@ object Graph {
        SELECT node, count(*)::BIGINT AS n_tri FROM n GROUP BY node
        ORDER BY n_tri DESC, node LIMIT 20"""
 
+  /** The identical peel recurrence unrolled [[kcoreRounds]] deep —
+    * extra rounds past the fixpoint are no-ops, so any convergence
+    * within the unroll yields the exact k-core. */
+  private def kcoreOracle: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                          FROM lineitem),
+         pr AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb, a.ok
+                FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         u AS (SELECT pa, pb FROM pr GROUP BY pa, pb
+               HAVING count(*) >= 2),
+         e0 AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM u
+                UNION ALL SELECT pb AS src, pa AS dst FROM u)"""
+    for (i <- 1 to kcoreRounds)
+      sb ++= s""",
+         v$i AS MATERIALIZED (SELECT src AS node FROM e${i - 1}
+                 GROUP BY src HAVING count(*) >= 3),
+         e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+                 JOIN v$i a ON e.src = a.node
+                 JOIN v$i b ON e.dst = b.node)"""
+    sb ++= s"""
+       SELECT src AS node, count(*)::BIGINT AS deg FROM e$kcoreRounds
+       GROUP BY src ORDER BY node"""
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_kcore" -> kcoreOracle,
     // Independent ALGORITHM, not a re-run: true components via a
     // recursive transitive closure (min reachable id), vs the engine's
     // converged label propagation.

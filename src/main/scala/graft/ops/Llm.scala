@@ -616,6 +616,38 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate TEMPLATE MINING per source (the review artifact a
+    * curation team inspects before turning on [[textSegDedup]]-style
+    * stripping): segments recurring across ≥ 5% of a source's documents
+    * (and ≥ 3 docs absolute) are that source's boilerplate candidates —
+    * nav bars, footers, cookie banners in web data. Distinct from
+    * text_seg_dedup (corpus-wide df ≥ 2 DROP): this ranks WITHIN-source
+    * template mass without touching documents. The ratio threshold is
+    * exact integer cross-multiplication (df·20 ≥ n_docs), no doubles in
+    * the predicate. Scale shape: per-source doc counts are an O(sources)
+    * broadcast; segment df is one map-side-combined aggregate. Grouping
+    * here keys on the segment TEXT (segments are ≤ 10 tokens; the gate
+    * needs text-exact grouping to match the oracle) — at 100 TB you'd
+    * group on xxhash64(seg) and resolve representatives after the df
+    * filter, exactly the [[textSegDedup]] hash discipline. */
+  private def textBoilerplate: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    val nSegs = ceil(size(toks).cast("double") / 10.0).cast("int")
+    val segArr = transform(sequence(lit(0), nSegs - 1),
+      j => concat_ws(" ", slice(toks, j * 10 + 1, lit(10))))
+    val docs = t(s, d, "documents")
+    val nDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val segs = fanOut(docs)
+      .select(col("source"), col("doc_id"), explode(segArr).as("seg"))
+    segs.groupBy("source", "seg")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .join(broadcast(nDocs), "source")
+      .where(col("df") >= 3 && col("df") * 20 >= col("n_docs"))
+      .select(col("source"), col("seg"), col("df"), col("n_docs"),
+        (col("df").cast("double") / col("n_docs")).as("df_ratio"))
+      .orderBy(col("source"), col("df").desc, col("seg"))
+  }
+
   /** Substring-level exact dedup (the "substring dedup" of Lee et al.
     * 2022, re-expressed for a fixed window): every k=20-token sliding
     * window of every document is fingerprinted, and a fingerprint
@@ -1460,6 +1492,7 @@ object Llm {
     "text_compress_ratio" -> textCompressRatio,
     "text_pii_scrub" -> textPiiScrub,
     "text_seg_dedup" -> textSegDedup,
+    "text_boilerplate" -> textBoilerplate,
     "dedup_substring" -> dedupSubstring,
     "decontaminate" -> decontaminate,
     "dedup_simhash" -> dedupSimhash,
@@ -1691,6 +1724,27 @@ object Llm {
     "dedup_incremental" -> IncrementalPins.dedupIncremental,
     "dedup_minhash_agg" -> MinhashPins.dedupMinhashAgg,
     "dedup_cluster" -> MinhashPins.dedupCluster,
+    // Same 10-token segmentation as text_seg_dedup; per-source doc
+    // counts and the integer cross-multiplied 5% threshold.
+    "text_boilerplate" ->
+      """WITH toks AS (
+           SELECT source, doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         segs AS (
+           SELECT source, doc_id,
+                  array_to_string(t[(j*10+1):(j*10+10)], ' ') AS seg
+           FROM toks,
+                unnest(range(0, ceil(len(t)/10.0)::BIGINT)) AS u(j)),
+         nd AS (SELECT source, count(*)::BIGINT AS n_docs
+                FROM documents GROUP BY source),
+         df AS (SELECT source, seg,
+                       count(DISTINCT doc_id)::BIGINT AS df
+                FROM segs GROUP BY source, seg)
+         SELECT df.source, seg, df, n_docs,
+                df::DOUBLE / n_docs AS df_ratio
+         FROM df JOIN nd ON nd.source = df.source
+         WHERE df >= 3 AND df * 20 >= n_docs
+         ORDER BY df.source, df DESC, seg""",
     "text_seg_dedup" ->
       """WITH toks AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -948,7 +948,111 @@ object Pipeline {
     conf.unionByName(extras).orderBy("metric", "k1", "k2")
   }
 
+  /** Closed-form OLS regression per group (price-vs-time trend per
+    * nation) — the "fit a line to 100 TB" shape: ONE scan, ONE shuffle
+    * of O(groups) exact integer power sums (map-side partial agg does
+    * everything), no iterative solver. x = days since 1995-01-01
+    * (exact int), y = kilodollar floor of the order total (exact int —
+    * kilodollars keep Σy² · n under 2⁶³ to ~sf100; past that lift the
+    * power sums to DECIMAL(38,0)). slope = (nΣxy − ΣxΣy)/(nΣx² −
+    * (Σx)²) with numerator/denominator computed EXACTLY in long, then
+    * ONE int64→double cast each (correctly rounded in every engine,
+    * unlike wide-decimal→double — the [[aggStats]] lesson) and one IEEE
+    * divide; intercept = ȳ − slope·x̄ and r² continue the identical
+    * fixed op chain, so doubles match bitwise. */
+  private def mlLinreg: Q = (s, d) => {
+    val day0 = 788918400L // epoch seconds of 1995-01-01T00:00Z
+    val o = t(s, d, "orders")
+      .select(col("o_custkey"),
+        ((unix_timestamp(col("o_orderdate")) - day0) / 86400L)
+          .cast("long").as("x"),
+        floor(col("o_totalprice") / 1000.0d).cast("long").as("y"))
+    val cn = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val sums = o.join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = num.cast("double") / den.cast("double")
+    sums.select(col("n_name"), col("n"), col("sx"), col("sy"),
+        col("sxx"), col("sxy"), col("syy"),
+        when(den > 0, slope).as("slope"),
+        when(den > 0, col("sy").cast("double") / col("n") -
+          slope * (col("sx").cast("double") / col("n"))).as("intercept"),
+        when(den > 0 && deny > 0,
+          num.cast("double") * num.cast("double") /
+            (den.cast("double") * deny.cast("double"))).as("r2"))
+      .orderBy("n_name")
+  }
+
+  /** Weighted sampling WITHOUT replacement by sequential Poisson
+    * sampling (Ohlsson '98): priority = u/w with u a 52-bit md5 uniform
+    * and w the row weight (order value in cents); the k smallest
+    * priorities are the sample, inclusion probability ≈ proportional to
+    * weight. Deterministic like every graft sampler — the priority is a
+    * row property, so the sample is identical across runs, engines, and
+    * resumed jobs, with ZERO coordination (each row computes its own
+    * priority; the only global step is top-k). Integer division keeps
+    * both engines bit-identical (no pow/log calls whose libm rounding
+    * could flip a rank). The top-k is orderBy+limit → per-partition
+    * bounded heaps + one O(k) merge, never a global sort. */
+  private def sampleWeighted: Q = (s, d) => {
+    val u = conv(substring(md5(col("o_orderkey").cast("string")), 1, 13),
+      16, 10).cast("long")
+    t(s, d, "orders")
+      .select(col("o_orderkey"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("w_cents"),
+        u.as("u52"))
+      .withColumn("priority", expr("u52 DIV w_cents"))
+      .orderBy(col("priority"), col("o_orderkey"))
+      .limit(50)
+  }
+
+  /** Count-min sketch (d=3 rows × w=64 buckets) with EXACT
+    * verification: per-part lineitem frequencies estimated from the
+    * 192-cell sketch next to their true counts, for the top-20 true
+    * keys. The sketch build is the 100 TB shape: ONE pre-aggregate per
+    * key (the same shuffle any exact count needs at gate scale — on a
+    * true stream the d hash-increments replace it), then the d
+    * row-hashes explode over the O(keys) aggregate, never the raw
+    * corpus, and the cell table is O(d·w) — mergeable across shards by
+    * plain addition, the property that makes CMS a distributed sketch.
+    * Estimate = min over rows of the hashed cell; CMS guarantees
+    * est ≥ true, and the oracle recomputes the identical md5 cells, so
+    * the error column is pinned exactly, not just bounded. */
+  private def aggCms: Q = (s, d) => {
+    val truec = t(s, d, "lineitem").groupBy("l_partkey")
+      .agg(count(lit(1)).as("true_cnt"))
+    val hashed = truec.select(col("l_partkey"), col("true_cnt"),
+        explode(array((0 until 3).map(lit(_)): _*)).as("j"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat_ws("_", col("j"),
+          col("l_partkey"))), 1, 8), 16, 10).cast("long"), lit(64L)))
+    val cells = hashed.groupBy("j", "bucket")
+      .agg(sum(col("true_cnt")).as("cell"))
+    val top = truec.orderBy(col("true_cnt").desc, col("l_partkey")).limit(20)
+    top.join(hashed.select(col("l_partkey"), col("j"), col("bucket")),
+        "l_partkey")
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy("l_partkey", "true_cnt")
+      .agg(min(col("cell")).as("cms_est"))
+      .select(col("l_partkey"), col("true_cnt"), col("cms_est"),
+        (col("cms_est") - col("true_cnt")).as("overestimate"))
+      .orderBy(col("true_cnt").desc, col("l_partkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ml_linreg" -> mlLinreg,
+    "sample_weighted" -> sampleWeighted,
+    "agg_cms" -> aggCms,
     "ml_kmeans" -> mlKmeans,
     "ml_pq" -> mlPq,
     "ml_quality_classifier" -> mlQualityClassifier,
@@ -1037,6 +1141,62 @@ object Pipeline {
       if (c == col) s"g.b$r" else s"g.a$r$c"))
 
   val oracles: Map[String, String] = Map(
+    "ml_linreg" ->
+      s"""WITH o AS (SELECT o_custkey,
+                            (${duckUsS("o_orderdate")} - 788918400) // 86400
+                              AS x,
+                            floor(o_totalprice / 1000.0)::BIGINT AS y
+                     FROM orders),
+           cn AS (SELECT c_custkey, n_name FROM customer
+                  JOIN nation ON c_nationkey = n_nationkey),
+           s AS (SELECT n_name, count(*)::BIGINT AS n,
+                        sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                        sum(x * x)::BIGINT AS sxx,
+                        sum(x * y)::BIGINT AS sxy,
+                        sum(y * y)::BIGINT AS syy
+                 FROM o JOIN cn ON o_custkey = c_custkey GROUP BY n_name)
+         SELECT n_name, n, sx, sy, sxx, sxy, syy,
+                CASE WHEN n * sxx - sx * sx > 0 THEN
+                  (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+                END AS slope,
+                CASE WHEN n * sxx - sx * sx > 0 THEN
+                  sy::DOUBLE / n -
+                  ((n * sxy - sx * sy)::DOUBLE
+                    / (n * sxx - sx * sx)::DOUBLE) * (sx::DOUBLE / n)
+                END AS intercept,
+                CASE WHEN n * sxx - sx * sx > 0
+                      AND n * syy - sy * sy > 0 THEN
+                  (n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE /
+                  ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE)
+                END AS r2
+         FROM s ORDER BY n_name""",
+    "sample_weighted" ->
+      """SELECT o_orderkey,
+                (o_totalprice::DECIMAL(18,4) * 100)::BIGINT AS w_cents,
+                ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 13))::BIGINT
+                  AS u52,
+                ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 13))::BIGINT
+                  // (o_totalprice::DECIMAL(18,4) * 100)::BIGINT AS priority
+         FROM orders
+         ORDER BY priority, o_orderkey LIMIT 50""",
+    "agg_cms" ->
+      """WITH truec AS (SELECT l_partkey, count(*)::BIGINT AS true_cnt
+                        FROM lineitem GROUP BY 1),
+           hashed AS (SELECT l_partkey, true_cnt, j,
+                             ('0x' || substr(md5(j::VARCHAR || '_' ||
+                               l_partkey::VARCHAR), 1, 8))::BIGINT % 64
+                               AS bucket
+                      FROM truec, (SELECT unnest([0, 1, 2]) AS j)),
+           cells AS (SELECT j, bucket, sum(true_cnt)::BIGINT AS cell
+                     FROM hashed GROUP BY 1, 2),
+           top AS (SELECT l_partkey, true_cnt FROM truec
+                   ORDER BY true_cnt DESC, l_partkey LIMIT 20)
+         SELECT t.l_partkey, t.true_cnt, min(c.cell)::BIGINT AS cms_est,
+                (min(c.cell) - t.true_cnt)::BIGINT AS overestimate
+         FROM top t JOIN hashed h ON h.l_partkey = t.l_partkey
+              JOIN cells c ON c.j = h.j AND c.bucket = h.bucket
+         GROUP BY t.l_partkey, t.true_cnt
+         ORDER BY t.true_cnt DESC, t.l_partkey""",
     "ml_kmeans" -> kmOracle,
     // The identical closed-form probe re-derived independently: same
     // integer features (the hash-verified text_score fragments), same

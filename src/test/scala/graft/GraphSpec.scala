@@ -167,4 +167,30 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(2) >= 150000000L))
     assert(rows.map(_.getLong(2)).distinct.length > 1)
   }
+
+  test("graph_kcore matches a driver-side peeler; every core degree >= k") {
+    val got = SparkEntry.queries("graph_kcore")(spark, SharedSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // independent peeler over the collected repeat edge set
+    val und = ops.Graph.repeatCopurchaseEdges(spark, SharedSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      rounds += 1
+      val dead = adj.collect { case (n, ns) if ns.size < 3 => n }.toSet
+      changed = dead.nonEmpty
+      if (changed) adj = adj.collect {
+        case (n, ns) if !dead(n) => n -> (ns -- dead)
+      }
+    }
+    assert(rounds <= ops.Graph.kcoreRounds,
+      s"peel took $rounds rounds; oracle unrolls ${ops.Graph.kcoreRounds}")
+    val expected = adj.map { case (n, ns) => (n, ns.size.toLong) }
+      .toSeq.sortBy(_._1)
+    assert(got.toSeq === expected)
+    assert(got.forall(_._2 >= 3L), "k-core degree floor")
+  }
 }

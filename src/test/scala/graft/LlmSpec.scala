@@ -472,4 +472,25 @@ class LlmSpec extends AnyFunSuite {
       assert(hNats > 0 && ppl >= 1.0, s"doc $id: degenerate score")
     }
   }
+
+  test("text_boilerplate matches a driver-side segment-df recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("text_boilerplate")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val nDocs = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val df = docs.flatMap { case (src, id, text) =>
+      val toks = text.split(" ", -1)
+      toks.grouped(10).map(seg => (src, seg.mkString(" "), id))
+    }.distinct.groupBy(t => (t._1, t._2)).view.mapValues(_.length.toLong)
+    val expected = df.collect {
+      case ((src, seg), n) if n >= 3 && n * 20 >= nDocs(src) =>
+        (src, seg, n, nDocs(src))
+    }.toSeq.sortBy(t => (t._1, -t._3, t._2))
+    assert(got.toSeq === expected,
+      s"got ${got.length} template segments, expected ${expected.length}")
+  }
 }

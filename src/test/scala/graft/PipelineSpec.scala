@@ -291,4 +291,64 @@ class PipelineSpec extends AnyFunSuite {
       assert(expected(src) === nSamp, s"$src: hash-sample mismatch")
     }
   }
+
+  test("agg_cms: estimate dominates the true count (CMS one-sided error)") {
+    val rows = run("agg_cms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 20)
+    rows.foreach { case (k, tru, est, over) =>
+      assert(est >= tru, s"part $k: CMS must never under-estimate")
+      assert(over === est - tru, s"part $k: error column")
+    }
+    // counts are ranked: the report is the top-20 true keys
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("ml_linreg: slope/intercept/r2 match a BigInt driver recompute") {
+    val got = run("ml_linreg").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, sx, sy, sxx, sxy, syy) = (BigInt(r.getLong(1)),
+        BigInt(r.getLong(2)), BigInt(r.getLong(3)), BigInt(r.getLong(4)),
+        BigInt(r.getLong(5)), BigInt(r.getLong(6)))
+      val den = n * sxx - sx * sx
+      val deny = n * syy - sy * sy
+      if (den > 0) {
+        val num = n * sxy - sx * sy
+        val slope = num.toDouble / den.toDouble
+        assert(r.getDouble(7) === slope, s"${r.getString(0)}: slope")
+        val icept = sy.toDouble / n.toDouble - slope * (sx.toDouble / n.toDouble)
+        assert(math.abs(r.getDouble(8) - icept) < 1e-9,
+          s"${r.getString(0)}: intercept")
+        if (deny > 0) {
+          val r2 = num.toDouble * num.toDouble / (den.toDouble * deny.toDouble)
+          assert(math.abs(r.getDouble(9) - r2) < 1e-12, s"${r.getString(0)}: r2")
+          assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12, s"${r.getString(0)}: r2 range")
+        }
+      }
+    }
+  }
+
+  test("sample_weighted: exact sequential-Poisson priorities, true top-50") {
+    val got = run("sample_weighted").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 50)
+    // recompute every order's priority driver-side and take the true top-50
+    val all = Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map { r =>
+        val key = r.getLong(0)
+        val w = BigDecimal(r.getDouble(1)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).*(100).toLong
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(13)
+        val u52 = java.lang.Long.parseLong(md5, 16)
+        (key, w, u52, u52 / w)
+      }
+    val expect = all.sortBy(t => (t._4, t._1)).take(50)
+    assert(got.toSeq === expect.toSeq)
+    // weights are positive — the integer division is well-defined
+    assert(all.forall(_._2 > 0))
+  }
 }
