@@ -323,6 +323,61 @@ object Graph {
       .orderBy("component")
   }
 
+  /** BFS hop cap shared with the oracle's recursion guard: a frontier
+    * still active past this depth fails loudly (diameter is a data
+    * property; the synthetic graph converges in a handful of hops). */
+  private[graft] val bfsMaxHops = 32
+
+  /** Single-source BFS over the repeat co-purchase graph (support ≥ 2
+    * — the graph_kcore substrate: its big component walks ~10 hops
+    * deep here, where the support-≥3 backbone is disconnected cliques
+    * of diameter 1 and a BFS would prove nothing) — hop
+    * distance from the MINIMUM node id (deterministic source, no
+    * configuration): the "how far is everything from here" primitive
+    * under link-distance corpus curation and graph feature extraction.
+    * Frontier expansion, not relaxation: round i joins the CURRENT
+    * frontier to the edge list and anti-joins already-visited nodes, so
+    * per-round work is O(frontier × avg-degree) — the sum over all
+    * rounds touches each edge at most twice, never rounds × edges.
+    * Shuffle key is the node id EVERY round (bucket the edges once on a
+    * cluster and the expansion is exchange-free); the visited set is
+    * materialized per round (lineage truncation, the pagerank lesson)
+    * and the frontier-empty test is coordinator metadata. Output is the
+    * per-hop profile (n_nodes, id_digest) — O(diameter) rows; nodes in
+    * other components are correctly absent (the oracle's walk reaches
+    * exactly the same set). */
+  private def graphBfs: Q = (s, d) => {
+    val und = repeatCopurchaseEdges(s, d)
+    val e = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val src0 = e.agg(min(col("src"))).head().getLong(0)
+    var dist = e.select(col("src").as("node")).distinct()
+      .where(col("node") === src0)
+      .select(col("node"), lit(0L).as("hop"))
+    var frontier = dist
+    var i = 0
+    var more = true
+    while (more) {
+      i += 1
+      require(i <= bfsMaxHops,
+        s"BFS still expanding after $bfsMaxHops hops — widen the oracle cap")
+      val cand = e.join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+      val next = cand.join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(i.toLong).as("hop"))
+      val path = s"$scratchRoot/graph/bfs_${Llm.Scratch.key(d)}_i$i"
+      dist.unionAll(next).coalesce(1).write.mode("overwrite").parquet(path)
+      val cur = s.read.parquet(path)
+      frontier = cur.where(col("hop") === i)
+      more = frontier.limit(1).count() > 0
+      dist = cur
+    }
+    dist.groupBy("hop")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("id_digest"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy("hop")
+  }
+
   /** k-CORE decomposition (k=3) over the repeat co-purchase graph —
     * the densest-region extractor (spam-farm detection on web graphs,
     * "always bought together" nuclei here): iteratively peel nodes of
@@ -370,6 +425,7 @@ object Graph {
 
   val queries: Map[String, Q] = Map(
     "graph_kcore" -> graphKcore,
+    "graph_bfs" -> graphBfs,
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
     "graph_triangles_fwd" -> graphTrianglesFwd,
@@ -419,6 +475,28 @@ object Graph {
 
   val oracles: Map[String, String] = Map(
     "graph_kcore" -> kcoreOracle,
+    // Independent formulation: recursive (node, hop) walk deduped by
+    // UNION, min-hop per node — vs the engine's frontier expansion.
+    "graph_bfs" ->
+      """WITH RECURSIVE
+           li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           pr AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb, a.ok
+                  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+           u AS (SELECT pa, pb FROM pr GROUP BY pa, pb
+                 HAVING count(*) >= 2),
+           e AS (SELECT pa AS s, pb AS t FROM u
+                 UNION ALL SELECT pb AS s, pa AS t FROM u),
+           src AS (SELECT min(s) AS s0 FROM e),
+           walk(node, hop) AS (
+             SELECT s0, 0::BIGINT FROM src
+             UNION
+             SELECT e.t, walk.hop + 1 FROM walk
+             JOIN e ON e.s = walk.node WHERE walk.hop < 32),
+           dist AS (SELECT node, min(hop)::BIGINT AS hop
+                    FROM walk GROUP BY node)
+         SELECT hop, count(*) AS n_nodes, sum(node)::BIGINT AS id_digest,
+                min(node) AS min_node, max(node) AS max_node
+         FROM dist GROUP BY hop ORDER BY hop""",
     // Independent ALGORITHM, not a re-run: true components via a
     // recursive transitive closure (min reachable id), vs the engine's
     // converged label propagation.

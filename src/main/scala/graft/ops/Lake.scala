@@ -750,6 +750,79 @@ object Lake {
       .orderBy("lang")
   }
 
+  /** Deterministic Avro fixture: the documents table written as Avro
+    * object-container files BY AVRO-CORE (the real producer — proving
+    * [[graft.expr.AvroRows]] reads genuine Avro bytes), EXECUTOR-SIDE:
+    * each of 4 hash partitions writes its own container via
+    * foreachPartition, alternating the spec's two required codecs
+    * (null / deflate) by partition id — the distributed-sink shape, no
+    * driver collect. */
+  private[graft] def buildAvroFixture(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val out = s"$scratchRoot/formats/documents_avro_${Llm.Scratch.key(d)}"
+    val dir = new java.io.File(out)
+    if (!dir.exists()) {
+      dir.mkdirs()
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text"))
+        .repartition(4, col("doc_id"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val schema = new org.apache.avro.Schema.Parser().parse(
+            """{"type":"record","name":"Doc","fields":[
+                 {"name":"doc_id","type":"long"},
+                 {"name":"lang","type":"string"},
+                 {"name":"source","type":"string"},
+                 {"name":"n_chars","type":"long"},
+                 {"name":"text","type":"string"}]}""")
+          val w = new org.apache.avro.file.DataFileWriter(
+            new org.apache.avro.generic.GenericDatumWriter[
+              org.apache.avro.generic.GenericRecord](schema))
+          if (pid % 2 == 1) w.setCodec(
+            org.apache.avro.file.CodecFactory.deflateCodec(6))
+          w.create(schema, new java.io.File(dir, f"part-$pid%02d.avro"))
+          it.foreach { r =>
+            val rec = new org.apache.avro.generic.GenericData.Record(schema)
+            rec.put("doc_id", r.getLong(0)); rec.put("lang", r.getString(1))
+            rec.put("source", r.getString(2)); rec.put("n_chars", r.getLong(3))
+            rec.put("text", r.getString(4))
+            w.append(rec)
+          }
+          w.close()
+        }
+    }
+    out
+  }
+
+  /** Avro container scan — the ROW-interchange format next to the
+    * columnar pair (Kafka archive dumps, CDC topic drains, legacy
+    * Hadoop corpora): binaryFile scan → [[graft.expr.AvroRows]]
+    * explode (hand-rolled OCF parser: metadata map, per-block
+    * VERIFIED sync markers, null+deflate codecs, hand-decoded Avro
+    * binary records — avro-core is used only as the independent
+    * fixture PRODUCER and the spec's cross-validation reader). Same
+    * losslessness-by-oracle mechanism as scan_csv/scan_orc/scan_xml:
+    * the aggregate over the read-back must equal the aggregate over
+    * the parquet source — id digest + char totals catch any dropped
+    * row, re-ordered field, or mis-decoded varint. Scale shape: one
+    * container = one task (like gzip, OCF is processed per file here,
+    * though the per-block sync markers are exactly what lets a
+    * cluster reader split large containers); record bytes never
+    * shuffle — only the O(langs) aggregate does. */
+  private def scanAvro: Q = (s, d) => {
+    val dir = buildAvroFixture(s, d)
+    s.read.format("binaryFile").load(s"$dir/*.avro")
+      .select(explode(graft.expr.AvroRows.avro_docs(col("content"))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+        col("r.n_chars").as("n_chars"), col("r.text").as("text"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_digest"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(length(col("text"))).as("total_text_len"))
+      .orderBy("lang")
+  }
+
   /** Compressed-text roundtrip scan: JSON-lines under GZIP, the shape
     * most web-corpus drops actually arrive in. The write pre-shards
     * (repartition(8)) because gzip is NOT splittable — one file is one
@@ -829,6 +902,7 @@ object Lake {
     "scan_csv" -> scanCsv,
     "scan_json" -> scanJson,
     "scan_xml" -> scanXml,
+    "scan_avro" -> scanAvro,
     "scan_compressed" -> scanCompressed,
     "scan_dpp" -> scanDpp,
     "sink_scd2" -> sinkScd2,
@@ -953,6 +1027,11 @@ object Lake {
                 sum(length(text))::BIGINT AS total_text_len
          FROM documents GROUP BY source ORDER BY source""",
     "scan_xml" ->
+      """SELECT lang, count(*) AS n, sum(doc_id)::BIGINT AS id_digest,
+                sum(n_chars)::BIGINT AS total_chars,
+                sum(length(text))::BIGINT AS total_text_len
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "scan_avro" ->
       """SELECT lang, count(*) AS n, sum(doc_id)::BIGINT AS id_digest,
                 sum(n_chars)::BIGINT AS total_chars,
                 sum(length(text))::BIGINT AS total_text_len

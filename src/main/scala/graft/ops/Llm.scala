@@ -619,7 +619,7 @@ object Llm {
   /** Boilerplate TEMPLATE MINING per source (the review artifact a
     * curation team inspects before turning on [[textSegDedup]]-style
     * stripping): segments recurring across ≥ 5% of a source's documents
-    * (and ≥ 3 docs absolute) are that source's boilerplate candidates —
+    * (and ≥ 2 docs absolute, so the artifact is non-empty even on a tiny shard) are that source's boilerplate candidates —
     * nav bars, footers, cookie banners in web data. Distinct from
     * text_seg_dedup (corpus-wide df ≥ 2 DROP): this ranks WITHIN-source
     * template mass without touching documents. The ratio threshold is
@@ -642,7 +642,7 @@ object Llm {
     segs.groupBy("source", "seg")
       .agg(count_distinct(col("doc_id")).as("df"))
       .join(broadcast(nDocs), "source")
-      .where(col("df") >= 3 && col("df") * 20 >= col("n_docs"))
+      .where(col("df") >= 2 && col("df") * 20 >= col("n_docs"))
       .select(col("source"), col("seg"), col("df"), col("n_docs"),
         (col("df").cast("double") / col("n_docs")).as("df_ratio"))
       .orderBy(col("source"), col("df").desc, col("seg"))
@@ -843,6 +843,51 @@ object Llm {
         round(exp((col("sden") - col("snum")) / col("n_bigrams")), 4)
           .as("ppl"))
       .orderBy("doc_id")
+  }
+
+  /** Fixed BM25 query terms — mixed selectivity on the synthetic
+    * vocabulary ('dup' is the rare ~5%-df marker, the others common). */
+  private[graft] val bm25Terms = Seq("dup", "spark", "vector", "merge")
+
+  /** BM25 RELEVANCE RANKING (Robertson k1=1.2 b=0.75, Lucene's
+    * ln(1 + (N−df+½)/(df+½)) idf so common terms score small-positive
+    * instead of negative) — the retrieval scorer next to [[textTfidf]]'s
+    * salience: top-20 docs for a fixed 4-term query. Determinism
+    * discipline: per-(doc,term) contributions are each ONE fixed IEEE
+    * chain off exact integers (tf, dl, df, N; avgdl enters as one
+    * division), and the per-doc score sums the 4 terms in FIXED COLUMN
+    * ORDER via conditional aggregation — no hash-agg fold-order hazard;
+    * the only cross-engine wobble is ln()'s last ulp, absorbed by the
+    * 1e-6 rounding grid (the [[textPerplexity]] discipline). Scale
+    * shape: the term filter reaches the token explode (only query-term
+    * instances survive the map stage — at 100 TB the posting shuffle is
+    * O(docs containing query terms), the corpus never moves), doc
+    * lengths are one map-side-combined agg, df/N are O(terms)/O(1)
+    * broadcasts. */
+  private def rankBm25: Q = (s, d) => {
+    val toks = fanOut(t(s, d, "documents"))
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val dl = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val tf = toks.select(col("doc_id"), explode(col("tk")).as("tok"))
+      .where(col("tok").isin(bm25Terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val avgdl = col("tot_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    val scored = tf.join(broadcast(df), "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", contrib)
+    val termCols = bm25Terms.map(q =>
+      coalesce(max(when(col("tok") === q, col("contrib"))), lit(0.0)))
+    scored.groupBy("doc_id")
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("n_terms"),
+        round(termCols.reduce(_ + _), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
   }
 
   /** URL-canonicalization dedup — the first dedup pass of every web
@@ -1471,6 +1516,7 @@ object Llm {
   }
 
   val queries: Map[String, Q] = Map(
+    "rank_bm25" -> rankBm25,
     "dedup_fuzzy" -> dedupFuzzy,
     "text_repetition" -> textRepetition,
     "text_score" -> textScore,
@@ -1522,6 +1568,34 @@ object Llm {
   private val duckCos = duckCosOf("q", "e")
 
   val oracles: Map[String, String] = Map(
+    // The identical fixed IEEE chain: left-assoc products/divisions,
+    // fixed-column-order term sum, ln ulp absorbed by the 1e-6 grid.
+    "rank_bm25" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+           dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM tk),
+           st AS (SELECT count(*)::BIGINT AS n_docs,
+                         sum(dl)::BIGINT AS tot_dl FROM dl),
+           tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+                  FROM (SELECT doc_id, unnest(t) AS tok FROM tk)
+                  WHERE tok IN ('dup', 'spark', 'vector', 'merge')
+                  GROUP BY doc_id, tok),
+           df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+           sc AS (SELECT tf.doc_id, tf.tok, dl.dl,
+                         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                           * (tf * 2.2)
+                           / (tf + 1.2 * (0.25 + 0.75 * dl
+                                / (tot_dl::DOUBLE / n_docs))) AS contrib
+                  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+                       CROSS JOIN st)
+         SELECT doc_id, max(dl)::BIGINT AS dl, count(*)::BIGINT AS n_terms,
+                round(coalesce(max(CASE WHEN tok = 'dup' THEN contrib END), 0.0)
+                  + coalesce(max(CASE WHEN tok = 'spark' THEN contrib END), 0.0)
+                  + coalesce(max(CASE WHEN tok = 'vector' THEN contrib END), 0.0)
+                  + coalesce(max(CASE WHEN tok = 'merge' THEN contrib END), 0.0),
+                  6) AS score
+         FROM sc GROUP BY doc_id
+         ORDER BY score DESC, doc_id LIMIT 20""",
     // Brute-force O(n²) edit-distance: proves the SymSpell deletion-
     // neighborhood blocking in dedupFuzzy loses no pair.
     "dedup_fuzzy" ->
@@ -1743,7 +1817,7 @@ object Llm {
          SELECT df.source, seg, df, n_docs,
                 df::DOUBLE / n_docs AS df_ratio
          FROM df JOIN nd ON nd.source = df.source
-         WHERE df >= 3 AND df * 20 >= n_docs
+         WHERE df >= 2 AND df * 20 >= n_docs
          ORDER BY df.source, df DESC, seg""",
     "text_seg_dedup" ->
       """WITH toks AS (

@@ -1016,6 +1016,48 @@ object Pipeline {
       .limit(50)
   }
 
+  /** Poisson(1) CDF thresholds on the 1e-6 grid (floor(P(X≤k)·10⁶) for
+    * k = 0..8; literals pasted into BOTH engines so no cross-engine
+    * float derivation exists). A row's bootstrap weight is the count of
+    * thresholds ≤ its uniform draw — the inverse CDF as pure integer
+    * comparisons. */
+  private[graft] val poissonCdf1e6 = Seq(367879L, 735758L, 919698L,
+    981011L, 996340L, 999405L, 999916L, 999989L, 999998L)
+
+  /** POISSON BOOTSTRAP uncertainty estimation (Chamandy et al.,
+    * "Estimating uncertainty for massive data streams" — the bootstrap
+    * that actually runs on a cluster): resampling-with-replacement is
+    * coordination-free when each row independently draws a Poisson(1)
+    * multiplicity per replica, because Binomial(n, 1/n) → Poisson(1)
+    * and no replica ever needs to know n. 32 replica means of the
+    * kilodollar order total, each weight a DETERMINISTIC row property
+    * (md5 of key‖replica → 1e6-grid uniform → integer inverse-CDF
+    * lookup — rerun-identical, engine-identical, no RNG state). Scale
+    * shape: the ×32 replica fan-out is map-side only — partial
+    * aggregation collapses it to 32 rows per partition before anything
+    * crosses the network, so the shuffle is O(32 × partitions)
+    * regardless of data size; weighted sums are exact longs, ONE IEEE
+    * division per replica at the end. The replica spread IS the
+    * sampling distribution of the mean — PipelineSpec pins that the
+    * true mean sits inside the replica range and that one replica
+    * recomputes exactly driver-side. */
+  private def sampleBootstrap: Q = (s, d) => {
+    val y = floor(col("o_totalprice") / 1000.0d).cast("long").as("y")
+    val base = t(s, d, "orders").select(col("o_orderkey"), y)
+      .select(col("o_orderkey"), col("y"),
+        explode(sequence(lit(0L), lit(31L))).as("replica"))
+    val u = pmod(conv(substring(md5(concat_ws("_", col("o_orderkey"),
+      col("replica"))), 1, 8), 16, 10).cast("long"), lit(1000000L))
+    val w = poissonCdf1e6.map(c => (u >= c).cast("long")).reduce(_ + _)
+    base.withColumn("w", w)
+      .groupBy("replica")
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("y")).as("wsum"))
+      .select(col("replica"), col("n_eff"), col("wsum"),
+        (col("wsum").cast("double") / col("n_eff")).as("mean_kd"))
+      .orderBy("replica")
+  }
+
   /** Count-min sketch (d=3 rows × w=64 buckets) with EXACT
     * verification: per-part lineitem frequencies estimated from the
     * 192-cell sketch next to their true counts, for the top-20 true
@@ -1052,6 +1094,7 @@ object Pipeline {
   val queries: Map[String, Q] = Map(
     "ml_linreg" -> mlLinreg,
     "sample_weighted" -> sampleWeighted,
+    "sample_bootstrap" -> sampleBootstrap,
     "agg_cms" -> aggCms,
     "ml_kmeans" -> mlKmeans,
     "ml_pq" -> mlPq,
@@ -1170,6 +1213,27 @@ object Pipeline {
                   ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE)
                 END AS r2
          FROM s ORDER BY n_name""",
+    "sample_bootstrap" ->
+      """WITH base AS (
+           SELECT o_orderkey, floor(o_totalprice / 1000.0)::BIGINT AS y,
+                  r.replica
+           FROM orders, (SELECT unnest(range(0, 32)) AS replica) r),
+         d AS (SELECT replica, y,
+                      ('0x' || substr(md5(o_orderkey::VARCHAR || '_'
+                        || replica::VARCHAR), 1, 8))::BIGINT % 1000000 AS u
+               FROM base),
+         w AS (SELECT replica, y,
+                      ((u >= 367879)::BIGINT + (u >= 735758)::BIGINT
+                       + (u >= 919698)::BIGINT + (u >= 981011)::BIGINT
+                       + (u >= 996340)::BIGINT + (u >= 999405)::BIGINT
+                       + (u >= 999916)::BIGINT + (u >= 999989)::BIGINT
+                       + (u >= 999998)::BIGINT) AS w
+               FROM d),
+         s AS (SELECT replica, sum(w)::BIGINT AS n_eff,
+                      sum(w * y)::BIGINT AS wsum
+               FROM w GROUP BY replica)
+         SELECT replica, n_eff, wsum, wsum::DOUBLE / n_eff AS mean_kd
+         FROM s ORDER BY replica""",
     "sample_weighted" ->
       """SELECT o_orderkey,
                 (o_totalprice::DECIMAL(18,4) * 100)::BIGINT AS w_cents,

@@ -833,6 +833,52 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Welch two-sample t-test per group — the A/B-experiment readout at
+    * corpus scale: orders assigned to arms by md5 parity of the order
+    * key (deterministic hash assignment, the way experiment bucketing
+    * actually works — rerun-identical, no RNG, no coordination), then
+    * per priority group the arm means are compared by Welch's unequal-
+    * variance t with the Welch–Satterthwaite df. EVERYTHING up to the
+    * final assembly is exact integer power sums (n, Σy, Σy² per arm in
+    * kilodollars — the [[Pipeline]] ml_linreg unit keeping n·Σy² inside
+    * long to ~sf100; past that lift the sums to DECIMAL(38,0)), pivoted
+    * to fixed columns by conditional agg, and the t/df assembly is a
+    * fixed chain of +,−,×,÷,sqrt — every op correctly rounded IEEE in
+    * both engines, so raw doubles hash-match without a rounding grid.
+    * Scale shape: ONE scan, ONE shuffle of O(groups × 2) sum rows,
+    * map-side partial agg does everything — the same plan at any SF. */
+  private def aggTtest: Q = (s, d) => {
+    val arm = pmod(conv(substring(md5(col("o_orderkey").cast("string")),
+      1, 4), 16, 10).cast("long"), lit(2L))
+    val armed = t(s, d, "orders")
+      .select(col("o_orderpriority").as("grp"),
+        floor(col("o_totalprice") / 1000.0d).cast("long").as("y"),
+        arm.as("arm"))
+    val sums = armed.groupBy("grp", "arm")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+        sum(col("y") * col("y")).as("ss"))
+    def pick(a: Int, c: String) = max(when(col("arm") === a, col(c)))
+    val byGrp = sums.groupBy("grp")
+      .agg(pick(0, "n").as("na"), pick(0, "s").as("sa"),
+        pick(0, "ss").as("ssa"), pick(1, "n").as("nb"),
+        pick(1, "s").as("sb"), pick(1, "ss").as("ssb"))
+    val va = (col("na") * col("ssa") - col("sa") * col("sa")).cast("double") /
+      (col("na") * (col("na") - 1)).cast("double")
+    val vb = (col("nb") * col("ssb") - col("sb") * col("sb")).cast("double") /
+      (col("nb") * (col("nb") - 1)).cast("double")
+    val se2 = va / col("na") + vb / col("nb")
+    byGrp.select(col("grp"), col("na"), col("sa"), col("ssa"),
+        col("nb"), col("sb"), col("ssb"),
+        (col("sa").cast("double") / col("na")).as("mean_a"),
+        (col("sb").cast("double") / col("nb")).as("mean_b"),
+        ((col("sa").cast("double") / col("na") -
+          col("sb").cast("double") / col("nb")) / sqrt(se2)).as("t_stat"),
+        (se2 * se2 / ((va / col("na")) * (va / col("na")) / (col("na") - 1) +
+          (vb / col("nb")) * (vb / col("nb")) / (col("nb") - 1)))
+          .as("welch_df"))
+      .orderBy("grp")
+  }
+
   /** Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): year-over-year
     * reconciliation of order-status groups where the 'P' status is
     * nulled out upstream (NULLIF) — a plain equi join silently DROPS the
@@ -1597,6 +1643,63 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Event-SEQUENCE pattern matching (the MATCH_RECOGNIZE gap in
+    * Spark's surface, expressed with what the engine has): per user,
+    * the event stream becomes a path STRING (one char per event in
+    * exact (ts, user) order — (user_id, ts) is unique in this data, so
+    * the order is total) and the pattern is a REGEX over that path —
+    * here `sv+c+p`, a signup running uninterrupted through views/clicks
+    * to a purchase (any error or stray event breaks the run, which is
+    * the semantic difference from [[winFunnel]]'s skip-tolerant
+    * running-min windows). Non-overlapping leftmost match counting is
+    * the same contract in java.util.regex and RE2. Scale shape: ONE
+    * shuffle on user_id; per-group state is the user's own event
+    * sequence — entity-bounded, not corpus-bounded (at 100 TB,
+    * sessionize first — win_session — so the collected sequence is
+    * session-bounded, same plan otherwise). */
+  private def seqPattern: Q = (s, d) => {
+    val ev = events(s, d).select(col("user_id"), col("ts_us"),
+      substring(col("event_type"), 1, 1).as("ch"))
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("path_len"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("ts_us"), col("ch")))),
+          x => x.getField("ch")), "").as("path"))
+      .select(col("user_id"), col("path_len"),
+        regexp_count(col("path"), lit("sv+c+p")).cast("long").as("n_runs"),
+        (regexp_count(col("path"), lit("sv+c+p")) > 0).as("converted"))
+      .orderBy("user_id")
+  }
+
+  /** Seasonal PROFILE decomposition per event-type series — the
+    * daily-rhythm extraction under capacity planning and anomaly
+    * baselines (the classical-decomposition seasonal term, computed the
+    * way a 100 TB engine should): each 10-min slot of the complete
+    * [[slotCounts]] grid folds into its slot-of-day PHASE (144 phases),
+    * the seasonal mean per (type, phase) is ONE map-side-combined
+    * aggregate of exact integer counts with a single IEEE division at
+    * the end, and peak phases come from a row_number over the
+    * O(types × 144) profile — never over the raw series. Everything
+    * before the division is integer-exact; the grid is time-bounded
+    * (slots × types), not data-bounded, so the plan is the same at any
+    * event volume. */
+  private def tsSeasonal: Q = (s, d) => {
+    val prof = slotCounts(s, d)
+      .select(col("event_type"), pmod(col("slot"), lit(144L)).as("phase"),
+        col("x"))
+      .groupBy("event_type", "phase")
+      .agg(count(lit(1)).as("n_slots"), sum(col("x")).as("phase_sum"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("phase_sum").desc, col("phase"))
+    prof.withColumn("peak_rank", row_number().over(w).cast("long"))
+      .select(col("event_type"), col("phase"), col("n_slots"),
+        col("phase_sum"),
+        (col("phase_sum").cast("double") / col("n_slots"))
+          .as("seasonal_mean"),
+        col("peak_rank"), (col("peak_rank") <= 3).as("is_peak"))
+      .orderBy("event_type", "phase")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
@@ -1627,6 +1730,7 @@ object Relational {
     "agg_histogram" -> aggHistogram,
     "agg_bitmap" -> aggBitmap,
     "agg_corr" -> aggCorr,
+    "agg_ttest" -> aggTtest,
     "sql_window_range" -> sqlWindowRange,
     "agg_cube" -> aggCube,
     "agg_gsets" -> aggGsets,
@@ -1658,6 +1762,8 @@ object Relational {
     "sql_tpch_q18" -> sqlTpchQ18,
     "ts_acf" -> tsAcf,
     "ts_changepoint" -> tsChangepoint,
+    "ts_seasonal" -> tsSeasonal,
+    "seq_pattern" -> seqPattern,
     "sql_recursive" -> sqlRecursive,
     "sql_lateral" -> sqlLateral,
     "sql_exists" -> sqlExists,
@@ -1839,6 +1945,41 @@ object Relational {
                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
                   AS corr_qty_price
          FROM a ORDER BY l_returnflag""",
+    // Identical fixed IEEE assembly off the same exact integer sums;
+    // md5-parity arm assignment mirrored verbatim.
+    "agg_ttest" ->
+      """WITH armed AS (
+           SELECT o_orderpriority AS grp,
+                  floor(o_totalprice / 1000.0)::BIGINT AS y,
+                  ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::BIGINT % 2
+                    AS arm
+           FROM orders),
+         sums AS (
+           SELECT grp, arm, count(*)::BIGINT AS n, sum(y)::BIGINT AS s,
+                  sum(y * y)::BIGINT AS ss
+           FROM armed GROUP BY grp, arm),
+         piv AS (
+           SELECT grp,
+                  max(CASE WHEN arm = 0 THEN n END)::BIGINT AS na,
+                  max(CASE WHEN arm = 0 THEN s END)::BIGINT AS sa,
+                  max(CASE WHEN arm = 0 THEN ss END)::BIGINT AS ssa,
+                  max(CASE WHEN arm = 1 THEN n END)::BIGINT AS nb,
+                  max(CASE WHEN arm = 1 THEN s END)::BIGINT AS sb,
+                  max(CASE WHEN arm = 1 THEN ss END)::BIGINT AS ssb
+           FROM sums GROUP BY grp),
+         v AS (
+           SELECT *,
+                  (na * ssa - sa * sa)::DOUBLE / (na * (na - 1))::DOUBLE AS va,
+                  (nb * ssb - sb * sb)::DOUBLE / (nb * (nb - 1))::DOUBLE AS vb
+           FROM piv)
+         SELECT grp, na, sa, ssa, nb, sb, ssb,
+                sa::DOUBLE / na AS mean_a, sb::DOUBLE / nb AS mean_b,
+                (sa::DOUBLE / na - sb::DOUBLE / nb)
+                  / sqrt(va / na + vb / nb) AS t_stat,
+                (va / na + vb / nb) * (va / na + vb / nb)
+                  / ((va / na) * (va / na) / (na - 1)
+                     + (vb / nb) * (vb / nb) / (nb - 1)) AS welch_df
+         FROM v ORDER BY grp""",
     "agg_histogram" ->
       """SELECT CAST(least(greatest(floor(l_extendedprice / 5000.0), 0), 19)
                      AS BIGINT) AS bucket,
@@ -2204,6 +2345,42 @@ object Relational {
     "sql_tpch_q3" -> tpchQ3Sql,
     "sql_tpch_q5" -> tpchQ5Sql,
     "sql_tpch_q18" -> tpchQ18Sql,
+    "seq_pattern" ->
+      s"""WITH ev AS (SELECT user_id, ${duckTsUs("ts")} AS ts_us,
+                             substr(event_type, 1, 1) AS ch
+                      FROM events),
+           p AS (SELECT user_id, count(*)::BIGINT AS path_len,
+                        string_agg(ch, '' ORDER BY ts_us) AS path
+                 FROM ev GROUP BY user_id)
+         SELECT user_id, path_len,
+                len(regexp_extract_all(path, 'sv+c+p'))::BIGINT AS n_runs,
+                len(regexp_extract_all(path, 'sv+c+p')) > 0 AS converted
+         FROM p ORDER BY user_id""",
+    "ts_seasonal" ->
+      s"""WITH ev AS (SELECT event_type,
+                             ${duckTsUs("ts")} // 600000000 AS slot
+                      FROM events),
+           b AS (SELECT min(slot) AS lo, max(slot) AS hi FROM ev),
+           g AS (SELECT t.event_type, u.slot
+                 FROM (SELECT DISTINCT event_type FROM ev) t
+                 CROSS JOIN (SELECT unnest(range(lo, hi + 1)) AS slot
+                             FROM b) u),
+           c AS (SELECT event_type, slot, count(*)::BIGINT AS c
+                 FROM ev GROUP BY 1, 2),
+           x AS (SELECT g.event_type, g.slot, coalesce(c.c, 0)::BIGINT AS x
+                 FROM g LEFT JOIN c
+                   ON c.event_type = g.event_type AND c.slot = g.slot),
+           prof AS (SELECT event_type, (slot % 144)::BIGINT AS phase,
+                           count(*)::BIGINT AS n_slots,
+                           sum(x)::BIGINT AS phase_sum
+                    FROM x GROUP BY 1, 2)
+         SELECT event_type, phase, n_slots, phase_sum,
+                phase_sum::DOUBLE / n_slots AS seasonal_mean,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY phase_sum DESC, phase)::BIGINT AS peak_rank,
+                (row_number() OVER (PARTITION BY event_type
+                  ORDER BY phase_sum DESC, phase)) <= 3 AS is_peak
+         FROM prof ORDER BY event_type, phase""",
     "ts_acf" ->
       s"""WITH ev AS (SELECT event_type,
                              ${duckTsUs("ts")} // 600000000 AS slot

@@ -193,4 +193,32 @@ class GraphSpec extends AnyFunSuite {
     assert(got.toSeq === expected)
     assert(got.forall(_._2 >= 3L), "k-core degree floor")
   }
+
+  test("graph_bfs matches a driver-side BFS; hop profile is contiguous") {
+    val got = SparkEntry.queries("graph_bfs")(spark, SharedSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent BFS over the collected repeat edge set
+    val und = ops.Graph.repeatCopurchaseEdges(spark, SharedSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val src = adj.keys.min
+    val dist = scala.collection.mutable.Map(src -> 0L)
+    var frontier = Set(src)
+    var hop = 0L
+    while (frontier.nonEmpty) {
+      hop += 1
+      val next = frontier.flatMap(adj(_)).filterNot(dist.contains)
+      next.foreach(n => dist(n) = hop)
+      frontier = next
+    }
+    val expected = dist.values.groupBy(identity).map { case (h, g) =>
+      (h, g.size.toLong,
+        dist.collect { case (n, hh) if hh == h => n }.sum)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq === expected)
+    // hops are contiguous from 0 and the walk stays inside one component
+    assert(got.map(_._1).toSeq === (0L until got.length.toLong))
+    assert(dist.size <= adj.size)
+  }
 }

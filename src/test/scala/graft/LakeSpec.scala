@@ -87,6 +87,107 @@ class LakeSpec extends AnyFunSuite {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("scan_avro roundtrip is lossless row-for-row; both codecs present") {
+    val src = Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang", "source", "n_chars", "text")
+    val dir = ops.Lake.buildAvroFixture(spark, sf)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).sortBy(_.getName)
+    assert(files.length === 4, "one container per pre-shard")
+    val back = spark.read.format("binaryFile").load(s"$dir/*.avro")
+      .select(explode(graft.expr.AvroRows.avro_docs(col("content"))).as("r"))
+      .select("r.doc_id", "r.lang", "r.source", "r.n_chars", "r.text")
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // codec metadata: even shards null, odd shards deflate — both of
+    // the spec-required codecs are genuinely exercised
+    val codecs = files.map { f =>
+      val r = new org.apache.avro.file.DataFileReader(
+        f, new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try r.getMetaString("avro.codec") finally r.close()
+    }
+    assert(codecs.toSeq === Seq(null, "deflate", null, "deflate"))
+  }
+
+  test("AvroRows matches avro-core's DataFileReader record-for-record") {
+    val dir = ops.Lake.buildAvroFixture(spark, sf)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).sortBy(_.getName)
+    files.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val (names, rows) = graft.expr.AvroRows.extract(bytes)
+      assert(names === Seq("doc_id", "lang", "source", "n_chars", "text"))
+      val r = new org.apache.avro.file.DataFileReader(
+        f, new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try {
+        var i = 0
+        while (r.hasNext) {
+          val rec = r.next()
+          assert(rows(i)(0) === rec.get("doc_id"))
+          assert(rows(i)(1) === rec.get("lang").toString)
+          assert(rows(i)(4) === rec.get("text").toString)
+          i += 1
+        }
+        assert(i === rows.length, s"${f.getName}: row count")
+      } finally r.close()
+    }
+  }
+
+  test("AvroRows decodes every supported primitive vs avro-core bytes") {
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"Mixed","fields":[
+           {"name":"i","type":"int"},{"name":"l","type":"long"},
+           {"name":"s","type":"string"},{"name":"d","type":"double"},
+           {"name":"f","type":"float"},{"name":"b","type":"boolean"},
+           {"name":"raw","type":"bytes"}]}""")
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+    w.create(schema, bos)
+    val cases = Seq(
+      (0, 0L, "", 0.0, 0.0f, false, Array[Byte]()),
+      (-1, Long.MinValue + 1, "héllo ✓", -2.5, 3.25f, true,
+        Array[Byte](0, 1, -1, 127)),
+      (Int.MaxValue, Long.MaxValue, "x" * 300, Double.MinPositiveValue,
+        Float.NaN, true, Array[Byte](-128)))
+    cases.foreach { case (i, l, s0, d0, f0, b0, raw) =>
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("i", i); rec.put("l", l); rec.put("s", s0); rec.put("d", d0)
+      rec.put("f", f0); rec.put("b", b0)
+      rec.put("raw", java.nio.ByteBuffer.wrap(raw))
+      w.append(rec)
+    }
+    w.close()
+    val (names, rows) = graft.expr.AvroRows.extract(bos.toByteArray)
+    assert(names === Seq("i", "l", "s", "d", "f", "b", "raw"))
+    assert(rows.length === cases.length)
+    cases.zip(rows).foreach { case ((i, l, s0, d0, f0, b0, raw), got) =>
+      assert(got(0) === i && got(1) === l && got(2) === s0 && got(5) === b0)
+      assert(java.lang.Double.doubleToLongBits(got(3).asInstanceOf[Double])
+        === java.lang.Double.doubleToLongBits(d0))
+      assert(java.lang.Float.floatToIntBits(got(4).asInstanceOf[Float])
+        === java.lang.Float.floatToIntBits(f0))
+      assert(got(6).asInstanceOf[Array[Byte]].toSeq === raw.toSeq)
+    }
+  }
+
+  test("AvroRows fails loudly on a flipped block-sync byte") {
+    val dir = ops.Lake.buildAvroFixture(spark, sf)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).minBy(_.getName)
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    assert(graft.expr.AvroRows.extract(bytes)._2.nonEmpty) // sanity: parses clean
+    val tampered = bytes.clone()
+    tampered(tampered.length - 1) = (tampered(tampered.length - 1) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException] {
+      graft.expr.AvroRows.extract(tampered)
+    }
+    assert(e.getMessage.contains("sync marker"))
+  }
+
   test("sink_parquet_encrypted: PARE magic, keyless read fails, tamper fails GCM") {
     SparkEntry.queries("sink_parquet_encrypted")(spark, sf).collect()
     val dir = new java.io.File(ops.Lake.encryptedDir)

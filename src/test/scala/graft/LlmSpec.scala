@@ -473,6 +473,38 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("rank_bm25 matches a from-first-principles driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("rank_bm25")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 20)
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val terms = ops.Llm.bm25Terms
+    val nDocs = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / nDocs
+    val dfm = terms.map(q =>
+      q -> docs.count(_._2.contains(q)).toLong).toMap
+    val scored = docs.map { case (id, tk) =>
+      val dl = tk.length.toLong
+      val contribs = terms.map { q =>
+        val tf = tk.count(_ == q).toLong
+        if (tf == 0) 0.0
+        else math.log(1.0 + (nDocs - dfm(q) + 0.5) / (dfm(q) + 0.5)) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }
+      val score = BigDecimal(contribs.reduce(_ + _))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, dl, terms.count(q => tk.contains(q)).toLong, score)
+    }.filter(_._3 > 0)
+    val expect = scored.sortBy(t => (-t._4, t._1)).take(20)
+    assert(got.toSeq === expect.toSeq)
+    // the rare term dominates: every top-20 doc contains 'dup'
+    val dupDocs = docs.filter(_._2.contains("dup")).map(_._1).toSet
+    assert(got.forall(g => dupDocs(g._1)), "idf ordering sanity")
+  }
+
   test("text_boilerplate matches a driver-side segment-df recompute") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("text_boilerplate")(spark, sf)
@@ -487,7 +519,7 @@ class LlmSpec extends AnyFunSuite {
       toks.grouped(10).map(seg => (src, seg.mkString(" "), id))
     }.distinct.groupBy(t => (t._1, t._2)).view.mapValues(_.length.toLong)
     val expected = df.collect {
-      case ((src, seg), n) if n >= 3 && n * 20 >= nDocs(src) =>
+      case ((src, seg), n) if n >= 2 && n * 20 >= nDocs(src) =>
         (src, seg, n, nDocs(src))
     }.toSeq.sortBy(t => (t._1, -t._3, t._2))
     assert(got.toSeq === expected,

@@ -329,6 +329,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_bootstrap: replica 7 recomputes exactly; CI covers the mean") {
+    val got = run("sample_bootstrap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 32)
+    val orders = Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) / 1000.0).toLong))
+    // exact driver-side recompute of one replica's weighted sums
+    val cdf = ops.Pipeline.poissonCdf1e6
+    def weight(key: Long, replica: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${key}_$replica".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = java.lang.Long.parseLong(h, 16) % 1000000L
+      cdf.count(u >= _).toLong
+    }
+    val (nEff, wsum) = orders.foldLeft((0L, 0L)) { case ((n, s0), (k, y)) =>
+      val w = weight(k, 7L); (n + w, s0 + w * y)
+    }
+    val r7 = got.find(_._1 == 7L).get
+    assert((r7._2, r7._3) === ((nEff, wsum)))
+    assert(r7._4 === wsum.toDouble / nEff)
+    // Poisson(1) resampling keeps ~n rows per replica
+    got.foreach { case (r, n, _, _) =>
+      assert(math.abs(n - orders.length) < orders.length / 10,
+        s"replica $r: n_eff $n far from n ${orders.length}")
+    }
+    // the replica spread straddles the true mean (the point of the op)
+    val trueMean = orders.map(_._2).sum.toDouble / orders.length
+    val means = got.map(_._4)
+    assert(means.min <= trueMean && trueMean <= means.max)
+  }
+
   test("sample_weighted: exact sequential-Poisson priorities, true top-50") {
     val got = run("sample_weighted").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -471,4 +471,93 @@ class RelationalSpec extends AnyFunSuite {
       assert(cpS === (lo + firstIdx) * 600, s"$et: slot $cpS")
     }
   }
+
+  test("ts_seasonal: phases tile the grid, sums roll up, 3 peaks per type") {
+    val series = slotSeries()
+    val rows = SparkEntry.queries("ts_seasonal")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.length === series.size * 144)
+    val lo = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.expr(
+        "min(ts_us div 600000000)")).collect()(0).getLong(0)
+    series.foreach { case (et, x) =>
+      val mine = rows.filter(_._1 == et)
+      // phase sums roll up to the series total; slot counts to the grid
+      assert(mine.map(_._4).sum === x.sum, s"$et: total")
+      assert(mine.map(_._3).sum === x.length.toLong, s"$et: grid size")
+      // recompute one phase's sum from the raw series
+      val phase0 = mine.find(_._2 === 0L).get
+      val want = x.indices.filter(i => (lo + i) % 144 == 0)
+        .map(x(_)).sum
+      assert(phase0._4 === want, s"$et: phase-0 sum")
+      // exactly 3 peaks; every peak sum >= every non-peak sum
+      val (peaks, rest) = mine.partition(_._7)
+      assert(peaks.length === 3, s"$et: ${peaks.length} peaks")
+      assert(peaks.map(_._4).min >= rest.map(_._4).max, s"$et: peak order")
+      // the mean column is exactly the one IEEE division
+      mine.foreach { p =>
+        assert(p._5 === p._4.toDouble / p._3.toDouble, s"$et: mean")
+      }
+    }
+  }
+
+  test("seq_pattern: paths and run counts match a driver-side rebuild") {
+    val got = SparkEntry.queries("seq_pattern")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val ev = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts_us"),
+        org.apache.spark.sql.functions.col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expected = ev.groupBy(_._1).map { case (uid, rows) =>
+      val path = rows.sortBy(_._2).map(_._3.head).mkString
+      val runs = "sv+c+p".r.findAllIn(path).length.toLong
+      (uid, rows.length.toLong, runs, runs > 0)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq === expected)
+    // the pattern is non-trivially selective: some convert, some don't
+    assert(got.exists(_._4) && got.exists(!_._4))
+  }
+
+  test("agg_ttest: matches a BigInt driver-side Welch recompute") {
+    val rows = SparkEntry.queries("agg_ttest")(spark, sf).collect()
+    assert(rows.length === 5)
+    val raw = Tables.t(spark, sf, "orders")
+      .select(org.apache.spark.sql.functions.col("o_orderpriority"),
+        org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.col("o_totalprice")).collect()
+      .map { r =>
+        val key = r.getLong(1)
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(4)
+        val arm = java.lang.Long.parseLong(md5, 16) % 2
+        (r.getString(0), arm, math.floor(r.getDouble(2) / 1000.0).toLong)
+      }
+    rows.foreach { r =>
+      val grp = r.getString(0)
+      val mine = raw.filter(_._1 == grp)
+      def sums(a: Long) = {
+        val ys = mine.filter(_._2 == a).map(_._3)
+        (ys.length.toLong, ys.sum, ys.map(y => y * y).sum)
+      }
+      val (na, sa, ssa) = sums(0); val (nb, sb, ssb) = sums(1)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((na, sa, ssa)))
+      assert((r.getLong(4), r.getLong(5), r.getLong(6)) === ((nb, sb, ssb)))
+      // arms are near-balanced (hash assignment, not a constant split)
+      assert(na > 0 && nb > 0 && math.abs(na - nb) < (na + nb) / 2)
+      val va = (BigInt(na) * ssa - BigInt(sa) * sa).toDouble / (na * (na - 1)).toDouble
+      val vb = (BigInt(nb) * ssb - BigInt(sb) * sb).toDouble / (nb * (nb - 1)).toDouble
+      val se2 = va / na + vb / nb
+      val tGot = r.getDouble(9)
+      val tWant = (sa.toDouble / na - sb.toDouble / nb) / math.sqrt(se2)
+      assert(math.abs(tGot - tWant) < 1e-12, s"$grp: t $tGot vs $tWant")
+      // null split: arms differ only by hash → |t| small at this n
+      assert(math.abs(tGot) < 5.0, s"$grp: implausible t for a null split")
+      val dfw = r.getDouble(10)
+      assert(dfw > 0 && dfw <= (na + nb - 2).toDouble + 1e-9,
+        s"$grp: Welch df $dfw out of range")
+    }
+  }
 }
