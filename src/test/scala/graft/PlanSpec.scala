@@ -256,4 +256,57 @@ class PlanSpec extends AnyFunSuite {
       .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
     assert(shuffles.size === 1, shuffles.map(_.outputPartitioning).mkString(";"))
   }
+
+  test("rank_bm25 broadcasts df/N — the posting join is the only real shuffle") {
+    val p = planOf("rank_bm25")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ml_linreg broadcasts the customer→nation dim onto the fact scan") {
+    val p = planOf("ml_linreg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("agg_ttest is two O(groups) hash aggregates — no join, map-side partials") {
+    val p = planOf("agg_ttest")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("sample_bootstrap partial-aggregates the ×32 fan-out map-side") {
+    val p = planOf("sample_bootstrap")
+    // the replica explosion must collapse BEFORE the exchange: partial
+    // sums on the map side mean only O(32 × partitions) rows shuffle
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("sample_weighted plans TakeOrderedAndProject — bounded heaps, no global sort") {
+    val p = planOf("sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("seq_pattern shuffles each user once (single hash exchange)") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val shuffles = executedShuffles("seq_pattern")
+      .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+    assert(shuffles.size === 1, shuffles.map(_.outputPartitioning).mkString(";"))
+  }
+
+  test("text_boilerplate broadcasts the O(sources) doc-count table") {
+    val p = planOf("text_boilerplate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ts_seasonal windows over the O(types×144) profile, not the raw series") {
+    val p = planOf("ts_seasonal")
+    // exactly one Window node, and it consumes an aggregate (the
+    // profile), so the row count entering the sort is profile-sized
+    assert("Window".r.findAllIn(p).size === 1, p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
