@@ -1542,6 +1542,52 @@ object Relational {
     s.sql(tpchQ5Sql)
   }
 
+  /** TPC-H Q6 (forecasting revenue change) — the pure SCAN-FILTER-AGG
+    * that measures predicate pushdown and vectorized evaluation with
+    * zero join noise: three range predicates reach the parquet reader
+    * (row-group stats prune whole groups on shipdate at 100 TB when the
+    * data is time-clustered), one decimal product, ONE output row.
+    * Narrow casts per the [[tpchQ1Sql]] precision-clamp discipline. */
+  private[graft] val tpchQ6Sql: String =
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(l_discount AS DECIMAL(4,2))), 2)
+                  AS DOUBLE) AS revenue,
+              count(*) AS n_qualifying
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount >= 0.05 AND l_discount <= 0.07
+         AND l_quantity < 24"""
+  private def sqlTpchQ6: Q = (s, d) => {
+    t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(tpchQ6Sql)
+  }
+
+  /** TPC-H Q10 (returned item reporting) — the classic "top complaining
+    * customers" join-agg-topk: date-windowed orders ⋈ returned lineitems
+    * ⋈ customer ⋈ nation, revenue per customer, top 20. The date filter
+    * prunes orders at the scan; nation broadcasts; the top-k is a
+    * TakeOrderedAndProject over the aggregate, never a global sort.
+    * Explicit c_custkey tiebreak keeps the double-revenue ordering
+    * deterministic across engines. */
+  private[graft] val tpchQ10Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                   AS DOUBLE) AS revenue
+       FROM customer, orders, lineitem, nation
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1996-04-01'
+         AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       GROUP BY c_custkey, c_name, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20"""
+  private def sqlTpchQ10: Q = (s, d) => {
+    Seq("customer", "orders", "lineitem", "nation")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(tpchQ10Sql)
+  }
+
   /** Slot width shared by the ts_* series operators (10 min in µs). */
   private val acfSlotUs = 600000000L
 
@@ -1757,6 +1803,8 @@ object Relational {
     "join_skew_salted" -> joinSkewSalted,
     "join_skew_aqe" -> joinSkewAqe,
     "sql_tpch_q1" -> sqlTpchQ1,
+    "sql_tpch_q6" -> sqlTpchQ6,
+    "sql_tpch_q10" -> sqlTpchQ10,
     "sql_tpch_q3" -> sqlTpchQ3,
     "sql_tpch_q5" -> sqlTpchQ5,
     "sql_tpch_q18" -> sqlTpchQ18,
@@ -2342,6 +2390,8 @@ object Relational {
     // THE SAME STRING the Spark engine executes — one SQL text, two
     // engines, hash-identical result.
     "sql_tpch_q1" -> tpchQ1Sql,
+    "sql_tpch_q6" -> tpchQ6Sql,
+    "sql_tpch_q10" -> tpchQ10Sql,
     "sql_tpch_q3" -> tpchQ3Sql,
     "sql_tpch_q5" -> tpchQ5Sql,
     "sql_tpch_q18" -> tpchQ18Sql,

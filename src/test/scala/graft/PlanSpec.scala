@@ -302,6 +302,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("sql_tpch_q6 pushes all three range predicates into the parquet scan") {
+    // the full pushed list is elided in plan toString — read the scan
+    // node's metadata directly
+    val pushed = SparkEntry.queries("sql_tpch_q6")(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata("PushedFilters")
+      }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("LessThan(l_shipdate"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.05)"), pushed)
+    assert(pushed.contains("LessThan(l_quantity,24.0)"), pushed)
+  }
+
+  test("sql_tpch_q10 broadcasts nation and takes the top-20 without a global sort") {
+    val p = planOf("sql_tpch_q10")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("ts_seasonal windows over the O(types×144) profile, not the raw series") {
     val p = planOf("ts_seasonal")
     // exactly one Window node, and it consumes an aggregate (the
