@@ -845,6 +845,54 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Shingle-CONTAINMENT scoring — the asymmetric sibling of Jaccard
+    * that catches EXCERPTS (a quote, a syndicated paragraph, a doc
+    * embedded in a larger one): containment |A∩B| / min(|A|,|B|) stays
+    * high when one side is much bigger, exactly where Jaccard collapses
+    * and the whole minhash family goes blind. Per doc: best-containment
+    * partner via an exact shingle inverted index (a qualifying pair
+    * must share a shingle, so the index loses nothing — the
+    * [[dedupMinhashRecall]] truth-side argument), intersection counts
+    * are exact integers, containment ONE IEEE division, and the excerpt
+    * flag (≥ 0.8) is integer cross-multiplication (5·inter ≥ 4·min).
+    * Scale shape: work ∝ Σ shingle-df² — on a random corpus candidate
+    * pairs are near-dup-sized; at 100 TB cap shingle df (boilerplate
+    * mega-shingles) and pre-filter pairs by a shared-shingle count
+    * floor, both provable no-ops on data like this. Every doc emits a
+    * row (nulls when no candidate shares a shingle). */
+  private def dedupContainment: Q = (s, d) => {
+    val sh = fanOut(t(s, d, "documents"))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val sym = pairs.select(col("da").as("doc_id"), col("db").as("partner"),
+        col("inter"))
+      .unionAll(pairs.select(col("db").as("doc_id"),
+        col("da").as("partner"), col("inter")))
+    val scored = sym
+      .join(sizes, "doc_id")
+      .join(broadcast(sizes.select(col("doc_id").as("partner"),
+        col("n_sh").as("n_partner"))), "partner")
+      .withColumn("min_sh", least(col("n_sh"), col("n_partner")))
+      .withColumn("containment",
+        col("inter").cast("double") / col("min_sh"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("containment").desc, col("partner"))
+    val best = scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("partner"), col("inter"), col("min_sh"),
+        col("containment"))
+    sizes.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"), col("partner"), col("inter"),
+        col("containment"),
+        coalesce(col("inter") * 5 >= col("min_sh") * 4, lit(false))
+          .as("is_excerpt"))
+      .orderBy("doc_id")
+  }
+
   /** Fixed BM25 query terms — mixed selectivity on the synthetic
     * vocabulary ('dup' is the rare ~5%-df marker, the others common). */
   private[graft] val bm25Terms = Seq("dup", "spark", "vector", "merge")
@@ -1517,6 +1565,7 @@ object Llm {
 
   val queries: Map[String, Q] = Map(
     "rank_bm25" -> rankBm25,
+    "dedup_containment" -> dedupContainment,
     "dedup_fuzzy" -> dedupFuzzy,
     "text_repetition" -> textRepetition,
     "text_score" -> textScore,
@@ -1568,6 +1617,36 @@ object Llm {
   private val duckCos = duckCosOf("q", "e")
 
   val oracles: Map[String, String] = Map(
+    // The identical exact pipeline: same 3-gram shingle construction,
+    // integer intersections, one IEEE division, integer-cross-mult flag.
+    "dedup_containment" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+                         array_to_string(t[j:j+2], ' ') AS sh
+                  FROM tk,
+                       unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(j)),
+           sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh
+                  FROM sh GROUP BY doc_id),
+           p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                        count(*)::BIGINT AS inter
+                 FROM sh a JOIN sh b
+                   ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY da, db),
+           sym AS (SELECT da AS doc_id, db AS partner, inter FROM p
+                   UNION ALL SELECT db, da, inter FROM p),
+           sc AS (SELECT sym.doc_id, partner, inter,
+                         least(s1.n_sh, s2.n_sh) AS min_sh,
+                         inter::DOUBLE / least(s1.n_sh, s2.n_sh)
+                           AS containment
+                  FROM sym JOIN sz s1 ON s1.doc_id = sym.doc_id
+                       JOIN sz s2 ON s2.doc_id = partner),
+           best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY containment DESC, partner) AS rn FROM sc)
+         SELECT sz.doc_id, sz.n_sh, b.partner, b.inter, b.containment,
+                coalesce(b.inter * 5 >= b.min_sh * 4, false) AS is_excerpt
+         FROM sz LEFT JOIN best b ON b.doc_id = sz.doc_id AND b.rn = 1
+         ORDER BY sz.doc_id""",
     // The identical fixed IEEE chain: left-assoc products/divisions,
     // fixed-column-order term sum, ln ulp absorbed by the 1e-6 grid.
     "rank_bm25" ->

@@ -441,6 +441,81 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  /** STREAMING incremental SEQUENCE-PATTERN maintenance — seq_pattern's
+    * streaming twin, and the interesting case of incremental MV logic:
+    * the regex-over-path aggregate is NOT algebraic (a new event can
+    * create or destroy a match anywhere in the user's path), so the MV
+    * can't fold deltas like [[streamMv]]. The incremental discipline
+    * instead is CHANGED-KEYS-ONLY recompute: each micro-batch touches
+    * only the users it contains — their raw (ts, ch) state is re-read
+    * (semi-join on the batch's user set), their paths re-derived and
+    * re-matched, and every untouched user's MV row carries forward
+    * untouched (anti-join). Per-batch work is O(batch users × their
+    * history), never O(all users). The source is split by event_id mod
+    * 4 — deliberately NOT time-ordered — and the result is provably
+    * arrival-order-independent because state stores (ts_us, ch) pairs
+    * and sorts at recompute; the final MV is row-identical to batch
+    * seq_pattern and SHARES ITS ORACLE. Exactly-once: state and MV
+    * versions are keyed by batchId (replay overwrites its own version,
+    * the stream_mv discipline). */
+  private def streamSeq: Q = (s, d) => {
+    val src = s"$scratchRoot/stream_seq_src/${Llm.Scratch.key(d)}"
+    Llm.Scratch.once(src) {
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          substring(col("event_type"), 1, 1).as("ch"))
+        .repartition(4) // round-robin: 4 files, arrival order ≠ time order
+        .write.mode("overwrite").parquet(src)
+    }
+    val root = streamDir("stream_seq/versions")
+    @volatile var lastBatch = -1L
+    val st = s.readStream
+      .schema(new StructType()
+        .add("event_id", org.apache.spark.sql.types.LongType)
+        .add("user_id", org.apache.spark.sql.types.LongType)
+        .add("ts_us", org.apache.spark.sql.types.LongType)
+        .add("ch", org.apache.spark.sql.types.StringType))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    def mvOf(ev: DataFrame): DataFrame = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("path_len"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("ts_us"), col("ch")))),
+          x => x.getField("ch")), "").as("path"))
+      .select(col("user_id"), col("path_len"),
+        regexp_count(col("path"), lit("sv+c+p")).cast("long").as("n_runs"),
+        (regexp_count(col("path"), lit("sv+c+p")) > 0).as("converted"))
+    withStatePartitions(s) {
+      val q = st.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val bev = batch.select("user_id", "ts_us", "ch")
+          val touched = bev.select("user_id").distinct()
+          val (allEv, prevMv) =
+            if (batchId == 0L) (bev, None)
+            else (s.read.parquet(s"$root/ev_v${batchId - 1}")
+              .unionByName(bev),
+              Some(s.read.parquet(s"$root/mv_v${batchId - 1}")))
+          allEv.write.mode("overwrite").parquet(s"$root/ev_v$batchId")
+          val evNow = s.read.parquet(s"$root/ev_v$batchId")
+          val changed = mvOf(
+            evNow.join(touched, Seq("user_id"), "left_semi"))
+          val mv = prevMv match {
+            case None => changed
+            case Some(prev) =>
+              prev.join(touched, Seq("user_id"), "left_anti")
+                .unionByName(changed)
+          }
+          mv.write.mode("overwrite").parquet(s"$root/mv_v$batchId")
+          if (batchId > lastBatch) lastBatch = batchId
+        }
+        .option("checkpointLocation", streamDir("stream_seq/ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(s"$root/mv_v$lastBatch").orderBy("user_id")
+  }
+
   /** STREAMING incremental near-dup dedup — dedup_incremental's
     * streaming twin, and the shape a 100 TB corpus actually grows in:
     * the signature BAND INDEX is a stored artifact; new documents
@@ -842,6 +917,7 @@ object Streaming {
     "stream_enrich" -> streamEnrich,
     "stream_sink" -> streamSink,
     "stream_mv" -> streamMv,
+    "stream_seq" -> streamSeq,
     "stream_dedup_incremental" -> streamDedupIncremental,
     "pipeline_corpus_stream" -> streamPipelineCorpus,
   )
@@ -853,6 +929,9 @@ object Streaming {
     "stream_dedup_incremental" -> IncrementalPins.dedupIncremental,
     // Contractually row-identical to the batch assembly — same oracle.
     "pipeline_corpus_stream" -> Pipeline.corpusOracle,
+    // The incrementally-maintained MV must equal batch seq_pattern
+    // exactly (changed-keys-only recompute is a pure optimization).
+    "stream_seq" -> Relational.oracles("seq_pattern"),
     // Stream-static enrichment ≡ its batch join (AvailableNow drains
     // the full source); dmul2/dsum2 decimal chain mirrored exactly.
     "stream_enrich" ->

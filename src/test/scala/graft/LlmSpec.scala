@@ -473,6 +473,33 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_containment flags a planted excerpt invisible to Jaccard") {
+    val cd = s"${Tables.scratchRoot}/llm_containment_fixture"
+    val words = (1 to 100).map(i => s"w$i")
+    val big = words.mkString(" ")
+    val excerpt = words.slice(40, 55).mkString(" ") // verbatim 15-word span
+    val docs = Seq(
+      (0L, big, "en", "src0", big.length.toLong),
+      (1L, excerpt, "en", "src0", excerpt.length.toLong),
+      (2L, "completely unrelated words about columnar engines and " +
+        "vectorized readers everywhere", "en", "src0", 80L))
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$cd/documents.parquet")
+    val rows = SparkEntry.queries("dedup_containment")(spark, cd).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4), r.getBoolean(5)))).toMap
+    // the excerpt's every shingle is inside big → containment 1.0
+    assert(rows(1L) === ((13L, 0L, 1.0, true)), s"excerpt row: $rows")
+    assert(rows(0L)._1 === 98L && rows(0L)._4, s"big side: $rows")
+    assert(!rows(2L)._4, s"unrelated doc must not flag: $rows")
+    // the same pair's Jaccard is tiny — the asymmetric metric is the
+    // only one that sees it
+    val jac = 13.0 / (98 + 13 - 13)
+    assert(jac < 0.15)
+  }
+
   test("rank_bm25 matches a from-first-principles driver recompute") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("rank_bm25")(spark, sf).collect()

@@ -68,6 +68,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("stream_seq equals batch seq_pattern after 4 incremental merges") {
+    val streamed = SparkEntry.queries("stream_seq")(spark, sf)
+      .collect().map(_.toSeq)
+    // 4 staged files, 1 per trigger → one (ev, mv) version pair per
+    // micro-batch; fewer means the changed-keys-only incremental path
+    // went unexercised.
+    val versions = new java.io.File(
+      s"${Tables.scratchRoot}/stream/stream_seq/versions").listFiles()
+    assert(versions != null &&
+      versions.count(_.getName.startsWith("mv_v")) >= 4 &&
+      versions.count(_.getName.startsWith("ev_v")) >= 4)
+    val batch = SparkEntry.queries("seq_pattern")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed === batch)
+  }
+
   test("known cardinalities at sf0.001") {
     assert(SparkEntry.queries("scan_parquet")(spark, sf).count() === 5 + 20)
     assert(SparkEntry.queries("agg_hash")(spark, sf).count() <= 6)
