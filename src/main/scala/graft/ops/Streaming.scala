@@ -220,6 +220,43 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  /** STATE-STORE INTROSPECTION — Spark 4's `statestore` data source
+    * pointed at a finished streaming checkpoint: the ops/debugging
+    * surface that answers "what is this stateful query actually
+    * holding?" without instrumenting the query. A dropDuplicates
+    * stream runs to completion, then its dedup state (one key per
+    * distinct event_id) is read BACK from the checkpoint as a
+    * DataFrame and audited: row count, key digest, min/max — which
+    * must equal the batch distinct over the source, an EXACT oracle
+    * for the entire write-state/checkpoint/read-state round trip. At
+    * 100 TB this read is how you size, sample, or migrate a production
+    * query's RocksDB state (the source reads store files directly,
+    * one partition per state shard — no driver collect). */
+  private def streamStateRead: Q = (s, d) => {
+    val ckpt = streamDir("stream_state_read/ckpt")
+    withStatePartitions(s) {
+      // single stateful operator → unambiguous operatorId 0
+      val q = readEventStream(s, d)
+        .select("event_id", "event_type")
+        .dropDuplicates("event_id")
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("stream_state_read_t")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // operator 0 = the dropDuplicates state (one row per seen key)
+    s.read.format("statestore")
+      .option("operatorId", "0")
+      .load(ckpt)
+      .select(col("key.event_id").as("event_id"))
+      .agg(count(lit(1)).as("n_state_keys"),
+        sum(col("event_id")).as("key_digest"),
+        min(col("event_id")).as("min_key"),
+        max(col("event_id")).as("max_key"))
+  }
+
   /** Arbitrary stateful processing: per-user running (count, sum) via
     * mapGroupsWithState (R25 per-batch timing state analog). Values are
     * accumulated as exact cents so fold order can't perturb the result. */
@@ -910,6 +947,7 @@ object Streaming {
     "stream_ingest" -> streamIngest,
     "stream_watermark" -> streamWatermark,
     "stream_dedup" -> streamDedup,
+    "stream_state_read" -> streamStateRead,
     "stream_stateful" -> streamStateful,
     "stream_session" -> streamSession,
     "stream_tws" -> streamTws,
@@ -932,6 +970,14 @@ object Streaming {
     // The incrementally-maintained MV must equal batch seq_pattern
     // exactly (changed-keys-only recompute is a pure optimization).
     "stream_seq" -> Relational.oracles("seq_pattern"),
+    // The dedup state read back from the checkpoint must hold exactly
+    // the distinct keys of the source — a batch-exact audit of the
+    // write-state/checkpoint/read-state round trip.
+    "stream_state_read" ->
+      """SELECT count(*)::BIGINT AS n_state_keys,
+                sum(event_id)::BIGINT AS key_digest,
+                min(event_id) AS min_key, max(event_id) AS max_key
+         FROM (SELECT DISTINCT event_id FROM events)""",
     // Stream-static enrichment ≡ its batch join (AvailableNow drains
     // the full source); dmul2/dsum2 decimal chain mirrored exactly.
     "stream_enrich" ->

@@ -84,6 +84,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream_state_read: checkpoint state is sharded across every state partition") {
+    import org.apache.spark.sql.functions._
+    val audit = SparkEntry.queries("stream_state_read")(spark, sf).collect()(0)
+    val st = spark.read.format("statestore")
+      .option("operatorId", "0")
+      .load(s"${Tables.scratchRoot}/stream/stream_state_read/ckpt")
+    // the read is per-shard (one input partition per state store), and
+    // hash partitioning spread the keys over all 8 stores
+    assert(st.select("partition_id").distinct().count() === 8)
+    // the audit row equals a direct recount of the same state read
+    assert(st.count() === audit.getLong(0))
+    assert(st.agg(sum(col("key.event_id"))).collect()(0).getLong(0)
+      === audit.getLong(1))
+  }
+
   test("known cardinalities at sf0.001") {
     assert(SparkEntry.queries("scan_parquet")(spark, sf).count() === 5 + 20)
     assert(SparkEntry.queries("agg_hash")(spark, sf).count() <= 6)
