@@ -1588,6 +1588,38 @@ object Relational {
     s.sql(tpchQ10Sql)
   }
 
+  /** SQL SCRIPTING (Spark 4's BEGIN/DECLARE/WHILE surface) — control
+    * flow in pure SQL, the migration path for warehouse stored
+    * procedures: a threshold doubles until at most 1000 orders exceed
+    * it (a data-driven calibration loop, the "find the cutoff" chore
+    * reporting jobs script). Each iteration is a full distributed
+    * count — the script only sequences queries, every data operation
+    * stays a Spark plan. Doubling keeps the threshold IEEE-exact at
+    * every step, so the loop exit — and therefore the result — is
+    * engine-independent; the oracle re-derives the same fixpoint
+    * closed-form (first k with count(> 1000·2^k) ≤ 1000). */
+  private def sqlScripting: Q = (s, d) => {
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    // Scripts execute EAGERLY at sql() (the loop must run to produce
+    // the final SELECT), so the conf window closes safely right after.
+    val prev = s.conf.getOption("spark.sql.scripting.enabled")
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    try s.sql("""
+      BEGIN
+        DECLARE thr DOUBLE DEFAULT 1000.0;
+        WHILE (SELECT count(*) FROM orders WHERE o_totalprice > thr) > 1000 DO
+          SET thr = thr * 2;
+        END WHILE;
+        SELECT thr AS threshold,
+               CAST((SELECT count(*) FROM orders WHERE o_totalprice > thr)
+                    AS BIGINT) AS n_above;
+      END""")
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
+      case None => s.conf.unset("spark.sql.scripting.enabled")
+    }
+  }
+
   /** Slot width shared by the ts_* series operators (10 min in µs). */
   private val acfSlotUs = 600000000L
 
@@ -1805,6 +1837,7 @@ object Relational {
     "sql_tpch_q1" -> sqlTpchQ1,
     "sql_tpch_q6" -> sqlTpchQ6,
     "sql_tpch_q10" -> sqlTpchQ10,
+    "sql_scripting" -> sqlScripting,
     "sql_tpch_q3" -> sqlTpchQ3,
     "sql_tpch_q5" -> sqlTpchQ5,
     "sql_tpch_q18" -> sqlTpchQ18,
@@ -2392,6 +2425,19 @@ object Relational {
     "sql_tpch_q1" -> tpchQ1Sql,
     "sql_tpch_q6" -> tpchQ6Sql,
     "sql_tpch_q10" -> tpchQ10Sql,
+    // DuckDB has no SQL scripting; the oracle derives the identical
+    // fixpoint closed-form: the first doubling step whose count is
+    // <= 1000 (power(2,k) is IEEE-exact for small k, same doubles as
+    // the script's repeated *2).
+    "sql_scripting" ->
+      """WITH c AS (SELECT k, 1000.0 * power(2, k) AS thr
+                    FROM (SELECT unnest(range(0, 30)) AS k)),
+           n AS (SELECT k, thr,
+                        (SELECT count(*) FROM orders
+                         WHERE o_totalprice > c.thr) AS cnt
+                 FROM c)
+         SELECT thr AS threshold, cnt::BIGINT AS n_above
+         FROM n WHERE cnt <= 1000 ORDER BY k LIMIT 1""",
     "sql_tpch_q3" -> tpchQ3Sql,
     "sql_tpch_q5" -> tpchQ5Sql,
     "sql_tpch_q18" -> tpchQ18Sql,
