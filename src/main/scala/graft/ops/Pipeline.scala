@@ -1016,6 +1016,133 @@ object Pipeline {
       .limit(50)
   }
 
+  /** DBSCAN density clustering — the non-parametric sibling of
+    * [[mlKmeans]] (no k, finds noise), composed ENTIRELY from the
+    * engine's verified primitives: the ε-neighbor join is the
+    * join_spatial 3×3 grid blocking (work ∝ near-pairs + 9n, never
+    * O(n²)); core points are one degree aggregate (≥ 4 neighbors
+    * EXCLUDING self — note the off-by-one vs |N_ε| ≥ minPts
+    * formulations, mirrored in the oracle); clusters are min-label
+    * propagation over the core-core graph run to convergence (the
+    * graph_cc loop: per-round join + min-agg on the same key,
+    * checkpointed, changed-count is coordinator metadata); border
+    * points take the MIN label among their core neighbors (classical
+    * DBSCAN leaves border assignment order-dependent — the min rule
+    * makes it deterministic and engine-independent); everything else
+    * is noise. Points are planted: 5 centers 10 000 apart, md5 jitter
+    * in a 2 000 box — at the gate SF density makes ~all points core
+    * and exactly 5 clusters emerge; at sf0.001 the same ε/minPts
+    * yield all-noise (too sparse), which is itself correct DBSCAN
+    * behavior. The oracle recomputes with a BRUTE-FORCE O(n²)
+    * neighbor join + recursive-closure components — independent
+    * algorithms at both steps, so the grid blocking and the label
+    * loop are each proven lossless. */
+  private def mlDbscan: Q = (s, d) => {
+    val eps = 175L
+    def jit(axis: String) = pmod(conv(substring(md5(concat_ws("_",
+      lit(axis), col("id"))), 1, 8), 16, 10).cast("long"), lit(2000L))
+    val pts = Llm.Scratch.table(s,
+        s"$scratchRoot/ml/dbscan_pts_${Llm.Scratch.key(d)}") {
+      t(s, d, "customer").select(col("c_custkey").as("id"))
+        .withColumn("x", pmod(col("id"), lit(5)) * 10000L + jit("x"))
+        .withColumn("y", jit("y"))
+    }
+    val build = pts.select(col("id"), col("x"), col("y"),
+      expr(s"x div $eps").as("cx"), expr(s"y div $eps").as("cy"))
+    val probe = pts.select(col("id").as("id2"), col("x").as("x2"),
+        col("y").as("y2"),
+        expr(s"""explode(flatten(transform(sequence(-1, 1), dx ->
+             transform(sequence(-1, 1), dy ->
+               struct((x div $eps) + dx AS cx, (y div $eps) + dy AS cy)))))""")
+          .as("c"))
+      .select(col("id2"), col("x2"), col("y2"),
+        col("c.cx").as("cx"), col("c.cy").as("cy"))
+    val nbr = Llm.Scratch.table(s,
+        s"$scratchRoot/ml/dbscan_nbr_${Llm.Scratch.key(d)}") {
+      build.join(probe, Seq("cx", "cy"))
+        .where(col("id") =!= col("id2") &&
+          greatest(abs(col("x") - col("x2")),
+            abs(col("y") - col("y2"))) <= eps)
+        .select(col("id"), col("id2"))
+    }
+    // core and the core-core edge list feed EVERY propagation round
+    // (and the border pass): materialize once, like nbr, so rounds
+    // re-read a parquet instead of re-running the degree aggregate.
+    val core = Llm.Scratch.table(s,
+        s"$scratchRoot/ml/dbscan_core_${Llm.Scratch.key(d)}") {
+      nbr.groupBy("id").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= 4).select("id")
+    }
+    val ce = Llm.Scratch.table(s,
+        s"$scratchRoot/ml/dbscan_ce_${Llm.Scratch.key(d)}") {
+      nbr.join(core, Seq("id"))
+        .join(core.select(col("id").as("id2")), Seq("id2"))
+    }
+    // CELL CONTRACTION before label propagation — the scale move: two
+    // points in the same ε-wide cell are within ε by construction
+    // (integer coords, max in-cell diff ε−1), so a cell's core points
+    // are a clique and the whole cell collapses to ONE supernode. The
+    // propagation loop then runs over O(occupied cells) rows — ~50×
+    // smaller than the point graph here, data-extent-bounded at any
+    // row count — with point labels recovered by a single join at the
+    // end. Symmetric edges make the no-change exit sound: chg=0 ⇒
+    // labels constant per cell component ⇒ every label is its
+    // component's min core id.
+    val cellOf = pts.select(col("id"),
+      expr(s"x div $eps").as("kx"), expr(s"y div $eps").as("ky"))
+    val coreCell = Llm.Scratch.table(s,
+        s"$scratchRoot/ml/dbscan_corecell_${Llm.Scratch.key(d)}") {
+      core.join(cellOf, Seq("id"))
+    }
+    val cellEdges = Llm.Scratch.table(s,
+        s"$scratchRoot/ml/dbscan_celledges_${Llm.Scratch.key(d)}") {
+      ce.join(coreCell.select(col("id"), col("kx").as("ax"),
+          col("ky").as("ay")), Seq("id"))
+        .join(coreCell.select(col("id").as("id2"), col("kx").as("bx"),
+          col("ky").as("by")), Seq("id2"))
+        .select("ax", "ay", "bx", "by").distinct()
+    }
+    var labels = coreCell.groupBy("kx", "ky").agg(min(col("id")).as("lbl"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0) {
+      i += 1
+      require(i <= 32, s"dbscan label propagation past 32 rounds on $d")
+      val prop = cellEdges.join(labels,
+          col("ax") === col("kx") && col("ay") === col("ky"))
+        .groupBy(col("bx"), col("by")).agg(min(col("lbl")).as("nlbl"))
+      // the label table is O(occupied cells) — an eager localCheckpoint
+      // truncates lineage without a parquet round trip per round
+      val cur = labels.join(prop,
+          col("kx") === col("bx") && col("ky") === col("by"), "left")
+        .select(col("kx"), col("ky"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
+        .coalesce(1).localCheckpoint()
+      changed = cur.where(col("chg")).count()
+      labels = cur.select("kx", "ky", "lbl")
+    }
+    val coreLab = coreCell.join(labels, Seq("kx", "ky"))
+      .select(col("id").as("node"), col("lbl"))
+    val borderLab = nbr
+      .join(coreLab.select(col("node").as("id2"), col("lbl")), Seq("id2"))
+      .join(core, Seq("id"), "left_anti")
+      .groupBy("id").agg(min(col("lbl")).as("lbl"))
+    val assigned = coreLab.select(col("node").as("id"), col("lbl"),
+        lit(1L).as("is_core"))
+      .unionByName(borderLab.select(col("id"), col("lbl"),
+        lit(0L).as("is_core")))
+    val summary = assigned.groupBy(col("lbl").as("cluster"))
+      .agg(sum(col("is_core")).as("n_core"),
+        sum(lit(1L) - col("is_core")).as("n_border"),
+        count(lit(1)).as("n_pts"))
+    val noise = pts.join(assigned.select("id"), Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n_pts"))
+      .select(lit(-1L).as("cluster"), lit(0L).as("n_core"),
+        lit(0L).as("n_border"), col("n_pts"))
+    summary.unionByName(noise).where(col("n_pts") > 0).orderBy("cluster")
+  }
+
   /** Poisson(1) CDF thresholds on the 1e-6 grid (floor(P(X≤k)·10⁶) for
     * k = 0..8; literals pasted into BOTH engines so no cross-engine
     * float derivation exists). A row's bootstrap weight is the count of
@@ -1093,6 +1220,7 @@ object Pipeline {
 
   val queries: Map[String, Q] = Map(
     "ml_linreg" -> mlLinreg,
+    "ml_dbscan" -> mlDbscan,
     "sample_weighted" -> sampleWeighted,
     "sample_bootstrap" -> sampleBootstrap,
     "agg_cms" -> aggCms,
@@ -1184,6 +1312,55 @@ object Pipeline {
       if (c == col) s"g.b$r" else s"g.a$r$c"))
 
   val oracles: Map[String, String] = Map(
+    // Independent at BOTH algorithmic steps: brute-force O(n²)
+    // neighbor join (proves the grid blocking lossless) and a
+    // recursive transitive closure (proves the label loop converged
+    // to true components).
+    "ml_dbscan" ->
+      """WITH RECURSIVE
+           pts AS (SELECT c_custkey AS id,
+                          (c_custkey % 5) * 10000
+                            + ('0x' || substr(md5('x_' || c_custkey::VARCHAR),
+                               1, 8))::BIGINT % 2000 AS x,
+                          ('0x' || substr(md5('y_' || c_custkey::VARCHAR),
+                            1, 8))::BIGINT % 2000 AS y
+                   FROM customer),
+           nbr AS (SELECT a.id, b.id AS id2 FROM pts a JOIN pts b
+                   ON a.id <> b.id
+                  AND greatest(abs(a.x - b.x), abs(a.y - b.y)) <= 175),
+           core AS (SELECT id FROM nbr GROUP BY id
+                    HAVING count(*) >= 4),
+           ce AS (SELECT n.id, n.id2 FROM nbr n
+                  JOIN core a ON a.id = n.id
+                  JOIN core b ON b.id = n.id2),
+           reach(a, b) AS (
+             SELECT id, id2 FROM ce
+             UNION
+             SELECT r.a, e.id2 FROM reach r JOIN ce e ON r.b = e.id),
+           clab AS (SELECT c.id,
+                           coalesce(least(c.id, m.mb), c.id) AS lbl
+                    FROM core c LEFT JOIN
+                      (SELECT a, min(b) AS mb FROM reach GROUP BY a) m
+                      ON m.a = c.id),
+           blab AS (SELECT n.id, min(cl.lbl) AS lbl
+                    FROM nbr n JOIN clab cl ON cl.id = n.id2
+                    WHERE n.id NOT IN (SELECT id FROM core)
+                    GROUP BY n.id),
+           assigned AS (
+             SELECT id, lbl, 1 AS is_core FROM clab
+             UNION ALL SELECT id, lbl, 0 FROM blab),
+           summary AS (
+             SELECT lbl AS cluster, sum(is_core)::BIGINT AS n_core,
+                    sum(1 - is_core)::BIGINT AS n_border,
+                    count(*)::BIGINT AS n_pts
+             FROM assigned GROUP BY lbl),
+           noise AS (
+             SELECT -1::BIGINT AS cluster, 0::BIGINT AS n_core,
+                    0::BIGINT AS n_border, count(*)::BIGINT AS n_pts
+             FROM pts WHERE id NOT IN (SELECT id FROM assigned))
+         SELECT * FROM summary
+         UNION ALL SELECT * FROM noise WHERE n_pts > 0
+         ORDER BY cluster""",
     "ml_linreg" ->
       s"""WITH o AS (SELECT o_custkey,
                             (${duckUsS("o_orderdate")} - 788918400) // 86400

@@ -329,6 +329,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ml_dbscan: all-noise at sparse SF, 5 pure planted clusters at gate SF") {
+    // sf0.001 is BELOW the density threshold (λ < 1 expected neighbor):
+    // correct DBSCAN yields nothing but noise
+    val sparse = run("ml_dbscan").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(sparse.toSeq === Seq((-1L,
+      Tables.t(spark, sf, "customer").count())))
+    // gate SF: density recovers exactly the 5 planted clusters
+    val gate = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("ml_dbscan")(spark, gate).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (noise, clusters) = rows.partition(_._1 == -1L)
+    assert(clusters.length === 5, s"planted 5 clusters, got: ${rows.toSeq}")
+    // labels are min core ids; one per planted residue class mod 5
+    assert(clusters.map(_._1 % 5).sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    clusters.foreach { case (lbl, nCore, nBorder, nPts) =>
+      assert(nCore + nBorder === nPts, s"cluster $lbl: role split")
+      assert(nCore > nBorder, s"cluster $lbl: density sanity")
+      assert(nPts <= 300, s"cluster $lbl: purity bound (300 planted)")
+    }
+    // every point is accounted for exactly once
+    val n = Tables.t(spark, gate, "customer").count()
+    assert(clusters.map(_._4).sum + noise.map(_._4).sum === n)
+  }
+
   test("sample_bootstrap: replica 7 recomputes exactly; CI covers the mean") {
     val got = run("sample_bootstrap").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
