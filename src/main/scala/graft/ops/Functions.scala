@@ -268,7 +268,32 @@ object Functions {
       .withColumn("ok", col("parsed").isNotNull && col("ratio").isNotNull)
       .orderBy("event_id")
 
+  /** Column-level AES crypto (`aes_encrypt`/`aes_decrypt`) — the
+    * field-encryption surface next to [[graft.ops.Lake]]'s file-level
+    * parquet modular encryption: each document's text encrypts under
+    * AES-128-ECB (the deterministic mode — GCM's random IV would make
+    * ciphertext bytes run-dependent and unverifiable; real deployments
+    * pair deterministic encryption with key rotation exactly so equal
+    * plaintexts stay joinable) and decrypts back. The oracle cannot run
+    * AES, so the CONTRACT is oracle-checked instead: roundtrip equality
+    * and the PKCS#5 length law ct_len = (len div 16 + 1)·16, both
+    * derivable from the plaintext alone — a wrong key, mode, or
+    * padding breaks one of them. Wrong-key rejection is spec-side
+    * (padding-oracle probability makes it inexact over 500 docs). */
+  private def fnCrypto: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("ct",
+        expr("aes_encrypt(text, '0123456789abcdef', 'ECB')"))
+      .withColumn("rt",
+        expr("cast(aes_decrypt(ct, '0123456789abcdef', 'ECB') as string)"))
+      .select(col("doc_id"),
+        (col("rt") === col("text")).as("roundtrip_ok"),
+        length(col("ct")).cast("long").as("ct_len"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "fn_crypto" -> fnCrypto,
     "fn_try" -> fnTry,
     "fn_hash" -> fnHash,
     "fn_conditional" -> fnConditional,
@@ -288,6 +313,13 @@ object Functions {
   )
 
   val oracles: Map[String, String] = Map(
+    // No AES in the oracle: the checked contract is the roundtrip
+    // identity and the PKCS#5 ciphertext length law, both plaintext-
+    // derivable.
+    "fn_crypto" ->
+      """SELECT doc_id, true AS roundtrip_ok,
+                ((length(text) // 16) + 1) * 16 AS ct_len
+         FROM documents ORDER BY doc_id""",
     "fn_try" ->
       """WITH e AS (
            SELECT event_id,

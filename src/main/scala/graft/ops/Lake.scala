@@ -750,6 +750,48 @@ object Lake {
       .orderBy("lang")
   }
 
+  /** Fact ⋈ SCD2 dimension AS-OF the fact's event time — the query
+    * every history-preserving dimension exists FOR (sink_scd2 builds
+    * the layout; this op consumes it): each order joins the customer
+    * segment version whose [valid_from, valid_to) span covers the
+    * order date. Plan note: this is the one range-join case where the
+    * equi-join-plus-residual IS the right plan — versions per key are
+    * BOUNDED (3 here; single digits in any real dimension), so the
+    * per-key candidate set never explodes the way join_range's
+    * per-user event history does; no grid blocking needed, and the
+    * dimension side broadcasts. The version timeline is synthesized
+    * (epoch boundaries 1997/1999, segment derived from the version)
+    * so the oracle can re-derive each order's version closed-form —
+    * proving the BETWEEN join resolves every order to exactly one
+    * version. */
+  private def joinScd2Asof: Q = (s, d) => {
+    val b1 = 852076800L // 1997-01-01T00:00Z epoch seconds
+    val b2 = 915148800L // 1999-01-01T00:00Z
+    val hist = t(s, d, "customer").select(col("c_custkey"))
+      .select(col("c_custkey"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("version"))
+      .withColumn("valid_from",
+        when(col("version") === 0, Long.MinValue)
+          .when(col("version") === 1, b1).otherwise(b2))
+      .withColumn("valid_to",
+        when(col("version") === 0, b1)
+          .when(col("version") === 1, b2).otherwise(Long.MaxValue))
+      .withColumn("segment", concat(lit("tier_"), col("version")))
+    val o = t(s, d, "orders").select(col("o_custkey"),
+      unix_timestamp(col("o_orderdate")).as("od_s"),
+      col("o_totalprice"))
+    o.join(broadcast(hist),
+        col("o_custkey") === col("c_custkey") &&
+          col("od_s") >= col("valid_from") &&
+          col("od_s") < col("valid_to"))
+      .groupBy("version", "segment")
+      .agg(count(lit(1)).as("n_orders"),
+        count_distinct(col("o_custkey")).as("n_customers"),
+        round(sum(dec(col("o_totalprice"))), 2).cast("double")
+          .as("revenue"))
+      .orderBy("version")
+  }
+
   /** Deterministic Avro fixture: the documents table written as Avro
     * object-container files BY AVRO-CORE (the real producer — proving
     * [[graft.expr.AvroRows]] reads genuine Avro bytes), EXECUTOR-SIDE:
@@ -903,6 +945,7 @@ object Lake {
     "scan_json" -> scanJson,
     "scan_xml" -> scanXml,
     "scan_avro" -> scanAvro,
+    "join_scd2_asof" -> joinScd2Asof,
     "scan_compressed" -> scanCompressed,
     "scan_dpp" -> scanDpp,
     "sink_scd2" -> sinkScd2,
@@ -1031,6 +1074,22 @@ object Lake {
                 sum(n_chars)::BIGINT AS total_chars,
                 sum(length(text))::BIGINT AS total_text_len
          FROM documents GROUP BY lang ORDER BY lang""",
+    // The oracle derives each order's version CLOSED-FORM from the
+    // boundaries — proving the engine's BETWEEN join resolves every
+    // order to exactly one version.
+    "join_scd2_asof" ->
+      s"""WITH v AS (SELECT o_custkey, o_totalprice,
+                            CASE WHEN ${graft.Tables.duckUsS("o_orderdate")}
+                                      < 852076800 THEN 0
+                                 WHEN ${graft.Tables.duckUsS("o_orderdate")}
+                                      < 915148800 THEN 1
+                                 ELSE 2 END::BIGINT AS version
+                     FROM orders)
+         SELECT version, 'tier_' || version AS segment,
+                count(*)::BIGINT AS n_orders,
+                count(DISTINCT o_custkey)::BIGINT AS n_customers,
+                round(sum(o_totalprice::DECIMAL(18,4)), 2)::DOUBLE AS revenue
+         FROM v GROUP BY version ORDER BY version""",
     "scan_avro" ->
       """SELECT lang, count(*) AS n, sum(doc_id)::BIGINT AS id_digest,
                 sum(n_chars)::BIGINT AS total_chars,

@@ -1542,6 +1542,35 @@ object Relational {
     s.sql(tpchQ5Sql)
   }
 
+  /** As-of join WITH TOLERANCE (pandas merge_asof tolerance=1h) —
+    * completing the as-of family (backward / native / nearest): the
+    * backward match only counts if the view happened within the last
+    * hour, else the purchase surfaces unmatched. SAME single-pass
+    * running-window plan as [[joinAsof]] (one shuffle on user, O(1)
+    * state, no join node) — the tolerance is a post-window column
+    * predicate, zero plan cost; attribution windows are exactly this
+    * op in production. */
+  private def joinAsofTolerance: Q = (s, d) => {
+    val tolUs = 3600000000L // 1 hour
+    val ev = events(s, d)
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(col("event_type") === "view", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inTol = col("last_view_us").isNotNull &&
+      col("ts_us") - col("last_view_us") <= tolUs
+    ev
+      .withColumn("last_view_us",
+        max(when(col("tag") === 0, col("ts_us"))).over(w))
+      .where(col("tag") === 1)
+      .select(col("event_id").as("p_id"),
+        when(inTol, col("last_view_us")).as("view_us_within_tol"),
+        inTol.as("matched"))
+      .orderBy("p_id")
+  }
+
   /** TPC-H Q6 (forecasting revenue change) — the pure SCAN-FILTER-AGG
     * that measures predicate pushdown and vectorized evaluation with
     * zero join noise: three range predicates reach the parquet reader
@@ -1838,6 +1867,7 @@ object Relational {
     "sql_tpch_q6" -> sqlTpchQ6,
     "sql_tpch_q10" -> sqlTpchQ10,
     "sql_scripting" -> sqlScripting,
+    "join_asof_tolerance" -> joinAsofTolerance,
     "sql_tpch_q3" -> sqlTpchQ3,
     "sql_tpch_q5" -> sqlTpchQ5,
     "sql_tpch_q18" -> sqlTpchQ18,
@@ -1947,6 +1977,23 @@ object Relational {
           LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
             ON p.user_id = v.user_id AND ${duckTsUs("v.ts")} <= ${duckTsUs("p.ts")}
           GROUP BY p.event_id ORDER BY p_id""",
+    // Independent naive formulation (max prior view then tolerance
+    // gate) vs the engine's single-pass window + predicate.
+    "join_asof_tolerance" ->
+      s"""WITH lastv AS (
+            SELECT p.event_id AS p_id, ${duckTsUs("p.ts")} AS p_us,
+                   max(${duckTsUs("v.ts")}) AS lv
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id
+             AND ${duckTsUs("v.ts")} <= ${duckTsUs("p.ts")}
+            GROUP BY p.event_id, ${duckTsUs("p.ts")})
+          SELECT p_id,
+                 CASE WHEN lv IS NOT NULL AND p_us - lv <= 3600000000
+                      THEN lv END AS view_us_within_tol,
+                 coalesce(lv IS NOT NULL AND p_us - lv <= 3600000000,
+                          false) AS matched
+          FROM lastv ORDER BY p_id""",
     // Independent formulation: argmin |Δ| over the full pair space with
     // the (distance, prev-first) tie order — vs the engine's O(n)
     // two-window pass.

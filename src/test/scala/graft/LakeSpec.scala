@@ -87,6 +87,37 @@ class LakeSpec extends AnyFunSuite {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("fn_crypto: real AES bytes (ct != plaintext, ECB-deterministic, wrong key dies)") {
+    import org.apache.spark.sql.functions._
+    val row = Tables.t(spark, sf, "documents")
+      .select(col("text"),
+        expr("aes_encrypt(text, '0123456789abcdef', 'ECB')").as("ct"),
+        expr("aes_encrypt(text, '0123456789abcdef', 'ECB')").as("ct2"),
+        expr("try_aes_decrypt(aes_encrypt(text, '0123456789abcdef', 'ECB'), " +
+          "'ffffffffffffffff', 'ECB')").as("wrong"))
+      .orderBy("text").limit(8).collect()
+    row.foreach { r =>
+      val pt = r.getString(0).getBytes("UTF-8")
+      val ct = r.getAs[Array[Byte]](1)
+      assert(!java.util.Arrays.equals(ct, pt), "ciphertext must differ")
+      // deterministic mode: equal plaintext → equal ciphertext (the
+      // joinability property ECB buys; GCM would differ per call)
+      assert(java.util.Arrays.equals(ct, r.getAs[Array[Byte]](2)))
+      // wrong key: null (padding fails) or garbage — never the plaintext
+      if (!r.isNullAt(3))
+        assert(!java.util.Arrays.equals(r.getAs[Array[Byte]](3), pt))
+    }
+  }
+
+  test("join_scd2_asof resolves every order to exactly one version") {
+    val rows = SparkEntry.queries("join_scd2_asof")(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total === Tables.t(spark, sf, "orders").count(),
+      "each order must land in exactly one validity span")
+    assert(rows.map(_.getLong(0)).toSeq.sorted ===
+      rows.map(_.getLong(0)).toSeq, "ordered by version")
+  }
+
   test("scan_avro roundtrip is lossless row-for-row; both codecs present") {
     val src = Tables.t(spark, sf, "documents")
       .select("doc_id", "lang", "source", "n_chars", "text")

@@ -502,6 +502,32 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("join_asof_tolerance: matched gaps <= 1h and agree with join_asof") {
+    val tol = SparkEntry.queries("join_asof_tolerance")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2)))).toMap
+    val asof = SparkEntry.queries("join_asof")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pUs = Tables.events(spark, sf)
+      .where(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select("event_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tol.keySet === asof.keySet)
+    tol.foreach { case (pid, (vUs, matched)) =>
+      val lastView = asof(pid) // -1 when no prior view
+      if (matched) {
+        assert(vUs === lastView, s"$pid: must be join_asof's partner")
+        assert(pUs(pid) - vUs <= 3600000000L, s"$pid: gap over tolerance")
+      } else {
+        assert(vUs === -1L, s"$pid: unmatched must carry null")
+        assert(lastView === -1L || pUs(pid) - lastView > 3600000000L,
+          s"$pid: a within-tolerance view was dropped")
+      }
+    }
+    // the tolerance is binding: some purchases match, some don't
+    assert(tol.values.exists(_._2) && tol.values.exists(!_._2))
+  }
+
   test("seq_pattern: paths and run counts match a driver-side rebuild") {
     val got = SparkEntry.queries("seq_pattern")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
