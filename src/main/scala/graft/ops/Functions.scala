@@ -292,7 +292,36 @@ object Functions {
         length(col("ct")).cast("long").as("ct_len"))
       .orderBy("doc_id")
 
+  /** COLLATION-aware grouping (Spark 4's collated string type): the
+    * market segment is deliberately case-mangled three ways per
+    * customer key, then grouped under `UTF8_LCASE` — the collation
+    * MERGES case variants at the grouping level without rewriting the
+    * data (where the pre-collation idiom buries a lower() in every
+    * query and loses the original bytes). The group representative is
+    * the BINARY min of the original strings (a min under the
+    * case-insensitive collation would tie across variants and pick
+    * nondeterministically — the trap this op documents), lowered for a
+    * stable output key. n_case_variants = 3 proves the collation did
+    * the merging, not the data. */
+  private def fnCollation: Q = (s, d) => {
+    val lo = lower(col("c_mktsegment"))
+    val mixed = when(pmod(col("c_custkey"), lit(3)) === 0,
+        upper(col("c_mktsegment")))
+      .when(pmod(col("c_custkey"), lit(3)) === 1, initcap(lo))
+      .otherwise(lo)
+    t(s, d, "customer").select(col("c_custkey"), mixed.as("seg"))
+      .withColumn("seg_ci", expr("collate(seg, 'UTF8_LCASE')"))
+      .groupBy(col("seg_ci"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("seg")).as("n_case_variants"),
+        min(col("seg")).as("rep"))
+      .select(lower(col("rep")).as("segment"), col("n"),
+        col("n_case_variants"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "fn_collation" -> fnCollation,
     "fn_crypto" -> fnCrypto,
     "fn_try" -> fnTry,
     "fn_hash" -> fnHash,
@@ -313,6 +342,20 @@ object Functions {
   )
 
   val oracles: Map[String, String] = Map(
+    // No collations in the oracle: lower()-grouping is provably the
+    // same partition for ASCII segments, binary min the same rep.
+    "fn_collation" ->
+      """WITH m AS (SELECT c_custkey,
+                           CASE WHEN c_custkey % 3 = 0
+                                  THEN upper(c_mktsegment)
+                                WHEN c_custkey % 3 = 1
+                                  THEN upper(substr(lower(c_mktsegment), 1, 1))
+                                       || substr(lower(c_mktsegment), 2)
+                                ELSE lower(c_mktsegment) END AS seg
+                    FROM customer)
+         SELECT lower(min(seg)) AS segment, count(*)::BIGINT AS n,
+                count(DISTINCT seg)::BIGINT AS n_case_variants
+         FROM m GROUP BY lower(seg) ORDER BY segment""",
     // No AES in the oracle: the checked contract is the roundtrip
     // identity and the PKCS#5 ciphertext length law, both plaintext-
     // derivable.

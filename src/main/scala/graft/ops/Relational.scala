@@ -1649,6 +1649,25 @@ object Relational {
     }
   }
 
+  /** SQL PIPE SYNTAX (Spark 4's `|>` operators, the SQL:2023-era
+    * linear composition style): the same logical query as a chain of
+    * FROM → WHERE → AGGREGATE → ORDER BY stages — reads top-to-bottom
+    * like a DataFrame program, compiles to the IDENTICAL plan as the
+    * nested SELECT (it is pure surface syntax), so the oracle is the
+    * plain-SQL formulation of the same query. */
+  private def sqlPipe: Q = (s, d) => {
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql("""
+      FROM orders
+      |> WHERE o_orderstatus = 'F'
+      |> EXTEND CAST(year(o_orderdate) AS BIGINT) AS o_year
+      |> AGGREGATE count(*) AS n_orders,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS total
+         GROUP BY o_year
+      |> ORDER BY o_year""")
+  }
+
   /** Slot width shared by the ts_* series operators (10 min in µs). */
   private val acfSlotUs = 600000000L
 
@@ -1868,6 +1887,7 @@ object Relational {
     "sql_tpch_q10" -> sqlTpchQ10,
     "sql_scripting" -> sqlScripting,
     "join_asof_tolerance" -> joinAsofTolerance,
+    "sql_pipe" -> sqlPipe,
     "sql_tpch_q3" -> sqlTpchQ3,
     "sql_tpch_q5" -> sqlTpchQ5,
     "sql_tpch_q18" -> sqlTpchQ18,
@@ -1977,6 +1997,14 @@ object Relational {
           LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
             ON p.user_id = v.user_id AND ${duckTsUs("v.ts")} <= ${duckTsUs("p.ts")}
           GROUP BY p.event_id ORDER BY p_id""",
+    // Pipe syntax is pure surface syntax — the oracle is the same
+    // query written as nested standard SQL.
+    "sql_pipe" ->
+      """SELECT year(o_orderdate)::BIGINT AS o_year,
+                count(*)::BIGINT AS n_orders,
+                round(sum(o_totalprice::DECIMAL(18,4)), 2)::DOUBLE AS total
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY o_year ORDER BY o_year""",
     // Independent naive formulation (max prior view then tolerance
     // gate) vs the engine's single-pass window + predicate.
     "join_asof_tolerance" ->
