@@ -750,6 +750,32 @@ object Lake {
       .orderBy("lang")
   }
 
+  /** Corrupt-file SKIP on the columnar path (`ignoreCorruptFiles`) —
+    * ingest_quarantine's sibling for binary formats: at 100 TB a
+    * torn/fsync-truncated parquet file in a million-file table is a
+    * WHEN, not an if, and the job must degrade to "skip and account",
+    * not die. The fixture plants a garbage `.parquet` (no PAR1 magic)
+    * among 4 valid shards; the read is scoped with a per-relation
+    * option (no global conf mutation) and must return exactly the
+    * valid shards' rows — which hold the full table, so the oracle is
+    * the plain aggregate over the source. */
+  private def scanCorruptSkip: Q = (s, d) => {
+    val out = s"$scratchRoot/formats/corrupt_skip_${Llm.Scratch.key(d)}"
+    val dir = new java.io.File(out)
+    if (!dir.exists()) {
+      t(s, d, "documents").select("doc_id", "lang", "n_chars")
+        .repartition(4).write.mode("overwrite").parquet(out)
+      java.nio.file.Files.write(
+        new java.io.File(dir, "part-99999-junk.parquet").toPath,
+        Array.fill[Byte](4096)(0x5a))
+    }
+    s.read.option("ignoreCorruptFiles", "true").parquet(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_digest"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+  }
+
   /** Fact ⋈ SCD2 dimension AS-OF the fact's event time — the query
     * every history-preserving dimension exists FOR (sink_scd2 builds
     * the layout; this op consumes it): each order joins the customer
@@ -946,6 +972,7 @@ object Lake {
     "scan_xml" -> scanXml,
     "scan_avro" -> scanAvro,
     "join_scd2_asof" -> joinScd2Asof,
+    "scan_corrupt_skip" -> scanCorruptSkip,
     "scan_compressed" -> scanCompressed,
     "scan_dpp" -> scanDpp,
     "sink_scd2" -> sinkScd2,
@@ -1073,6 +1100,13 @@ object Lake {
       """SELECT lang, count(*) AS n, sum(doc_id)::BIGINT AS id_digest,
                 sum(n_chars)::BIGINT AS total_chars,
                 sum(length(text))::BIGINT AS total_text_len
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // The valid shards hold the full table; only the planted garbage
+    // file is skipped.
+    "scan_corrupt_skip" ->
+      """SELECT lang, count(*)::BIGINT AS n,
+                sum(doc_id)::BIGINT AS id_digest,
+                sum(n_chars)::BIGINT AS total_chars
          FROM documents GROUP BY lang ORDER BY lang""",
     // The oracle derives each order's version CLOSED-FORM from the
     // boundaries — proving the engine's BETWEEN join resolves every

@@ -833,6 +833,27 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Boolean/conditional aggregate surface — count_if, bool_and/or,
+    * FILTER-style conditional sums — the reporting shorthand layer over
+    * plain aggregates (one hash agg, map-side partials; each is sugar
+    * over sum(CASE …) and compiles to the same plan shape, which is
+    * why they're all safely exact cross-engine). */
+  private def aggBool: Q = (s, d) =>
+    t(s, d, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        sum(when(col("o_totalprice") > 200000,
+          dec(col("o_totalprice")))).as("big_total_d"),
+        bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+        bool_or(col("o_totalprice") > 500000).as("any_over_500k"),
+        max_by(col("o_orderkey"), struct(col("o_totalprice"),
+          col("o_orderkey"))).as("biggest_order"))
+      .select(col("status"), col("n"), col("n_big"),
+        round(col("big_total_d"), 2).cast("double").as("big_total"),
+        col("all_over_1k"), col("any_over_500k"), col("biggest_order"))
+      .orderBy("status")
+
   /** Welch two-sample t-test per group — the A/B-experiment readout at
     * corpus scale: orders assigned to arms by md5 parity of the order
     * key (deterministic hash assignment, the way experiment bucketing
@@ -1857,6 +1878,7 @@ object Relational {
     "agg_bitmap" -> aggBitmap,
     "agg_corr" -> aggCorr,
     "agg_ttest" -> aggTtest,
+    "agg_bool" -> aggBool,
     "sql_window_range" -> sqlWindowRange,
     "agg_cube" -> aggCube,
     "agg_gsets" -> aggGsets,
@@ -2101,6 +2123,27 @@ object Relational {
                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
                   AS corr_qty_price
          FROM a ORDER BY l_returnflag""",
+    // FILTER clauses + an independent window formulation of max_by's
+    // struct tie-break.
+    "agg_bool" ->
+      """WITH agg AS (
+           SELECT o_orderstatus AS status, count(*)::BIGINT AS n,
+                  count(*) FILTER (o_totalprice > 200000)::BIGINT AS n_big,
+                  round(sum(CASE WHEN o_totalprice > 200000
+                            THEN o_totalprice::DECIMAL(18,4) END),
+                        2)::DOUBLE AS big_total,
+                  bool_and(o_totalprice > 1000) AS all_over_1k,
+                  bool_or(o_totalprice > 500000) AS any_over_500k
+           FROM orders GROUP BY 1),
+         big AS (
+           SELECT o_orderstatus AS status, o_orderkey AS biggest_order,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+           FROM orders)
+         SELECT a.status, n, n_big, big_total, all_over_1k, any_over_500k,
+                b.biggest_order
+         FROM agg a JOIN big b ON b.status = a.status AND b.rn = 1
+         ORDER BY a.status""",
     // Identical fixed IEEE assembly off the same exact integer sums;
     // md5-parity arm assignment mirrored verbatim.
     "agg_ttest" ->

@@ -220,6 +220,71 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  /** CHECKPOINT RESUME across query restarts — the daily-cron contract
+    * the reference lives by (new files since last run, nothing twice):
+    * a first AvailableNow run drains 4 staged files and STOPS; two
+    * more files land; a SECOND start() against the SAME checkpoint
+    * processes ONLY the new files (the source's file log remembers),
+    * continuing the batchId sequence so the [[streamMv]]-style
+    * version-merge folds across the restart boundary. Per-run
+    * processed-row counts are written as audit artifacts
+    * (QueriesSpec pins run 2 = exactly the late files' rows); the
+    * result MV equals the batch aggregate over ALL files — the
+    * exactly-once-across-restarts proof. */
+  private def streamResume: Q = (s, d) => {
+    val root = streamDir("stream_resume")
+    val src = s"$root/src"
+    new java.io.File(src).mkdirs()
+    val ev = events(s, d)
+      .select(col("event_id"), col("event_type"), dec(col("value")).as("v"))
+    def stage(mods: Seq[Int]): Unit = mods.foreach { m =>
+      ev.where(pmod(col("event_id"), lit(6)) === m)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val mvRoot = s"$root/versions"
+    @volatile var lastBatch = -1L
+    def drain(runName: String): Unit = withStatePartitions(s) {
+      @volatile var processed = 0L
+      val q = s.readStream
+        .schema(new StructType()
+          .add("event_id", org.apache.spark.sql.types.LongType)
+          .add("event_type", org.apache.spark.sql.types.StringType)
+          .add("v", org.apache.spark.sql.types.DataTypes
+            .createDecimalType(18, 4)))
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          processed += batch.count()
+          val part = batch.groupBy("event_type")
+            .agg(count(lit(1)).as("n"), sum(col("v")).as("tot"))
+          val merged =
+            if (batchId == 0L) part
+            else s.read.parquet(s"$mvRoot/v${batchId - 1}")
+              .unionByName(part)
+              .groupBy("event_type")
+              .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"))
+          merged.write.mode("overwrite").parquet(s"$mvRoot/v$batchId")
+          if (batchId > lastBatch) lastBatch = batchId
+        }
+        .option("checkpointLocation", s"$root/ckpt") // SHARED across runs
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/audit_$runName"),
+        processed.toString)
+    }
+    stage(0 to 3)
+    drain("run1")
+    stage(4 to 5)
+    drain("run2")
+    s.read.parquet(s"$mvRoot/v$lastBatch")
+      .select(col("event_type"), col("n"),
+        round(col("tot"), 2).cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
   /** STATE-STORE INTROSPECTION — Spark 4's `statestore` data source
     * pointed at a finished streaming checkpoint: the ops/debugging
     * surface that answers "what is this stateful query actually
@@ -948,6 +1013,7 @@ object Streaming {
     "stream_watermark" -> streamWatermark,
     "stream_dedup" -> streamDedup,
     "stream_state_read" -> streamStateRead,
+    "stream_resume" -> streamResume,
     "stream_stateful" -> streamStateful,
     "stream_session" -> streamSession,
     "stream_tws" -> streamTws,
@@ -1134,6 +1200,12 @@ object Streaming {
     // Incremental maintenance must equal the batch aggregate — the
     // recompute IS the oracle (same contract as mv_incremental).
     "stream_mv" ->
+      """SELECT event_type, count(*) AS n,
+                round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS total_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // Exactly-once across the restart: the resumed MV must equal the
+    // batch aggregate over ALL staged files (= the whole events table).
+    "stream_resume" ->
       """SELECT event_type, count(*) AS n,
                 round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS total_value
          FROM events GROUP BY event_type ORDER BY event_type""",

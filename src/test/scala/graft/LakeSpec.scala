@@ -109,6 +109,20 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("scan_corrupt_skip: junk is really planted; the default read dies on it") {
+    SparkEntry.queries("scan_corrupt_skip")(spark, sf).collect()
+    val dir = s"${Tables.scratchRoot}/formats/corrupt_skip_${ops.Llm.Scratch.key(sf)}"
+    val junk = new java.io.File(dir, "part-99999-junk.parquet")
+    assert(junk.exists() && junk.length() === 4096)
+    // without the option the garbage file is a hard failure — the skip
+    // behavior is the option's doing, not silent tolerance
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir).count()
+    }
+    assert(e.getMessage.contains("FAILED_READ_FILE") ||
+      e.getCause != null)
+  }
+
   test("join_scd2_asof resolves every order to exactly one version") {
     val rows = SparkEntry.queries("join_scd2_asof")(spark, sf).collect()
     val total = rows.map(_.getLong(2)).sum

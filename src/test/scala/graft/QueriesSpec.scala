@@ -99,6 +99,19 @@ class QueriesSpec extends AnyFunSuite {
       === audit.getLong(1))
   }
 
+  test("stream_resume: run 2 processes exactly the late files, never the old") {
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("stream_resume")(spark, sf).collect()
+    val root = s"${Tables.scratchRoot}/stream/stream_resume"
+    def audit(r: String) = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$root/audit_$r")).toLong
+    val ev = Tables.events(spark, sf)
+    val late = ev.where(pmod(col("event_id"), lit(6)).isin(4, 5)).count()
+    assert(audit("run2") === late,
+      "the resumed run must drain exactly the files staged after run 1")
+    assert(audit("run1") === ev.count() - late)
+  }
+
   test("known cardinalities at sf0.001") {
     assert(SparkEntry.queries("scan_parquet")(spark, sf).count() === 5 + 20)
     assert(SparkEntry.queries("agg_hash")(spark, sf).count() <= 6)
