@@ -323,6 +323,40 @@ object Graph {
       .orderBy("component")
   }
 
+  /** Degree ASSORTATIVITY of the repeat co-purchase graph — the
+    * one-number answer to "do popular items co-sell with popular
+    * items?": Pearson r between the degrees at the two ends of every
+    * edge (Newman 2002). Positive = hub-hub assortative (social-graph
+    * shape), negative = hub-leaf disassortative (retail catalogs,
+    * usually). The [[Relational]] agg_corr discipline verbatim: one
+    * degree aggregate, degrees joined back onto the directed edge
+    * list (each undirected edge contributes both orientations, which
+    * IS the standard estimator), exact integer power sums
+    * (n, Σx, Σy, Σx², Σxy, Σy²), doubles only in the final
+    * sqrt/divide chain. One scan of the edge artifact + one O(1)
+    * result row. */
+  private def graphAssortativity: Q = (s, d) => {
+    val und = repeatCopurchaseEdges(s, d)
+    val e = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val xy = e
+      .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), Seq("dst"))
+    val nD = col("n").cast("double")
+    def dbl(c: String) = col(c).cast("double")
+    xy.agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("n"), col("sx"), col("sxy"),
+        ((nD * dbl("sxy") - dbl("sx") * dbl("sy")) /
+          (sqrt(nD * dbl("sxx") - dbl("sx") * dbl("sx")) *
+            sqrt(nD * dbl("syy") - dbl("sy") * dbl("sy"))))
+          .as("assortativity"))
+  }
+
   /** BFS hop cap shared with the oracle's recursion guard: a frontier
     * still active past this depth fails loudly (diameter is a data
     * property; the synthetic graph converges in a handful of hops). */
@@ -426,6 +460,7 @@ object Graph {
   val queries: Map[String, Q] = Map(
     "graph_kcore" -> graphKcore,
     "graph_bfs" -> graphBfs,
+    "graph_assortativity" -> graphAssortativity,
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
     "graph_triangles_fwd" -> graphTrianglesFwd,
@@ -475,6 +510,31 @@ object Graph {
 
   val oracles: Map[String, String] = Map(
     "graph_kcore" -> kcoreOracle,
+    // Integer power sums assembled with the identical IEEE chain.
+    "graph_assortativity" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+           pr AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb, a.ok
+                  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+           u AS (SELECT pa, pb FROM pr GROUP BY pa, pb
+                 HAVING count(*) >= 2),
+           e AS (SELECT pa AS src, pb AS dst FROM u
+                 UNION ALL SELECT pb AS src, pa AS dst FROM u),
+           deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+           xy AS (SELECT dx.deg AS dx, dy.deg AS dy
+                  FROM e JOIN deg dx ON dx.src = e.src
+                       JOIN deg dy ON dy.src = e.dst),
+           s AS (SELECT count(*)::BIGINT AS n, sum(dx)::BIGINT AS sx,
+                        sum(dy)::BIGINT AS sy, sum(dx * dx)::BIGINT AS sxx,
+                        sum(dx * dy)::BIGINT AS sxy,
+                        sum(dy * dy)::BIGINT AS syy
+                 FROM xy)
+         SELECT n, sx, sxy,
+                (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+                (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+                 sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+                  AS assortativity
+         FROM s""",
     // Independent formulation: recursive (node, hop) walk deduped by
     // UNION, min-hop per node — vs the engine's frontier expansion.
     "graph_bfs" ->

@@ -833,6 +833,33 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** GAPS-AND-ISLANDS: longest run of consecutive same-type events per
+    * user — THE classic SQL streak idiom (rn_all − rn_by_type is
+    * constant exactly within a run, so the difference IS the island
+    * id), the shape behind retention streaks, error bursts, and
+    * sessionless engagement runs. Two row_number windows over the SAME
+    * per-user sort + one island aggregate + one O(runs) pick window —
+    * a single shuffle on user_id does all three ((user, ts) is unique,
+    * so the order and the result are total). Ties between equal-length
+    * runs resolve to the earliest start. */
+  private def winIslands: Q = (s, d) => {
+    val ev = events(s, d)
+      .select(col("user_id"), col("ts_us"), col("event_type"))
+    val wAll = Window.partitionBy("user_id").orderBy("ts_us")
+    val wTyp = Window.partitionBy("user_id", "event_type").orderBy("ts_us")
+    val runs = ev
+      .withColumn("grp",
+        row_number().over(wAll) - row_number().over(wTyp))
+      .groupBy("user_id", "event_type", "grp")
+      .agg(count(lit(1)).as("streak_len"), min(col("ts_us")).as("start_us"))
+    val pick = Window.partitionBy("user_id")
+      .orderBy(col("streak_len").desc, col("start_us"))
+    runs.withColumn("rn", row_number().over(pick)).where(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("streak_type"),
+        col("streak_len"), col("start_us"))
+      .orderBy("user_id")
+  }
+
   /** Boolean/conditional aggregate surface — count_if, bool_and/or,
     * FILTER-style conditional sums — the reporting shorthand layer over
     * plain aggregates (one hash agg, map-side partials; each is sugar
@@ -1879,6 +1906,7 @@ object Relational {
     "agg_corr" -> aggCorr,
     "agg_ttest" -> aggTtest,
     "agg_bool" -> aggBool,
+    "win_islands" -> winIslands,
     "sql_window_range" -> sqlWindowRange,
     "agg_cube" -> aggCube,
     "agg_gsets" -> aggGsets,
@@ -2123,6 +2151,30 @@ object Relational {
                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
                   AS corr_qty_price
          FROM a ORDER BY l_returnflag""",
+    // The identical two-window island construction.
+    "win_islands" ->
+      s"""WITH ev AS (SELECT user_id, ${duckTsUs("ts")} AS ts_us,
+                             event_type
+                      FROM events),
+           runs AS (
+             SELECT user_id, event_type,
+                    row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts_us)
+                    - row_number() OVER (PARTITION BY user_id, event_type
+                      ORDER BY ts_us) AS grp,
+                    ts_us
+             FROM ev),
+           agg AS (
+             SELECT user_id, event_type, grp,
+                    count(*)::BIGINT AS streak_len,
+                    min(ts_us) AS start_us
+             FROM runs GROUP BY user_id, event_type, grp),
+           pick AS (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY streak_len DESC, start_us) AS rn
+             FROM agg)
+         SELECT user_id, event_type AS streak_type, streak_len, start_us
+         FROM pick WHERE rn = 1 ORDER BY user_id""",
     // FILTER clauses + an independent window formulation of max_by's
     // struct tie-break.
     "agg_bool" ->

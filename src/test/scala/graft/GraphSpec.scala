@@ -194,6 +194,28 @@ class GraphSpec extends AnyFunSuite {
     assert(got.forall(_._2 >= 3L), "k-core degree floor")
   }
 
+  test("graph_assortativity matches a BigInt driver recompute; |r| <= 1") {
+    val row = SparkEntry.queries("graph_assortativity")(spark, SharedSpark.sf)
+      .collect()(0)
+    val und = ops.Graph.repeatCopurchaseEdges(spark, SharedSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dirEdges = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = dirEdges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val xs = dirEdges.map { case (s0, d0) => (BigInt(deg(s0)), BigInt(deg(d0))) }
+    val n = BigInt(xs.length)
+    val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+    val sxx = xs.map(t => t._1 * t._1).sum
+    val sxy = xs.map(t => t._1 * t._2).sum
+    val syy = xs.map(t => t._2 * t._2).sum
+    val want = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble))
+    assert(row.getLong(0) === xs.length.toLong)
+    val got = row.getDouble(3)
+    assert(got >= -1.0 - 1e-12 && got <= 1.0 + 1e-12)
+    assert(math.abs(got - want) < 1e-12, s"r $got vs $want")
+  }
+
   test("graph_bfs matches a driver-side BFS; hop profile is contiguous") {
     val got = SparkEntry.queries("graph_bfs")(spark, SharedSpark.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

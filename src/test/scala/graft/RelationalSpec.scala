@@ -502,6 +502,30 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("win_islands: longest streaks match a driver-side run-length scan") {
+    val got = SparkEntry.queries("win_islands")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts_us"),
+        org.apache.spark.sql.functions.col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expected = ev.groupBy(_._1).map { case (uid, rows) =>
+      val seq0 = rows.sortBy(_._2)
+      // run-length encode, keep (type, len, start)
+      val runs = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+      seq0.foreach { case (_, ts, et) =>
+        if (runs.nonEmpty && runs.last._1 == et)
+          runs(runs.length - 1) = (et, runs.last._2 + 1, runs.last._3)
+        else runs += ((et, 1L, ts))
+      }
+      val best = runs.minBy(r => (-r._2, r._3))
+      (uid, best._1, best._2, best._3)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq === expected)
+    assert(got.exists(_._3 >= 3), "data contains a nontrivial streak")
+  }
+
   test("join_asof_tolerance: matched gaps <= 1h and agree with join_asof") {
     val tol = SparkEntry.queries("join_asof_tolerance")(spark, sf).collect()
       .map(r => r.getLong(0) ->
