@@ -869,6 +869,88 @@ object Pipeline {
       .orderBy("qid", "rn")
   }
 
+  /** IVF + PQ COMPOSED — the FAISS-IVFPQ index shape, assembled from
+    * the two verified halves ([[simAnnIvf]]'s coarse cells,
+    * [[mlPq]]'s code search): candidates come ONLY from the query's
+    * nprobe coarse cells, and distances are computed ONLY on 4-byte
+    * PQ codes via the per-query asymmetric table — at 100 TB this is
+    * the standard billion-vector layout (cells bound the candidates,
+    * codes bound the bytes; full embeddings are read exactly once at
+    * index-build time, never at query time). Every stage keeps the
+    * parents' integer-exact discipline, so the composition is
+    * hash-exact against a DuckDB mirror of the SAME two chains joined
+    * the same way. */
+  private def simAnnIvfpq: Q = (s, d) => {
+    // coarse side: cell assignment + nprobe probes (simAnnIvf's
+    // literal-centroid projection, ids only)
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    val centArr = array(
+      e.where(col("vec_id").isin(ivfCentroidIds: _*))
+        .select(col("vec_id"), col("emb"), col("nrm"))
+        .collect().sortBy(_.getLong(0)).map { r =>
+          struct(lit(r.getLong(0)).as("cid"),
+            array(r.getSeq[Double](1).map(lit): _*).as("cemb"),
+            lit(r.getDouble(2)).as("cnrm"))
+        }.toSeq: _*)
+    val scored = sort_array(transform(centArr, c =>
+      struct((dot(col("emb"), c("cemb")) / (col("nrm") * c("cnrm")) * -1)
+        .as("negcos"), c("cid").as("cid"))))
+    // The cell map and probe list are INDEX-BUILD artifacts (computed
+    // once when the index is built, reused by every query) — they
+    // materialize like any index, which also gives the later
+    // cells⋈probes self-join clean independent lineage.
+    val cells = Llm.Scratch.table(s,
+        s"$scratchRoot/ml/ivfpq_cells_${Llm.Scratch.key(d)}") {
+      e.select(col("vec_id"), element_at(scored, 1)("cid").as("cell"))
+    }
+    val probes = Llm.Scratch.table(s,
+        s"$scratchRoot/ml/ivfpq_probes_${Llm.Scratch.key(d)}") {
+      e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"),
+          explode(transform(slice(scored, 1, ivfNprobe), x => x("cid")))
+            .as("cell"))
+    }
+    // fine side: PQ codes + per-query distance tables (mlPq verbatim)
+    val pts = t(s, d, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor((x.cast("double") + 1.0d) * 1000000.0d).cast("long"))
+        .as("p"))
+    val subs = array((0 until pqSub).map(i =>
+      struct(lit(i).as("sub"),
+        slice(col("p"), i * pqSubDim + 1, pqSubDim).as("v"))): _*)
+    val sv = pts.select(col("vec_id"), explode(subs).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.v").as("v"))
+    val cb = sv.where(col("vec_id").isin(pqCodebookIds: _*))
+      .select(col("vec_id").as("cid"), col("sub"), col("v").as("cv"))
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    val enc = sv.join(broadcast(cb), Seq("sub"))
+      .withColumn("dist", sqDist(col("v"), col("cv")))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cid").as("code"))
+    val dtab = sv.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("sub"), col("v").as("qv"))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("qd", sqDist(col("qv"), col("cv")))
+      .select(col("qid"), col("sub"), col("cid").as("code"), col("qd"))
+    // compose: candidates restricted to probed cells, scored on codes
+    val cand = cells.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    cand.join(enc, Seq("vec_id"))
+      .join(broadcast(dtab), Seq("qid", "sub", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("qd")).as("adist"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .where(col("rn") <= 10)
+      .orderBy("qid", "rn")
+  }
+
   /** Model-based quality filtering — the classifier stage of a real
     * training-data pipeline (the fasttext-quality-filter shape):
     * distill the heuristic text_score gate into a LEARNED linear model
@@ -1226,6 +1308,7 @@ object Pipeline {
     "agg_cms" -> aggCms,
     "ml_kmeans" -> mlKmeans,
     "ml_pq" -> mlPq,
+    "sim_ann_ivfpq" -> simAnnIvfpq,
     "ml_quality_classifier" -> mlQualityClassifier,
     "pipeline_corpus" -> pipelineCorpus,
     "text_chunk" -> textChunk,
@@ -1488,6 +1571,52 @@ object Pipeline {
     // per-subspace exact squared-L2, (dist, cid) argmin encode, ADC
     // table-lookup sum, (adist, vec_id) top-10. dist is internally
     // HUGEINT (sum of BIGINT) — only the BIGINT-cast adist is output.
+    // The two parent chains (IVF cells, PQ codes) composed with the
+    // identical candidate restriction and table-lookup scoring.
+    "sim_ann_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           c AS (SELECT vec_id AS cid, emb FROM e
+                 WHERE vec_id IN (${ivfCentroidIds.mkString(", ")})),
+           a0 AS (SELECT e.vec_id, c.cid, ${duckCosOf("e", "c")} AS ccos
+                  FROM e CROSS JOIN c),
+           a AS (SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY ccos DESC, cid) AS crn
+                 FROM a0),
+           cells AS (SELECT vec_id, cid AS cell FROM a WHERE crn = 1),
+           probes AS (SELECT vec_id AS qid, cid AS cell FROM a
+                      WHERE vec_id < 5 AND crn <= $ivfNprobe),
+           p AS (SELECT vec_id, list_transform(emb,
+                   x -> floor((x + 1) * 1000000)::BIGINT) AS p FROM e),
+           pos AS (SELECT vec_id, unnest(p) AS pv,
+                          generate_subscripts(p, 1) AS dim FROM p),
+           sp AS (SELECT vec_id, (dim - 1) // $pqSubDim AS sub, dim, pv
+                  FROM pos),
+           cb AS (SELECT vec_id AS cid, sub, dim, pv AS cv FROM sp
+                  WHERE vec_id IN (${pqCodebookIds.mkString(", ")})),
+           dist AS (SELECT a2.vec_id, a2.sub, c2.cid,
+                           sum((a2.pv - c2.cv) * (a2.pv - c2.cv)) AS dist
+                    FROM sp a2 JOIN cb c2 ON a2.dim = c2.dim
+                    GROUP BY a2.vec_id, a2.sub, c2.cid),
+           enc AS (SELECT vec_id, sub, cid AS code FROM (
+                     SELECT *, row_number() OVER (
+                       PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+                     FROM dist) WHERE rn = 1),
+           dtab AS (SELECT vec_id AS qid, sub, cid AS code, dist AS qd
+                    FROM dist WHERE vec_id < 5),
+           cand AS (SELECT pr.qid, v.vec_id
+                    FROM probes pr JOIN cells v USING (cell)
+                    WHERE v.vec_id <> pr.qid),
+           adc AS (SELECT cand.qid, cand.vec_id, sum(d.qd) AS adist
+                   FROM cand JOIN enc e2 ON e2.vec_id = cand.vec_id
+                        JOIN dtab d ON d.qid = cand.qid
+                          AND d.sub = e2.sub AND d.code = e2.code
+                   GROUP BY cand.qid, cand.vec_id),
+           r AS (SELECT qid, vec_id, adist, row_number() OVER (
+                   PARTITION BY qid ORDER BY adist, vec_id) AS rn
+                 FROM adc)
+          SELECT qid, vec_id, adist::BIGINT AS adist, rn::INT AS rn
+          FROM r WHERE rn <= 10 ORDER BY qid, rn""",
     "ml_pq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
                      FROM embeddings),

@@ -329,6 +329,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_ann_ivfpq: candidates honor the probe set; codes agree with ml_pq") {
+    val ivfpq = run("sim_ann_ivfpq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ivfpq.length === 50) // 5 queries × top-10
+    // every returned candidate lives in a cell the query probed
+    val scratch = s"${Tables.scratchRoot}/ml"
+    val key = ops.Llm.Scratch.key(sf)
+    val cells = spark.read.parquet(s"$scratch/ivfpq_cells_$key")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = spark.read.parquet(s"$scratch/ivfpq_probes_$key")
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    ivfpq.foreach { case (qid, vid, _) =>
+      assert(probed(qid).contains(cells(vid)),
+        s"query $qid returned $vid from an unprobed cell")
+    }
+    // where a pair appears in both top-10s, the asymmetric distance is
+    // identical — the PQ scoring is shared, only the candidate set
+    // differs
+    val pq = run("ml_pq").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val overlap = ivfpq.filter(t => pq.contains((t._1, t._2)))
+    assert(overlap.nonEmpty, "some code-level winners survive cell pruning")
+    overlap.foreach { case (q, v, ad) =>
+      assert(pq((q, v)) === ad, s"($q,$v): adist differs from ml_pq")
+    }
+  }
+
   test("ml_dbscan: all-noise at sparse SF, 5 pure planted clusters at gate SF") {
     // sf0.001 is BELOW the density threshold (λ < 1 expected neighbor):
     // correct DBSCAN yields nothing but noise
