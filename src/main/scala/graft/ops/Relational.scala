@@ -1845,6 +1845,30 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** OHLC RESAMPLING — the candle aggregation every market-data and
+    * telemetry pipeline runs: per (event_type, hourly slot) the open
+    * (first value by time), high, low, close (last by time), plus
+    * volume — all from ONE hash aggregate using min_by/max_by over the
+    * (ts, event_id) tie-break struct (no window sort of the raw
+    * series; (user_id, ts) uniqueness doesn't hold per type-slot, so
+    * the event_id tie-break is what makes open/close deterministic).
+    * Values in exact cents; O(types × slots) output rows. */
+  private def tsOhlc: Q = (s, d) => {
+    val slotUs = 3600000000L // 1 hour
+    val ev = events(s, d).select(col("event_type"),
+      expr(s"ts_us div $slotUs").as("slot"),
+      col("ts_us"), col("event_id"),
+      (dec(col("value")) * 100).cast("long").as("cents"))
+    ev.groupBy("event_type", "slot")
+      .agg(count(lit(1)).as("volume"),
+        min_by(col("cents"), struct(col("ts_us"), col("event_id")))
+          .as("open_c"),
+        max(col("cents")).as("high_c"), min(col("cents")).as("low_c"),
+        max_by(col("cents"), struct(col("ts_us"), col("event_id")))
+          .as("close_c"))
+      .orderBy("event_type", "slot")
+  }
+
   /** Seasonal PROFILE decomposition per event-type series — the
     * daily-rhythm extraction under capacity planning and anomaly
     * baselines (the classical-decomposition seasonal term, computed the
@@ -1944,6 +1968,7 @@ object Relational {
     "ts_acf" -> tsAcf,
     "ts_changepoint" -> tsChangepoint,
     "ts_seasonal" -> tsSeasonal,
+    "ts_ohlc" -> tsOhlc,
     "seq_pattern" -> seqPattern,
     "sql_recursive" -> sqlRecursive,
     "sql_lateral" -> sqlLateral,
@@ -2622,6 +2647,27 @@ object Relational {
                 len(regexp_extract_all(path, 'sv+c+p'))::BIGINT AS n_runs,
                 len(regexp_extract_all(path, 'sv+c+p')) > 0 AS converted
          FROM p ORDER BY user_id""",
+    // Independent open/close formulation: two row_number windows vs
+    // the engine's min_by/max_by single aggregate.
+    "ts_ohlc" ->
+      s"""WITH ev AS (SELECT event_type,
+                             ${duckTsUs("ts")} // 3600000000 AS slot,
+                             ${duckTsUs("ts")} AS ts_us, event_id,
+                             (value::DECIMAL(18,4) * 100)::BIGINT AS cents
+                      FROM events),
+           rnk AS (SELECT *,
+                          row_number() OVER (PARTITION BY event_type, slot
+                            ORDER BY ts_us, event_id) AS rf,
+                          row_number() OVER (PARTITION BY event_type, slot
+                            ORDER BY ts_us DESC, event_id DESC) AS rl
+                   FROM ev)
+         SELECT event_type, slot, count(*)::BIGINT AS volume,
+                max(CASE WHEN rf = 1 THEN cents END)::BIGINT AS open_c,
+                max(cents)::BIGINT AS high_c,
+                min(cents)::BIGINT AS low_c,
+                max(CASE WHEN rl = 1 THEN cents END)::BIGINT AS close_c
+         FROM rnk GROUP BY event_type, slot
+         ORDER BY event_type, slot""",
     "ts_seasonal" ->
       s"""WITH ev AS (SELECT event_type,
                              ${duckTsUs("ts")} // 600000000 AS slot

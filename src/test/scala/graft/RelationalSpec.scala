@@ -502,6 +502,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_ohlc: candle invariants hold and a driver recompute agrees") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("ts_ohlc")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts_us"), col("event_id"),
+        (Tables.dec(col("value")) * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.values.map(_._1).sum === ev.length.toLong, "volume totals")
+    got.foreach { case (k, (_, o, h, l, c)) =>
+      assert(l <= o && o <= h && l <= c && c <= h, s"$k: bounds")
+    }
+    // full recompute of open/close per candle
+    val byCandle = ev.groupBy(t => (t._1, t._2 / 3600000000L))
+    byCandle.foreach { case (k, rows) =>
+      val sorted = rows.sortBy(t => (t._2, t._3))
+      val (_, o, h, l, c) = got(k)
+      assert(o === sorted.head._4 && c === sorted.last._4, s"$k: open/close")
+      assert(h === rows.map(_._4).max && l === rows.map(_._4).min)
+    }
+  }
+
   test("win_islands: longest streaks match a driver-side run-length scan") {
     val got = SparkEntry.queries("win_islands")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
