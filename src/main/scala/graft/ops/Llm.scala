@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -179,14 +179,21 @@ object Llm {
 
   // ----------------------------------------------------- near-dup family
 
-  /** Word-3-gram shingle set (distinct), null-padded tail shingles for
-    * very short docs. */
-  private[ops] def shingles(text: Column): Column = {
+  /** Word-3-gram shingle set (distinct), degrading to the whole doc for
+    * 1–2-word texts (DuckDB's `t[j:j+2]` slice semantics, which the
+    * oracles use). zip_with over three shifted slices rather than
+    * transform+element_at: slice pads missing tail elements with null
+    * (concat_ws then skips them) where ANSI element_at THROWS on
+    * out-of-bounds — the round-8 fix that makes every shingle-family op
+    * safe on degenerate short docs — and each slice evaluates the split
+    * once per row instead of per element. */
+  private[graft] def shingles(text: Column): Column = {
     val toks = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - 2, lit(1))),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-        element_at(toks, i + 2))))
+    val m = greatest(size(toks) - 2, lit(1))
+    array_distinct(zip_with(
+      zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+        (x, y) => concat_ws(" ", x, y)),
+      slice(toks, lit(3), m), (xy, z) => concat_ws(" ", xy, z)))
   }
 
   /** MinHash + LSH banding near-dup DEDUP: 16-slot signatures → 4 bands
@@ -855,19 +862,57 @@ object Llm {
     * [[dedupMinhashRecall]] truth-side argument), intersection counts
     * are exact integers, containment ONE IEEE division, and the excerpt
     * flag (≥ 0.8) is integer cross-multiplication (5·inter ≥ 4·min).
-    * Scale shape: work ∝ Σ shingle-df² — on a random corpus candidate
-    * pairs are near-dup-sized; at 100 TB cap shingle df (boilerplate
-    * mega-shingles) and pre-filter pairs by a shared-shingle count
-    * floor, both provable no-ops on data like this. Every doc emits a
-    * row (nulls when no candidate shares a shingle). */
-  private def dedupContainment: Q = (s, d) => {
-    val sh = fanOut(t(s, d, "documents"))
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    *
+    * Scale shape (the round-7 `weak` fix, now IN the registered plan):
+    * raw inverted-index work is ∝ Σ shingle-df², so the plan (a) joins
+    * on the 64-bit xxhash64 of the shingle, not the string — long
+    * compares and 8-byte shuffle rows (the [[dedupNgram]] argument);
+    * (b) drops df=1 singletons from the pair join — PROVABLY lossless,
+    * a singleton can never intersect; (c) caps shingle df at
+    * [[containmentDfCap]] — one boilerplate mega-shingle at 100× is
+    * otherwise the skewed-key full-shuffle scale-killer. Join groups
+    * are bounded at dfCap² regardless of corpus size. The cap is a
+    * measured NO-OP at both gate SFs (max df 7 at sf0.01, 25 at sf0.1 —
+    * pinned capped≡uncapped in LlmSpec) and the oracle applies the
+    * identical cap, so semantics agree at ANY SF; when the cap binds,
+    * capped inter ≤ true inter ≤ min n_sh, so containment degrades to a
+    * conservative lower bound over the discriminative-shingle universe.
+    * (d) a shared-shingle count floor ([[containmentFloor]]) pre-filters
+    * pairs before the ranking window; 1 is the exactness-preserving
+    * setting (best partners sharing exactly one shingle EXIST at both
+    * gate SFs — measured), raising it is the 100 TB recall/cost knob
+    * that discards single-coincidence pairs before they shuffle again.
+    * Sizes (the reported n_sh and the containment denominator) stay
+    * UNCAPPED — a linear agg, and it preserves the every-doc-emits-a-
+    * row guarantee even for an all-boilerplate doc. Nulls when no
+    * candidate shares a shingle. */
+  private[graft] val containmentDfCap = 32L
+  private[graft] val containmentFloor = 1L
+
+  private[graft] def dedupContainmentPlan(
+      s: SparkSession, d: String, dfCap: Long, floor: Long): DataFrame = {
+    // Train-once artifact (the minhashSigTable discipline): the hashed
+    // shingle postings are read by FOUR branches below (sizes, df
+    // window, both join sides) — checkpointing to scratch parquet turns
+    // four shingle recomputations into one 16-byte-row scan.
+    val sh = Scratch.table(s, s"$scratchRoot/containment_sh/${Scratch.key(d)}") {
+      fanOut(t(s, d, "documents"))
+        .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh_h"))
+    }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    // One windowed pass for df (shuffle sh once on sh_h); the pair
+    // self-join below reuses the same exchange.
+    val wdf = Window.partitionBy("sh_h")
+    val gk = sh.withColumn("df", count(lit(1)).over(wdf))
+      .where(col("df") >= 2 && col("df") <= dfCap)
+    val a = gk.select(col("doc_id").as("a_id"), col("sh_h"))
+    val b = gk.select(col("doc_id").as("b_id"), col("sh_h"))
+    val pairs = a.join(b, Seq("sh_h"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id").as("da"), col("b_id").as("db"))
       .agg(count(lit(1)).as("inter"))
+      .where(col("inter") >= floor)
     val sym = pairs.select(col("da").as("doc_id"), col("db").as("partner"),
         col("inter"))
       .unionAll(pairs.select(col("db").as("doc_id"),
@@ -892,6 +937,9 @@ object Llm {
           .as("is_excerpt"))
       .orderBy("doc_id")
   }
+
+  private def dedupContainment: Q = (s, d) =>
+    dedupContainmentPlan(s, d, containmentDfCap, containmentFloor)
 
   /** Fixed BM25 query terms — mixed selectivity on the synthetic
     * vocabulary ('dup' is the rare ~5%-df marker, the others common). */
@@ -1618,7 +1666,10 @@ object Llm {
 
   val oracles: Map[String, String] = Map(
     // The identical exact pipeline: same 3-gram shingle construction,
-    // integer intersections, one IEEE division, integer-cross-mult flag.
+    // integer intersections, one IEEE division, integer-cross-mult flag —
+    // and the SAME df cap (≤32) / singleton drop / shared-shingle floor
+    // as the engine plan, so semantics agree at any SF, not just where
+    // the cap is a no-op.
     "dedup_containment" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
                      FROM documents),
@@ -1628,11 +1679,15 @@ object Llm {
                        unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(j)),
            sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh
                   FROM sh GROUP BY doc_id),
+           df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+           shc AS (SELECT s.doc_id, s.sh
+                   FROM sh s JOIN df ON df.sh = s.sh
+                   WHERE df.df BETWEEN 2 AND 32),
            p AS (SELECT a.doc_id AS da, b.doc_id AS db,
                         count(*)::BIGINT AS inter
-                 FROM sh a JOIN sh b
+                 FROM shc a JOIN shc b
                    ON a.sh = b.sh AND a.doc_id < b.doc_id
-                 GROUP BY da, db),
+                 GROUP BY da, db HAVING count(*) >= 1),
            sym AS (SELECT da AS doc_id, db AS partner, inter FROM p
                    UNION ALL SELECT db, da, inter FROM p),
            sc AS (SELECT sym.doc_id, partner, inter,

@@ -557,9 +557,19 @@ object Streaming {
     * 4 — deliberately NOT time-ordered — and the result is provably
     * arrival-order-independent because state stores (ts_us, ch) pairs
     * and sorts at recompute; the final MV is row-identical to batch
-    * seq_pattern and SHARES ITS ORACLE. Exactly-once: state and MV
-    * versions are keyed by batchId (replay overwrites its own version,
-    * the stream_mv discipline). */
+    * seq_pattern and SHARES ITS ORACLE.
+    *
+    * Event state is APPEND-ONLY (the round-7 `weak` fix): each batch
+    * writes ONLY its own events to `ev/batch=<id>` — never a cumulative
+    * rewrite — so bytes written per batch ∝ batch size and total event
+    * I/O over the run is O(corpus), not O(batches × corpus). Recompute
+    * reads the partition-discovered union pruned to `batch <= id`, so a
+    * replayed batch sees exactly the state as of its own epoch even if
+    * later dirs exist. Exactly-once: the per-batch event dir and the MV
+    * version are both keyed by batchId (replay overwrites its own
+    * output, the stream_mv discipline). StreamingSpec pins the
+    * append-only law: Σ rows across batch dirs = corpus rows exactly —
+    * every event stored once. */
   private def streamSeq: Q = (s, d) => {
     val src = s"$scratchRoot/stream_seq_src/${Llm.Scratch.key(d)}"
     Llm.Scratch.once(src) {
@@ -592,13 +602,12 @@ object Streaming {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val bev = batch.select("user_id", "ts_us", "ch")
           val touched = bev.select("user_id").distinct()
-          val (allEv, prevMv) =
-            if (batchId == 0L) (bev, None)
-            else (s.read.parquet(s"$root/ev_v${batchId - 1}")
-              .unionByName(bev),
-              Some(s.read.parquet(s"$root/mv_v${batchId - 1}")))
-          allEv.write.mode("overwrite").parquet(s"$root/ev_v$batchId")
-          val evNow = s.read.parquet(s"$root/ev_v$batchId")
+          bev.write.mode("overwrite").parquet(s"$root/ev/batch=$batchId")
+          val prevMv =
+            if (batchId == 0L) None
+            else Some(s.read.parquet(s"$root/mv_v${batchId - 1}"))
+          val evNow = s.read.parquet(s"$root/ev")
+            .where(col("batch") <= batchId)
           val changed = mvOf(
             evNow.join(touched, Seq("user_id"), "left_semi"))
           val mv = prevMv match {

@@ -500,6 +500,36 @@ class LlmSpec extends AnyFunSuite {
     assert(jac < 0.15)
   }
 
+  test("dedup_containment: registered df cap is live yet a no-op at both gate SFs") {
+    import graft.ops.Llm
+    def rows(d: String, cap: Long, floor: Long) =
+      Llm.dedupContainmentPlan(spark, d, cap, floor).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1.0 else r.getDouble(4), r.getBoolean(5)))
+        .sortBy(_._1).toSeq
+    for (scale <- Seq("0.01", "0.1")) {
+      val dOpt = SharedSpark.sfDir(scale)
+      assume(dOpt.isDefined, s"testdata sf$scale absent on this machine")
+      val d = dOpt.get
+      val capped = rows(d, Llm.containmentDfCap, Llm.containmentFloor)
+      val uncapped = rows(d, Long.MaxValue, 1L)
+      assert(capped === uncapped,
+        s"sf$scale: df cap ${Llm.containmentDfCap} must be a no-op " +
+          "(max shingle df is 7 at sf0.01, 25 at sf0.1)")
+      assert(capped.nonEmpty && capped.exists(_._3 >= 0L),
+        s"sf$scale: corpus must produce at least one candidate pair")
+    }
+    // Liveness: a binding cap (1, below the df>=2 singleton floor)
+    // eliminates every pair — proving the cap is wired into the
+    // registered plan, not dead configuration.
+    val d = SharedSpark.sfDir("0.01").get
+    val choked = rows(d, 1L, 1L)
+    assert(choked.nonEmpty && choked.forall(_._3 == -1L),
+      "cap=1 must null every partner (no pairable shingles survive)")
+  }
+
   test("rank_bm25 matches a from-first-principles driver recompute") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("rank_bm25")(spark, sf).collect()

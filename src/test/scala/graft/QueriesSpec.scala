@@ -71,14 +71,28 @@ class QueriesSpec extends AnyFunSuite {
   test("stream_seq equals batch seq_pattern after 4 incremental merges") {
     val streamed = SparkEntry.queries("stream_seq")(spark, sf)
       .collect().map(_.toSeq)
-    // 4 staged files, 1 per trigger → one (ev, mv) version pair per
-    // micro-batch; fewer means the changed-keys-only incremental path
-    // went unexercised.
-    val versions = new java.io.File(
-      s"${Tables.scratchRoot}/stream/stream_seq/versions").listFiles()
+    // 4 staged files, 1 per trigger → one MV version + one event batch
+    // dir per micro-batch; fewer means the changed-keys-only
+    // incremental path went unexercised.
+    val root = s"${Tables.scratchRoot}/stream/stream_seq/versions"
+    val versions = new java.io.File(root).listFiles()
     assert(versions != null &&
-      versions.count(_.getName.startsWith("mv_v")) >= 4 &&
-      versions.count(_.getName.startsWith("ev_v")) >= 4)
+      versions.count(_.getName.startsWith("mv_v")) >= 4)
+    val batchDirs = new java.io.File(s"$root/ev").listFiles()
+    assert(batchDirs != null &&
+      batchDirs.count(_.getName.startsWith("batch=")) >= 4)
+    // Append-only event-state law (the round-7 `weak` fix): every
+    // source event is stored EXACTLY once across all batch dirs —
+    // total state I/O is O(corpus), never O(batches × corpus) as the
+    // old cumulative ev_v rewrite was. Per-dir counts also pin
+    // bytes-written-per-batch ∝ batch size (each dir holds only its
+    // own micro-batch).
+    val stored = spark.read.parquet(s"$root/ev")
+    assert(stored.count() === Tables.events(spark, sf).count(),
+      "each event must be written exactly once across batch dirs")
+    val perBatch = stored.groupBy("batch").count().collect()
+      .map(r => r.getLong(1))
+    assert(perBatch.length >= 4 && perBatch.sum === stored.count())
     val batch = SparkEntry.queries("seq_pattern")(spark, sf)
       .collect().map(_.toSeq)
     assert(streamed === batch)

@@ -24,4 +24,16 @@ object SharedSpark {
     s
   }
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Gate-SF testdata resolution: derived from the same env the bench
+    * uses (SPARK_GRAFT_SF_DIR's parent) instead of hardcoded, so specs
+    * that pin behavior at a specific scale can skip with a clear
+    * message on a machine where that scale is absent. */
+  val sfRoot: String = sys.env.get("SPARK_GRAFT_SF_DIR")
+    .map(d => new java.io.File(d).getParent)
+    .getOrElse("/root/testdata")
+  def sfDir(scale: String): Option[String] = {
+    val d = s"$sfRoot/sf$scale"
+    if (new java.io.File(d).isDirectory) Some(d) else None
+  }
 }
