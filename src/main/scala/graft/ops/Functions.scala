@@ -358,10 +358,12 @@ object Functions {
          FROM m GROUP BY lower(seg) ORDER BY segment""",
     // No AES in the oracle: the checked contract is the roundtrip
     // identity and the PKCS#5 ciphertext length law, both plaintext-
-    // derivable.
+    // derivable. The law is over UTF-8 BYTES (octet_length of the
+    // encoded text), not characters — length(text) would silently
+    // diverge on any non-ASCII document (ADVICE r7).
     "fn_crypto" ->
       """SELECT doc_id, true AS roundtrip_ok,
-                ((length(text) // 16) + 1) * 16 AS ct_len
+                ((octet_length(encode(text)) // 16) + 1) * 16 AS ct_len
          FROM documents ORDER BY doc_id""",
     "fn_try" ->
       """WITH e AS (

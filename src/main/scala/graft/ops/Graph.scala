@@ -50,6 +50,8 @@ object Graph {
   private val Scale = 1000000000L
   private val Base = 150000000L // (1 − 0.85) × Scale, exact
   private val Iters = 3
+  /** Per-invocation disambiguator for iterative round paths. */
+  private val runToken = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Directed co-purchase edges with out-degree: (src, dst, outdeg),
     * distinct pairs, both directions. Checkpointed one-time artifact
@@ -391,6 +393,13 @@ object Graph {
     var frontier = dist
     var i = 0
     var more = true
+    // Unique run token (ADVICE r7): concurrent executions on the same
+    // dataset must not interleave overwrites of shared round paths;
+    // round i-1 is deleted once round i is committed, so scratch holds
+    // at most two rounds instead of the whole walk.
+    val run = runToken.incrementAndGet()
+    def roundPath(j: Int) =
+      s"$scratchRoot/graph/bfs_${Llm.Scratch.key(d)}_r${run}_i$j"
     while (more) {
       i += 1
       require(i <= bfsMaxHops,
@@ -399,12 +408,14 @@ object Graph {
         .select(col("dst").as("node")).distinct()
       val next = cand.join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(i.toLong).as("hop"))
-      val path = s"$scratchRoot/graph/bfs_${Llm.Scratch.key(d)}_i$i"
-      dist.unionAll(next).coalesce(1).write.mode("overwrite").parquet(path)
-      val cur = s.read.parquet(path)
+      dist.unionAll(next).coalesce(1).write.mode("overwrite")
+        .parquet(roundPath(i))
+      val cur = s.read.parquet(roundPath(i))
       frontier = cur.where(col("hop") === i)
       more = frontier.limit(1).count() > 0
       dist = cur
+      if (i > 1)
+        graft.Tables.deleteRecursively(new java.io.File(roundPath(i - 1)))
     }
     dist.groupBy("hop")
       .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("id_digest"),
@@ -434,6 +445,11 @@ object Graph {
     var nEdges = edges.count()
     var removed = 1L
     var i = 0
+    // Unique run token + delete-previous-round (ADVICE r7, the BFS
+    // discipline): no cross-execution path sharing, bounded scratch.
+    val run = runToken.incrementAndGet()
+    def roundPath(j: Int) =
+      s"$scratchRoot/graph/kcore_${Llm.Scratch.key(d)}_r${run}_i$j"
     while (removed > 0) {
       i += 1
       require(i <= kcoreRounds,
@@ -444,13 +460,14 @@ object Graph {
         .join(keep.select(col("node").as("src")), "src")
         .join(keep.select(col("node").as("dst")), "dst")
         .select("src", "dst")
-      val path = s"$scratchRoot/graph/kcore_${Llm.Scratch.key(d)}_i$i"
-      pruned.coalesce(1).write.mode("overwrite").parquet(path)
-      val cur = s.read.parquet(path)
+      pruned.coalesce(1).write.mode("overwrite").parquet(roundPath(i))
+      val cur = s.read.parquet(roundPath(i))
       val m = cur.count()
       removed = nEdges - m
       nEdges = m
       edges = cur
+      if (i > 1)
+        graft.Tables.deleteRecursively(new java.io.File(roundPath(i - 1)))
     }
     edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))

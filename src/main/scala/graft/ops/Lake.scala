@@ -761,13 +761,20 @@ object Lake {
     * the plain aggregate over the source. */
   private def scanCorruptSkip: Q = (s, d) => {
     val out = s"$scratchRoot/formats/corrupt_skip_${Llm.Scratch.key(d)}"
-    val dir = new java.io.File(out)
-    if (!dir.exists()) {
+    // Scratch.once + build-to-temp + atomic rename (ADVICE r7): a
+    // crashed or concurrent partial build must never be observable as
+    // a complete fixture — the rename is the only commit point.
+    Llm.Scratch.once(out) {
+      val tmp = s"$out.build"
       t(s, d, "documents").select("doc_id", "lang", "n_chars")
-        .repartition(4).write.mode("overwrite").parquet(out)
+        .repartition(4).write.mode("overwrite").parquet(tmp)
       java.nio.file.Files.write(
-        new java.io.File(dir, "part-99999-junk.parquet").toPath,
+        new java.io.File(tmp, "part-99999-junk.parquet").toPath,
         Array.fill[Byte](4096)(0x5a))
+      graft.Tables.deleteRecursively(new java.io.File(out))
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(out),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     s.read.option("ignoreCorruptFiles", "true").parquet(out)
       .groupBy("lang")
@@ -828,8 +835,14 @@ object Lake {
   private[graft] def buildAvroFixture(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
     val out = s"$scratchRoot/formats/documents_avro_${Llm.Scratch.key(d)}"
-    val dir = new java.io.File(out)
-    if (!dir.exists()) {
+    // Scratch.once + build-to-temp + atomic rename (ADVICE r7): the
+    // executor-side container writers target the temp dir; the rename
+    // after the job commits is the only point the fixture becomes
+    // visible, so a half-written build can never be read.
+    Llm.Scratch.once(out) {
+      val tmp = s"$out.build"
+      val dir = new java.io.File(tmp)
+      graft.Tables.deleteRecursively(dir)
       dir.mkdirs()
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
@@ -849,7 +862,7 @@ object Lake {
               org.apache.avro.generic.GenericRecord](schema))
           if (pid % 2 == 1) w.setCodec(
             org.apache.avro.file.CodecFactory.deflateCodec(6))
-          w.create(schema, new java.io.File(dir, f"part-$pid%02d.avro"))
+          w.create(schema, new java.io.File(tmp, f"part-$pid%02d.avro"))
           it.foreach { r =>
             val rec = new org.apache.avro.generic.GenericData.Record(schema)
             rec.put("doc_id", r.getLong(0)); rec.put("lang", r.getString(1))
@@ -859,6 +872,10 @@ object Lake {
           }
           w.close()
         }
+      graft.Tables.deleteRecursively(new java.io.File(out))
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(out),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     out
   }

@@ -44,6 +44,11 @@ object MiniFtp {
     servers.getOrElseUpdate(dir, new MiniFtpServer(dir)).port
   }
 
+  /** Spec access to a live server's diagnostics (accepted-connection
+    * meter) without exposing the registry for mutation. */
+  private[graft] def serverFor(dir: String): Option[MiniFtpServer] =
+    synchronized(servers.get(dir))
+
   val mdtmFmt: DateTimeFormatter =
     DateTimeFormatter.ofPattern("yyyyMMddHHmmss").withZone(ZoneOffset.UTC)
 }
@@ -67,10 +72,15 @@ class MiniFtpServer(dir: String,
 
   @volatile private var running = true
 
+  /** Control connections accepted since start — the spec-side
+    * handshake meter for the [[RemoteClientPool]] amortization pin. */
+  val accepted = new java.util.concurrent.atomic.AtomicLong(0)
+
   private val acceptor = new Thread(() => {
     while (running) {
       try {
         val sock = server.accept()
+        accepted.incrementAndGet()
         val t = new Thread(() => handle(sock))
         t.setDaemon(true)
         t.start()

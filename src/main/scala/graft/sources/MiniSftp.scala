@@ -54,6 +54,11 @@ object MiniSftp {
     servers.getOrElseUpdate(dir, new MiniSftpServer(dir)).port
   }
 
+  /** Spec access to a live server's diagnostics (accepted-connection
+    * meter) without exposing the registry for mutation. */
+  private[graft] def serverFor(dir: String): Option[MiniSftpServer] =
+    synchronized(servers.get(dir))
+
   /** One host key per JVM (like a real sshd's /etc/ssh key). */
   lazy val hostKey: KeyPair = {
     val g = KeyPairGenerator.getInstance("RSA")
@@ -446,10 +451,15 @@ class MiniSftpServer(dir: String,
 
   @volatile private var running = true
 
+  /** TCP connections accepted since start — the spec-side handshake
+    * meter for the [[RemoteClientPool]] amortization pin. */
+  val accepted = new java.util.concurrent.atomic.AtomicLong(0)
+
   private val acceptor = new Thread(() => {
     while (running) {
       try {
         val sock = server.accept()
+        accepted.incrementAndGet()
         val t = new Thread(() => handle(sock))
         t.setDaemon(true)
         t.start()

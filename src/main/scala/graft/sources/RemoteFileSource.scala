@@ -164,7 +164,10 @@ object RemoteListing {
       policy: FetchPolicy = FetchPolicy.default): Array[RemoteTask] =
     urls.flatMap { u =>
       val parsed = RemoteUrl.parse(u)
-      val c = parsed.client
+      // Pooled like the executor fetch path: a NON-AvailableNow stream
+      // re-lists every micro-batch on the driver, so the listing
+      // session is as worth amortizing as the fetch session.
+      val c = RemoteClientPool.borrow(parsed.url)
       // The listing is as exposed to transient refusals as the fetch —
       // an FTP list() is 2 control round trips PER FILE (SIZE/MDTM
       // stat probes) — so it retries under the same policy; the client
@@ -172,10 +175,7 @@ object RemoteListing {
       // reconnects cleanly.
       try RemoteRetry.withRetry(s"list $u", policy.maxRetries,
         policy.backoffMs)(c.list()).map(f => RemoteTask(parsed.url, f))
-      finally c match {
-        case a: AutoCloseable => try a.close() catch { case _: Exception => () }
-        case _ => ()
-      }
+      finally RemoteClientPool.give(parsed.url, c)
     }.sortBy(t => (t.url, t.ref.name)).toArray
 
   /** Round-robin dealing, empty buckets dropped (main.py:65-78). */
@@ -438,7 +438,10 @@ class RemoteFileReaderFactory(required: StructType,
     val tasks = partition.asInstanceOf[RemoteFilePartition].tasks
     val wantContent = required.fieldNames.contains("content")
     new PartitionReader[InternalRow] {
-      // One client per distinct URL per partition (connection reuse).
+      // One client per distinct URL per partition, BORROWED from the
+      // executor-wide [[RemoteClientPool]] so the authenticated session
+      // (and its SSH-2/FTP handshake) survives across micro-batches
+      // instead of dying with each per-batch reader.
       private val clients = scala.collection.mutable.Map.empty[String, RemoteClient]
       private var chaosLeft = policy.chaosFailFirstFetches
       private var i = -1
@@ -454,7 +457,8 @@ class RemoteFileReaderFactory(required: StructType,
               throw new java.io.IOException(
                 s"injected fetch failure for ${t.ref.name}")
             }
-            clients.getOrElseUpdate(t.url, parsed.client).fetch(t.ref.name)
+            clients.getOrElseUpdate(t.url, RemoteClientPool.borrow(t.url))
+              .fetch(t.ref.name)
           }
         InternalRow(required.fieldNames.map {
           case "url" => UTF8String.fromString(t.url)
@@ -467,10 +471,7 @@ class RemoteFileReaderFactory(required: StructType,
         }.toIndexedSeq: _*)
       }
       override def close(): Unit =
-        clients.values.foreach {
-          case c: AutoCloseable => try c.close() catch { case _: Exception => () }
-          case _ => ()
-        }
+        clients.foreach { case (url, c) => RemoteClientPool.give(url, c) }
     }
   }
 }

@@ -71,6 +71,71 @@ class SftpSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("a 2-batch stream performs exactly one SSH handshake per (executor, URL)") {
+    import org.apache.spark.sql.functions._
+    val spark = SharedSpark.spark
+    // Fresh fixture dir → fresh loopback server with a zeroed
+    // accepted-connection meter and no pooled session for its URL.
+    val dir = s"${Tables.scratchRoot}/sftp_pool_fixture"
+    val f = new java.io.File(dir)
+    Tables.deleteRecursively(f); f.mkdirs()
+    (1 to 4).foreach { i =>
+      java.nio.file.Files.write(new java.io.File(f, s"f$i.bin").toPath,
+        Array.fill(64)(i.toByte))
+    }
+    sources.RemoteClientPool.drain()
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val fetched = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.format("graft.sources.RemoteFileSource")
+      .option("urls", s"sftp://localhost:2222$dir")
+      .option("batchSize", "2")
+      .option("numPartitions", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        fetched.addAndGet(b.select(sum(length(col("content"))).cast("long"))
+          .collect()(0).getLong(0))
+        ()
+      }
+      .option("checkpointLocation",
+        s"${Tables.scratchRoot}/sftp_pool_ckpt_${System.nanoTime()}")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches.get() === 2L, "4 files at batchSize=2 → 2 micro-batches")
+    assert(fetched.get() === 4L * 64, "every payload byte fetched")
+    val srv = sources.MiniSftp.serverFor(dir).get
+    // ONE TCP connection total: the driver listing's authenticated
+    // session goes back to the pool and both per-batch readers reuse
+    // it (local mode: driver and executor share the JVM/pool). Before
+    // pooling this was 3 (listing + one per batch).
+    assert(srv.accepted.get() === 1L,
+      s"expected 1 handshake, saw ${srv.accepted.get()}")
+    assert(sources.RemoteClientPool.reused.get() >= 2L,
+      "both micro-batch readers must reuse the pooled session")
+  }
+
+  test("pooled sessions expire after the idle TTL and close") {
+    val dir = s"${Tables.scratchRoot}/pool_ttl_fixture"
+    new java.io.File(dir).mkdirs()
+    sources.RemoteClientPool.drain()
+    val url = s"file://localhost$dir"
+    val c1 = sources.RemoteClientPool.borrow(url)
+    sources.RemoteClientPool.give(url, c1)
+    assert(sources.RemoteClientPool.created.get() === 1L)
+    // Within TTL: same instance comes back.
+    assert(sources.RemoteClientPool.borrow(url) eq c1)
+    sources.RemoteClientPool.give(url, c1)
+    val ttl = sources.RemoteClientPool.idleTtlMs
+    try {
+      sources.RemoteClientPool.idleTtlMs = 0L
+      Thread.sleep(5)
+      val c2 = sources.RemoteClientPool.borrow(url)
+      assert(!(c2 eq c1), "an expired session must not be handed out")
+    } finally sources.RemoteClientPool.idleTtlMs = ttl
+  }
+
   test("a tampered ciphertext byte dies on MAC verification, not silent corruption") {
     // A real MITM flip: the client socket's output stream corrupts the
     // last byte of the first array written after the trigger arms —
