@@ -687,6 +687,100 @@ object Relational {
     s.sql(tpchQ18Sql)
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier): the CORRELATED SCALAR MIN
+    * subquery — for each part, only the European supplier(s) matching
+    * the Europe-wide minimum cost survive. The schema has no partsupp
+    * table, so it derives one (min l_extendedprice per (part, supp)
+    * pair observed in lineitem). Catalyst DECORRELATES the scalar
+    * subquery into an aggregate-then-join (PlanSpec pins no surviving
+    * correlated subquery in the physical plan) — the per-part re-
+    * execution a naive reading implies would be O(parts × partsupp).
+    * Determinism: costs are min-selected doubles (never arithmetic),
+    * equality compares identical values; ORDER BY ends in the unique
+    * (s_name, p_partkey) pair. */
+  private[graft] val tpchQ2Sql: String =
+    """WITH partsupp AS (
+         SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                min(l_extendedprice) AS ps_supplycost
+         FROM lineitem GROUP BY 1, 2)
+       SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+       FROM part, supplier, partsupp, nation, region
+       WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+         AND p_size <= 15 AND p_type IN ('LARGE', 'SMALL')
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'EUROPE'
+         AND ps_supplycost = (SELECT min(ps2.ps_supplycost)
+                              FROM partsupp ps2, supplier s2, nation n2,
+                                   region r2
+                              WHERE ps2.ps_partkey = p_partkey
+                                AND s2.s_suppkey = ps2.ps_suppkey
+                                AND s2.s_nationkey = n2.n_nationkey
+                                AND n2.n_regionkey = r2.r_regionkey
+                                AND r2.r_name = 'EUROPE')
+       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""
+  private def sqlTpchQ2: Q = (s, d) => {
+    Seq("part", "supplier", "lineitem", "nation", "region")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(tpchQ2Sql)
+  }
+
+  /** TPC-H Q15 (top supplier): the AGG-OF-AGG VIEW shape — a grouped
+    * revenue view consumed twice, once as the join input and once
+    * under max(). Spark plans the view once per consumer; the scalar
+    * max is an uncorrelated subquery (one extra pass over the tiny
+    * grouped result, not over lineitem). Revenue follows the Q1
+    * decimal discipline (exact DECIMAL sum, one round, cast to
+    * double), so the equality against max() compares identical
+    * doubles. */
+  private[graft] val tpchQ15Sql: String =
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                               * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                     AS DOUBLE) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, total_revenue
+       FROM supplier, revenue
+       WHERE s_suppkey = supplier_no
+         AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+       ORDER BY s_suppkey"""
+  private def sqlTpchQ15: Q = (s, d) => {
+    Seq("supplier", "lineitem")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(tpchQ15Sql)
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the CHAINED
+    * EXISTS / NOT EXISTS double-filter — the supplier's line is flagged
+    * ('R'), the order is multi-supplier (EXISTS another supplier's
+    * line), and NO other supplier was flagged (NOT EXISTS). The schema
+    * has no receipt/commit dates, so l_returnflag = 'R' stands in for
+    * lateness; the plan shape is the point: Catalyst must produce the
+    * LeftSemi + LeftAnti join PAIR over lineitem (PlanSpec pins both),
+    * each a shuffle on l_orderkey — never a per-row re-scan. */
+  private[graft] val tpchQ21Sql: String =
+    """SELECT s_name, count(*) AS numwait
+       FROM supplier, lineitem l1, orders
+       WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+         AND o_orderstatus = 'F'
+         AND l1.l_returnflag = 'R'
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_returnflag = 'R')
+       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""
+  private def sqlTpchQ21: Q = (s, d) => {
+    Seq("supplier", "lineitem", "orders")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(tpchQ21Sql)
+  }
+
   /** 2-D spatial ε-join via grid blocking — the planar sibling of
     * joinInterval's 1-D grid and the dedup family's LSH bands:
     * deterministic integer points derive from customer keys, each
@@ -1845,6 +1939,40 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** SESSIONIZED sequence-pattern matching — the documented 100 TB
+    * mitigation for [[seqPattern]]'s per-user unbounded collect_list:
+    * paths are assembled per (user, SESSION) where a session closes
+    * after win_session's 30-minute inactivity gap, so the collected
+    * state is bounded by session length (burst-bounded) instead of a
+    * user's full history (time-unbounded — the state that grows
+    * forever on a 100 TB stream). Session ids are gaps-and-islands
+    * (strictly-greater gap opens a session, the empirically-pinned
+    * win_session boundary; cumulative sum of open flags), computed
+    * IDENTICALLY in the oracle — one window pass over (user, ts), then
+    * the same path/regex discipline as seq_pattern per session.
+    * PlanSpec pins that path assembly groups by (user_id, session_id). */
+  private[graft] val sessionGapUs = 1800000000L
+  private def seqPatternSession: Q = (s, d) => {
+    val ev = events(s, d).select(col("user_id"), col("ts_us"),
+      substring(col("event_type"), 1, 1).as("ch"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+    val sess = ev
+      .withColumn("new_s",
+        when(col("ts_us") - lag("ts_us", 1).over(w) > sessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("path_len"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("ts_us"), col("ch")))),
+          x => x.getField("ch")), "").as("path"))
+      .select(col("user_id"), col("session_id"), col("path_len"),
+        regexp_count(col("path"), lit("sv+c+p")).cast("long").as("n_runs"),
+        (regexp_count(col("path"), lit("sv+c+p")) > 0).as("converted"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** OHLC RESAMPLING — the candle aggregation every market-data and
     * telemetry pipeline runs: per (event_type, hourly slot) the open
     * (first value by time), high, low, close (last by time), plus
@@ -1965,11 +2093,15 @@ object Relational {
     "sql_tpch_q3" -> sqlTpchQ3,
     "sql_tpch_q5" -> sqlTpchQ5,
     "sql_tpch_q18" -> sqlTpchQ18,
+    "sql_tpch_q2" -> sqlTpchQ2,
+    "sql_tpch_q15" -> sqlTpchQ15,
+    "sql_tpch_q21" -> sqlTpchQ21,
     "ts_acf" -> tsAcf,
     "ts_changepoint" -> tsChangepoint,
     "ts_seasonal" -> tsSeasonal,
     "ts_ohlc" -> tsOhlc,
     "seq_pattern" -> seqPattern,
+    "seq_pattern_session" -> seqPatternSession,
     "sql_recursive" -> sqlRecursive,
     "sql_lateral" -> sqlLateral,
     "sql_exists" -> sqlExists,
@@ -2636,6 +2768,9 @@ object Relational {
     "sql_tpch_q3" -> tpchQ3Sql,
     "sql_tpch_q5" -> tpchQ5Sql,
     "sql_tpch_q18" -> tpchQ18Sql,
+    "sql_tpch_q2" -> tpchQ2Sql,
+    "sql_tpch_q15" -> tpchQ15Sql,
+    "sql_tpch_q21" -> tpchQ21Sql,
     "seq_pattern" ->
       s"""WITH ev AS (SELECT user_id, ${duckTsUs("ts")} AS ts_us,
                              substr(event_type, 1, 1) AS ch
@@ -2647,6 +2782,30 @@ object Relational {
                 len(regexp_extract_all(path, 'sv+c+p'))::BIGINT AS n_runs,
                 len(regexp_extract_all(path, 'sv+c+p')) > 0 AS converted
          FROM p ORDER BY user_id""",
+    // Identical gaps-and-islands sessionization (strictly-greater gap,
+    // cumulative open-flag sum), then the seq_pattern path discipline
+    // per (user, session).
+    "seq_pattern_session" ->
+      s"""WITH ev AS (SELECT user_id, ${duckTsUs("ts")} AS ts_us,
+                             substr(event_type, 1, 1) AS ch
+                      FROM events),
+           f AS (SELECT user_id, ts_us, ch,
+                        CASE WHEN ts_us - lag(ts_us) OVER
+                               (PARTITION BY user_id ORDER BY ts_us)
+                             > 1800000000 THEN 1 ELSE 0 END AS new_s
+                 FROM ev),
+           se AS (SELECT user_id, ts_us, ch,
+                         sum(new_s) OVER (PARTITION BY user_id
+                           ORDER BY ts_us ROWS UNBOUNDED PRECEDING)::BIGINT
+                           AS session_id
+                  FROM f),
+           p AS (SELECT user_id, session_id, count(*)::BIGINT AS path_len,
+                        string_agg(ch, '' ORDER BY ts_us) AS path
+                 FROM se GROUP BY user_id, session_id)
+         SELECT user_id, session_id, path_len,
+                len(regexp_extract_all(path, 'sv+c+p'))::BIGINT AS n_runs,
+                len(regexp_extract_all(path, 'sv+c+p')) > 0 AS converted
+         FROM p ORDER BY user_id, session_id""",
     // Independent open/close formulation: two row_number windows vs
     // the engine's min_by/max_by single aggregate.
     "ts_ohlc" ->

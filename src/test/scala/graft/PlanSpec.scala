@@ -50,6 +50,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("s_cell"), p)
   }
 
+  test("sql_tpch_q21 plans the LeftSemi + LeftAnti join pair") {
+    val p = planOf("sql_tpch_q21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sql_tpch_q2's correlated scalar min decorrelates to an aggregate join") {
+    val df = SparkEntry.queries("sql_tpch_q2")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    // No per-part re-execution: the physical plan must contain NO
+    // surviving correlated subquery — the min is a grouped aggregate
+    // joined back (an aggregate over ps_partkey feeding a join).
+    assert(!p.contains("InSubqueryExec"), p)
+    val opt = df.queryExecution.optimizedPlan.toString()
+    assert(!opt.toLowerCase.contains("correlat"), opt)
+    assert("(?i)aggregate".r.findAllIn(opt).size >= 2,
+      s"expected the decorrelated min-aggregate:\n$opt")
+  }
+
+  test("seq_pattern_session assembles paths per (user, session), state bounded by bursts") {
+    val p = planOf("seq_pattern_session")
+    // The collect_list aggregate must key on BOTH user_id and
+    // session_id — grouping on user alone is the unbounded-state shape
+    // this operator exists to avoid.
+    val aggLine = p.linesIterator
+      .find(l => l.contains("collect_list") && l.contains("keys="))
+      .getOrElse(fail(s"no keyed collect_list aggregate in plan:\n$p"))
+    assert(aggLine.contains("user_id") && aggLine.contains("session_id"),
+      aggLine)
+  }
+
   test("join_asof is a single-pass running window — no join node at all") {
     val p = planOf("join_asof")
     // the naive formulation explodes purchases×prior-views per user
