@@ -13,6 +13,7 @@ import hashlib
 import json
 import math
 import sys
+import threading
 from pathlib import Path
 
 import duckdb
@@ -41,7 +42,12 @@ def table_hash(rows, cols):
     return h.hexdigest()
 
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, timeout_s=0.0, skip=()):
+    """timeout_s/skip are builder-side knobs for ABOVE-GATE cross-checks
+    (e.g. generated sf1): a per-oracle DuckDB timeout (the oracle
+    formulations are written for gate-SF cost, some are deliberately
+    quadratic there) and an explicit by-design exclusion list. The
+    driver's 2-arg invocation is unchanged."""
     out = Path(out_dir)
     oracles = json.loads((out / "oracle_sql.json").read_text())
     con = duckdb.connect()
@@ -58,8 +64,24 @@ def main(out_dir, sf_dir):
     for name in sorted(declared - produced):
         print(f"FAIL {name}: no output produced (query threw in Verify?)")
         n_fail += 1
+    n_skip = 0
+    def run_timed(sql):
+        if not timeout_s:
+            r = con.execute(sql)
+            return r, r.fetchall()
+        timer = threading.Timer(timeout_s, con.interrupt)
+        timer.start()
+        try:
+            r = con.execute(sql)
+            return r, r.fetchall()
+        finally:
+            timer.cancel()
     for qdir in sorted(d for d in out.iterdir() if d.is_dir()):
         name = qdir.name
+        if name in skip:
+            print(f"SKIP {name}: by-design exclusion at this SF")
+            n_skip += 1
+            continue
         try:
             got = con.execute(f"SELECT * FROM '{qdir}/*.parquet'")
             gcols = [c[0] for c in got.description]
@@ -77,9 +99,8 @@ def main(out_dir, sf_dir):
             print(f"{status} {name}: {len(grows)} rows")
             continue
         try:
-            want = con.execute(oracles[name])
+            want, wrows = run_timed(oracles[name])
             wcols = [c[0] for c in want.description]
-            wrows = want.fetchall()
             # The DRIVER reads oracle results through pandas, where a
             # HUGEINT column (any DuckDB sum over an integer type whose
             # result isn't re-cast) degrades to float64 and hash-breaks
@@ -88,7 +109,15 @@ def main(out_dir, sf_dir):
             # the type explicitly and fail the oracle here.
             hugeint_cols = [c for c, t, *_ in con.execute(
                 "DESCRIBE " + oracles[name]).fetchall() if t == "HUGEINT"]
+        except duckdb.InterruptException:
+            print(f"TIMEOUT {name}: oracle exceeded {timeout_s}s (excluded)")
+            n_skip += 1
+            continue
         except Exception as e:
+            if "INTERRUPT" in str(e).upper():
+                print(f"TIMEOUT {name}: oracle exceeded {timeout_s}s (excluded)")
+                n_skip += 1
+                continue
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
             continue
@@ -119,9 +148,14 @@ def main(out_dir, sf_dir):
         else:
             print(f"PASS {name}: {len(grows)} rows")
             n_pass += 1
-    print(f"\n== {n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail ==")
+    extra = f", {n_skip} skipped/timeout" if n_skip else ""
+    print(f"\n== {n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail{extra} ==")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--"))
+    sys.exit(main(args[0], args[1],
+                  timeout_s=float(opts.get("timeout", 0)),
+                  skip=set(filter(None, opts.get("skip", "").split(",")))))
