@@ -1211,21 +1211,72 @@ object Llm {
     * test is pure integers (I/(na+nb−I) ≥ 1/2 ⟺ 3I ≥ na+nb — no
     * division). Shingles ride as 8-byte xxhash64 keys (the dedup_ngram
     * discipline; the python pin hashes identically, so collisions —
-    * ~n²/2⁶⁴ — would be caught, not hidden). At 100 TB the index adds
-    * a df-cap like dedup_ngram's (a shingle in every doc is stopword
-    * noise); the synthetic corpus needs none. Oracle: pinned VALUES
-    * from the independent pure-python XXH64 stack
-    * (tools/recall_oracle.py — same shingling, same band hashing,
-    * zero JVM involvement). */
-  private def dedupMinhashRecall: Q = (s, d) => {
-    val sigT = minhashSigTable(s, d)
+    * ~n²/2⁶⁴ — would be caught, not hidden).
+    *
+    * Round-8 scale fix: the sf1 slope run measured the naive
+    * shared-shingle join at α=1.26 (Σ shingle-df² — a df cap would
+    * bound it but breaks EXACTNESS, which the truth side cannot give
+    * up). The candidate join now uses the classic df-ascending PREFIX
+    * FILTER (Bayardo/AllPairs), which is exact: J(A,B) ≥ t ⟹
+    * I ≥ ⌈t·na⌉ (I ≥ t(na+nb−I) and I ≤ nb give I ≥ t·na), so if no
+    * shared shingle sat in A's first na−⌈t·na⌉+1 shingles under a
+    * global canonical order, all I shared shingles would fit in the
+    * remaining ⌈t·na⌉−1 — contradiction. Joining prefix×prefix
+    * (canonical order = df ASC, hash ASC) therefore loses no
+    * qualifying pair, and boilerplate mega-shingles sort LAST — they
+    * never enter the join. Exact intersections are then computed per
+    * CANDIDATE via array_intersect of the two full (distinct) shingle
+    * arrays — work ∝ candidates × doc size, not Σdf². 27.5 s → ~2 s
+    * at sf1; LlmSpec pins prefix-filter ≡ naive-join row identity at
+    * both gate SFs. Oracle: pinned VALUES from the independent
+    * pure-python XXH64 stack (tools/recall_oracle.py — same shingling,
+    * same band hashing, zero JVM involvement). */
+  private[graft] def recallTruthPairs(
+      s: SparkSession, d: String, prefixFiltered: Boolean): DataFrame = {
     val sh = fanOut(t(s, d, "documents"))
       .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-    val inter = sh.select(col("doc_id").as("a_id"), col("gh"))
-      .join(sh.select(col("doc_id").as("b_id"), col("gh")), Seq("gh"))
-      .where(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+    if (!prefixFiltered) {
+      sh.select(col("doc_id").as("a_id"), col("gh"))
+        .join(sh.select(col("doc_id").as("b_id"), col("gh")), Seq("gh"))
+        .where(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+    } else {
+      val wdf = Window.partitionBy("gh")
+      val ranked = sh.withColumn("df", count(lit(1)).over(wdf))
+      val docArr = ranked.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("gh"))))
+          .as("srt"))
+        .select(col("doc_id"),
+          transform(col("srt"), x => x.getField("gh")).as("ghs"),
+          size(col("srt")).as("n"))
+      // prefix length for t = 1/2: n − ⌈n/2⌉ + 1 = ⌊n/2⌋ + 1
+      val pref = docArr.select(col("doc_id"),
+        explode(slice(col("ghs"), lit(1),
+          (col("n") - ceil(col("n") * lit(0.5)) + lit(1)).cast("int")))
+          .as("gh"))
+      val cand = pref.select(col("doc_id").as("a_id"), col("gh"))
+        .join(pref.select(col("doc_id").as("b_id"), col("gh")), Seq("gh"))
+        .where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      cand
+        .join(docArr.select(col("doc_id").as("a_id"),
+          col("ghs").as("ghs_a")), Seq("a_id"))
+        .join(docArr.select(col("doc_id").as("b_id"),
+          col("ghs").as("ghs_b")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          size(array_intersect(col("ghs_a"), col("ghs_b"))).cast("long")
+            .as("n_shared"))
+    }
+  }
+
+  private def dedupMinhashRecall: Q = (s, d) =>
+    dedupMinhashRecallPlan(s, d, prefixFiltered = true)
+
+  private[graft] def dedupMinhashRecallPlan(
+      s: SparkSession, d: String, prefixFiltered: Boolean): DataFrame = {
+    val sigT = minhashSigTable(s, d)
+    val inter = recallTruthPairs(s, d, prefixFiltered)
     val sz = sigT.select(col("doc_id"), col("n_shingles"))
     val bands = bandRows(sigT)
     val cand = bands

@@ -500,6 +500,28 @@ class LlmSpec extends AnyFunSuite {
     assert(jac < 0.15)
   }
 
+  test("recall truth side: prefix filter is lossless vs the naive shared-shingle join") {
+    import graft.ops.Llm
+    // The filter prunes only pairs that can never reach J >= 1/2, so
+    // the FULL query output (post threshold) must be row-identical;
+    // candidate counts below threshold are allowed to differ — that is
+    // the point of the filter.
+    def out(d: String, filtered: Boolean) =
+      Llm.dedupMinhashRecallPlan(spark, d, filtered).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5))).toSeq
+    for (scale <- Seq("0.01", "0.1")) {
+      val dOpt = SharedSpark.sfDir(scale)
+      assume(dOpt.isDefined, s"testdata sf$scale absent on this machine")
+      val fast = out(dOpt.get, filtered = true)
+      val naive = out(dOpt.get, filtered = false)
+      assert(fast === naive,
+        s"sf$scale: prefix-filtered truth must reproduce every " +
+          "qualifying pair with identical intersection counts")
+      assert(fast.nonEmpty, s"sf$scale: corpus must have true near-dup pairs")
+    }
+  }
+
   test("dedup_containment: registered df cap is live yet a no-op at both gate SFs") {
     import graft.ops.Llm
     def rows(d: String, cap: Long, floor: Long) =

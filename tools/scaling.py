@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Scaling-slope measurement (builder-side tooling; not part of the
+Scala library): run graft.Bench over the SAME generator-matched
+datasets at sf0.01 / sf0.1 / sf1 (graft.GenData output) for the most
+expensive keys, fit per-key scaling exponents, and emit SCALING.md.
+
+    python3 tools/scaling.py [key ...]
+
+Exponent: t ~ c * sf^alpha, alpha fit per decade:
+    alpha_lo = log10(t(0.1) / t(0.01)),  alpha_hi = log10(t(1) / t(0.1))
+alpha <= ~1 is linear-or-better (scale-safe); alpha_hi >> 1 needs a
+written cause. Small absolute times are floor-dominated (JVM/job
+scheduling ~0.1-0.5 s/query) — the report flags rows where t < 1 s at
+the largest SF as floor-bound rather than data-bound.
+"""
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SFS = [("0.01", "target/testdata/gen0.01"),
+       ("0.1", "target/testdata/gen0.1"),
+       ("1", "target/testdata/sf1")]
+
+DEFAULT_KEYS = [
+    # heaviest r7/r8 batch keys + representative relational/stream paths
+    "dedup_containment", "dedup_cluster", "dedup_fuzzy", "dedup_minhash",
+    "dedup_minhash_recall", "dedup_ngram", "ml_dbscan", "ml_kmeans",
+    "graph_pagerank", "text_perplexity", "text_cooc",
+    "text_tfidf", "sim_cosine_topk", "sim_ann_ivfpq", "sql_tpch_q1",
+    "sql_tpch_q21", "win_rank", "seq_pattern_session", "agg_percentile",
+    "stream_seq", "stream_dedup_incremental", "stream_session",
+]
+
+
+def run_bench(sf_dir, keys):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_TRIALS="2")
+    cmd = ["sbt", "-batch", "runMain graft.Bench " + " ".join(keys)]
+    subprocess.run(cmd, cwd=REPO, env=env, check=True,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    with open(os.path.join(REPO, "target/bench_full.json")) as f:
+        d = json.load(f)
+    dst = os.path.join(REPO, f"target/bench_scaling_{os.path.basename(sf_dir)}.json")
+    shutil.copy(os.path.join(REPO, "target/bench_full.json"), dst)
+    return d["queries"], d.get("failed", [])
+
+
+def main(keys):
+    results = {}
+    failed = {}
+    for label, sf_dir in SFS:
+        if not os.path.isdir(os.path.join(REPO, sf_dir)):
+            print(f"missing {sf_dir}; run: sbt 'runMain graft.GenData {sf_dir} {label}'",
+                  file=sys.stderr)
+            return 1
+        print(f"[scaling] bench at sf{label} ({sf_dir}) ...", flush=True)
+        qs, fl = run_bench(sf_dir, keys)
+        results[label] = qs
+        failed[label] = fl
+        print(f"[scaling] sf{label}: " + " ".join(
+            f"{k}={v:.2f}" for k, v in sorted(qs.items())), flush=True)
+    import math
+    rows = []
+    for k in sorted(results["1"].keys()):
+        t0, t1, t2 = (abs(results[sf].get(k, float("nan"))) for sf in
+                      ("0.01", "0.1", "1"))
+        a_lo = math.log10(t1 / t0) if t0 > 0 else float("nan")
+        a_hi = math.log10(t2 / t1) if t1 > 0 else float("nan")
+        rows.append((k, t0, t1, t2, a_lo, a_hi))
+    with open(os.path.join(REPO, "target/scaling_rows.json"), "w") as f:
+        json.dump([{"key": k, "t001": t0, "t01": t1, "t1": t2,
+                    "alpha_lo": a, "alpha_hi": b}
+                   for k, t0, t1, t2, a, b in rows], f, indent=1)
+    print(f"{'key':28s} {'t(0.01)':>8s} {'t(0.1)':>8s} {'t(1)':>8s} "
+          f"{'a_lo':>6s} {'a_hi':>6s}")
+    for k, t0, t1, t2, a, b in rows:
+        print(f"{k:28s} {t0:8.2f} {t1:8.2f} {t2:8.2f} {a:6.2f} {b:6.2f}")
+    for sf, fl in failed.items():
+        if fl:
+            print(f"FAILED at sf{sf}: {fl}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:] or DEFAULT_KEYS))
