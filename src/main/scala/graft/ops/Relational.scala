@@ -753,6 +753,103 @@ object Relational {
     s.sql(tpchQ15Sql)
   }
 
+  /** TPC-H Q4 shape (order-priority checking): EXISTS-only semi join
+    * into a grouped count — the simplest decorrelation shape, kept as
+    * its own key because it is the one where a wrong plan (re-scan per
+    * order) is easiest for a regression to sneak into. l_returnflag='R'
+    * stands in for the absent receipt>commit lateness. */
+  private[graft] val tpchQ4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1996-07-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+  private def sqlTpchQ4: Q = (s, d) => {
+    Seq("orders", "lineitem")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(tpchQ4Sql)
+  }
+
+  /** TPC-H Q12 shape (shipping-mode priority split): fact⋈fact join
+    * feeding CONDITIONAL COUNTING (CASE inside sum) — pure integer
+    * aggregation, the pivot-in-an-aggregate idiom. o_orderpriority
+    * buckets stand in for the absent l_shipmode. */
+  private[graft] val tpchQ12Sql: String =
+    """SELECT l_linestatus,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM orders, lineitem
+       WHERE o_orderkey = l_orderkey
+         AND l_shipdate >= TIMESTAMP '1997-01-01'
+         AND l_shipdate < TIMESTAMP '1998-01-01'
+       GROUP BY l_linestatus ORDER BY l_linestatus"""
+  private def sqlTpchQ12: Q = (s, d) => {
+    Seq("orders", "lineitem")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(tpchQ12Sql)
+  }
+
+  /** TPC-H Q14 (promotion effect): the RATIO-OF-AGGREGATES scalar —
+    * both numerator and denominator are EXACT decimal sums, each cast
+    * to double (one correctly-rounded conversion), then ONE IEEE
+    * multiply and ONE divide in fixed order; the result double is
+    * emitted RAW (identical ops → identical bits in both engines — the
+    * discipline that avoids round()-of-raw-double divergence). */
+  private[graft] val tpchQ14Sql: String =
+    """SELECT CAST(100.0 AS DOUBLE)
+                * CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                       ELSE 0 END) AS DOUBLE)
+                / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                           * (1 - CAST(l_discount AS DECIMAL(18,4))))
+                       AS DOUBLE) AS promo_revenue
+       FROM lineitem, part
+       WHERE l_partkey = p_partkey
+         AND l_shipdate >= TIMESTAMP '1997-09-01'
+         AND l_shipdate < TIMESTAMP '1997-10-01'"""
+  private def sqlTpchQ14: Q = (s, d) => {
+    Seq("lineitem", "part")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(tpchQ14Sql)
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): an UNCORRELATED
+    * scalar-avg threshold plus a NOT EXISTS anti join, grouped by a
+    * derived country code (the customer id's last two digits — the
+    * schema has no phone column). The average is assembled as exact
+    * decimal sum ÷ count — ONE division — because a plain avg(double)
+    * folds in partition order and the threshold comparison would
+    * wobble on the boundary customer. The anti join is restricted to
+    * urgent-F orders so it actually selects (every synthetic customer
+    * has ~10 orders). */
+  private[graft] val tpchQ22Sql: String =
+    """WITH avg_bal AS (
+         SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(*) AS ab
+         FROM customer WHERE c_acctbal > 0.0),
+       eligible AS (
+         SELECT substring(c_name, 17, 2) AS cntrycode, c_custkey,
+                CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+         FROM customer, avg_bal WHERE c_acctbal > ab)
+       SELECT cntrycode, count(*) AS numcust,
+              CAST(sum(bal) AS DOUBLE) AS totacctbal
+       FROM eligible e
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = e.c_custkey
+                           AND o_orderpriority = '1-URGENT'
+                           AND o_orderstatus = 'F')
+       GROUP BY cntrycode ORDER BY cntrycode"""
+  private def sqlTpchQ22: Q = (s, d) => {
+    Seq("customer", "orders")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(tpchQ22Sql)
+  }
+
   /** TPC-H Q21 shape (suppliers who kept orders waiting): the CHAINED
     * EXISTS / NOT EXISTS double-filter — the supplier's line is flagged
     * ('R'), the order is multi-supplier (EXISTS another supplier's
@@ -2096,6 +2193,10 @@ object Relational {
     "sql_tpch_q2" -> sqlTpchQ2,
     "sql_tpch_q15" -> sqlTpchQ15,
     "sql_tpch_q21" -> sqlTpchQ21,
+    "sql_tpch_q4" -> sqlTpchQ4,
+    "sql_tpch_q12" -> sqlTpchQ12,
+    "sql_tpch_q14" -> sqlTpchQ14,
+    "sql_tpch_q22" -> sqlTpchQ22,
     "ts_acf" -> tsAcf,
     "ts_changepoint" -> tsChangepoint,
     "ts_seasonal" -> tsSeasonal,
@@ -2771,6 +2872,10 @@ object Relational {
     "sql_tpch_q2" -> tpchQ2Sql,
     "sql_tpch_q15" -> tpchQ15Sql,
     "sql_tpch_q21" -> tpchQ21Sql,
+    "sql_tpch_q4" -> tpchQ4Sql,
+    "sql_tpch_q12" -> tpchQ12Sql,
+    "sql_tpch_q14" -> tpchQ14Sql,
+    "sql_tpch_q22" -> tpchQ22Sql,
     "seq_pattern" ->
       s"""WITH ev AS (SELECT user_id, ${duckTsUs("ts")} AS ts_us,
                              substr(event_type, 1, 1) AS ch

@@ -50,6 +50,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("s_cell"), p)
   }
 
+  test("sql_tpch_q4 reduces orders by a LeftSemi, no per-order re-scan") {
+    val p = planOf("sql_tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("sql_tpch_q22 plans the anti join and decorrelates the scalar avg") {
+    val df = SparkEntry.queries("sql_tpch_q22")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("LeftAnti"), p)
+    assert(!df.queryExecution.optimizedPlan.toString()
+      .toLowerCase.contains("correlat"), p)
+  }
+
   test("sql_tpch_q21 plans the LeftSemi + LeftAnti join pair") {
     val p = planOf("sql_tpch_q21")
     assert(p.contains("LeftSemi"), p)
