@@ -24,6 +24,18 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.GenData <outDir> <sf> (e.g. target/testdata/sf1 1.0)
   */
 object GenData {
+  /** `--real` realism mode (round-8): the default mode mirrors the
+    * driver data's measured distributions EXACTLY (uniform part draws,
+    * 30-word closed vocabulary) — right for oracle cross-checks, but
+    * it understates two structures real corpora have: Zipf-tailed
+    * vocabulary (most shingles RARE — what rare-first prefix filters
+    * and df caps exploit) and head-heavy item popularity (what makes
+    * the repeat-co-purchase graph non-vacuous at scale). --real mixes
+    * 20% mid-pool and 10% corpus-scaled rare-pool tokens into document
+    * text and draws l_partkey with a u² head so SCALING.md can measure
+    * the shingle and graph families on data shaped like production. */
+  private var realism: Boolean = false
+
   /** Uniform double in [0,1) derived from (id, salt). */
   private def u(salt: Int): Column =
     (xxhash64(col("id"), lit(salt)).bitwiseAND(lit(Long.MaxValue)))
@@ -37,8 +49,10 @@ object GenData {
     element_at(array(vals.map(lit): _*), (ui(salt, vals.size) + 1).cast("int"))
 
   def main(args: Array[String]): Unit = {
-    val outDir = if (args.length > 0) args(0) else "target/testdata/sf1"
-    val sf = if (args.length > 1) args(1).toDouble else 1.0
+    val pos = args.filterNot(_.startsWith("--"))
+    val outDir = if (pos.length > 0) pos(0) else "target/testdata/sf1"
+    val sf = if (pos.length > 1) pos(1).toDouble else 1.0
+    realism = args.contains("--real")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -127,7 +141,8 @@ object GenData {
     // line counts ~ Binomial(nLi, 1/nOrd) ≈ Poisson(4), some orders
     // lineless) — NOT a per-order sequence, so no cross-row dependency.
     writeTable(range(nLi).select(ui(1, nOrd).as("l_orderkey"),
-      ui(2, nPart).as("l_partkey"),
+      (if (realism) (u(2) * u(22) * nPart).cast("long") // head-heavy
+       else ui(2, nPart)).as("l_partkey"),
       ui(3, nSupp).as("l_suppkey"),
       (ui(4, 7) + 1).cast("int").as("l_linenumber"),
       (ui(5, 50) + 1).cast("double").as("l_quantity"),
@@ -166,9 +181,18 @@ object GenData {
       "the", "row", "agg", "key", "query", "scan", "batch", "a")
     def textOf(seed: Column): Column = {
       val wc = (pmod(xxhash64(seed, lit(20)), lit(91)) + 10).cast("int")
-      val words = transform(sequence(lit(1), wc), j =>
-        element_at(array(vocab.map(lit): _*),
-          (pmod(xxhash64(seed, lit(21), j), lit(vocab.size)) + 1).cast("int")))
+      val common = (j: Column) => element_at(array(vocab.map(lit): _*),
+        (pmod(xxhash64(seed, lit(21), j), lit(vocab.size)) + 1).cast("int"))
+      val words =
+        if (!realism) transform(sequence(lit(1), wc), j => common(j))
+        else transform(sequence(lit(1), wc), j => {
+          val cls = pmod(xxhash64(seed, lit(23), j), lit(10))
+          when(cls < 7, common(j))
+            .when(cls < 9, concat(lit("m"),
+              pmod(xxhash64(seed, lit(24), j), lit(1000))))
+            .otherwise(concat(lit("r"),
+              pmod(xxhash64(seed, lit(25), j), lit(10L * nDoc))))
+        })
       val marked = when(pmod(xxhash64(seed, lit(22)), lit(20)) === 0,
         concat(slice(words, lit(1), lit(2)), array(lit("dup")),
           slice(words, lit(4), size(words)))).otherwise(words)

@@ -20,9 +20,17 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SFS = [("0.01", "target/testdata/gen0.01"),
-       ("0.1", "target/testdata/gen0.1"),
-       ("1", "target/testdata/sf1")]
+VARIANTS = {
+    # driver-matched distributions (oracle-grade fidelity)
+    "gen": [("0.01", "target/testdata/gen0.01"),
+            ("0.1", "target/testdata/gen0.1"),
+            ("1", "target/testdata/sf1")],
+    # GenData --real: Zipf-tailed vocab + head-heavy part popularity
+    "real": [("0.01", "target/testdata/real0.01"),
+             ("0.1", "target/testdata/real0.1"),
+             ("1", "target/testdata/real1")],
+}
+SFS = VARIANTS["gen"]
 
 DEFAULT_KEYS = [
     # heaviest r7/r8 batch keys + representative relational/stream paths
@@ -85,4 +93,9 @@ def main(keys):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1:] or DEFAULT_KEYS))
+    argv = sys.argv[1:]
+    var = [a.split("=", 1)[1] for a in argv if a.startswith("--variant=")]
+    if var:
+        SFS = VARIANTS[var[0]]
+    keys = [a for a in argv if not a.startswith("--")]
+    sys.exit(main(keys or DEFAULT_KEYS))
