@@ -850,6 +850,251 @@ object Relational {
     s.sql(tpchQ22Sql)
   }
 
+  /** TPC-H Q7 (volume shipping): bidirectional nation-pair flows by
+    * ship year — the double-aliased dimension join (nation n1, n2)
+    * with a symmetric OR predicate. Revenue = exact decimal sum,
+    * one round, cast double (the Q1 discipline). */
+  private[graft] val tpchQ7Sql: String =
+    """WITH flows AS (
+         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume
+         FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+           AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+           AND c_nationkey = n2.n_nationkey
+           AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01')
+       SELECT supp_nation, cust_nation, l_year,
+              CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
+       FROM flows GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year"""
+  private def sqlTpchQ7: Q = (s, d) => {
+    Seq("supplier", "lineitem", "orders", "customer", "nation")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(tpchQ7Sql)
+  }
+
+  /** TPC-H Q8 (national market share): the 8-table star join feeding a
+    * per-year RATIO of conditional to total volume — the Q14 raw-IEEE
+    * ratio discipline applied per group. */
+  private[graft] val tpchQ8Sql: String =
+    """WITH all_nations AS (
+         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+                n2.n_name AS nation
+         FROM part, supplier, lineitem, orders, customer, nation n1,
+              nation n2, region
+         WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+           AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND c_nationkey = n1.n_nationkey
+           AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+           AND s_nationkey = n2.n_nationkey
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND p_type = 'ECONOMY')
+       SELECT o_year,
+              CAST(sum(CASE WHEN nation = 'NATION_2' THEN volume
+                            ELSE 0 END) AS DOUBLE)
+                / CAST(sum(volume) AS DOUBLE) AS mkt_share
+       FROM all_nations GROUP BY o_year ORDER BY o_year"""
+  private def sqlTpchQ8: Q = (s, d) => {
+    Seq("part", "supplier", "lineitem", "orders", "customer", "nation",
+      "region").foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(tpchQ8Sql)
+  }
+
+  /** TPC-H Q9 (product-type profit): derived partsupp (min line price
+    * per (part, supp)) joined back into a profit expression — NARROW
+    * decimal casts ((12,2)/(4,2)/(4,1)) keep every product's scale far
+    * from both engines' 38-precision clamp (the Q1 lesson: at wide
+    * scales Spark clamps where DuckDB widens and the rounding
+    * diverges). */
+  private[graft] val tpchQ9Sql: String =
+    """WITH partsupp AS (
+         SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                min(CAST(l_extendedprice AS DECIMAL(12,2)))
+                  AS ps_supplycost
+         FROM lineitem GROUP BY 1, 2),
+       profit AS (
+         SELECT n_name AS nation,
+                CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                  - ps_supplycost * CAST(l_quantity AS DECIMAL(4,1))
+                  AS amount
+         FROM part, supplier, lineitem, partsupp, orders, nation
+         WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+           AND ps_partkey = l_partkey AND p_partkey = l_partkey
+           AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+           AND p_name LIKE '%ring%')
+       SELECT nation, o_year,
+              CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+       FROM profit GROUP BY nation, o_year ORDER BY nation, o_year DESC"""
+  private def sqlTpchQ9: Q = (s, d) => {
+    Seq("part", "supplier", "lineitem", "orders", "nation")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(tpchQ9Sql)
+  }
+
+  /** TPC-H Q11 (important stock): grouped value with a HAVING against
+    * an UNCORRELATED scalar over the same scoped view (here 1.5× the
+    * mean per-part share — SF-robust where the classic fixed fraction
+    * empties at small SFs). availqty is derived as the (part, supp)
+    * line count; region scoping keeps the supplier→nation→region join
+    * chain non-empty at every SF. */
+  private[graft] val tpchQ11Sql: String =
+    """WITH partsupp AS (
+         SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                min(CAST(l_extendedprice AS DECIMAL(12,2)))
+                  AS ps_supplycost,
+                CAST(count(*) AS BIGINT) AS ps_availqty
+         FROM lineitem GROUP BY 1, 2),
+       scoped AS (
+         SELECT ps_partkey, ps_supplycost * ps_availqty AS value
+         FROM partsupp, supplier, nation, region
+         WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+           AND n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+       thr AS (SELECT CAST(sum(value) AS DOUBLE) * 1.5
+                      / count(DISTINCT ps_partkey) AS cut FROM scoped)
+       SELECT ps_partkey, CAST(sum(value) AS DOUBLE) AS value
+       FROM scoped, thr
+       GROUP BY ps_partkey, cut
+       HAVING CAST(sum(value) AS DOUBLE) > cut
+       ORDER BY value DESC, ps_partkey LIMIT 100"""
+  private def sqlTpchQ11: Q = (s, d) => {
+    Seq("supplier", "lineitem", "nation", "region")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(tpchQ11Sql)
+  }
+
+  /** TPC-H Q13 (customer distribution): LEFT join with an extra ON
+    * predicate (orders filtered IN the join, keeping order-less
+    * customers) → per-customer count → count-of-counts — the
+    * two-level aggregation histogram shape. */
+  private[graft] val tpchQ13Sql: String =
+    """WITH c_orders AS (
+         SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+         FROM customer LEFT JOIN orders
+           ON c_custkey = o_custkey
+          AND o_orderpriority <> '4-NOT SPECIFIED'
+         GROUP BY c_custkey)
+       SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+       FROM c_orders GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC"""
+  private def sqlTpchQ13: Q = (s, d) => {
+    Seq("customer", "orders")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(tpchQ13Sql)
+  }
+
+  /** TPC-H Q16 (parts/supplier relationship): DISTINCT-pair derived
+    * partsupp, NOT IN exclusion subquery (null-free key, so the
+    * anti-join rewrite is safe), count(DISTINCT supplier) per
+    * (brand, type, size). */
+  private[graft] val tpchQ16Sql: String =
+    """WITH partsupp AS (
+         SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+         FROM lineitem)
+       SELECT p_brand, p_type, p_size,
+              CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+       FROM partsupp, part
+       WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#3'
+         AND p_type NOT IN ('PROMO', 'STANDARD')
+         AND p_size IN (1, 4, 9, 14, 23)
+         AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_name LIKE '%00009%')
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100"""
+  private def sqlTpchQ16: Q = (s, d) => {
+    Seq("lineitem", "part", "supplier")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(tpchQ16Sql)
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue): the per-part scalar-avg
+    * threshold (classically a correlated subquery; expressed as a
+    * grouped view join, which is what Catalyst decorrelates to
+    * anyway). The average is exact-sum ÷ count, the comparison one
+    * IEEE multiply, and the final scalar is an exact decimal sum cast
+    * once and divided once — emitted RAW. */
+  private[graft] val tpchQ17Sql: String =
+    """WITH pq AS (
+         SELECT l_partkey AS a_partkey,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                  / count(*) AS avg_qty
+         FROM lineitem GROUP BY l_partkey)
+       SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                   AS DOUBLE) / 7.0 AS avg_yearly
+       FROM lineitem, part, pq
+       WHERE p_partkey = l_partkey AND a_partkey = l_partkey
+         AND p_brand = 'Brand#5' AND p_type = 'MEDIUM'
+         AND l_quantity < 0.2 * avg_qty"""
+  private def sqlTpchQ17: Q = (s, d) => {
+    Seq("lineitem", "part")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(tpchQ17Sql)
+  }
+
+  /** TPC-H Q19 (discounted revenue): the disjunction-of-conjunctions
+    * predicate (brand × size-range × quantity-range OR-chain) — the
+    * planner must push the common join key and evaluate the residual
+    * OR without a cross product. */
+  private[graft] val tpchQ19Sql: String =
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                   AS DOUBLE) AS revenue
+       FROM lineitem, part
+       WHERE p_partkey = l_partkey
+         AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 21)
+              OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                  AND l_quantity >= 10 AND l_quantity <= 30)
+              OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                  AND l_quantity >= 20 AND l_quantity <= 40))"""
+  private def sqlTpchQ19: Q = (s, d) => {
+    Seq("lineitem", "part")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(tpchQ19Sql)
+  }
+
+  /** TPC-H Q20 (potential part promotion): the NESTED IN chain —
+    * suppliers IN (pairs whose stock exceeds half a year's shipped
+    * quantity for promoted parts), with the per-pair quantity itself a
+    * grouped view. Integer availqty vs one IEEE multiply keeps the
+    * threshold deterministic. */
+  private[graft] val tpchQ20Sql: String =
+    """WITH partsupp AS (
+         SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                CAST(count(*) AS BIGINT) AS ps_availqty
+         FROM lineitem GROUP BY 1, 2),
+       agg AS (
+         SELECT l_partkey AS a_partkey, l_suppkey AS a_suppkey,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                  AS qty
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1, 2)
+       SELECT s_name, s_acctbal FROM supplier, nation
+       WHERE s_suppkey IN (
+           SELECT ps_suppkey FROM partsupp, agg
+           WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'hot%')
+             AND a_partkey = ps_partkey AND a_suppkey = ps_suppkey
+             AND ps_availqty > 0.1 * qty)
+         AND s_nationkey = n_nationkey AND n_regionkey <= 2
+       ORDER BY s_name"""
+  private def sqlTpchQ20: Q = (s, d) => {
+    Seq("supplier", "lineitem", "part", "nation")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(tpchQ20Sql)
+  }
+
   /** TPC-H Q21 shape (suppliers who kept orders waiting): the CHAINED
     * EXISTS / NOT EXISTS double-filter — the supplier's line is flagged
     * ('R'), the order is multi-supplier (EXISTS another supplier's
@@ -2197,6 +2442,15 @@ object Relational {
     "sql_tpch_q12" -> sqlTpchQ12,
     "sql_tpch_q14" -> sqlTpchQ14,
     "sql_tpch_q22" -> sqlTpchQ22,
+    "sql_tpch_q7" -> sqlTpchQ7,
+    "sql_tpch_q8" -> sqlTpchQ8,
+    "sql_tpch_q9" -> sqlTpchQ9,
+    "sql_tpch_q11" -> sqlTpchQ11,
+    "sql_tpch_q13" -> sqlTpchQ13,
+    "sql_tpch_q16" -> sqlTpchQ16,
+    "sql_tpch_q17" -> sqlTpchQ17,
+    "sql_tpch_q19" -> sqlTpchQ19,
+    "sql_tpch_q20" -> sqlTpchQ20,
     "ts_acf" -> tsAcf,
     "ts_changepoint" -> tsChangepoint,
     "ts_seasonal" -> tsSeasonal,
@@ -2876,6 +3130,15 @@ object Relational {
     "sql_tpch_q12" -> tpchQ12Sql,
     "sql_tpch_q14" -> tpchQ14Sql,
     "sql_tpch_q22" -> tpchQ22Sql,
+    "sql_tpch_q7" -> tpchQ7Sql,
+    "sql_tpch_q8" -> tpchQ8Sql,
+    "sql_tpch_q9" -> tpchQ9Sql,
+    "sql_tpch_q11" -> tpchQ11Sql,
+    "sql_tpch_q13" -> tpchQ13Sql,
+    "sql_tpch_q16" -> tpchQ16Sql,
+    "sql_tpch_q17" -> tpchQ17Sql,
+    "sql_tpch_q19" -> tpchQ19Sql,
+    "sql_tpch_q20" -> tpchQ20Sql,
     "seq_pattern" ->
       s"""WITH ev AS (SELECT user_id, ${duckTsUs("ts")} AS ts_us,
                              substr(event_type, 1, 1) AS ch

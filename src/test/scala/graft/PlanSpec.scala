@@ -63,6 +63,18 @@ class PlanSpec extends AnyFunSuite {
       .toLowerCase.contains("correlat"), p)
   }
 
+  test("sql_tpch_q19's OR-of-ANDs keeps the equi join (no cross product)") {
+    val p = planOf("sql_tpch_q19")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sql_tpch_q20's nested IN chain plans as semi joins") {
+    val p = planOf("sql_tpch_q20")
+    assert("LeftSemi".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sql_tpch_q21 plans the LeftSemi + LeftAnti join pair") {
     val p = planOf("sql_tpch_q21")
     assert(p.contains("LeftSemi"), p)
