@@ -116,6 +116,22 @@ class SftpSpec extends AnyFunSuite {
       "both micro-batch readers must reuse the pooled session")
   }
 
+  test("concurrent borrows of one URL get DISTINCT clients (exclusive ownership)") {
+    val dir = s"${Tables.scratchRoot}/pool_conc_fixture"
+    new java.io.File(dir).mkdirs()
+    sources.RemoteClientPool.drain()
+    val url = s"file://localhost$dir"
+    val a = sources.RemoteClientPool.borrow(url)
+    val b = sources.RemoteClientPool.borrow(url)
+    assert(!(a eq b), "a protocol client is single-socket sequential; " +
+      "two concurrent readers must never share one")
+    sources.RemoteClientPool.give(url, a)
+    sources.RemoteClientPool.give(url, b)
+    // both return to the pool and are reused LIFO
+    assert(sources.RemoteClientPool.borrow(url) eq b)
+    assert(sources.RemoteClientPool.borrow(url) eq a)
+  }
+
   test("pooled sessions expire after the idle TTL and close") {
     val dir = s"${Tables.scratchRoot}/pool_ttl_fixture"
     new java.io.File(dir).mkdirs()
