@@ -34,7 +34,6 @@ object GenData {
     * 20% mid-pool and 10% corpus-scaled rare-pool tokens into document
     * text and draws l_partkey with a u² head so SCALING.md can measure
     * the shingle and graph families on data shaped like production. */
-  private var realism: Boolean = false
 
   /** Uniform double in [0,1) derived from (id, salt). */
   private def u(salt: Int): Column =
@@ -52,7 +51,6 @@ object GenData {
     val pos = args.filterNot(_.startsWith("--"))
     val outDir = if (pos.length > 0) pos(0) else "target/testdata/sf1"
     val sf = if (pos.length > 1) pos(1).toDouble else 1.0
-    realism = args.contains("--real")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,12 +60,16 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    write(spark, outDir, sf)
+    write(spark, outDir, sf, realism = args.contains("--real"))
     spark.stop()
   }
 
   /** One bare parquet FILE per table (the driver-data shape): write the
-    * dataframe as a single-file directory, then move the part file. */
+    * dataframe as a single-file directory, then move the part file.
+    * coalesce(1) serializes the WRITE only (generation upstream is
+    * fully parallel) and is deliberate fidelity to TESTDATA.md's
+    * one-file-per-table layout; generating much beyond sf1, drop the
+    * coalesce and write a partitioned directory instead. */
   private def writeTable(df: DataFrame, outDir: String, name: String): Unit = {
     val tmp = s"$outDir/_gen_$name"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -80,7 +82,8 @@ object GenData {
     Tables.deleteRecursively(new java.io.File(tmp))
   }
 
-  def write(spark: SparkSession, outDir: String, sf: Double): Unit = {
+  def write(spark: SparkSession, outDir: String, sf: Double,
+      realism: Boolean = false): Unit = {
     new java.io.File(outDir).mkdirs()
     val nCust = math.max(1, (150000 * sf).toLong)
     val nPart = math.max(1, (200000 * sf).toLong)

@@ -53,6 +53,21 @@ object Graph {
   /** Per-invocation disambiguator for iterative round paths. */
   private val runToken = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Final-round dir of the PREVIOUS run per (op, dataset): deleted at
+    * the start of the next run so repeated invocations in one JVM keep
+    * scratch bounded at one surviving dir per (op, dataset) — the
+    * intra-run delete at round commit handles every non-final round.
+    * (A DataFrame still lazily held from a prior run goes stale at
+    * that point — the same exposure the old fixed-path overwrite had,
+    * now without cross-run interleaving.) */
+  private val lastFinal =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def reapPreviousRun(tag: String): Unit = {
+    val prev = lastFinal.remove(tag)
+    if (prev != null) graft.Tables.deleteRecursively(new java.io.File(prev))
+  }
+
   /** Directed co-purchase edges with out-degree: (src, dst, outdeg),
     * distinct pairs, both directions. Checkpointed one-time artifact
     * (see class doc). */
@@ -400,6 +415,7 @@ object Graph {
     val run = runToken.incrementAndGet()
     def roundPath(j: Int) =
       s"$scratchRoot/graph/bfs_${Llm.Scratch.key(d)}_r${run}_i$j"
+    reapPreviousRun(s"bfs_${Llm.Scratch.key(d)}")
     while (more) {
       i += 1
       require(i <= bfsMaxHops,
@@ -417,6 +433,7 @@ object Graph {
       if (i > 1)
         graft.Tables.deleteRecursively(new java.io.File(roundPath(i - 1)))
     }
+    lastFinal.put(s"bfs_${Llm.Scratch.key(d)}", roundPath(i))
     dist.groupBy("hop")
       .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("id_digest"),
         min(col("node")).as("min_node"), max(col("node")).as("max_node"))
@@ -450,6 +467,7 @@ object Graph {
     val run = runToken.incrementAndGet()
     def roundPath(j: Int) =
       s"$scratchRoot/graph/kcore_${Llm.Scratch.key(d)}_r${run}_i$j"
+    reapPreviousRun(s"kcore_${Llm.Scratch.key(d)}")
     while (removed > 0) {
       i += 1
       require(i <= kcoreRounds,
@@ -469,6 +487,7 @@ object Graph {
       if (i > 1)
         graft.Tables.deleteRecursively(new java.io.File(roundPath(i - 1)))
     }
+    if (i > 0) lastFinal.put(s"kcore_${Llm.Scratch.key(d)}", roundPath(i))
     edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .orderBy("node")

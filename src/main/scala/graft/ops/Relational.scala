@@ -3144,7 +3144,7 @@ object Relational {
                              substr(event_type, 1, 1) AS ch
                       FROM events),
            p AS (SELECT user_id, count(*)::BIGINT AS path_len,
-                        string_agg(ch, '' ORDER BY ts_us) AS path
+                        string_agg(ch, '' ORDER BY ts_us, ch) AS path
                  FROM ev GROUP BY user_id)
          SELECT user_id, path_len,
                 len(regexp_extract_all(path, 'sv+c+p'))::BIGINT AS n_runs,
@@ -3168,7 +3168,7 @@ object Relational {
                            AS session_id
                   FROM f),
            p AS (SELECT user_id, session_id, count(*)::BIGINT AS path_len,
-                        string_agg(ch, '' ORDER BY ts_us) AS path
+                        string_agg(ch, '' ORDER BY ts_us, ch) AS path
                  FROM se GROUP BY user_id, session_id)
          SELECT user_id, session_id, path_len,
                 len(regexp_extract_all(path, 'sv+c+p'))::BIGINT AS n_runs,

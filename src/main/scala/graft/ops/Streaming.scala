@@ -567,7 +567,7 @@ object Streaming {
     * replayed batch sees exactly the state as of its own epoch even if
     * later dirs exist. Exactly-once: the per-batch event dir and the MV
     * version are both keyed by batchId (replay overwrites its own
-    * output, the stream_mv discipline). StreamingSpec pins the
+    * output, the stream_mv discipline). QueriesSpec pins the
     * append-only law: Σ rows across batch dirs = corpus rows exactly —
     * every event stored once. */
   private def streamSeq: Q = (s, d) => {

@@ -3,10 +3,17 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins for the datagen that underwrites SCALING.md: determinism
-  * (same SF → bit-identical content regardless of run) and the
+  * (same SF + mode → bit-identical content regardless of run) and the
   * distribution laws the slope analysis assumes. */
 class GenDataSpec extends AnyFunSuite {
   import SharedSpark.spark
+
+  // Each test builds what it reads — no cross-test ordering dependency.
+  private lazy val genA: String = {
+    val d = s"${Tables.scratchRoot}/gendata_a"
+    GenData.write(spark, d, 0.001)
+    d
+  }
 
   private def digest(dir: String): Map[String, (Long, BigDecimal)] = {
     import org.apache.spark.sql.functions._
@@ -22,17 +29,32 @@ class GenDataSpec extends AnyFunSuite {
   }
 
   test("GenData is deterministic: two runs at the same SF are row-identical") {
-    val d1 = s"${Tables.scratchRoot}/gendata_a"
     val d2 = s"${Tables.scratchRoot}/gendata_b"
-    GenData.write(spark, d1, 0.001)
     GenData.write(spark, d2, 0.001)
-    assert(digest(d1) === digest(d2),
+    assert(digest(genA) === digest(d2),
       "hash-derived generation must not depend on run or partitioning")
   }
 
-  test("GenData distribution laws: counts, monotone event time, planted dups") {
+  test("GenData --real is deterministic too, and differs from the default mode") {
+    val r1 = s"${Tables.scratchRoot}/gendata_r1"
+    val r2 = s"${Tables.scratchRoot}/gendata_r2"
+    GenData.write(spark, r1, 0.001, realism = true)
+    GenData.write(spark, r2, 0.001, realism = true)
+    assert(digest(r1) === digest(r2))
+    // the mode is live: lineitem (part skew) and documents (vocab tail)
+    // must differ from the driver-matched default
+    val dflt = digest(genA)
+    val real = digest(r1)
+    assert(real("lineitem") !== dflt("lineitem"))
+    assert(real("documents") !== dflt("documents"))
+    // untouched tables are identical across modes
+    assert(real("customer") === dflt("customer"))
+    assert(real("events") === dflt("events"))
+  }
+
+  test("GenData distribution laws: counts, monotone event time, derived n_chars") {
     import org.apache.spark.sql.functions._
-    val d = s"${Tables.scratchRoot}/gendata_a"
+    val d = genA
     assert(spark.read.parquet(s"$d/lineitem.parquet").count() === 6000L)
     assert(spark.read.parquet(s"$d/events.parquet")
       .select(col("ts"), lag("ts", 1).over(

@@ -69,13 +69,27 @@ def main(out_dir, sf_dir, timeout_s=0.0, skip=()):
         if not timeout_s:
             r = con.execute(sql)
             return r, r.fetchall()
-        timer = threading.Timer(timeout_s, con.interrupt)
+        fired = threading.Event()
+
+        def bang():
+            fired.set()
+            con.interrupt()
+        timer = threading.Timer(timeout_s, bang)
         timer.start()
         try:
             r = con.execute(sql)
             return r, r.fetchall()
         finally:
             timer.cancel()
+            if fired.is_set():
+                # The timer may have fired AFTER the query completed,
+                # leaving a pending interrupt on the connection that
+                # would misclassify the NEXT statement as a timeout —
+                # absorb it with a sacrificial query.
+                try:
+                    con.execute("SELECT 1").fetchall()
+                except Exception:
+                    pass
     for qdir in sorted(d for d in out.iterdir() if d.is_dir()):
         name = qdir.name
         if name in skip:
@@ -155,7 +169,11 @@ def main(out_dir, sf_dir, timeout_s=0.0, skip=()):
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    opts = dict(a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--"))
+    opts = dict((a[2:].split("=", 1) + [""])[:2]
+                for a in sys.argv[1:] if a.startswith("--"))
+    if "" in opts.values():
+        sys.exit("usage: check.py <outDir> <sfDir> [--timeout=SECS] "
+                 "[--skip=k1,k2,...] (flags need '=value')")
     sys.exit(main(args[0], args[1],
                   timeout_s=float(opts.get("timeout", 0)),
                   skip=set(filter(None, opts.get("skip", "").split(",")))))

@@ -61,7 +61,9 @@ def main(keys):
     failed = {}
     for label, sf_dir in SFS:
         if not os.path.isdir(os.path.join(REPO, sf_dir)):
-            print(f"missing {sf_dir}; run: sbt 'runMain graft.GenData {sf_dir} {label}'",
+            flag = " --real" if "real" in os.path.basename(sf_dir) else ""
+            print(f"missing {sf_dir}; run: "
+                  f"sbt 'runMain graft.GenData {sf_dir} {label}{flag}'",
                   file=sys.stderr)
             return 1
         print(f"[scaling] bench at sf{label} ({sf_dir}) ...", flush=True)
