@@ -234,6 +234,26 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent graph_bfs runs on one dataset do not interleave round state") {
+    // ADVICE r7: fixed per-dataset round paths let two concurrent
+    // executions overwrite each other's iteration state mid-loop. The
+    // round-8 run token isolates them — both concurrent runs must
+    // produce the single-run result.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val sp = SharedSpark.spark
+    val sf = SharedSpark.sf
+    val expected = SparkEntry.queries("graph_bfs")(sp, sf)
+      .collect().map(_.toSeq).toSeq
+    val runs = Future.sequence((1 to 2).map(_ => Future {
+      SparkEntry.queries("graph_bfs")(sp, sf).collect().map(_.toSeq).toSeq
+    }))
+    Await.result(runs, 5.minutes).foreach { got =>
+      assert(got === expected, "a concurrent run corrupted BFS state")
+    }
+  }
+
   test("topk_pairs rejects non-positive k at registration") {
     val sp = SharedSpark.spark
     graft.expr.TopKAgg.register(sp)
