@@ -1057,6 +1057,108 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered decontamination — [[decontaminate]]'s 100 TB
+    * shape (reference sanitize/dedup intent, child.py:44-66,
+    * generalized). At production scale the benchmark's distinct 4-gram
+    * set is many GB — too big to broadcast as exact strings — so it is
+    * compressed into an m=4096-bit / k=3 BLOOM bitset built from three
+    * md5-derived positions per gram (md5 so the oracle reproduces every
+    * bit), carried as a 64-row (word, bits) table and broadcast in
+    * ~512 bytes. Every corpus gram is bit-tested BEFORE any string
+    * joins: only bloom-passing grams (true hits plus the ~0.1% false
+    * positives this query counts) reach the exact verification join, so
+    * the string shuffle is proportional to the contamination rate, not
+    * the corpus — the standard production decontamination scan shape.
+    * Bloom membership has NO false negatives (a present gram's bits are
+    * set by construction), so after verification the contaminated flags
+    * equal [[decontaminate]]'s exact flags bit-for-bit; LlmSpec pins
+    * that identity, the superset law n_bloom ≥ n_exact, and
+    * false-positive liveness (the filter is actually being exercised,
+    * not sized into triviality). */
+  private def dedupBloom: Q = (s, d) => {
+    val m = 4096L
+    val toks = split(col("text"), " ")
+    val gramArr = array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - 3, lit(1))),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2), element_at(toks, i + 3))))
+    val grams = fanOut(t(s, d, "documents"))
+      .where(size(toks) >= 4)
+      .select(col("doc_id"), explode(gramArr).as("g"))
+    def pos(j: Int): Column =
+      pmod(conv(substring(md5(concat(lit(s"$j|"), col("g"))), 1, 8), 16, 10)
+        .cast("long"), lit(m))
+    val posArr = array(pos(0), pos(1), pos(2))
+    val ev = grams.where(col("doc_id") < 5).select("g").distinct()
+    val bitmap = ev
+      .select(explode(posArr).as("p"))
+      .select(shiftright(col("p"), 6).as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))")
+          .as("mask"))
+      .groupBy("word").agg(bit_or(col("mask")).as("bits"))
+    val pass = grams.where(col("doc_id") >= 5)
+      .select(col("doc_id"), col("g"), explode(posArr).as("p"))
+      .select(col("doc_id"), col("g"), shiftright(col("p"), 6).as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))")
+          .as("mask"))
+      .join(broadcast(bitmap), Seq("word"), "left")
+      .groupBy("doc_id", "g")
+      .agg(sum(when(coalesce(col("bits"), lit(0L))
+        .bitwiseAND(col("mask")) =!= 0, 1L).otherwise(0L)).as("nbits"))
+      .where(col("nbits") === 3)
+      .select("doc_id", "g")
+    val nBloom = pass.groupBy("doc_id").agg(count(lit(1)).as("n_bloom"))
+    val nExact = pass.join(broadcast(ev), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+    t(s, d, "documents").where(col("doc_id") >= 5).select(col("doc_id"))
+      .join(nBloom, Seq("doc_id"), "left")
+      .join(nExact, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bloom"), lit(0L)).as("n_bloom"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        (coalesce(col("n_bloom"), lit(0L)) -
+          coalesce(col("n_exact"), lit(0L))).as("n_false_pos"),
+        (coalesce(col("n_exact"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1,
+    * public): the published pre-training heuristics re-expressed as
+    * EXACT integer laws so the gate is engine-invariant — every ratio
+    * threshold is cross-multiplied (10·letters ≥ 40·words instead of
+    * mean ≥ 4.0), no doubles anywhere. Rules, thresholds adapted to
+    * this corpus's measured distributions (10–99 words, closed
+    * lowercase vocab) so each rule is LIVE at every gate SF (both
+    * outcomes occur; LlmSpec pins liveness):
+    *   r_count    word count in [20, 80]        (Gopher: [50, 100k])
+    *   r_wordlen  mean word length in [4.0,4.5] (Gopher: [3, 10])
+    *   r_dupfrac  duplicate-word fraction ≤ 0.6 (Gopher repetition §)
+    *   r_stop     ≥ 2 distinct stop words       (Gopher: ≥ 2 of 8)
+    * One pass over the corpus, all four laws codegen'd into the scan
+    * projection — at 100 TB this is the cheapest filter in the
+    * pipeline and runs first. */
+  private def textGopher: Q = (s, d) => {
+    val tk = split(col("text"), " ")
+    val stops = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+    t(s, d, "documents").select(
+      col("doc_id"), col("source"),
+      size(tk).cast("long").as("n_words"),
+      length(translate(col("text"), " ", "")).cast("long").as("n_letters"),
+      size(array_distinct(tk)).cast("long").as("n_distinct"),
+      size(array_intersect(tk, stops)).cast("long").as("n_stop"))
+      .withColumn("r_count", col("n_words") >= 20 && col("n_words") <= 80)
+      .withColumn("r_wordlen",
+        col("n_letters") * 10 >= col("n_words") * 40 &&
+          col("n_letters") * 10 <= col("n_words") * 45)
+      .withColumn("r_dupfrac",
+        (col("n_words") - col("n_distinct")) * 10 <= col("n_words") * 6)
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("keep",
+        col("r_count") && col("r_wordlen") && col("r_dupfrac") &&
+          col("r_stop"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash (64-bit) fingerprints: per-token xxhash64, ±1 vote per
     * bit, sign → fingerprint. One explode + one hash-aggregation with
     * map-side combine — O(tokens) work, O(1) state per doc. Returns
@@ -1689,6 +1791,8 @@ object Llm {
     "text_boilerplate" -> textBoilerplate,
     "dedup_substring" -> dedupSubstring,
     "decontaminate" -> decontaminate,
+    "dedup_bloom" -> dedupBloom,
+    "text_gopher" -> textGopher,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_ngram" -> dedupNgram,
@@ -2059,6 +2163,70 @@ object Llm {
                 coalesce(h.n_shared, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h USING (doc_id)
          WHERE d.doc_id >= 5 ORDER BY d.doc_id""",
+    // Same md5-derived bit positions (j||'|'||gram → 32-bit hex prefix
+    // mod 4096), same k=3 all-bits-set membership, same exact verify
+    // join — the bitset is reproduced as a DISTINCT position set, which
+    // tests the identical bits.
+    "dedup_bloom" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         grams AS (
+           SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS g
+           FROM toks, unnest(range(1, greatest(len(t)-2, 2))) AS u(i)
+           WHERE len(t) >= 4),
+         ev AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+         bset AS (
+           SELECT DISTINCT
+             (('0x' || substr(md5(j::VARCHAR || '|' || g), 1, 8))::BIGINT
+               % 4096) AS p
+           FROM ev, (SELECT unnest([0,1,2]) AS j) jj),
+         cpos AS (
+           SELECT doc_id, g,
+             (('0x' || substr(md5(j::VARCHAR || '|' || g), 1, 8))::BIGINT
+               % 4096) AS p
+           FROM grams, (SELECT unnest([0,1,2]) AS j) jj
+           WHERE doc_id >= 5),
+         pass AS (
+           SELECT c.doc_id, c.g
+           FROM cpos c LEFT JOIN bset b ON c.p = b.p
+           GROUP BY c.doc_id, c.g HAVING count(b.p) = 3),
+         nb AS (SELECT doc_id, count(*) AS n_bloom FROM pass
+                GROUP BY doc_id),
+         ne AS (SELECT doc_id, count(*) AS n_exact FROM pass
+                JOIN ev USING (g) GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(nb.n_bloom, 0)::BIGINT AS n_bloom,
+                coalesce(ne.n_exact, 0)::BIGINT AS n_exact,
+                (coalesce(nb.n_bloom, 0) - coalesce(ne.n_exact, 0))::BIGINT
+                  AS n_false_pos,
+                coalesce(ne.n_exact, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN nb USING (doc_id)
+                          LEFT JOIN ne USING (doc_id)
+         WHERE d.doc_id >= 5 ORDER BY d.doc_id""",
+    // Same integer cross-multiplied rule laws, same stop-word list —
+    // no floating point on either side.
+    "text_gopher" ->
+      """WITH m AS (
+           SELECT doc_id, source,
+                  len(string_split(text, ' '))::BIGINT AS n_words,
+                  length(replace(text, ' ', ''))::BIGINT AS n_letters,
+                  len(list_distinct(string_split(text, ' ')))::BIGINT
+                    AS n_distinct,
+                  len(list_intersect(string_split(text, ' '),
+                      ['the','a','of','and','to']))::BIGINT AS n_stop
+           FROM documents)
+         SELECT doc_id, source, n_words, n_letters, n_distinct, n_stop,
+                n_words >= 20 AND n_words <= 80 AS r_count,
+                n_letters * 10 >= n_words * 40 AND
+                  n_letters * 10 <= n_words * 45 AS r_wordlen,
+                (n_words - n_distinct) * 10 <= n_words * 6 AS r_dupfrac,
+                n_stop >= 2 AS r_stop,
+                (n_words >= 20 AND n_words <= 80) AND
+                  (n_letters * 10 >= n_words * 40 AND
+                   n_letters * 10 <= n_words * 45) AND
+                  ((n_words - n_distinct) * 10 <= n_words * 6) AND
+                  (n_stop >= 2) AS keep
+         FROM m ORDER BY doc_id""",
     "text_normalize" ->
       """SELECT doc_id, length(text)::BIGINT AS raw_chars,
                 trim(regexp_replace(regexp_replace(lower(text),

@@ -268,6 +268,63 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * public): select pre-training documents that LOOK LIKE a target
+    * domain by importance weighting over HASHED N-GRAM features, the
+    * published scale trick that reduces language modeling of the two
+    * domains to two B-bucket count vectors. Features: word bigrams
+    * hashed to B=1024 buckets (md5-derived so the oracle reproduces the
+    * bucketing); target = the `lang='en'` slice, raw = the full corpus;
+    * per-bucket log-likelihood ratio under add-one smoothing
+    *   llr(b) = ln(c_t+1) − ln(c_r+1) − ln(N_t+B) + ln(N_r+B)
+    * and a document's log importance weight is the sum of llr over its
+    * feature instances. Scale shape: the model is a ≤1024-row table
+    * (two count columns over a fixed hash range — NOT vocabulary-sized)
+    * built with one map-side-combined aggregation and broadcast back;
+    * the corpus is touched twice (count, score), shuffle rows are
+    * (bucket:long) only. Determinism: ln of exact integers accumulated
+    * per doc and rounded to the 1e-6 grid (the text_perplexity
+    * discipline — ~1e-13 relative fold noise against the grid);
+    * PipelineSpec additionally pins a margin audit so the `selected`
+    * sign threshold sits ≥ 1e-4 from every document's raw weight. */
+  /** [[sampleDsir]] before the 1e-6 grid: (doc_id, lang, n_feat, lw)
+    * with lw the RAW per-doc llr sum — exposed so PipelineSpec can
+    * audit that no document's weight sits near the selection threshold
+    * or a rounding-grid boundary (the anti-flap margin check). */
+  private[graft] def sampleDsirRaw(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val bk = 1024L
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+    val inst = docs.select(col("doc_id"), col("lang"),
+      explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (p, w) => concat_ws(" ", p, w))).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("bg")), 1, 8), 16, 10).cast("long"),
+          lit(bk)).as("b"))
+    val counts = inst.groupBy("b").agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+    val model = counts
+      .withColumn("nr", sum("c_r").over(Window.partitionBy(lit(1))))
+      .withColumn("nt", sum("c_t").over(Window.partitionBy(lit(1))))
+      .select(col("b"),
+        (log(col("c_t") + 1) - log(col("c_r") + 1) -
+          log(col("nt") + bk) + log(col("nr") + bk)).as("llr"))
+    inst.join(broadcast(model), Seq("b"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_feat"), sum(col("llr")).as("lw"))
+  }
+
+  private def sampleDsir: Q = (s, d) =>
+    sampleDsirRaw(s, d)
+      .select(col("doc_id"), col("lang"), col("n_feat"),
+        round(col("lw"), 6).as("log_weight"),
+        (round(col("lw"), 6) > 0).as("selected"))
+      .orderBy("doc_id")
+
   /** Context-window sequence packing (concatenate-and-split, the
     * standard pretraining packing): within each source, documents are
     * concatenated in doc_id order and split at a 2048-token budget; a
@@ -1322,6 +1379,7 @@ object Pipeline {
     "sample_stratified" -> sampleStratified,
     "data_mixture" -> dataMixture,
     "sample_temperature" -> sampleTemperature,
+    "sample_dsir" -> sampleDsir,
     "pack_sequences" -> packSequences,
     "pack_ffd" -> packFfd,
     "pipeline_dataset_card" -> pipelineDatasetCard,
@@ -1810,6 +1868,33 @@ object Pipeline {
                  max(accept_bp)::BIGINT AS accept_bp, count(*) AS n_sampled,
                  sum(n_tok)::BIGINT AS tokens_sampled
           FROM samp GROUP BY source ORDER BY source""",
+    // Same md5 bucket hash, same add-one llr over exact integer
+    // counts, same 1e-6 grid on the per-doc ln sum (fold-order noise
+    // ~1e-13 against the grid — the text_perplexity discipline).
+    "sample_dsir" ->
+      """WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                     FROM documents),
+         idx AS (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+                 FROM tk),
+         inst AS (SELECT doc_id, lang,
+                    (('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 8))
+                      ::BIGINT % 1024) AS b
+                  FROM idx),
+         counts AS (SELECT b, count(*) AS c_r,
+                      sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+                        AS c_t
+                    FROM inst GROUP BY b),
+         tot AS (SELECT sum(c_r)::BIGINT AS nr, sum(c_t)::BIGINT AS nt
+                 FROM counts),
+         model AS (SELECT b,
+                     ln(c_t + 1) - ln(c_r + 1) - ln(nt + 1024)
+                       + ln(nr + 1024) AS llr
+                   FROM counts, tot),
+         sc AS (SELECT doc_id, lang, count(*) AS n_feat, sum(llr) AS lw
+                FROM inst JOIN model USING (b) GROUP BY doc_id, lang)
+         SELECT doc_id, lang, n_feat, round(lw, 6) AS log_weight,
+                round(lw, 6) > 0 AS selected
+         FROM sc ORDER BY doc_id""",
     // Same sections, same quality rule (one IEEE division of exact
     // integers), same sha256 distinct.
     "pipeline_dataset_card" ->

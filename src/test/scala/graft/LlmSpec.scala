@@ -206,6 +206,42 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_bloom: no false negatives, live false positives, flags ≡ decontaminate") {
+    // (doc_id, n_bloom, n_exact, n_false_pos, contaminated)
+    val bloom = SparkEntry.queries("dedup_bloom")(spark, SharedSpark.sf).collect()
+    val deco = SparkEntry.queries("decontaminate")(spark, SharedSpark.sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(bloom.length === deco.size, "one verdict per training doc")
+    bloom.foreach { r =>
+      val (nShared, flag) = deco(r.getLong(0))
+      assert(r.getLong(2) === nShared,
+        "verified hits must equal the exact n-gram overlap (no false negatives)")
+      assert(r.getBoolean(4) === flag, "contaminated flag must match decontaminate")
+      assert(r.getLong(1) >= r.getLong(2), "bloom passes ⊇ exact hits")
+      assert(r.getLong(3) === r.getLong(1) - r.getLong(2))
+    }
+    // The m=4096/k=3 sizing must actually exercise the filter: a bloom
+    // with zero false positives at gate scale proves nothing about the
+    // verification join's correctness under FP pressure.
+    assert(bloom.map(_.getLong(3)).sum > 0,
+      "bloom false positives must be live at this sizing")
+  }
+
+  test("text_gopher: every rule is live and keep is the conjunction") {
+    // (doc_id, source, n_words, n_letters, n_distinct, n_stop,
+    //  r_count, r_wordlen, r_dupfrac, r_stop, keep)
+    val g = SparkEntry.queries("text_gopher")(spark, SharedSpark.sf).collect()
+    assert(g.length === Tables.t(spark, SharedSpark.sf, "documents").count())
+    (6 to 10).foreach { i =>
+      assert(g.exists(_.getBoolean(i)) && g.exists(r => !r.getBoolean(i)),
+        s"rule column $i must have both outcomes at the gate SF")
+    }
+    g.foreach { r =>
+      assert(r.getBoolean(10) === (r.getBoolean(6) && r.getBoolean(7) &&
+        r.getBoolean(8) && r.getBoolean(9)), "keep = AND of the four rules")
+    }
+  }
+
   test("fingerprints are stable and content-sensitive") {
     val fp = q("text_fingerprint").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

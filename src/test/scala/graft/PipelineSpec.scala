@@ -441,4 +441,27 @@ class PipelineSpec extends AnyFunSuite {
     // weights are positive — the integer division is well-defined
     assert(all.forall(_._2 > 0))
   }
+
+  test("sample_dsir: selection margin is wide and target docs score higher") {
+    val raw = graft.ops.Pipeline.sampleDsirRaw(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    assert(raw.nonEmpty)
+    // Anti-flap audits: fold-order noise on the per-doc ln sum is
+    // ~1e-13; the selection threshold (0) and every 1e-6 rounding-grid
+    // boundary must sit orders of magnitude further from every raw
+    // weight, or the hash gate could flap across engines/partitionings.
+    raw.foreach { case (id, _, lw) =>
+      assert(math.abs(lw) > 1e-4, s"doc $id weight $lw hugs the threshold")
+      val frac = math.abs(lw * 1e6 - math.floor(lw * 1e6) - 0.5)
+      assert(frac > 1e-5, s"doc $id weight $lw hugs a rounding boundary")
+    }
+    // DSIR semantics: documents from the target domain (lang='en') must
+    // score higher on average than the rest — the model actually
+    // separates target from raw.
+    val en = raw.filter(_._2 == "en").map(_._3)
+    val rest = raw.filter(_._2 != "en").map(_._3)
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(en.sum / en.length > rest.sum / rest.length,
+      "target-domain docs must have higher mean importance weight")
+  }
 }
