@@ -144,8 +144,17 @@ object GenData {
     // line counts ~ Binomial(nLi, 1/nOrd) ≈ Poisson(4), some orders
     // lineless) — NOT a per-order sequence, so no cross-row dependency.
     writeTable(range(nLi).select(ui(1, nOrd).as("l_orderkey"),
-      (if (realism) (u(2) * u(22) * nPart).cast("long") // head-heavy
-       else ui(2, nPart)).as("l_partkey"),
+      // Realism: u² head for Zipf-ish popularity PLUS a 64-part hot
+      // pool hit by 1/8 of lines — real retail baskets have a dense
+      // co-purchase core ("bread and milk"), and without one the
+      // support≥2 repeat graph has no 3-core and no 2-shared-neighbor
+      // pairs at ANY size (uniform and even u²-head draws spread pair
+      // support too thin), leaving graph_kcore/graph_jaccard vacuous
+      // in the sf1 evidence runs (SCALING.md §3 round-8 caveat).
+      (if (realism)
+        when(ui(23, 8) === 0, ui(24, math.min(64L, nPart)))
+          .otherwise((u(2) * u(22) * nPart).cast("long"))
+      else ui(2, nPart)).as("l_partkey"),
       ui(3, nSupp).as("l_suppkey"),
       (ui(4, 7) + 1).cast("int").as("l_linenumber"),
       (ui(5, 50) + 1).cast("double").as("l_quantity"),

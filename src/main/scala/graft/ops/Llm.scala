@@ -1122,6 +1122,74 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Top PRINCIPAL COMPONENT of the embedding corpus — the first
+    * dimensionality-reduction/analytics primitive (what you run before
+    * whitening, ABTT outlier-direction removal, or a variance audit of
+    * an embedding model). Exactness strategy: floats are quantized to
+    * exact 1e-6-grid integers (floor(x·1e6+0.5), one IEEE chain), the
+    * CENTERED second-moment matrix is the all-integer identity
+    * G = n·Σqqᵀ − (Σq)(Σq)ᵀ (no rational mean, no float sums), and the
+    * power iteration runs 40 rounds of integer matrix-vector products
+    * with a deterministic integer rescale x ← w ÷ (max|w| ÷ 2⁴⁰ + 1)
+    * (÷ = truncate-toward-zero — java BigInteger and DuckDB `//`
+    * agree), so EVERY intermediate is bit-identical across engines; the
+    * only floats are the final unit normalization and Rayleigh
+    * quotient, each one IEEE op chain from exact integers. The oracle
+    * unrolls the identical 40 rounds as materialized HUGEINT CTEs.
+    *
+    * Scale shape: the corpus is touched ONCE — per row a d²-term outer
+    * product flatMap feeding a map-side-combined groupBy onto d²=4096
+    * cells (shuffle rows: 4096 per partition max, not per vector);
+    * the iteration itself is driver-side control-plane on the 64×64
+    * integer matrix (BigInt, ~82 K multiplies). Long-sum headroom:
+    * Σ qᵢqⱼ ≤ n·(5.3e5)² — good to ~3e7 vectors; past that lift the
+    * cell sums to DECIMAL(38,0) unchanged. HUGEINT headroom in the
+    * oracle: products bounded by 2⁴⁰·maxG·d < 2¹²⁷ to ~1e6 vectors. */
+  private def embedPca: Q = (s, d) => {
+    val rounds = 40
+    val scaleBits = 40
+    val base = t(s, d, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        e => floor(e.cast("double") * 1e6 + lit(0.5)).cast("long"))
+        .as("qarr"))
+    val cells = base
+      .select(col("qarr"), posexplode(col("qarr")).as(Seq("i", "qi")))
+      .select(col("i"), col("qi"), posexplode(col("qarr")).as(Seq("j", "qj")))
+      .groupBy("i", "j").agg(sum(col("qi") * col("qj")).as("ssv"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val sv = base.select(posexplode(col("qarr")).as(Seq("i", "qi")))
+      .groupBy("i").agg(sum(col("qi")).as("sv"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = BigInt(base.count())
+    val dim = sv.size
+    require(dim > 0, "embed_pca: empty embedding corpus")
+    val g = Array.tabulate(dim, dim)((i, j) =>
+      n * BigInt(cells((i, j))) - BigInt(sv(i)) * BigInt(sv(j)))
+    val scale = BigInt(1) << scaleBits
+    var x = Array.fill(dim)(BigInt(1))
+    for (_ <- 1 to rounds) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(BigInt(0))((a, j) => a + g(i)(j) * x(j)))
+      val mx = w.map(_.abs).max
+      require(mx > 0, "embed_pca: zero matrix-vector product")
+      val dv = mx / scale + 1
+      x = w.map(_ / dv) // BigInt / truncates toward zero — matches //
+    }
+    val nrm = math.sqrt(x.foldLeft(BigInt(0))((a, v) => a + v * v).toDouble)
+    val xr = x.map(_ / BigInt(1 << 20))
+    val num = (0 until dim).foldLeft(BigInt(0))((a, i) =>
+      a + xr(i) * (0 until dim).foldLeft(BigInt(0))((b, j) =>
+        b + g(i)(j) * xr(j)))
+    val den = xr.foldLeft(BigInt(0))((a, v) => a + v * v)
+    def r6(v: Double, sc: Int) = new java.math.BigDecimal(v)
+      .setScale(sc, java.math.RoundingMode.HALF_UP).doubleValue
+    val ray = r6(num.toDouble / den.toDouble, 4)
+    val out = (0 until dim).map(i =>
+      (i.toLong, r6(x(i).toDouble / nrm, 6), ray))
+    s.createDataFrame(out).toDF("dim", "component", "rayleigh")
+      .orderBy("dim")
+  }
+
   /** Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1,
     * public): the published pre-training heuristics re-expressed as
     * EXACT integer laws so the gate is engine-invariant — every ratio
@@ -1793,6 +1861,7 @@ object Llm {
     "decontaminate" -> decontaminate,
     "dedup_bloom" -> dedupBloom,
     "text_gopher" -> textGopher,
+    "embed_pca" -> embedPca,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_ngram" -> dedupNgram,
@@ -2203,6 +2272,52 @@ object Llm {
          FROM documents d LEFT JOIN nb USING (doc_id)
                           LEFT JOIN ne USING (doc_id)
          WHERE d.doc_id >= 5 ORDER BY d.doc_id""",
+    // The IDENTICAL 40-round integer power iteration unrolled as
+    // materialized HUGEINT CTEs: same 1e-6 quantization, same
+    // truncate-toward-zero rescale (BigInteger / ≡ DuckDB //), same
+    // exact-integer norm/Rayleigh operands — every intermediate
+    // bit-identical, so the two doubles at the end match exactly.
+    "embed_pca" -> {
+      val head =
+        """WITH q AS MATERIALIZED (
+             SELECT vec_id, i-1 AS i, CAST(floor(e*1e6+0.5) AS BIGINT) AS qv
+             FROM (SELECT vec_id, unnest(embedding) AS e,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM embeddings)),
+           s AS MATERIALIZED (SELECT i, sum(qv)::BIGINT AS sv FROM q GROUP BY i),
+           nn AS MATERIALIZED (SELECT count(DISTINCT vec_id)::BIGINT AS n FROM q),
+           ssum AS MATERIALIZED (
+             SELECT a.i AS i, b.i AS j, sum(a.qv*b.qv)::BIGINT AS ssv
+             FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+           g AS MATERIALIZED (
+             SELECT ssum.i, ssum.j,
+                    CAST(nn.n AS HUGEINT)*ssv
+                      - CAST(sa.sv AS HUGEINT)*sb.sv AS v
+             FROM ssum, nn JOIN s sa ON sa.i = ssum.i
+                           JOIN s sb ON sb.i = ssum.j),
+           x0 AS MATERIALIZED (SELECT i, CAST(1 AS HUGEINT) AS x FROM s)"""
+      val loops = (1 to 40).map { r =>
+        s"""w$r AS MATERIALIZED (
+              SELECT g.i AS i, sum(g.v * x${r - 1}.x) AS wv
+              FROM g JOIN x${r - 1} ON g.j = x${r - 1}.i GROUP BY g.i),
+            m$r AS MATERIALIZED (
+              SELECT (max(abs(wv)) // 1099511627776) + 1 AS dv FROM w$r),
+            x$r AS MATERIALIZED (SELECT i, wv // dv AS x FROM w$r, m$r)"""
+      }.mkString(",\n")
+      val tail =
+        """fin AS MATERIALIZED (SELECT i, x, x // 1048576 AS xr FROM x40),
+           nrm AS (SELECT sqrt(CAST(sum(x*x) AS DOUBLE)) AS s2 FROM fin),
+           num AS (SELECT sum(f.xr * g.v * f2.xr) AS nv
+                   FROM g JOIN fin f ON f.i = g.i
+                          JOIN fin f2 ON f2.i = g.j),
+           den AS (SELECT sum(xr*xr) AS dv FROM fin)
+           SELECT fin.i AS dim,
+                  round(CAST(fin.x AS DOUBLE)/nrm.s2, 6) AS component,
+                  round(CAST(num.nv AS DOUBLE)/CAST(den.dv AS DOUBLE), 4)
+                    AS rayleigh
+           FROM fin, nrm, num, den ORDER BY fin.i"""
+      s"$head,\n$loops,\n$tail"
+    },
     // Same integer cross-multiplied rule laws, same stop-word list —
     // no floating point on either side.
     "text_gopher" ->

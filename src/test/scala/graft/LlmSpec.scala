@@ -242,6 +242,33 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_pca returns the dominant eigendirection (float cross-check)") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("embed_pca")(spark, SharedSpark.sf).collect()
+    val v = rows.sortBy(_.getLong(0)).map(_.getDouble(1))
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-4, s"component must be unit-norm: $nrm")
+    assert(rows.head.getDouble(2) > 0, "covariance Rayleigh quotient is positive")
+    // Independent float-space check: the returned direction must be an
+    // approximate eigenvector of the ordinary double-precision sample
+    // covariance — cos(Cv, v) ≈ 1. This pins the integer power
+    // iteration to the MATHEMATICAL object, not just to its own oracle.
+    val emb = Tables.t(spark, SharedSpark.sf, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = emb.length
+    val d = v.length
+    val mean = Array.tabulate(d)(i => emb.map(_(i)).sum / n)
+    val cv = Array.tabulate(d) { i =>
+      (0 until d).map { j =>
+        emb.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum / n * v(j)
+      }.sum
+    }
+    val cos = cv.zip(v).map { case (a, b) => a * b }.sum /
+      (math.sqrt(cv.map(x => x * x).sum) * nrm)
+    assert(cos > 0.999, s"Cv must align with v after 20 rounds: cos=$cos")
+  }
+
   test("fingerprints are stable and content-sensitive") {
     val fp = q("text_fingerprint").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
