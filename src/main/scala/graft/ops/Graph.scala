@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Graph analytics over derived relationship tables (round 4).
   *
@@ -493,6 +494,43 @@ object Graph {
       .orderBy("node")
   }
 
+  /** SYNCHRONOUS label propagation (3 rounds, deterministic) —
+    * community detection over the repeat-co-purchase graph, the
+    * "item families emerge from who-sells-with-whom" operator next to
+    * [[graphCc]]'s reachability (LPA splits a connected component into
+    * densely-linked sub-communities; CC cannot). Each round every node
+    * adopts its neighbors' MOST FREQUENT previous-round label, ties
+    * broken by smallest label — the one deterministic choice that makes
+    * sync LPA engine-invariant (async/random-order LPA, the textbook
+    * default, is irreproducible by construction and useless under a
+    * hash gate). Fixed 3 rounds, matching the oracle's unroll; each
+    * round is one shuffle on dst + one (node,label) count + one
+    * row_number argmax — work ∝ edges, state ∝ nodes, the same bound
+    * per round at any scale. */
+  private def graphLpa: Q = (s, d) => {
+    val und = repeatCopurchaseEdges(s, d)
+    val e = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(und.select(col("pb").as("src"), col("pa").as("dst")))
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to 3) {
+      val w = Window.partitionBy("node")
+        .orderBy(col("cnt").desc, col("lbl").asc)
+      labels = e
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("node"), col("lbl"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") === 1)
+        .select("node", "lbl")
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "lbl")
+      .select(col("node"), col("lbl").as("community"), col("csize"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_kcore" -> graphKcore,
     "graph_bfs" -> graphBfs,
@@ -501,7 +539,8 @@ object Graph {
     "graph_triangles" -> graphTriangles,
     "graph_triangles_fwd" -> graphTrianglesFwd,
     "graph_cc" -> graphCc,
-    "graph_jaccard" -> graphJaccard)
+    "graph_jaccard" -> graphJaccard,
+    "graph_lpa" -> graphLpa)
 
   // Shared by graph_triangles and graph_triangles_fwd: both enumerate
   // the same triangle set, so both must hash-match the same oracle.
@@ -635,5 +674,34 @@ object Graph {
                         JOIN deg db ON db.src = b)
          SELECT a, b, inter::BIGINT AS inter, uni::BIGINT AS uni,
                 inter::DOUBLE / uni::DOUBLE AS jac
-         FROM j ORDER BY jac DESC, a, b LIMIT 20""")
+         FROM j ORDER BY jac DESC, a, b LIMIT 20""",
+    // The identical 3 synchronized rounds unrolled; same
+    // (count desc, label asc) deterministic tie-break.
+    "graph_lpa" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           pr AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb, a.ok
+                  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+           u AS (SELECT pa, pb FROM pr GROUP BY pa, pb
+                 HAVING count(*) >= 2),
+           e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM u
+                 UNION ALL SELECT pb AS src, pa AS dst FROM u),
+           l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM e),
+           c1 AS (SELECT e.src AS node, l.lbl, count(*) AS cnt
+                  FROM e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2),
+           l1 AS MATERIALIZED (SELECT node, lbl FROM (
+                  SELECT node, lbl, row_number() OVER (PARTITION BY node
+                    ORDER BY cnt DESC, lbl) AS rn FROM c1) WHERE rn = 1),
+           c2 AS (SELECT e.src AS node, l.lbl, count(*) AS cnt
+                  FROM e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2),
+           l2 AS MATERIALIZED (SELECT node, lbl FROM (
+                  SELECT node, lbl, row_number() OVER (PARTITION BY node
+                    ORDER BY cnt DESC, lbl) AS rn FROM c2) WHERE rn = 1),
+           c3 AS (SELECT e.src AS node, l.lbl, count(*) AS cnt
+                  FROM e JOIN l2 l ON l.node = e.dst GROUP BY 1, 2),
+           l3 AS MATERIALIZED (SELECT node, lbl FROM (
+                  SELECT node, lbl, row_number() OVER (PARTITION BY node
+                    ORDER BY cnt DESC, lbl) AS rn FROM c3) WHERE rn = 1),
+           sz AS (SELECT lbl, count(*)::BIGINT AS csize FROM l3 GROUP BY lbl)
+         SELECT l3.node, l3.lbl AS community, sz.csize
+         FROM l3 JOIN sz USING (lbl) ORDER BY node""")
 }

@@ -114,6 +114,29 @@ class GraphSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("graph_lpa matches a driver-side synchronous propagation reference") {
+    val und = ops.Graph.repeatCopurchaseEdges(spark, SharedSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = und ++ und.map { case (a, b) => (b, a) }
+    val nbrs = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var lbl: Map[Long, Long] = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = nbrs.map { case (n, ns) =>
+        val counts = ns.groupBy(lbl).view.mapValues(_.size).toSeq
+        n -> counts.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val sizes = lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = lbl.toSeq.sortBy(_._1)
+      .map { case (n, l) => (n, l, sizes(l)) }
+    val got = SparkEntry.queries("graph_lpa")(spark, SharedSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // communities partition the node set
+    assert(got.map(_._1).distinct.length == got.length)
+  }
+
   test("graph_cc matches a driver-side union-find (third independent algorithm)") {
     val got = SparkEntry.queries("graph_cc")(spark, SharedSpark.sf)
       .collect()
