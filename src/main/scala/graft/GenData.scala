@@ -145,14 +145,20 @@ object GenData {
     // lineless) — NOT a per-order sequence, so no cross-row dependency.
     writeTable(range(nLi).select(ui(1, nOrd).as("l_orderkey"),
       // Realism: u² head for Zipf-ish popularity PLUS a 64-part hot
-      // pool hit by 1/8 of lines — real retail baskets have a dense
+      // pool hit by 1/64 of lines — real retail baskets have a dense
       // co-purchase core ("bread and milk"), and without one the
       // support≥2 repeat graph has no 3-core and no 2-shared-neighbor
       // pairs at ANY size (uniform and even u²-head draws spread pair
       // support too thin), leaving graph_kcore/graph_jaccard vacuous
       // in the sf1 evidence runs (SCALING.md §3 round-8 caveat).
+      // 1/64 (not denser): at 1/8 each hot part rode in ~12% of
+      // orders and co-occurred ≥2× with most of the u² head — 6 K-hub
+      // nodes and 181 M wedge pairs at sf1, the hub-quadratic regime;
+      // at 1/64 hot-hot support still concentrates (≈40% of hot pairs
+      // reach support 2 at sf1 → a live 3-core) while hot-head pair
+      // support stays below the threshold, so the hubs never form.
       (if (realism)
-        when(ui(23, 8) === 0, ui(24, math.min(64L, nPart)))
+        when(ui(23, 64) === 0, ui(24, math.min(64L, nPart)))
           .otherwise((u(2) * u(22) * nPart).cast("long"))
       else ui(2, nPart)).as("l_partkey"),
       ui(3, nSupp).as("l_suppkey"),

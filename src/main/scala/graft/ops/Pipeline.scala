@@ -325,6 +325,51 @@ object Pipeline {
         (round(col("lw"), 6) > 0).as("selected"))
       .orderBy("doc_id")
 
+  /** Greedy k-CENTER diversity sampling (Gonzalez '85 farthest-point
+    * traversal, the classic 2-approximation): pick the mutually most
+    * spread-out k=8 embedding exemplars — the coreset/diversity
+    * selection a curation pipeline runs to seed clustering, pick
+    * annotation batches, or de-bias a dominant mode. Deterministic and
+    * engine-exact: vectors quantized to 1e-6-grid integers (the
+    * [[embedPca|embed_pca]]/ml_kmeans micro-unit discipline), squared
+    * distances are exact integer sums, the next center is the
+    * (max min-distance, min vec_id) argmax, and the reported radius is
+    * the selection distance — no floats anywhere, so the oracle's
+    * identical unrolled 8 rounds hash-match bit-for-bit.
+    *
+    * Scale shape: each round is ONE corpus scan against ≤ k broadcast
+    * center literals (codegen'd HOF distance, map-side top-1 via the
+    * sort-limit rewrite) + a 1-row collect — k scans total, state on
+    * the driver is k vectors. At 100 TB you'd carry a running
+    * per-point min-distance column between rounds (halves the distance
+    * evals at the cost of materializing state k times); the scan count
+    * is k either way. */
+  private def sampleKcenter: Q = (s, d) => {
+    val k = 8
+    val base = t(s, d, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        e => floor(e.cast("double") * 1e6 + lit(0.5)).cast("long"))
+        .as("qarr"))
+    val first = base.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("qarr")).head
+    var cen = Vector(
+      (1, first.getLong(0), 0L, first.getSeq[Long](1).toArray))
+    for (r <- 2 to k) {
+      val mind = cen.map { case (_, _, _, arr) =>
+        aggregate(
+          zip_with(col("qarr"), array(arr.map(lit): _*),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v)
+      }.reduce((a, b) => least(a, b))
+      val pick = base.select(col("vec_id"), col("qarr"), mind.as("mind"))
+        .orderBy(col("mind").desc, col("vec_id")).limit(1).head
+      cen :+= ((r, pick.getLong(0), pick.getLong(2),
+        pick.getSeq[Long](1).toArray))
+    }
+    s.createDataFrame(cen.map(c => (c._1, c._2, c._3)))
+      .toDF("k", "cid", "radius").orderBy("k")
+  }
+
   /** Context-window sequence packing (concatenate-and-split, the
     * standard pretraining packing): within each source, documents are
     * concatenated in doc_id order and split at a 2048-token budget; a
@@ -1380,6 +1425,7 @@ object Pipeline {
     "data_mixture" -> dataMixture,
     "sample_temperature" -> sampleTemperature,
     "sample_dsir" -> sampleDsir,
+    "sample_kcenter" -> sampleKcenter,
     "pack_sequences" -> packSequences,
     "pack_ffd" -> packFfd,
     "pipeline_dataset_card" -> pipelineDatasetCard,
@@ -1868,6 +1914,35 @@ object Pipeline {
                  max(accept_bp)::BIGINT AS accept_bp, count(*) AS n_sampled,
                  sum(n_tok)::BIGINT AS tokens_sampled
           FROM samp GROUP BY source ORDER BY source""",
+    // Identical unrolled 8 rounds, same integer micro-unit metric,
+    // same (max min-dist, min vec_id) tie-break; radius narrowed back
+    // to BIGINT (DuckDB sums BIGINT into HUGEINT).
+    "sample_kcenter" -> {
+      val head =
+        """WITH q AS MATERIALIZED (
+             SELECT vec_id, i, CAST(floor(e*1e6+0.5) AS BIGINT) AS qv
+             FROM (SELECT vec_id, unnest(embedding) AS e,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM embeddings)),
+           cen1 AS MATERIALIZED (
+             SELECT 1 AS k, min(vec_id) AS cid, CAST(0 AS BIGINT) AS radius
+             FROM q)"""
+      val loops = (2 to 8).map { r =>
+        s"""d$r AS MATERIALIZED (
+              SELECT a.vec_id, min(dd) AS mind FROM (
+                SELECT a.vec_id AS vec_id, c.cid,
+                       sum((a.qv-b.qv)*(a.qv-b.qv)) AS dd
+                FROM q a JOIN cen${r - 1} c ON true
+                       JOIN q b ON b.vec_id = c.cid AND b.i = a.i
+                GROUP BY a.vec_id, c.cid) a GROUP BY a.vec_id),
+            p$r AS MATERIALIZED (
+              SELECT $r AS k, vec_id AS cid, CAST(mind AS BIGINT) AS radius
+              FROM d$r ORDER BY mind DESC, vec_id LIMIT 1),
+            cen$r AS MATERIALIZED (
+              SELECT * FROM cen${r - 1} UNION ALL SELECT * FROM p$r)"""
+      }.mkString(",\n")
+      s"$head,\n$loops\n SELECT k, cid, radius FROM cen8 ORDER BY k"
+    },
     // Same md5 bucket hash, same add-one llr over exact integer
     // counts, same 1e-6 grid on the per-doc ln sum (fold-order noise
     // ~1e-13 against the grid — the text_perplexity discipline).

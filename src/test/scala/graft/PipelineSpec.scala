@@ -442,6 +442,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(all.forall(_._2 > 0))
   }
 
+  test("sample_kcenter matches a driver-side farthest-point traversal") {
+    val emb = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+          .toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var cen = Vector(emb.keys.min)
+    var expected = Vector((1, cen.head, 0L))
+    for (r <- 2 to 8) {
+      val (vid, mind) = emb.keys.toSeq.sorted
+        .map(v => v -> cen.map(c => d2(emb(v), emb(c))).min)
+        .maxBy { case (v, m) => (m, -v) }
+      cen :+= vid
+      expected :+= ((r, vid, mind))
+    }
+    val got = run("sample_kcenter").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toVector
+    assert(got === expected)
+    // radii are non-increasing: each center covers at least as tightly
+    assert(got.drop(1).map(_._3).sliding(2).forall(w =>
+      w.length < 2 || w(0) >= w(1)))
+  }
+
   test("sample_dsir: selection margin is wide and target docs score higher") {
     val raw = graft.ops.Pipeline.sampleDsirRaw(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
