@@ -370,6 +370,64 @@ object Pipeline {
       .toDF("k", "cid", "radius").orderBy("k")
   }
 
+  /** WordPiece-style GREEDY LONGEST-MATCH tokenizer — the third
+    * tokenizer discipline next to tok_bpe (merge-learned) and
+    * tok_encode (merge-applied): a fixed-size subword vocabulary (top
+    * 48 substrings of length 2–4 by corpus occurrence mass, ties
+    * broken lexicographically — the deterministic analog of a
+    * vocab-size hyperparameter) plus the implicit single-character
+    * alphabet, applied by maximal munch (longest vocab piece at the
+    * cursor wins — BERT's WordPiece inference rule). Everything is
+    * integer/string-exact: occurrence mass is an integer sum, vocab
+    * selection a total order, and the 8-step encode (max word length)
+    * a chain of codegen'd CASE columns over the DISTINCT-WORD table —
+    * at 100 TB the corpus is touched once for word counts and the
+    * encode runs on the vocabulary-sized distinct table, never per
+    * document. Oracle: identical unrolled steps. */
+  private def tokWordpiece: Q = (s, d) => {
+    val words = fanOut(t(s, d, "documents"))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wfreq"))
+    def occ(l: Int) = words.select(col("wfreq"),
+      explode(filter(
+        transform(
+          sequence(lit(1), greatest(length(col("w")) - (l - 1), lit(1))),
+          i => col("w").substr(i, lit(l))),
+        p => length(p) === l)).as("p"))
+    val vocab = occ(2).unionAll(occ(3)).unionAll(occ(4))
+      .groupBy("p").agg(sum(col("wfreq")).as("pfreq"))
+      .orderBy(col("pfreq").desc, col("p").asc).limit(48)
+      .select("p").collect().map(_.getString(0))
+    val byLen = vocab.groupBy(_.length)
+    def inVocab(c: Column, l: Int): Column = byLen.get(l) match {
+      case Some(ps) => c.isin(ps.toSeq: _*)
+      case None     => lit(false)
+    }
+    var df = words.withColumn("cur", lit(1))
+      .withColumn("enc", lit("")).withColumn("np", lit(0L))
+    for (_ <- 1 to 8) {
+      val rem = length(col("w")) - col("cur") + 1
+      def piece(l: Int) = col("w").substr(col("cur"), lit(l))
+      val take = when(col("cur") > length(col("w")),
+        lit(null).cast("string"))
+        .when(rem >= 4 && inVocab(piece(4), 4), piece(4))
+        .when(rem >= 3 && inVocab(piece(3), 3), piece(3))
+        .when(rem >= 2 && inVocab(piece(2), 2), piece(2))
+        .otherwise(piece(1))
+      df = df.withColumn("take", take)
+        .withColumn("enc", when(col("take").isNull, col("enc"))
+          .when(col("enc") === "", col("take"))
+          .otherwise(concat(col("enc"), lit("|"), col("take"))))
+        .withColumn("np",
+          col("np") + when(col("take").isNull, 0L).otherwise(1L))
+        .withColumn("cur", when(col("take").isNull, col("cur"))
+          .otherwise(col("cur") + length(col("take"))))
+        .drop("take")
+    }
+    df.select(col("w"), col("wfreq"), col("np").as("n_pieces"),
+      col("enc").as("pieces")).orderBy("w")
+  }
+
   /** Context-window sequence packing (concatenate-and-split, the
     * standard pretraining packing): within each source, documents are
     * concatenated in doc_id order and split at a 2048-token budget; a
@@ -1426,6 +1484,7 @@ object Pipeline {
     "sample_temperature" -> sampleTemperature,
     "sample_dsir" -> sampleDsir,
     "sample_kcenter" -> sampleKcenter,
+    "tok_wordpiece" -> tokWordpiece,
     "pack_sequences" -> packSequences,
     "pack_ffd" -> packFfd,
     "pipeline_dataset_card" -> pipelineDatasetCard,
@@ -1914,6 +1973,57 @@ object Pipeline {
                  max(accept_bp)::BIGINT AS accept_bp, count(*) AS n_sampled,
                  sum(n_tok)::BIGINT AS tokens_sampled
           FROM samp GROUP BY source ORDER BY source""",
+    // Identical vocab selection (occurrence-mass total order, LIMIT
+    // 48) and the identical 8 unrolled maximal-munch steps.
+    "tok_wordpiece" -> {
+      val head =
+        """WITH words AS MATERIALIZED (
+             SELECT w, count(*)::BIGINT AS wfreq FROM
+             (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             GROUP BY w),
+           occ AS MATERIALIZED (
+             SELECT p, sum(wfreq)::BIGINT AS pfreq FROM (
+               SELECT wfreq, unnest(list_transform(
+                 range(1, greatest(length(w)-1, 0)+1),
+                 i -> substr(w, i::INT, 2))) AS p FROM words
+               UNION ALL
+               SELECT wfreq, unnest(list_transform(
+                 range(1, greatest(length(w)-2, 0)+1),
+                 i -> substr(w, i::INT, 3))) AS p FROM words
+               UNION ALL
+               SELECT wfreq, unnest(list_transform(
+                 range(1, greatest(length(w)-3, 0)+1),
+                 i -> substr(w, i::INT, 4))) AS p FROM words)
+             GROUP BY p),
+           vocab AS MATERIALIZED (
+             SELECT p FROM occ ORDER BY pfreq DESC, p LIMIT 48),
+           e0 AS (SELECT w, wfreq, 1 AS cur, '' AS enc, 0 AS np
+                  FROM words)"""
+      val loops = (1 to 8).map { r =>
+        s"""s$r AS (SELECT w, wfreq, cur, enc, np,
+              CASE WHEN cur > length(w) THEN NULL
+                   WHEN length(w)-cur+1 >= 4 AND substr(w,cur,4) IN
+                     (SELECT p FROM vocab WHERE length(p)=4)
+                     THEN substr(w,cur,4)
+                   WHEN length(w)-cur+1 >= 3 AND substr(w,cur,3) IN
+                     (SELECT p FROM vocab WHERE length(p)=3)
+                     THEN substr(w,cur,3)
+                   WHEN length(w)-cur+1 >= 2 AND substr(w,cur,2) IN
+                     (SELECT p FROM vocab WHERE length(p)=2)
+                     THEN substr(w,cur,2)
+                   ELSE substr(w,cur,1) END AS take
+              FROM e${r - 1}),
+            e$r AS (SELECT w, wfreq,
+              CASE WHEN take IS NULL THEN cur
+                   ELSE cur + length(take) END AS cur,
+              CASE WHEN take IS NULL THEN enc WHEN enc = '' THEN take
+                   ELSE enc || '|' || take END AS enc,
+              np + CASE WHEN take IS NULL THEN 0 ELSE 1 END AS np
+              FROM s$r)"""
+      }.mkString(",\n")
+      s"$head,\n$loops\n SELECT w, wfreq, np::BIGINT AS n_pieces, " +
+        "enc AS pieces FROM e8 ORDER BY w"
+    },
     // Identical unrolled 8 rounds, same integer micro-unit metric,
     // same (max min-dist, min vec_id) tie-break; radius narrowed back
     // to BIGINT (DuckDB sums BIGINT into HUGEINT).

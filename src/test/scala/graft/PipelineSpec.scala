@@ -467,6 +467,42 @@ class PipelineSpec extends AnyFunSuite {
       w.length < 2 || w(0) >= w(1)))
   }
 
+  test("tok_wordpiece matches a driver-side maximal-munch reference") {
+    val wf = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val occ = scala.collection.mutable.Map[String, Long]()
+    for ((w, f) <- wf; l <- 2 to 4; i <- 0 to w.length - l)
+      occ(w.substring(i, i + l)) = occ.getOrElse(w.substring(i, i + l), 0L) + f
+    val vocab = occ.toSeq.sortBy { case (p, n) => (-n, p) }.take(48)
+      .map(_._1).toSet
+    def enc(w: String): Seq[String] = {
+      var cur = 0
+      val out = Seq.newBuilder[String]
+      while (cur < w.length) {
+        val l = (4 to 2 by -1).find(l =>
+          cur + l <= w.length && vocab(w.substring(cur, cur + l)))
+          .getOrElse(1)
+        out += w.substring(cur, cur + l)
+        cur += l
+      }
+      out.result()
+    }
+    val expected = wf.toSeq.sortBy(_._1).map { case (w, f) =>
+      (w, f, enc(w).length.toLong, enc(w).mkString("|"))
+    }
+    val got = run("tok_wordpiece").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got === expected)
+    // every piece either is in the learned vocab or is a single char
+    got.foreach { case (_, _, _, enc0) =>
+      enc0.split('|').foreach(p =>
+        assert(p.length == 1 || vocab(p), s"piece $p out of vocab"))
+    }
+  }
+
   test("sample_dsir: selection margin is wide and target docs score higher") {
     val raw = graft.ops.Pipeline.sampleDsirRaw(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
