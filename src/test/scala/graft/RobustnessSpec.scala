@@ -7,6 +7,31 @@ import org.scalatest.funsuite.AnyFunSuite
 class RobustnessSpec extends AnyFunSuite {
   import SharedSpark.spark
 
+  test("results are invariant to input file layout (13-way split vs single file)") {
+    // The 100 TB correctness law the single-file gate can't see: a
+    // cluster reads every table as MANY splits in arbitrary order, so
+    // any fold-order leak (double sums outside the grid discipline,
+    // first()-style picks, partition-dependent argmax tie-breaks)
+    // produces layout-dependent output. Rewrite the gate tables as
+    // 13-file parquet and demand bit-identical collected results from
+    // the most fold-sensitive keys.
+    import org.apache.spark.sql.functions.col
+    val src = SharedSpark.sf
+    val d = s"${Tables.scratchRoot}/layout13"
+    for (tbl <- Seq("documents", "embeddings", "lineitem", "orders"))
+      Tables.t(spark, src, tbl).repartition(13)
+        .write.mode("overwrite").parquet(s"$d/$tbl.parquet")
+    val keys = Seq("sample_dsir", "text_perplexity", "embed_pca",
+      "sample_kcenter", "graph_lpa", "dedup_bloom", "text_gopher",
+      "tok_wordpiece")
+    for (k <- keys) {
+      val a = SparkEntry.queries(k)(spark, src).collect().toSeq
+      val b = SparkEntry.queries(k)(spark, d).collect().toSeq
+      assert(a === b, s"$k output depends on input file layout")
+      assert(a.nonEmpty, k)
+    }
+  }
+
   test("operator registry has no cross-module key collisions and no orphan oracles") {
     // Map ++ silently overwrites on duplicate keys — a collision would
     // drop an operator from the driver gate without any error.
