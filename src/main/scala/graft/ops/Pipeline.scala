@@ -428,6 +428,43 @@ object Pipeline {
       col("enc").as("pieces")).orderBy("w")
   }
 
+  /** END-TO-END CURATION PIPELINE — the round-8 capstone composition a
+    * real pre-training data team runs as ONE job: Gopher rule filter
+    * (text_gopher's keep law) → exact dedup (keep-lowest-id per text,
+    * dedup_exact's law, applied to the surviving docs) → DSIR target-
+    * domain selection (sample_dsir's sign threshold, model trained on
+    * the FULL corpus — the upstream artifact, not the filtered view) →
+    * context-window packing (pack_sequences' concatenate-and-split
+    * manifest over the survivors). Every stage reuses a law already
+    * individually exact-hash-proven, so the composition is exact by
+    * construction; the oracle chains the same four formulations. Scale
+    * shape: filters are scan projections, dedup is one hash shuffle on
+    * text (32-byte digest at 100 TB), the DSIR probe broadcasts the
+    * 1024-row model, packing is one window per source — the whole
+    * pipeline is 3 shuffles end to end. */
+  private def pipelineCurate: Q = (s, d) => {
+    val kept = Llm.queries("text_gopher")(s, d)
+      .where(col("keep")).select("doc_id")
+    val docs = t(s, d, "documents")
+    val uniq = docs.join(kept, "doc_id")
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val sel = sampleDsirRaw(s, d)
+      .where(round(col("lw"), 6) > 0).select("doc_id")
+    val surviving = uniq.join(sel, "doc_id")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs.join(surviving, "doc_id")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("pack_id",
+        ((col("cum") - col("n_tok")) / 2048L).cast("long"))
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "pack_id")
+  }
+
   /** Context-window sequence packing (concatenate-and-split, the
     * standard pretraining packing): within each source, documents are
     * concatenated in doc_id order and split at a 2048-token budget; a
@@ -1485,6 +1522,7 @@ object Pipeline {
     "sample_dsir" -> sampleDsir,
     "sample_kcenter" -> sampleKcenter,
     "tok_wordpiece" -> tokWordpiece,
+    "pipeline_curate" -> pipelineCurate,
     "pack_sequences" -> packSequences,
     "pack_ffd" -> packFfd,
     "pipeline_dataset_card" -> pipelineDatasetCard,
@@ -1973,6 +2011,64 @@ object Pipeline {
                  max(accept_bp)::BIGINT AS accept_bp, count(*) AS n_sampled,
                  sum(n_tok)::BIGINT AS tokens_sampled
           FROM samp GROUP BY source ORDER BY source""",
+    // The same four already-proven laws chained: gopher keep, min-id
+    // dedup, DSIR sign threshold (model over the FULL corpus), pack
+    // window — identical formulations to their standalone oracles.
+    "pipeline_curate" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  len(string_split(text, ' '))::BIGINT AS n_words,
+                  length(replace(text, ' ', ''))::BIGINT AS n_letters,
+                  len(list_distinct(string_split(text, ' ')))::BIGINT
+                    AS n_distinct,
+                  len(list_intersect(string_split(text, ' '),
+                      ['the','a','of','and','to']))::BIGINT AS n_stop
+           FROM documents),
+         kept AS (
+           SELECT doc_id FROM m
+           WHERE n_words >= 20 AND n_words <= 80
+             AND n_letters * 10 >= n_words * 40
+             AND n_letters * 10 <= n_words * 45
+             AND (n_words - n_distinct) * 10 <= n_words * 6
+             AND n_stop >= 2),
+         uniq AS (
+           SELECT min(d.doc_id) AS doc_id
+           FROM documents d JOIN kept USING (doc_id) GROUP BY d.text),
+         tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                FROM documents),
+         idx AS (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+                 FROM tk),
+         inst AS (SELECT doc_id, lang,
+                    (('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 8))
+                      ::BIGINT % 1024) AS b
+                  FROM idx),
+         counts AS (SELECT b, count(*) AS c_r,
+                      sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+                        AS c_t
+                    FROM inst GROUP BY b),
+         tot AS (SELECT sum(c_r)::BIGINT AS nr, sum(c_t)::BIGINT AS nt
+                 FROM counts),
+         model AS (SELECT b,
+                     ln(c_t + 1) - ln(c_r + 1) - ln(nt + 1024)
+                       + ln(nr + 1024) AS llr
+                   FROM counts, tot),
+         sc AS (SELECT doc_id, sum(llr) AS lw
+                FROM inst JOIN model USING (b) GROUP BY doc_id),
+         sel AS (SELECT doc_id FROM sc WHERE round(lw, 6) > 0),
+         surv AS (SELECT doc_id FROM uniq JOIN sel USING (doc_id)),
+         toks AS (
+           SELECT d.source, d.doc_id,
+                  len(string_split(d.text, ' '))::BIGINT AS n_tok
+           FROM documents d JOIN surv USING (doc_id)),
+         offs AS (
+           SELECT source, doc_id, n_tok,
+                  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+                    AS cum
+           FROM toks)
+         SELECT source, ((cum - n_tok) // 2048)::BIGINT AS pack_id,
+                count(*) AS n_docs, sum(n_tok)::BIGINT AS pack_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM offs GROUP BY source, pack_id ORDER BY source, pack_id""",
     // Identical vocab selection (occurrence-mass total order, LIMIT
     // 48) and the identical 8 unrolled maximal-munch steps.
     "tok_wordpiece" -> {

@@ -503,6 +503,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_curate: funnel monotone, packs partition the survivors") {
+    val total = Tables.t(spark, sf, "documents").count()
+    val kept = run("text_gopher").where(col("keep")).count()
+    val packs = run("pipeline_curate").collect()
+    val packed = packs.map(_.getLong(2)).sum
+    assert(packed <= kept && kept <= total,
+      s"funnel must be monotone: $packed <= $kept <= $total")
+    assert(packed > 0, "curation must not empty the corpus at gate SF")
+    // pack ids contiguous from 0 within each source (pack_sequences law)
+    packs.groupBy(_.getString(0)).foreach { case (src, ps) =>
+      val ids = ps.map(_.getLong(1)).sorted.toSeq
+      assert(ids === (0L until ids.length).toSeq, s"$src: $ids")
+    }
+  }
+
   test("sample_dsir: selection margin is wide and target docs score higher") {
     val raw = graft.ops.Pipeline.sampleDsirRaw(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
