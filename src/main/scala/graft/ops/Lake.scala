@@ -975,7 +975,40 @@ object Lake {
       .orderBy("o_orderpriority")
   }
 
+
+  /** SNAPSHOT DIFF — derive change-data (insert/delete/update rows)
+    * between two table versions, the INVERSE of scan_cdc (which APPLIES
+    * a supplied change log): v1 = yesterday's snapshot (keys ≡ 3 mod 17
+    * absent), v2 = today's (keys ≡ 7 mod 19 dropped, prices bumped
+    * +100.00 where key ≡ 5 mod 13 — all deterministic synthesis, the
+    * dedup_url discipline). One full-outer join on the key, changed-row
+    * filter, tri-state classification. At 100 TB the join is the
+    * bucketed-by-key co-located diff and file-level min/max stats prune
+    * the unchanged majority before any row is read; the +100.0 bump is
+    * IEEE-exact on 2-decimal doubles so equality survives both
+    * engines. */
+  private def lakeDiff: Q = (s, d) => {
+    val o = t(s, d, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+    val v1 = o.where(pmod(col("k"), lit(17)) =!= 3)
+      .select(col("k"), col("p").as("p_old"))
+    val v2 = o.where(pmod(col("k"), lit(19)) =!= 7)
+      .select(col("k"),
+        when(pmod(col("k"), lit(13)) === 5, col("p") + 100.0)
+          .otherwise(col("p")).as("p_new"))
+    v1.join(v2, Seq("k"), "full_outer")
+      .where(col("p_old").isNull || col("p_new").isNull ||
+        col("p_old") =!= col("p_new"))
+      .select(col("k").as("o_orderkey"),
+        when(col("p_old").isNull, "insert")
+          .when(col("p_new").isNull, "delete")
+          .otherwise("update").as("change"),
+        col("p_old"), col("p_new"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "lake_diff" -> lakeDiff,
     "scan_manifest_prune" -> scanManifestPrune,
     "scan_orc" -> scanOrc,
     "scan_logs" -> scanLogs,
@@ -1005,6 +1038,21 @@ object Lake {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same deterministic version synthesis, same full-outer diff.
+    "lake_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+           v1 AS (SELECT k, p AS p_old FROM o WHERE k % 17 <> 3),
+           v2 AS (SELECT k,
+                    CASE WHEN k % 13 = 5 THEN p + 100.0 ELSE p END AS p_new
+                  FROM o WHERE k % 19 <> 7)
+         SELECT coalesce(v1.k, v2.k) AS o_orderkey,
+                CASE WHEN v1.k IS NULL THEN 'insert'
+                     WHEN v2.k IS NULL THEN 'delete'
+                     ELSE 'update' END AS change,
+                p_old, p_new
+         FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+         WHERE v1.k IS NULL OR v2.k IS NULL OR p_old <> p_new
+         ORDER BY o_orderkey""",
     // Published table = the two audited batches, entirely; the
     // rejected third batch must contribute nothing.
     "sink_wap" ->

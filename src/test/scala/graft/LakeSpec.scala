@@ -8,6 +8,24 @@ import org.scalatest.funsuite.AnyFunSuite
 class LakeSpec extends AnyFunSuite {
   import SharedSpark.{spark, sf}
 
+  test("lake_diff classification matches a driver-side set recompute") {
+    import org.apache.spark.sql.functions.col
+    val keys = Tables.t(spark, SharedSpark.sf, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    val v1 = keys.filter(_ % 17 != 3)
+    val v2 = keys.filter(_ % 19 != 7)
+    val expIns = (v2 -- v1).size
+    val expDel = (v1 -- v2).size
+    val expUpd = (v1 & v2).count(_ % 13 == 5)
+    val got = SparkEntry.queries("lake_diff")(spark, SharedSpark.sf)
+      .collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(got.getOrElse("insert", 0) === expIns)
+    assert(got.getOrElse("delete", 0) === expDel)
+    assert(got.getOrElse("update", 0) === expUpd)
+    assert(expIns > 0 && expDel > 0 && expUpd > 0,
+      "all three change classes must be live at the gate SF")
+  }
+
   test("scan_manifest_prune skips files at the planner (manifest overlap only)") {
     val (total, selected) = ops.Lake.manifestSelect(spark, sf)
     assert(total === 16, s"layout job should emit 16 range files, got $total")
