@@ -23,7 +23,8 @@ class RobustnessSpec extends AnyFunSuite {
         .write.mode("overwrite").parquet(s"$d/$tbl.parquet")
     val keys = Seq("sample_dsir", "text_perplexity", "embed_pca",
       "sample_kcenter", "graph_lpa", "dedup_bloom", "text_gopher",
-      "tok_wordpiece")
+      "tok_wordpiece", "pipeline_curate", "lake_diff", "agg_stats",
+      "sql_tpch_q1")
     for (k <- keys) {
       val a = SparkEntry.queries(k)(spark, src).collect().toSeq
       val b = SparkEntry.queries(k)(spark, d).collect().toSeq
