@@ -986,6 +986,88 @@ object Llm {
       .limit(20)
   }
 
+  /** RECIPROCAL-RANK FUSION (Cormack/Clarke/Buettcher '09, k=60) of two
+    * retrieval lists — the standard hybrid-search merge (lexical BM25 ∪
+    * a second signal; here [[textQuality]]'s quality prior stands in for
+    * the dense leg): each list contributes 1/(60+rank) for its top-20,
+    * absent docs contribute 0. Determinism: ranks are row_numbers over
+    * already-grid-rounded scores with doc_id tie-breaks, and the fused
+    * score is a FIXED two-term IEEE chain (each term one division of
+    * exact integers) — no fold-order hazard, the 1e-6 grid only guards
+    * the cross-engine round. Scale shape: fusion touches only the two
+    * top-k lists (≤ 2k rows — driver-free, a broadcast-size full-outer
+    * join), so cost is entirely the upstream retrievals; at 100 TB each
+    * leg's top-k is a map-side sort-limit and fusion stays O(k). */
+  private def rankRrf: Q = (s, d) => {
+    val wa = Window.orderBy(col("score").desc, col("doc_id"))
+    val a = rankBm25(s, d)
+      .select(col("doc_id"), row_number().over(wa).cast("long").as("bm25_rank"))
+    val wb = Window.orderBy(col("quality").desc, col("doc_id"))
+    val b = textQuality(s, d)
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("quality").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), row_number().over(wb).cast("long").as("quality_rank"))
+    val fused = a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("quality_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("bm25_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("quality_rank")), lit(0.0)),
+          6).as("rrf_score"))
+    fused
+      .select(
+        row_number().over(Window.orderBy(col("rrf_score").desc, col("doc_id")))
+          .cast("long").as("fused_rank"),
+        col("doc_id"), col("bm25_rank"), col("quality_rank"), col("rrf_score"))
+      .orderBy("fused_rank")
+  }
+
+  /** MAXIMAL MARGINAL RELEVANCE (Carbonell/Goldstein '98, λ=½ so the
+    * argmax reduces to relevance − max-similarity-to-selected, a pure
+    * integer margin): diversify the top of a retrieval list — greedy
+    * pick 8 of the 16 most query-relevant embeddings, each round taking
+    * the candidate with the best margin (ties → min vec_id). Everything
+    * is exact: vectors on the 1e-6 integer grid ([[embedPca]]/
+    * sample_kcenter discipline), relevance and pairwise similarity are
+    * integer dot products, so engine and oracle match bit-for-bit.
+    * Scale shape: the DISTRIBUTED work is the candidate pool — one
+    * corpus scan against a broadcast query vector + a map-side
+    * sort-limit top-16; the greedy loop then runs on the O(k²)=256-pair
+    * similarity table, a driver-side control-plane constant (same
+    * budget as ml_kmeans' 8 centroid literals). At 100 TB only k and
+    * the scan change nothing: pool extraction dominates and shuffles
+    * k rows. */
+  private def simMmr: Q = (s, d) => {
+    val k = 8
+    val base = t(s, d, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        e => floor(e.cast("double") * 1e6 + lit(0.5)).cast("long"))
+        .as("qarr"))
+    val qv = base.where(col("vec_id") === 0).head.getSeq[Long](1).toArray
+    val relCol = aggregate(
+      zip_with(col("qarr"), array(qv.map(lit): _*), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val pool = base.where(col("vec_id") =!= 0)
+      .select(col("vec_id"), relCol.as("rel"), col("qarr"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(16)
+    val pr = pool.select("vec_id", "rel", "qarr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    val sim = (for { a <- pr; b <- pr if a._1 != b._1 } yield
+      ((a._1, b._1), a._3.zip(b._3).map { case (x, y) => x * y }.sum)).toMap
+    var selected = Vector.empty[(Int, Long, Long, Long)] // k, id, rel, mmr
+    for (r <- 1 to k) {
+      val chosen = selected.map(_._2).toSet
+      val pick = pr.iterator.filterNot(c => chosen(c._1)).map { c =>
+        val margin =
+          if (chosen.isEmpty) c._2
+          else c._2 - chosen.iterator.map(sid => sim((c._1, sid))).max
+        (c._1, c._2, margin)
+      }.toVector.sortBy(p => (-p._3, p._1)).head
+      selected :+= ((r, pick._1, pick._2, pick._3))
+    }
+    s.createDataFrame(selected).toDF("k", "vec_id", "relevance", "mmr_score")
+      .orderBy("k")
+  }
+
   /** URL-canonicalization dedup — the first dedup pass of every web
     * corpus (pages fetched under cosmetically different URLs are the
     * same page): case-folded scheme/host, default port stripped,
@@ -1834,6 +1916,8 @@ object Llm {
 
   val queries: Map[String, Q] = Map(
     "rank_bm25" -> rankBm25,
+    "rank_rrf" -> rankRrf,
+    "sim_mmr" -> simMmr,
     "dedup_containment" -> dedupContainment,
     "dedup_fuzzy" -> dedupFuzzy,
     "text_repetition" -> textRepetition,
@@ -1888,6 +1972,38 @@ object Llm {
 
   private val duckCos = duckCosOf("q", "e")
 
+  /** BM25 oracle CTE chain + final top-20 select — shared verbatim
+    * between the rank_bm25 oracle and rank_rrf's lexical leg so the two
+    * gates can never drift apart. */
+  private val bm25Cte: String =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+           dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM tk),
+           st AS (SELECT count(*)::BIGINT AS n_docs,
+                         sum(dl)::BIGINT AS tot_dl FROM dl),
+           tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+                  FROM (SELECT doc_id, unnest(t) AS tok FROM tk)
+                  WHERE tok IN ('dup', 'spark', 'vector', 'merge')
+                  GROUP BY doc_id, tok),
+           df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+           sc AS (SELECT tf.doc_id, tf.tok, dl.dl,
+                         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                           * (tf * 2.2)
+                           / (tf + 1.2 * (0.25 + 0.75 * dl
+                                / (tot_dl::DOUBLE / n_docs))) AS contrib
+                  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+                       CROSS JOIN st)"""
+
+  private val bm25Select: String =
+    """SELECT doc_id, max(dl)::BIGINT AS dl, count(*)::BIGINT AS n_terms,
+                round(coalesce(max(CASE WHEN tok = 'dup' THEN contrib END), 0.0)
+                  + coalesce(max(CASE WHEN tok = 'spark' THEN contrib END), 0.0)
+                  + coalesce(max(CASE WHEN tok = 'vector' THEN contrib END), 0.0)
+                  + coalesce(max(CASE WHEN tok = 'merge' THEN contrib END), 0.0),
+                  6) AS score
+         FROM sc GROUP BY doc_id
+         ORDER BY score DESC, doc_id LIMIT 20"""
+
   val oracles: Map[String, String] = Map(
     // The identical exact pipeline: same 3-gram shingle construction,
     // integer intersections, one IEEE division, integer-cross-mult flag —
@@ -1928,32 +2044,85 @@ object Llm {
          ORDER BY sz.doc_id""",
     // The identical fixed IEEE chain: left-assoc products/divisions,
     // fixed-column-order term sum, ln ulp absorbed by the 1e-6 grid.
-    "rank_bm25" ->
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
-                     FROM documents),
-           dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM tk),
-           st AS (SELECT count(*)::BIGINT AS n_docs,
-                         sum(dl)::BIGINT AS tot_dl FROM dl),
-           tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
-                  FROM (SELECT doc_id, unnest(t) AS tok FROM tk)
-                  WHERE tok IN ('dup', 'spark', 'vector', 'merge')
-                  GROUP BY doc_id, tok),
-           df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
-           sc AS (SELECT tf.doc_id, tf.tok, dl.dl,
-                         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                           * (tf * 2.2)
-                           / (tf + 1.2 * (0.25 + 0.75 * dl
-                                / (tot_dl::DOUBLE / n_docs))) AS contrib
-                  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
-                       CROSS JOIN st)
-         SELECT doc_id, max(dl)::BIGINT AS dl, count(*)::BIGINT AS n_terms,
-                round(coalesce(max(CASE WHEN tok = 'dup' THEN contrib END), 0.0)
-                  + coalesce(max(CASE WHEN tok = 'spark' THEN contrib END), 0.0)
-                  + coalesce(max(CASE WHEN tok = 'vector' THEN contrib END), 0.0)
-                  + coalesce(max(CASE WHEN tok = 'merge' THEN contrib END), 0.0),
-                  6) AS score
-         FROM sc GROUP BY doc_id
-         ORDER BY score DESC, doc_id LIMIT 20""",
+    "rank_bm25" -> s"WITH $bm25Cte\n $bm25Select",
+    // Same two legs verbatim (the bm25 CTE chain is SHARED text with
+    // rank_bm25; the quality leg repeats text_quality's grid-rounded
+    // score), same k=60 reciprocal terms — each one division of exact
+    // integers — same doc_id tie-breaks at every rank assignment.
+    "rank_rrf" ->
+      s"""WITH $bm25Cte,
+           bm AS ($bm25Select),
+           ar AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY score DESC, doc_id)
+                      AS bm25_rank FROM bm),
+           qual AS (SELECT doc_id,
+                      round(least(len(string_split(text, ' '))::DOUBLE, 200.0)
+                          / 200.0 * 0.5
+                        + len(list_filter(string_split(text, ' '),
+                              x -> x IN ('the','a','of','and','to')))::DOUBLE
+                          / len(string_split(text, ' '))::DOUBLE * 0.5, 4)
+                        AS quality
+                    FROM documents),
+           qtop AS (SELECT doc_id, quality FROM qual
+                    ORDER BY quality DESC, doc_id LIMIT 20),
+           br AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY quality DESC, doc_id)
+                      AS quality_rank FROM qtop),
+           f AS (SELECT coalesce(ar.doc_id, br.doc_id) AS doc_id,
+                        bm25_rank, quality_rank,
+                        round(
+                          coalesce(CAST(1 AS DOUBLE) / (60 + bm25_rank),
+                                   CAST(0 AS DOUBLE))
+                          + coalesce(CAST(1 AS DOUBLE) / (60 + quality_rank),
+                                     CAST(0 AS DOUBLE)), 6) AS rrf_score
+                 FROM ar FULL OUTER JOIN br ON ar.doc_id = br.doc_id)
+         SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                  AS fused_rank,
+                doc_id, bm25_rank, quality_rank, rrf_score
+         FROM f ORDER BY fused_rank""",
+    // Identical integer micro-units, identical pool/greedy tie-breaks;
+    // unrolled 8 rounds (MATERIALIZED — inlined CTE chains re-read
+    // parquet exponentially).
+    "sim_mmr" -> {
+      val head =
+        """WITH qv AS MATERIALIZED (
+             SELECT vec_id, i, CAST(floor(e*1e6+0.5) AS BIGINT) AS qv
+             FROM (SELECT vec_id, unnest(embedding) AS e,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM embeddings)),
+           rel AS MATERIALIZED (
+             SELECT a.vec_id, CAST(sum(a.qv * b.qv) AS BIGINT) AS rel
+             FROM qv a JOIN qv b ON b.vec_id = 0 AND b.i = a.i
+             WHERE a.vec_id <> 0 GROUP BY a.vec_id),
+           pool AS MATERIALIZED (
+             SELECT vec_id, rel FROM rel
+             ORDER BY rel DESC, vec_id LIMIT 16),
+           sim AS MATERIALIZED (
+             SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                    CAST(sum(x.qv * y.qv) AS BIGINT) AS s
+             FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+                  JOIN qv x ON x.vec_id = a.vec_id
+                  JOIN qv y ON y.vec_id = b.vec_id AND y.i = x.i
+             GROUP BY a.vec_id, b.vec_id),
+           sel1 AS MATERIALIZED (
+             SELECT 1 AS k, vec_id, rel, rel AS mmr FROM pool
+             ORDER BY rel DESC, vec_id LIMIT 1)"""
+      val loops = (2 to 8).map { r =>
+        s"""cand$r AS MATERIALIZED (
+              SELECT p.vec_id, p.rel, p.rel - max(s.s) AS mmr
+              FROM pool p JOIN sim s ON s.a_id = p.vec_id
+                AND s.b_id IN (SELECT vec_id FROM sel${r - 1})
+              WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+              GROUP BY p.vec_id, p.rel),
+            pick$r AS MATERIALIZED (
+              SELECT $r AS k, vec_id, rel, mmr FROM cand$r
+              ORDER BY mmr DESC, vec_id LIMIT 1),
+            sel$r AS MATERIALIZED (
+              SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r)"""
+      }.mkString(",\n")
+      s"$head,\n$loops\n SELECT k, vec_id, rel AS relevance, " +
+        "mmr AS mmr_score FROM sel8 ORDER BY k"
+    },
     // Brute-force O(n²) edit-distance: proves the SymSpell deletion-
     // neighborhood blocking in dedupFuzzy loses no pair.
     "dedup_fuzzy" ->

@@ -667,4 +667,70 @@ class LlmSpec extends AnyFunSuite {
     assert(got.toSeq === expected,
       s"got ${got.length} template segments, expected ${expected.length}")
   }
+
+  test("rank_rrf fuses exactly the two top-20 legs with recomputable scores") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("rank_rrf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getDouble(4)))
+    // legs recomputed from the registered single-list operators
+    val aIds = SparkEntry.queries("rank_bm25")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val bIds = SparkEntry.queries("text_quality")(spark, sf)
+      .orderBy(col("quality").desc, col("doc_id")).limit(20)
+      .select("doc_id").collect().map(_.getLong(0))
+    val aRank = aIds.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val bRank = bIds.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    // membership: union of the legs, each doc once, dense fused ranks
+    assert(got.map(_._2).toSet === (aRank.keySet ++ bRank.keySet))
+    assert(got.map(_._1).toSeq === (1L to got.length.toLong))
+    got.foreach { case (_, id, ra, rb, score) =>
+      assert(ra === aRank.get(id) && rb === bRank.get(id),
+        s"leg ranks for doc $id")
+      val expect = BigDecimal(
+        ra.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          rb.map(r => 1.0 / (60 + r)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(score === expect, s"rrf score for doc $id")
+    }
+    // fusion ordering is by score then doc_id
+    assert(got.sortBy(g => (-g._5, g._2)).map(_._1).toSeq ===
+      got.map(_._1).toSeq)
+  }
+
+  test("sim_mmr is the exact greedy margin argmax over the top-16 pool") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("sim_mmr")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq === (1 to 8))
+    // integer-grid recompute of pool, relevance and pairwise sims
+    val vecs = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)
+        .map(e => math.floor(e.toDouble * 1e6 + 0.5).toLong).toArray)
+      .toMap
+    val qv = vecs(0L)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val rel = vecs.collect { case (id, v) if id != 0L => id -> dot(qv, v) }
+    val pool = rel.toSeq.sortBy(p => (-p._2, p._1)).take(16)
+    var chosen = Vector.empty[Long]
+    val expect = (1 to 8).map { r =>
+      val pick = pool.filterNot(p => chosen.contains(p._1)).map { p =>
+        val margin =
+          if (chosen.isEmpty) p._2
+          else p._2 - chosen.map(c => dot(vecs(p._1), vecs(c))).max
+        (p._1, p._2, margin)
+      }.minBy(p => (-p._3, p._1))
+      chosen :+= pick._1
+      (r, pick._1, pick._2, pick._3)
+    }
+    assert(got.toSeq === expect,
+      "greedy MMR selection must match the driver recompute exactly")
+    // all picks come from the pool and are distinct
+    assert(got.map(_._2).distinct.length === 8)
+    assert(got.map(_._2).toSet.subsetOf(pool.map(_._1).toSet))
+  }
 }
