@@ -1272,6 +1272,114 @@ object Pipeline {
       .orderBy("n_name")
   }
 
+  /** k-NEAREST-NEIGHBOR CLASSIFICATION (k=5 majority vote) of a probe
+    * batch against the labeled embedding corpus — the lazy-learner
+    * baseline every ANN index (sim_ann_ivf/ivfpq) exists to
+    * accelerate, and the standard label-transfer pass of a curation
+    * pipeline (propagate a small seed labeling to the corpus).
+    * Exactness: vectors on the 1e-6 integer grid
+    * ([[sampleKcenter]]/embed_pca discipline), distances are exact
+    * integer squared L2, neighbor rank ties → min vec_id, vote ties →
+    * (max count, min label) — bit-identical to the oracle with zero
+    * floats. Scale shape: the PROBE side (every 10th vector — the
+    * bounded query batch) broadcasts; the train corpus streams through
+    * ONE scan with a per-probe bounded top-k (window over the
+    * probe-keyed shuffle of k·|probes| candidate rows after the
+    * map-side rank filter… here the plain window, since candidates =
+    * |train|·|probes| only on the broadcast product, never a corpus
+    * self-join). At 100 TB you swap the brute-force scan for the
+    * sim_ann_ivf cell route — the vote/tie logic is unchanged. */
+  private def mlKnn: Q = (s, d) => {
+    val base = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        e => floor(e.cast("double") * 1e6 + lit(0.5)).cast("long"))
+        .as("qarr"))
+    val probes = base.where(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
+        col("qarr").as("parr"))
+    val train = base.where(pmod(col("vec_id"), lit(10)) =!= 0)
+    val dist = aggregate(
+      zip_with(col("qarr"), col("parr"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    val wNn = Window.partitionBy("probe_id")
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    val nn = train.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("true_label"), col("vec_id"),
+        col("label"), dist.as("dist"))
+      .withColumn("rn", row_number().over(wNn))
+      .where(col("rn") <= 5)
+    val wVote = Window.partitionBy("probe_id")
+      .orderBy(col("n_votes").desc, col("label").asc)
+    nn.groupBy("probe_id", "true_label", "label")
+      .agg(count(lit(1)).as("n_votes"), min(col("dist")).as("best_dist"))
+      .withColumn("vr", row_number().over(wVote))
+      .where(col("vr") === 1)
+      .select(col("probe_id"), col("true_label"),
+        col("label").as("pred_label"), col("n_votes"), col("best_dist"),
+        (col("label") === col("true_label")).as("correct"))
+      .orderBy("probe_id")
+  }
+
+  /** MULTINOMIAL NAIVE BAYES language classifier — train on even
+    * doc_ids, predict the odd half: add-one-smoothed per-language
+    * token likelihoods ln((c(t,l)+1)/(n(l)+V)) plus the ln document
+    * prior, argmax over the five fixed languages. Determinism: all
+    * counts (c, n, V, priors) are exact integers; each ln sees one
+    * exact division; the per-doc sum folds ln terms whose ~1e-13
+    * fold-order noise the 1e-6 grid absorbs (the sample_dsir/
+    * text_perplexity discipline); the argmax compares GRID-ROUNDED
+    * scores with a fixed language-precedence CASE chain (the
+    * text_lang_id shape) so both engines break ties identically.
+    * Scale shape: the model is ONE vocabulary-sized aggregate with
+    * per-language conditional counts (5 fixed columns — no lang×token
+    * shuffle), broadcast to a single pass over test tokens; corpus
+    * text never shuffles — only (token, 5 counts) rows move. */
+  private def mlNaiveBayes: Q = (s, d) => {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val toks = t(s, d, "documents").select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val train = toks.where(pmod(col("doc_id"), lit(2)) === 0)
+    def langSums(prefix: String) =
+      langs.map(l => sum(when(col("lang") === l, 1L).otherwise(0L))
+        .as(s"$prefix$l"))
+    val model = train.groupBy("tok")
+      .agg(langSums("c_").head, langSums("c_").tail: _*)
+    val totCols = countDistinct(col("tok")).as("v") +: langSums("n_")
+    val totals = train.agg(totCols.head, totCols.tail: _*)
+    val priCols = count(lit(1)).as("nd") +: langSums("d_")
+    val priors = t(s, d, "documents")
+      .where(pmod(col("doc_id"), lit(2)) === 0)
+      .agg(priCols.head, priCols.tail: _*)
+    val test = toks.where(pmod(col("doc_id"), lit(2)) === 1)
+    val inst = test.join(broadcast(model), Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+    val llCols = langs.map(l => sum(
+      log((coalesce(col(s"c_$l"), lit(0L)) + 1L).cast("double") /
+        (col(s"n_$l") + col("v")).cast("double"))).as(s"ll_$l"))
+    val scored = inst.groupBy("doc_id", "lang")
+      .agg(llCols.head, llCols.tail: _*)
+      .crossJoin(broadcast(priors))
+    val sCols = langs.map(l => round(
+      col(s"ll_$l") +
+        log(col(s"d_$l").cast("double") / col("nd").cast("double")),
+      6).as(s"s_$l"))
+    val g = scored.select(col("doc_id") +: col("lang").as("true_lang") +:
+      sCols: _*)
+    val pred = when(
+      col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+        col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+      .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+        col("s_de") >= col("s_zh"), "de")
+      .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+      .when(col("s_fr") >= col("s_zh"), "fr")
+      .otherwise("zh")
+    g.select(col("doc_id"), col("true_lang"), pred.as("pred_lang"),
+        greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
+          col("s_zh")).as("best_score"),
+        (pred === col("true_lang")).as("correct"))
+      .orderBy("doc_id")
+  }
+
   /** Weighted sampling WITHOUT replacement by sequential Poisson
     * sampling (Ohlsson '98): priority = u/w with u a 52-bit md5 uniform
     * and w the row weight (order value in cents); the k smallest
@@ -1499,6 +1607,8 @@ object Pipeline {
 
   val queries: Map[String, Q] = Map(
     "ml_linreg" -> mlLinreg,
+    "ml_knn" -> mlKnn,
+    "ml_naive_bayes" -> mlNaiveBayes,
     "ml_dbscan" -> mlDbscan,
     "sample_weighted" -> sampleWeighted,
     "sample_bootstrap" -> sampleBootstrap,
@@ -1645,6 +1755,83 @@ object Pipeline {
          SELECT * FROM summary
          UNION ALL SELECT * FROM noise WHERE n_pts > 0
          ORDER BY cluster""",
+    // Identical integer micro-units, identical (dist, vec_id) neighbor
+    // and (votes desc, label) vote tie-breaks; distances narrowed back
+    // to BIGINT (DuckDB sums BIGINT into HUGEINT).
+    "ml_knn" ->
+      """WITH v AS MATERIALIZED (
+           SELECT vec_id, i, CAST(floor(e*1e6+0.5) AS BIGINT) AS qv
+           FROM (SELECT vec_id, unnest(embedding) AS e,
+                        generate_subscripts(embedding, 1) AS i
+                 FROM embeddings)),
+         m AS (SELECT vec_id, label FROM embeddings),
+         dist AS MATERIALIZED (
+           SELECT p.vec_id AS probe_id, b.vec_id,
+                  CAST(sum((b.qv - p.qv) * (b.qv - p.qv)) AS BIGINT) AS dist
+           FROM v p JOIN v b ON b.i = p.i
+           WHERE p.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
+           GROUP BY p.vec_id, b.vec_id),
+         nn AS (SELECT probe_id, vec_id, dist,
+                  row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY dist, vec_id) AS rn
+                FROM dist),
+         votes AS (SELECT probe_id, m.label,
+                     count(*)::BIGINT AS n_votes, min(dist) AS best_dist
+                   FROM nn JOIN m USING (vec_id) WHERE rn <= 5
+                   GROUP BY probe_id, m.label),
+         pick AS (SELECT probe_id, label AS pred_label, n_votes, best_dist,
+                    row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY n_votes DESC, label) AS vr
+                  FROM votes)
+         SELECT probe_id, m.label AS true_label, pred_label, n_votes,
+                best_dist, pred_label = m.label AS correct
+         FROM pick JOIN m ON m.vec_id = pick.probe_id
+         WHERE vr = 1 ORDER BY probe_id""",
+    // Same exact integer counts (c, n, V, priors), same one-division-
+    // per-ln chains, same 1e-6 grid on the per-doc sums, same fixed
+    // language-precedence argmax over the ROUNDED scores.
+    "ml_naive_bayes" -> {
+      val langs = Seq("en", "de", "es", "fr", "zh")
+      def sumLang(l: String, as: String) =
+        s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END)::BIGINT AS $as"
+      val modelCols = langs.map(l => sumLang(l, s"c_$l")).mkString(", ")
+      val totCols = langs.map(l => sumLang(l, s"n_$l")).mkString(", ")
+      val priCols = langs.map(l => sumLang(l, s"d_$l")).mkString(", ")
+      val llCols = langs.map(l =>
+        s"sum(ln((coalesce(c_$l, 0) + 1)::DOUBLE / (n_$l + v)::DOUBLE)) AS ll_$l")
+        .mkString(", ")
+      val sCols = langs.map(l =>
+        s"round(ll_$l + ln(d_$l::DOUBLE / nd::DOUBLE), 6) AS s_$l")
+        .mkString(", ")
+      val pred =
+        """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+                     AND s_en >= s_zh THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END"""
+      s"""WITH tk AS MATERIALIZED (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+          tr AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+          model AS MATERIALIZED (
+            SELECT tok, $modelCols FROM tr GROUP BY tok),
+          tot AS (SELECT count(DISTINCT tok)::BIGINT AS v, $totCols FROM tr),
+          pri AS (SELECT count(*)::BIGINT AS nd, $priCols
+                  FROM documents WHERE doc_id % 2 = 0),
+          te AS (SELECT * FROM tk WHERE doc_id % 2 = 1),
+          inst AS (SELECT te.doc_id, te.lang,
+                     ${langs.map(l => s"c_$l").mkString(", ")}
+                   FROM te LEFT JOIN model USING (tok)),
+          sc AS (SELECT doc_id, lang, $llCols
+                 FROM inst CROSS JOIN tot GROUP BY doc_id, lang),
+          g AS (SELECT doc_id, lang AS true_lang, $sCols
+                FROM sc CROSS JOIN pri)
+          SELECT doc_id, true_lang, $pred AS pred_lang,
+                 greatest(s_en, s_de, s_es, s_fr, s_zh) AS best_score,
+                 ($pred) = true_lang AS correct
+          FROM g ORDER BY doc_id"""
+    },
     "ml_linreg" ->
       s"""WITH o AS (SELECT o_custkey,
                             (${duckUsS("o_orderdate")} - 788918400) // 86400
