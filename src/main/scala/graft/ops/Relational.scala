@@ -2351,6 +2351,50 @@ object Relational {
     * before the division is integer-exact; the grid is time-bounded
     * (slots × types), not data-bounded, so the plan is the same at any
     * event volume. */
+  /** LINEAR-TREND FORECAST per series (the ml_linreg closed form turned
+    * into a forecaster): daily event counts per type, OLS trend on
+    * (day-index, count), then a 3-step-ahead forecast. Exactness is the
+    * single-division discipline: slope and each forecast ŷ(x) =
+    * (a_num + b_num·x)/den are assembled ENTIRELY in exact integer
+    * arithmetic (power sums → Cramer numerators) with ONE final
+    * int→double cast each and ONE IEEE division — both engines divide
+    * identical operands, so the raw doubles match bit-for-bit with no
+    * rounding grid at all. The day index is rebased per series (x =
+    * day − min day) to keep every intermediate far from 2^63. Scale
+    * shape: the corpus-sized work is the daily count agg (one shuffle,
+    * map-side combine); the per-series window + power-sum agg run on
+    * the O(series × days) daily table — at 100 TB the raw events never
+    * move twice. */
+  private def tsForecast: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        expr("ts_us DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy("event_type")
+    val xd = daily
+      .withColumn("d0", min(col("day")).over(w))
+      .select(col("event_type"), (col("day") - col("d0")).as("x"),
+        col("y"), col("d0"))
+    val sums = xd.groupBy("event_type").agg(
+      count(lit(1)).as("n"), max(col("x")).as("xmax"),
+      min(col("d0")).as("d0"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val bnum = col("n") * col("sxy") - col("sx") * col("sy")
+    val anum = col("sy") * col("sxx") - col("sx") * col("sxy")
+    def fc(h: Int) =
+      (anum + bnum * (col("xmax") + h)).cast("double") / den.cast("double")
+    sums.select(col("event_type"), col("n"), col("d0").as("first_day"),
+        col("xmax"),
+        when(den > 0, bnum.cast("double") / den.cast("double")).as("slope"),
+        when(den > 0, fc(1)).as("fc_1"),
+        when(den > 0, fc(2)).as("fc_2"),
+        when(den > 0, fc(3)).as("fc_3"))
+      .orderBy("event_type")
+  }
+
   private def tsSeasonal: Q = (s, d) => {
     val prof = slotCounts(s, d)
       .select(col("event_type"), pmod(col("slot"), lit(144L)).as("phase"),
@@ -2454,6 +2498,7 @@ object Relational {
     "ts_acf" -> tsAcf,
     "ts_changepoint" -> tsChangepoint,
     "ts_seasonal" -> tsSeasonal,
+    "ts_forecast" -> tsForecast,
     "ts_ohlc" -> tsOhlc,
     "seq_pattern" -> seqPattern,
     "seq_pattern_session" -> seqPatternSession,
@@ -3195,6 +3240,36 @@ object Relational {
                 max(CASE WHEN rl = 1 THEN cents END)::BIGINT AS close_c
          FROM rnk GROUP BY event_type, slot
          ORDER BY event_type, slot""",
+    // Same rebased day index, same exact integer Cramer numerators,
+    // same single int→double cast + one IEEE division per output —
+    // raw doubles, no grid needed.
+    "ts_forecast" -> {
+      def fc(h: Int) =
+        s"""CASE WHEN n*sxx - sx*sx > 0 THEN
+              (sy*sxx - sx*sxy + (n*sxy - sx*sy)*(xmax + $h))::DOUBLE
+                / (n*sxx - sx*sx)::DOUBLE END AS fc_$h"""
+      s"""WITH daily AS (
+            SELECT event_type, ${duckTsUs("ts")} // 86400000000 AS day,
+                   count(*)::BIGINT AS y
+            FROM events GROUP BY 1, 2),
+          xd AS (
+            SELECT event_type,
+                   day - min(day) OVER (PARTITION BY event_type) AS x, y,
+                   min(day) OVER (PARTITION BY event_type) AS d0
+            FROM daily),
+          sums AS (
+            SELECT event_type, count(*)::BIGINT AS n,
+                   max(x)::BIGINT AS xmax, min(d0)::BIGINT AS d0,
+                   sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                   sum(x*x)::BIGINT AS sxx, sum(x*y)::BIGINT AS sxy
+            FROM xd GROUP BY event_type)
+          SELECT event_type, n, d0 AS first_day, xmax,
+                 CASE WHEN n*sxx - sx*sx > 0 THEN
+                   (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE END
+                   AS slope,
+                 ${fc(1)}, ${fc(2)}, ${fc(3)}
+          FROM sums ORDER BY event_type"""
+    },
     "ts_seasonal" ->
       s"""WITH ev AS (SELECT event_type,
                              ${duckTsUs("ts")} // 600000000 AS slot

@@ -635,4 +635,38 @@ class RelationalSpec extends AnyFunSuite {
         s"$grp: Welch df $dfw out of range")
     }
   }
+
+  test("ts_forecast matches a BigInt closed-form driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("ts_forecast")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("ts_us DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (et, rows) =>
+        val d0 = rows.map(_._2).min
+        val xs = rows.map(r => (BigInt(r._2 - d0), BigInt(r._3)))
+        val n = BigInt(xs.length)
+        val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+        val sxx = xs.map(p => p._1 * p._1).sum
+        val sxy = xs.map(p => p._1 * p._2).sum
+        val den = n * sxx - sx * sx
+        val bnum = n * sxy - sx * sy
+        val anum = sy * sxx - sx * sxy
+        val xmax = xs.map(_._1).max
+        def fc(h: Int) =
+          (anum + bnum * (xmax + h)).toDouble / den.toDouble
+        (et, xs.length.toLong, d0, xmax.toLong,
+          bnum.toDouble / den.toDouble, fc(1), fc(2), fc(3))
+    }
+    assert(got.toSeq === expect, "bitwise single-division law")
+    // forecast linearity: steps advance by ~slope (ulp tolerance only)
+    got.foreach { case (et, _, _, _, slope, f1, f2, f3) =>
+      assert(math.abs((f2 - f1) - slope) < 1e-9, s"$et fc step 1→2")
+      assert(math.abs((f3 - f2) - slope) < 1e-9, s"$et fc step 2→3")
+    }
+  }
 }
