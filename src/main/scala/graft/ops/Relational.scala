@@ -1898,6 +1898,62 @@ object Relational {
   /** observe(): pipeline accounting riding the action itself (R23–R25
     * success/fail counts + timing summary) — no second scan. The
     * observed metrics are re-emitted as a one-row DataFrame. */
+  /** COLUMN-LEVEL LINEAGE derivation by walking the ANALYZED Catalyst
+    * plan of a representative pipeline (join → derived column → agg):
+    * every output attribute is traced through Alias chains to the
+    * table columns it transitively references — the data-governance
+    * artifact (impact analysis, PII propagation, audit) that engines
+    * like the reference expose per run. Pure plan introspection: the
+    * walk maps ExprId → source set bottom-up (SubqueryAlias over a
+    * leaf names the table; Alias nodes union their child's reference
+    * sources; attributes pass through), costs O(plan size) on the
+    * driver, and launches NO job — lineage for a 100 TB pipeline is
+    * the same milliseconds as for this one. Aggregates of literals
+    * (count(1)) report the explicit '(literal)' source so constants
+    * are visibly lineage-free. Oracle: the statically-known lineage of
+    * the fixed pipeline, pinned as VALUES. */
+  private def obsLineage: Q = (s, d) => {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, SubqueryAlias}
+    val li = t(s, d, "lineitem").as("lineitem")
+    val o = t(s, d, "orders").as("orders")
+    val q = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("revenue",
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .groupBy(col("l_returnflag"), col("o_orderpriority"))
+      .agg(sum(col("revenue")).as("sum_rev"),
+        count(lit(1)).as("n_items"),
+        max(col("l_quantity") + col("l_tax")).as("max_qtax"))
+    def walk(p: LogicalPlan): Map[Long, Set[(String, String)]] = {
+      val fromKids = p.children.map(walk)
+        .foldLeft(Map.empty[Long, Set[(String, String)]])(_ ++ _)
+      p match {
+        case sa: SubqueryAlias if sa.child.isInstanceOf[LeafNode] =>
+          sa.output.map(a => a.exprId.id -> Set((sa.alias, a.name))).toMap
+        case lf: LeafNode =>
+          lf.output
+            .map(a => a.exprId.id -> Set.empty[(String, String)]).toMap
+        case _ =>
+          fromKids ++ p.expressions.flatMap {
+            case al: Alias =>
+              Seq(al.exprId.id -> al.child.references.toSeq
+                .flatMap(r => fromKids.getOrElse(r.exprId.id,
+                  Set.empty[(String, String)])).toSet)
+            case _ => Nil
+          }.toMap
+      }
+    }
+    val analyzed = q.queryExecution.analyzed
+    val m = walk(analyzed)
+    val rows = analyzed.output.flatMap { a =>
+      val srcs = m.getOrElse(a.exprId.id, Set.empty)
+      if (srcs.isEmpty) Seq((a.name, "(literal)", "(literal)"))
+      else srcs.toSeq.sorted.map { case (tb, c) => (a.name, tb, c) }
+    }
+    s.createDataFrame(rows).toDF("out_col", "src_table", "src_col")
+      .orderBy("out_col", "src_table", "src_col")
+  }
+
   private def obsAccounting: Q = (s, d) => {
     val obs = new org.apache.spark.sql.Observation("graft_acct")
     val li = t(s, d, "lineitem")
@@ -2507,6 +2563,7 @@ object Relational {
     "sql_exists" -> sqlExists,
     "join_bucketed" -> joinBucketed,
     "obs_accounting" -> obsAccounting,
+    "obs_lineage" -> obsLineage,
     "ingest_quarantine" -> ingestQuarantine,
   )
 
@@ -3411,6 +3468,19 @@ object Relational {
                 sum(CAST(l_extendedprice AS DECIMAL(18,4)))::DOUBLE AS total_price,
                 count(*) FILTER (l_returnflag = 'R') AS n_returned
          FROM lineitem""",
+    // Statically-known lineage of the fixed introspected pipeline —
+    // the plan walk must recover exactly these (col, table, col) edges.
+    "obs_lineage" ->
+      """SELECT out_col, src_table, src_col FROM (VALUES
+           ('l_returnflag', 'lineitem', 'l_returnflag'),
+           ('max_qtax', 'lineitem', 'l_quantity'),
+           ('max_qtax', 'lineitem', 'l_tax'),
+           ('n_items', '(literal)', '(literal)'),
+           ('o_orderpriority', 'orders', 'o_orderpriority'),
+           ('sum_rev', 'lineitem', 'l_discount'),
+           ('sum_rev', 'lineitem', 'l_extendedprice'))
+           t(out_col, src_table, src_col)
+         ORDER BY out_col, src_table, src_col""",
     "ingest_quarantine" ->
       """SELECT status, n::BIGINT AS n, total_size::BIGINT AS total_size
          FROM (VALUES ('ok', 3, 70), ('quarantined', 2, 30))

@@ -669,4 +669,25 @@ class RelationalSpec extends AnyFunSuite {
       assert(math.abs((f3 - f2) - slope) < 1e-9, s"$et fc step 2→3")
     }
   }
+
+  test("obs_lineage edges point at real columns and are SF-invariant") {
+    val rows = SparkEntry.queries("obs_lineage")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // every non-literal edge names an existing column of the named table
+    rows.filter(_._2 != "(literal)").foreach { case (out, tb, c) =>
+      val schema = Tables.t(spark, sf, tb).schema.fieldNames.toSet
+      assert(schema(c), s"$out → $tb.$c: no such column")
+    }
+    // the derived-column chain resolves through the Alias: sum_rev must
+    // trace to exactly the two price inputs of `revenue`
+    assert(rows.filter(_._1 == "sum_rev").map(t => s"${t._2}.${t._3}")
+      .toSet === Set("lineitem.l_extendedprice", "lineitem.l_discount"))
+    // literal-only aggregates are visibly lineage-free
+    assert(rows.filter(_._1 == "n_items").map(_._2).toSeq === Seq("(literal)"))
+    // plan metadata cannot depend on the data: identical at another SF
+    val other = SharedSpark.sfDir("0.001")
+      .map(d => SparkEntry.queries("obs_lineage")(spark, d).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))))
+    other.foreach(o => assert(o.toSeq === rows.toSeq))
+  }
 }
