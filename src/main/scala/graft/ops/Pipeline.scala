@@ -1281,8 +1281,9 @@ object Pipeline {
     * ([[sampleKcenter]]/embed_pca discipline), distances are exact
     * integer squared L2, neighbor rank ties → min vec_id, vote ties →
     * (max count, min label) — bit-identical to the oracle with zero
-    * floats. Scale shape: the PROBE side (every 10th vector — the
-    * bounded query batch) broadcasts; the train corpus streams through
+    * floats. Scale shape: the PROBE side (every 10th of the first 1000
+    * vec_ids — a ≤100-row batch that does NOT grow with the corpus)
+    * broadcasts; the train corpus streams through
     * ONE scan with a per-probe bounded top-k (window over the
     * probe-keyed shuffle of k·|probes| candidate rows after the
     * map-side rank filter… here the plain window, since candidates =
@@ -1294,10 +1295,16 @@ object Pipeline {
       transform(col("embedding"),
         e => floor(e.cast("double") * 1e6 + lit(0.5)).cast("long"))
         .as("qarr"))
-    val probes = base.where(pmod(col("vec_id"), lit(10)) === 0)
+    // Bounded probe batch (≤100): the broadcast side must not grow with
+    // the corpus — at 100× the corpus the batch is the same 100 probes
+    // and total work stays ∝ |train|. A no-op at the sf0.01 gate
+    // (500 vectors), BINDING from sf0.1 up (2000+).
+    val probes = base
+      .where(pmod(col("vec_id"), lit(10)) === 0 && col("vec_id") < 1000)
       .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
         col("qarr").as("parr"))
-    val train = base.where(pmod(col("vec_id"), lit(10)) =!= 0)
+    val train = base
+      .where(pmod(col("vec_id"), lit(10)) =!= 0 || col("vec_id") >= 1000)
     val dist = aggregate(
       zip_with(col("qarr"), col("parr"), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, v) => acc + v)
@@ -1769,7 +1776,8 @@ object Pipeline {
            SELECT p.vec_id AS probe_id, b.vec_id,
                   CAST(sum((b.qv - p.qv) * (b.qv - p.qv)) AS BIGINT) AS dist
            FROM v p JOIN v b ON b.i = p.i
-           WHERE p.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
+           WHERE p.vec_id % 10 = 0 AND p.vec_id < 1000
+             AND (b.vec_id % 10 <> 0 OR b.vec_id >= 1000)
            GROUP BY p.vec_id, b.vec_id),
          nn AS (SELECT probe_id, vec_id, dist,
                   row_number() OVER (PARTITION BY probe_id

@@ -549,8 +549,9 @@ class PipelineSpec extends AnyFunSuite {
       .select(col("vec_id"), col("label"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)
         .map(e => math.floor(e.toDouble * 1e6 + 0.5).toLong).toArray))
-    val train = vecs.filter(_._1 % 10 != 0)
-    val expect = vecs.filter(_._1 % 10 == 0).map { case (pid, tl, pv) =>
+    val train = vecs.filter(v => v._1 % 10 != 0 || v._1 >= 1000)
+    val expect = vecs.filter(v => v._1 % 10 == 0 && v._1 < 1000)
+      .map { case (pid, tl, pv) =>
       val nn = train.map { case (tid, lbl, tv) =>
         (tid, lbl, pv.zip(tv).map { case (a, b) => (a - b) * (a - b) }.sum)
       }.sortBy(n => (n._3, n._1)).take(5)
