@@ -1283,14 +1283,23 @@ object Pipeline {
     * (max count, min label) — bit-identical to the oracle with zero
     * floats. Scale shape: the PROBE side (every 10th of the first 1000
     * vec_ids — a ≤100-row batch that does NOT grow with the corpus)
-    * broadcasts; the train corpus streams through
-    * ONE scan with a per-probe bounded top-k (window over the
-    * probe-keyed shuffle of k·|probes| candidate rows after the
-    * map-side rank filter… here the plain window, since candidates =
-    * |train|·|probes| only on the broadcast product, never a corpus
-    * self-join). At 100 TB you swap the brute-force scan for the
-    * sim_ann_ivf cell route — the vote/tie logic is unchanged. */
+    * broadcasts; the train corpus streams through ONE scan into the
+    * native [[graft.expr.TopKAgg]] bounded heap keyed by probe — the
+    * topk_group_agg discipline. The partial aggregate runs MAP-SIDE, so
+    * each input partition emits at most k pairs per probe and only
+    * k·|probes|·partitions tiny rows ever cross the shuffle; the
+    * |train|·|probes| candidate product is consumed where it is
+    * produced, never shuffled into |probes| reducer partitions (the
+    * plain-window formulation's scale killer — every candidate row
+    * would land on ≤100 reducers at any corpus size). Exactness of the
+    * heap key: score = −dist is integer-exact in a double (dist ≤
+    * 64·(2e6)² ≈ 2.6e14 < 2⁵³) and id = vec_id·16+label packs the
+    * vote label losslessly (label < 16), so (score DESC, id ASC) ≡ the
+    * window's (dist ASC, vec_id ASC) total order. At 100 TB you swap
+    * the brute-force scan for the sim_ann_ivf cell route — the
+    * heap/vote/tie logic is unchanged. */
   private def mlKnn: Q = (s, d) => {
+    graft.expr.TopKAgg.register(s)
     val base = t(s, d, "embeddings").select(col("vec_id"), col("label"),
       transform(col("embedding"),
         e => floor(e.cast("double") * 1e6 + lit(0.5)).cast("long"))
@@ -1308,13 +1317,18 @@ object Pipeline {
     val dist = aggregate(
       zip_with(col("qarr"), col("parr"), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, v) => acc + v)
-    val wNn = Window.partitionBy("probe_id")
-      .orderBy(col("dist").asc, col("vec_id").asc)
     val nn = train.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("true_label"), col("vec_id"),
-        col("label"), dist.as("dist"))
-      .withColumn("rn", row_number().over(wNn))
-      .where(col("rn") <= 5)
+      .select(col("probe_id"), col("true_label"),
+        (-dist).cast("double").as("neg_dist"),
+        (shiftleft(col("vec_id"), 4) + col("label")).as("enc"))
+      .groupBy("probe_id", "true_label")
+      .agg(call_function("topk_pairs",
+        col("neg_dist"), col("enc"), lit(5)).as("top"))
+      .select(col("probe_id"), col("true_label"), explode(col("top")).as("p"))
+      .select(col("probe_id"), col("true_label"),
+        shiftright(col("p.id"), 4).as("vec_id"),
+        col("p.id").bitwiseAND(15).cast("int").as("label"),
+        (-col("p.score")).cast("long").as("dist"))
     val wVote = Window.partitionBy("probe_id")
       .orderBy(col("n_votes").desc, col("label").asc)
     nn.groupBy("probe_id", "true_label", "label")
@@ -1339,8 +1353,14 @@ object Pipeline {
     * text_lang_id shape) so both engines break ties identically.
     * Scale shape: the model is ONE vocabulary-sized aggregate with
     * per-language conditional counts (5 fixed columns — no lang×token
-    * shuffle), broadcast to a single pass over test tokens; corpus
-    * text never shuffles — only (token, 5 counts) rows move. */
+    * shuffle), joined to the test tokens by a PLAIN equi-join on tok.
+    * Deliberately NO broadcast hint: vocabulary grows with the corpus
+    * (Heaps' law), so a hard-coded broadcast of the model is
+    * GBs-to-TBs at 100 TB and kills the driver; the shuffled hash
+    * join moves exactly the same (token, 5 counts) rows scale-safely,
+    * and AQE is still free to choose broadcast at runtime when the
+    * measured model size is actually small. The 1-row totals/priors
+    * broadcasts are bounded by construction and stay explicit. */
   private def mlNaiveBayes: Q = (s, d) => {
     val langs = Seq("en", "de", "es", "fr", "zh")
     val toks = t(s, d, "documents").select(col("doc_id"), col("lang"),
@@ -1358,7 +1378,7 @@ object Pipeline {
       .where(pmod(col("doc_id"), lit(2)) === 0)
       .agg(priCols.head, priCols.tail: _*)
     val test = toks.where(pmod(col("doc_id"), lit(2)) === 1)
-    val inst = test.join(broadcast(model), Seq("tok"), "left")
+    val inst = test.join(model, Seq("tok"), "left")
       .crossJoin(broadcast(totals))
     val llCols = langs.map(l => sum(
       log((coalesce(col(s"c_$l"), lit(0L)) + 1L).cast("double") /

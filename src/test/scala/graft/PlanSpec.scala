@@ -416,4 +416,41 @@ class PlanSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(p).size === 1, p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("ml_knn reduces candidates map-side: bounded heap, no window over the product") {
+    val p = planOf("ml_knn")
+    // the |train|·|probes| candidate product feeds the topk_pairs
+    // bounded-heap aggregate in PARTIAL mode (each input partition
+    // emits ≤ k pairs per probe before the shuffle) …
+    assert(p.contains("partial_topk_pairs") ||
+      "ObjectHashAggregate.*topk_pairs".r.findFirstIn(p).isDefined, p)
+    // … and the only Window left is the vote pick, whose input is the
+    // O(|probes|·|labels|) vote aggregate, never the candidate product
+    // ("Window \[" excludes WindowGroupLimit, the vote rank pushdown)
+    assert("Window \\[".r.findAllIn(p).size === 1, p)
+  }
+
+  test("ml_naive_bayes never broadcasts the unbounded vocabulary model") {
+    // the model side (groupBy tok — one row per distinct corpus token,
+    // Heaps-law unbounded) carries NO broadcast hint: only the 1-row
+    // totals/priors aggregates may. The planner/AQE is still free to
+    // pick broadcast from the MEASURED size at small SF — that is the
+    // desired behavior; the pin is that nothing FORCES it.
+    val opt = SparkEntry.queries("ml_naive_bayes")(spark, sf)
+      .queryExecution.optimizedPlan.toString()
+    val outerJoinHints = opt.linesIterator
+      .filter(_.contains("Join LeftOuter")).mkString
+    assert(!outerJoinHints.contains("broadcast"), outerJoinHints)
+    // and with size-estimate broadcasting off, the model join degrades
+    // to a SHUFFLED join (a hard-coded hint would have survived, like
+    // the totals/priors 1-row broadcasts do)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = SparkEntry.queries("ml_naive_bayes")(spark, sf)
+        .queryExecution.sparkPlan.toString()
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row hints survive
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
