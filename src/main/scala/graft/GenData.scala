@@ -35,14 +35,25 @@ object GenData {
     * text and draws l_partkey with a u² head so SCALING.md can measure
     * the shingle and graph families on data shaped like production. */
 
-  /** Uniform double in [0,1) derived from (id, salt). */
+  /** Per-table hash domain (ADVICE r8): without it, customer and
+    * supplier drew nationkey/acctbal from the SAME (id, salt) stream,
+    * so row id k carried identical values in both tables — an
+    * unintended cross-table correlation in the generated data.
+    * [[writeTable]] sets the tag BEFORE its by-name df argument is
+    * constructed (table construction is sequential driver code, so the
+    * var is race-free), and every uniform draw mixes it into the hash
+    * so each table samples an independent stream. */
+  private var tableTag: String = ""
+
+  /** Uniform double in [0,1) derived from (table, id, salt). */
   private def u(salt: Int): Column =
-    (xxhash64(col("id"), lit(salt)).bitwiseAND(lit(Long.MaxValue)))
+    (xxhash64(lit(tableTag), col("id"), lit(salt))
+      .bitwiseAND(lit(Long.MaxValue)))
       .cast("double") / 9.223372036854776e18
 
-  /** Uniform long in [0, n) derived from (id, salt). */
+  /** Uniform long in [0, n) derived from (table, id, salt). */
   private def ui(salt: Int, n: Long): Column =
-    pmod(xxhash64(col("id"), lit(salt)), lit(n))
+    pmod(xxhash64(lit(tableTag), col("id"), lit(salt)), lit(n))
 
   private def pick(salt: Int, vals: Seq[String]): Column =
     element_at(array(vals.map(lit): _*), (ui(salt, vals.size) + 1).cast("int"))
@@ -70,7 +81,8 @@ object GenData {
     * fully parallel) and is deliberate fidelity to TESTDATA.md's
     * one-file-per-table layout; generating much beyond sf1, drop the
     * coalesce and write a partitioned directory instead. */
-  private def writeTable(df: DataFrame, outDir: String, name: String): Unit = {
+  private def writeTable(df: => DataFrame, outDir: String, name: String): Unit = {
+    tableTag = name // must precede construction of the by-name df
     val tmp = s"$outDir/_gen_$name"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = new java.io.File(tmp).listFiles()
@@ -236,10 +248,13 @@ object GenData {
         .cast("double") / 9.223372036854776e18
       sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
     }
-    val label = ui(50, 10)
-    val raw = transform(sequence(lit(0), lit(63)), i =>
+    // defs, not vals: constructed INSIDE the writeTable call below so
+    // the draws carry the "embeddings" table tag, not the previous
+    // table's (writeTable sets the tag before its by-name argument)
+    def label = ui(50, 10)
+    def raw = transform(sequence(lit(0), lit(63)), i =>
       gauss(col("id"), i) + lit(0.15) * gauss(label - lit(1000000), i))
-    val nrm = sqrt(aggregate(raw, lit(0.0d), (acc, x) => acc + x * x))
+    def nrm = sqrt(aggregate(raw, lit(0.0d), (acc, x) => acc + x * x))
     writeTable(range(nVec).select(col("id").as("vec_id"),
       transform(raw, x => (x / nrm).cast("float")).as("embedding"),
       label.cast("int").as("label")), outDir, "embeddings")

@@ -54,20 +54,34 @@ object Graph {
   /** Per-invocation disambiguator for iterative round paths. */
   private val runToken = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Final-round dir of the PREVIOUS run per (op, dataset): deleted at
-    * the start of the next run so repeated invocations in one JVM keep
-    * scratch bounded at one surviving dir per (op, dataset) — the
-    * intra-run delete at round commit handles every non-final round.
-    * (A DataFrame still lazily held from a prior run goes stale at
-    * that point — the same exposure the old fixed-path overwrite had,
-    * now without cross-run interleaving.) */
+  /** Final-round dir of the MOST RECENT completed run per (op,
+    * dataset). Scratch stays bounded at one surviving dir per (op,
+    * dataset): the intra-run delete at round commit handles every
+    * non-final round, and publishing a new final dir deletes exactly
+    * the dir it replaces (ADVICE r8: the old reap-at-start both
+    * invalidated a prior run's lazily-held DataFrame the moment a new
+    * run STARTED, and let two concurrent finishers orphan a dir via a
+    * lost put). With delete-on-replace, a prior run's result stays
+    * readable until a LATER run has fully completed, and the
+    * ConcurrentHashMap.put returning the replaced value makes the
+    * concurrent-finisher case leak-free. */
   private val lastFinal =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def reapPreviousRun(tag: String): Unit = {
-    val prev = lastFinal.remove(tag)
-    if (prev != null) graft.Tables.deleteRecursively(new java.io.File(prev))
+  private def publishFinal(tag: String, path: String): Unit = {
+    val prev = lastFinal.put(tag, path)
+    if (prev != null && prev != path)
+      graft.Tables.deleteRecursively(new java.io.File(prev))
   }
+
+  /** Collapse a SMALL final aggregate (a per-hop histogram, never
+    * per-node data) into a LocalRelation so the returned DataFrame no
+    * longer depends on scratch files at all — the strongest fix for
+    * the stale-lazy-DataFrame exposure, valid only where the result is
+    * provably O(rounds) rows. */
+  private def localize(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
 
   /** Directed co-purchase edges with out-degree: (src, dst, outdeg),
     * distinct pairs, both directions. Checkpointed one-time artifact
@@ -416,7 +430,6 @@ object Graph {
     val run = runToken.incrementAndGet()
     def roundPath(j: Int) =
       s"$scratchRoot/graph/bfs_${Llm.Scratch.key(d)}_r${run}_i$j"
-    reapPreviousRun(s"bfs_${Llm.Scratch.key(d)}")
     while (more) {
       i += 1
       require(i <= bfsMaxHops,
@@ -434,11 +447,15 @@ object Graph {
       if (i > 1)
         graft.Tables.deleteRecursively(new java.io.File(roundPath(i - 1)))
     }
-    lastFinal.put(s"bfs_${Llm.Scratch.key(d)}", roundPath(i))
-    dist.groupBy("hop")
+    // The hop histogram is O(hops) rows — localize it and free the
+    // final round dir immediately: the returned DataFrame never
+    // depends on scratch, so no later run can invalidate it.
+    val res = localize(s, dist.groupBy("hop")
       .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("id_digest"),
         min(col("node")).as("min_node"), max(col("node")).as("max_node"))
-      .orderBy("hop")
+      .orderBy("hop"))
+    graft.Tables.deleteRecursively(new java.io.File(roundPath(i)))
+    res
   }
 
   /** k-CORE decomposition (k=3) over the repeat co-purchase graph —
@@ -468,7 +485,6 @@ object Graph {
     val run = runToken.incrementAndGet()
     def roundPath(j: Int) =
       s"$scratchRoot/graph/kcore_${Llm.Scratch.key(d)}_r${run}_i$j"
-    reapPreviousRun(s"kcore_${Llm.Scratch.key(d)}")
     while (removed > 0) {
       i += 1
       require(i <= kcoreRounds,
@@ -488,7 +504,11 @@ object Graph {
       if (i > 1)
         graft.Tables.deleteRecursively(new java.io.File(roundPath(i - 1)))
     }
-    if (i > 0) lastFinal.put(s"kcore_${Llm.Scratch.key(d)}", roundPath(i))
+    // The k-core result is O(core nodes) — data-sized, so it stays a
+    // parquet-backed DataFrame (localizing would be a driver-side
+    // collect of node data). Its dir survives until a LATER run fully
+    // completes and replaces it (delete-on-replace, not reap-at-start).
+    if (i > 0) publishFinal(s"kcore_${Llm.Scratch.key(d)}", roundPath(i))
     edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .orderBy("node")

@@ -84,12 +84,19 @@ def main(out_dir, sf_dir, timeout_s=0.0, skip=()):
             if fired.is_set():
                 # The timer may have fired AFTER the query completed,
                 # leaving a pending interrupt on the connection that
-                # would misclassify the NEXT statement as a timeout —
-                # absorb it with a sacrificial query.
-                try:
-                    con.execute("SELECT 1").fetchall()
-                except Exception:
-                    pass
+                # would misclassify the NEXT statement as a timeout.
+                # bang() sets `fired` BEFORE calling con.interrupt(), so
+                # first join the timer thread (guaranteeing the interrupt
+                # call itself has been issued), then absorb until a
+                # sacrificial statement runs CLEAN — a single attempt
+                # could slip in between fired.set() and con.interrupt().
+                timer.join()
+                for _ in range(10):
+                    try:
+                        con.execute("SELECT 1").fetchall()
+                        break  # clean statement: no interrupt pending
+                    except Exception:
+                        continue  # absorbed one pending interrupt
     for qdir in sorted(d for d in out.iterdir() if d.is_dir()):
         name = qdir.name
         if name in skip:

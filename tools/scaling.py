@@ -75,19 +75,27 @@ def main(keys):
     import math
     rows = []
     for k in sorted(results["1"].keys()):
-        t0, t1, t2 = (abs(results[sf].get(k, float("nan"))) for sf in
-                      ("0.01", "0.1", "1"))
+        # Bench reports a NEGATIVE wall time for a query that threw —
+        # propagate that as NaN (plus a failed flag) instead of folding
+        # |t| into the slope fit as if the run had succeeded.
+        raw = [results[sf].get(k, float("nan")) for sf in
+               ("0.01", "0.1", "1")]
+        bad = [sf for sf, v in zip(("0.01", "0.1", "1"), raw)
+               if v == v and v < 0]
+        t0, t1, t2 = (float("nan") if v < 0 else v for v in raw)
         a_lo = math.log10(t1 / t0) if t0 > 0 else float("nan")
         a_hi = math.log10(t2 / t1) if t1 > 0 else float("nan")
-        rows.append((k, t0, t1, t2, a_lo, a_hi))
+        rows.append((k, t0, t1, t2, a_lo, a_hi, bad))
     with open(os.path.join(REPO, "target/scaling_rows.json"), "w") as f:
         json.dump([{"key": k, "t001": t0, "t01": t1, "t1": t2,
-                    "alpha_lo": a, "alpha_hi": b}
-                   for k, t0, t1, t2, a, b in rows], f, indent=1)
+                    "alpha_lo": a, "alpha_hi": b, "failed_at": bad}
+                   for k, t0, t1, t2, a, b, bad in rows], f, indent=1)
     print(f"{'key':28s} {'t(0.01)':>8s} {'t(0.1)':>8s} {'t(1)':>8s} "
           f"{'a_lo':>6s} {'a_hi':>6s}")
-    for k, t0, t1, t2, a, b in rows:
-        print(f"{k:28s} {t0:8.2f} {t1:8.2f} {t2:8.2f} {a:6.2f} {b:6.2f}")
+    for k, t0, t1, t2, a, b, bad in rows:
+        mark = f"  FAILED@{','.join(bad)}" if bad else ""
+        print(f"{k:28s} {t0:8.2f} {t1:8.2f} {t2:8.2f} {a:6.2f} {b:6.2f}"
+              f"{mark}")
     for sf, fl in failed.items():
         if fl:
             print(f"FAILED at sf{sf}: {fl}")
