@@ -690,4 +690,24 @@ class RelationalSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getString(1), r.getString(2))))
     other.foreach(o => assert(o.toSeq === rows.toSeq))
   }
+
+  test("obs_lineage_gen traces through Generate and Window nodes") {
+    val rows = SparkEntry.queries("obs_lineage_gen")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // the exploded token is NOT an Alias — the Generate case must
+    // resolve it to the generator's input column
+    assert(rows.filter(_._1 == "tok").map(t => s"${t._2}.${t._3}")
+      .toSet === Set("documents.text"))
+    // a window-derived rank depends on the partition AND order keys
+    assert(rows.filter(_._1 == "best_rank").map(t => s"${t._2}.${t._3}")
+      .toSet === Set("documents.lang", "documents.n_chars",
+        "documents.doc_id"))
+    // count(1) through the same pipeline stays visibly lineage-free
+    assert(rows.filter(_._1 == "n_uses").map(_._2).toSeq === Seq("(literal)"))
+    // still pure plan metadata: identical at another SF
+    SharedSpark.sfDir("0.001")
+      .map(d => SparkEntry.queries("obs_lineage_gen")(spark, d).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))))
+      .foreach(o => assert(o.toSeq === rows.toSeq))
+  }
 }
