@@ -1,0 +1,589 @@
+#!/usr/bin/env python3
+"""Seeded differential SQL fuzz gate (round-9 judge item #3).
+
+Deterministically generates ~500 shared-text ANSI SELECTs over the
+8-table parquet schema (joins, aggregates, windows, subqueries, set
+ops, CASE), runs every text through BOTH engines — graft/Spark via
+`sbt runMain graft.FuzzRun`, DuckDB directly over the same parquet
+files — and multiset-compares the results. TPC-H and the 268
+hand-written oracles all pass; the correctness frontier is queries
+nobody hand-wrote.
+
+Dialect discipline (the proven shared-text rules, SURVEY/SNIPPETS):
+  - no raw-double aggregation: SUM goes through CAST(x AS
+    DECIMAL(18,4)) then CAST(round(.., 2) AS DOUBLE) at the output
+    (fold-order-free), or stays integer with CAST(sum(x) AS BIGINT)
+    (DuckDB sums BIGINT into HUGEINT);
+  - min/max/count/comparisons on doubles are exact and allowed;
+  - LIMIT only under an ORDER BY that lists EVERY output column, so
+    the kept multiset is total-order determined;
+  - window functions order by ALL output columns of their inner
+    select (peers are then full-row-identical, making row_number
+    output multisets and RANGE-frame sums engine-invariant);
+  - results are compared as MULTISETS (engine ORDER BY is not
+    trusted for cross-engine row order on ties).
+
+Usage: python3 tools/fuzz.py [--seed=N] [--n=500] [--sf=/root/testdata/sf0.01]
+       [--skip-spark]   (reuse an existing target/fuzz/out dump)
+Writes target/fuzz/{sql,out}/ and FUZZ.md.
+"""
+import os
+import random
+import subprocess
+import sys
+from collections import Counter
+from datetime import date, timedelta
+from decimal import Decimal
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# ---------------------------------------------------------------- schema
+T = {
+    'region': [('r_regionkey', 'int'), ('r_name', 'str')],
+    'nation': [('n_nationkey', 'int'), ('n_name', 'str'),
+               ('n_regionkey', 'int')],
+    'customer': [('c_custkey', 'key'), ('c_name', 'str'),
+                 ('c_nationkey', 'int'), ('c_acctbal', 'double'),
+                 ('c_mktsegment', 'str')],
+    'supplier': [('s_suppkey', 'key'), ('s_name', 'str'),
+                 ('s_nationkey', 'int'), ('s_acctbal', 'double')],
+    'part': [('p_partkey', 'key'), ('p_name', 'str'), ('p_brand', 'str'),
+             ('p_type', 'str'), ('p_size', 'int'),
+             ('p_retailprice', 'double')],
+    'orders': [('o_orderkey', 'key'), ('o_custkey', 'key'),
+               ('o_orderstatus', 'str'), ('o_totalprice', 'double'),
+               ('o_orderdate', 'ts'), ('o_orderpriority', 'str')],
+    'lineitem': [('l_orderkey', 'key'), ('l_partkey', 'key'),
+                 ('l_suppkey', 'key'), ('l_linenumber', 'int'),
+                 ('l_quantity', 'double'), ('l_extendedprice', 'double'),
+                 ('l_discount', 'double'), ('l_tax', 'double'),
+                 ('l_returnflag', 'str'), ('l_linestatus', 'str'),
+                 ('l_shipdate', 'ts')],
+    'documents': [('doc_id', 'key'), ('text', 'str'), ('lang', 'str'),
+                  ('source', 'str'), ('n_chars', 'key')],
+}
+
+# (child, fk, parent, pk) — every fk value has a parent row, so inner
+# and left joins agree on these (generated data draws fks mod |parent|)
+FKS = [
+    ('lineitem', 'l_orderkey', 'orders', 'o_orderkey'),
+    ('lineitem', 'l_partkey', 'part', 'p_partkey'),
+    ('lineitem', 'l_suppkey', 'supplier', 's_suppkey'),
+    ('orders', 'o_custkey', 'customer', 'c_custkey'),
+    ('customer', 'c_nationkey', 'nation', 'n_nationkey'),
+    ('supplier', 's_nationkey', 'nation', 'n_nationkey'),
+    ('nation', 'n_regionkey', 'region', 'r_regionkey'),
+]
+
+STRVALS = {
+    'r_name': ['AFRICA', 'AMERICA', 'ASIA', 'EUROPE', 'MIDDLE EAST'],
+    'n_name': [f'NATION_{i}' for i in range(25)],
+    'c_mktsegment': ['AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD',
+                     'MACHINERY'],
+    'o_orderstatus': ['O', 'F', 'P'],
+    'o_orderpriority': ['1-URGENT', '2-HIGH', '3-MEDIUM',
+                        '4-NOT SPECIFIED', '5-LOW'],
+    'l_returnflag': ['R', 'A', 'N'],
+    'l_linestatus': ['O', 'F'],
+    'lang': ['en', 'de', 'es', 'fr', 'zh'],
+    'source': [f'src{i}' for i in range(20)],
+    'p_brand': [f'Brand#{i}' for i in range(25)],
+    'p_type': ['STANDARD', 'SMALL', 'MEDIUM', 'LARGE', 'ECONOMY', 'PROMO'],
+    'p_name': ['large', 'small', 'hot', 'cold', 'ring', 'bolt', 'screw'],
+    'c_name': ['Customer#'],
+    's_name': ['Supplier#'],
+    'text': ['spark', 'window', 'merge', 'table', 'dup', 'query', 'scan'],
+}
+
+NUMRANGE = {
+    'r_regionkey': (0, 4, 0), 'n_nationkey': (0, 24, 0),
+    'n_regionkey': (0, 4, 0), 'c_custkey': (0, 1500, 0),
+    'c_nationkey': (0, 24, 0), 'c_acctbal': (0, 10000, 2),
+    's_suppkey': (0, 100, 0), 's_nationkey': (0, 24, 0),
+    's_acctbal': (0, 10000, 2), 'p_partkey': (0, 2000, 0),
+    'p_size': (1, 50, 0), 'p_retailprice': (900, 1200, 2),
+    'o_orderkey': (0, 15000, 0), 'o_custkey': (0, 1500, 0),
+    'o_totalprice': (1000, 500000, 2), 'l_orderkey': (0, 15000, 0),
+    'l_partkey': (0, 2000, 0), 'l_suppkey': (0, 100, 0),
+    'l_linenumber': (1, 7, 0), 'l_quantity': (1, 50, 0),
+    'l_extendedprice': (900, 105000, 2), 'l_discount': (0, 0.10, 2),
+    'l_tax': (0, 0.08, 2), 'doc_id': (0, 500, 0), 'n_chars': (40, 700, 0),
+}
+
+TSRANGE = {'o_orderdate': 2405, 'l_shipdate': 2500}
+
+
+def cols_of(t, kinds=None):
+    return [(c, k) for c, k in T[t] if kinds is None or k in kinds]
+
+
+class Gen:
+    def __init__(self, rng):
+        self.r = rng
+
+    def pick(self, xs):
+        return xs[self.r.randrange(len(xs))]
+
+    def numlit(self, col):
+        lo, hi, dec = NUMRANGE[col]
+        if dec == 0:
+            return str(self.r.randint(int(lo), int(hi)))
+        return f'{self.r.uniform(lo, hi):.{dec}f}'
+
+    def tslit(self, col):
+        d = date(1995, 1, 1) + timedelta(days=self.r.randint(0, TSRANGE[col]))
+        return f"TIMESTAMP '{d.isoformat()}'"
+
+    def strlit(self, col):
+        return "'" + self.pick(STRVALS[col]) + "'"
+
+    # ------------------------------------------------------- predicates
+    def cmp_pred(self, col, kind):
+        if kind in ('int', 'key', 'double'):
+            op = self.pick(['<', '<=', '>', '>=', '=', '<>'])
+            if self.r.random() < 0.15 and kind != 'double':
+                return f'({col} % {self.r.randint(2, 9)}) = ' \
+                       f'{self.r.randint(0, 1)}'
+            if self.r.random() < 0.15:
+                a, b = sorted([float(self.numlit(col)),
+                               float(self.numlit(col))])
+                return f'{col} BETWEEN {a} AND {b}'
+            return f'{col} {op} {self.numlit(col)}'
+        if kind == 'ts':
+            op = self.pick(['<', '<=', '>', '>='])
+            return f'{col} {op} {self.tslit(col)}'
+        # str
+        mode = self.r.random()
+        if col in ('c_name', 's_name'):
+            return f"{col} LIKE '{STRVALS[col][0]}%{self.r.randint(0, 9)}%'"
+        if col == 'text':
+            return f"{col} LIKE '%{self.pick(STRVALS['text'])}%'"
+        if mode < 0.4:
+            return f'{col} = {self.strlit(col)}'
+        if mode < 0.6:
+            return f'{col} <> {self.strlit(col)}'
+        vals = sorted({self.pick(STRVALS[col]) for _ in range(3)})
+        return f"{col} IN ({', '.join(repr(v).replace(chr(34), chr(39)) for v in vals)})"
+
+    def pred(self, cols, depth=2):
+        c, k = self.pick(cols)
+        p = self.cmp_pred(c, k)
+        if depth > 0 and self.r.random() < 0.45:
+            c2, k2 = self.pick(cols)
+            p2 = self.cmp_pred(c2, k2)
+            conj = self.pick(['AND', 'OR'])
+            p = f'({p} {conj} {p2})'
+        if self.r.random() < 0.08:
+            p = f'NOT {p}'
+        return p
+
+    # ------------------------------------------------------ projections
+    def proj(self, cols, i):
+        """One output column (expr, alias); raw col or a derived expr."""
+        c, k = self.pick(cols)
+        roll = self.r.random()
+        if roll < 0.55:
+            return c, c
+        if k in ('int', 'key'):
+            if roll < 0.70:
+                return f'({c} % {self.r.randint(3, 17)})', f'd{i}'
+            c2 = self.pick([x for x, kk in cols if kk in ('int', 'key')])
+            return f'({c} + {c2})', f'd{i}'
+        if k == 'str' and c not in ('text',):
+            if roll < 0.75:
+                return f'upper({c})', f'd{i}'
+            return f"substr({c}, 1, {self.r.randint(1, 4)})", f'd{i}'
+        if k == 'ts':
+            return f'CAST(EXTRACT(YEAR FROM {c}) AS BIGINT)', f'd{i}'
+        if k == 'double':
+            # CASE bucket keeps doubles out of arithmetic
+            thr = self.numlit(c)
+            return (f"CASE WHEN {c} < {thr} THEN 'lo' ELSE 'hi' END",
+                    f'd{i}')
+        return c, c
+
+    def group_key(self, cols, i):
+        """A grouping expression: str/int col, year, or a CASE bucket."""
+        gcols = [(c, k) for c, k in cols if k in ('str', 'int', 'ts',
+                                                  'double')]
+        if not gcols:
+            gcols = cols
+        c, k = self.pick(gcols)
+        if k == 'ts':
+            return f'CAST(EXTRACT(YEAR FROM {c}) AS BIGINT)', f'g{i}'
+        if k == 'double':
+            thr = self.numlit(c)
+            return (f"CASE WHEN {c} < {thr} THEN 'lo' ELSE 'hi' END",
+                    f'g{i}')
+        if k == 'str' and c == 'text':
+            return f'substr({c}, 1, 1)', f'g{i}'
+        return c, c
+
+    def agg_list(self, cols):
+        out = ['count(*) AS cnt']
+        used = {'cnt'}
+        n_extra = self.r.randint(1, 3)
+        for i in range(n_extra):
+            c, k = self.pick(cols)
+            a = f'a{i}'
+            roll = self.r.random()
+            if roll < 0.2:
+                out.append(f'count(DISTINCT {c}) AS {a}')
+            elif roll < 0.45:
+                out.append(f'min({c}) AS {a}')
+            elif roll < 0.6:
+                out.append(f'max({c}) AS {a}')
+            elif k in ('int', 'key'):
+                out.append(f'CAST(sum({c}) AS BIGINT) AS {a}')
+            elif k == 'double':
+                out.append('CAST(round(sum(CAST(' + c +
+                           ' AS DECIMAL(18,4))), 2) AS DOUBLE) AS ' + a)
+            else:
+                nc = [(x, kk) for x, kk in cols if kk in
+                      ('int', 'key', 'double', 'ts', 'str')]
+                cc, kk = self.pick(nc)
+                out.append(f'CAST(sum(CASE WHEN '
+                           f'{self.cmp_pred(cc, kk)} THEN 1 ELSE 0 END)'
+                           f' AS BIGINT) AS {a}')
+            used.add(a)
+        return out
+
+    # ----------------------------------------------------------- shapes
+    def q_simple(self):
+        t = self.pick(list(T))
+        cols = T[t]
+        n = self.r.randint(2, 4)
+        ps = []
+        seen = set()
+        for i in range(n):
+            e, a = self.proj(cols, i)
+            if a in seen:
+                continue
+            seen.add(a)
+            ps.append((e, a))
+        sel = ', '.join(f'{e} AS {a}' if e != a else e for e, a in ps)
+        where = f'\nWHERE {self.pred(cols)}' if self.r.random() < 0.8 else ''
+        order = ', '.join(
+            a + (' DESC' if self.r.random() < 0.3 else '')
+            for _, a in self.r.sample(ps, len(ps)))
+        lim = self.r.randint(10, 200)
+        return (f'SELECT {sel}\nFROM {t}{where}\n'
+                f'ORDER BY {order}\nLIMIT {lim}')
+
+    def q_agg(self, t=None, cols=None, from_clause=None, where_ok=True):
+        t = t or self.pick(list(T))
+        cols = cols or T[t]
+        from_clause = from_clause or t
+        nk = self.r.randint(1, 2)
+        keys = []
+        seen = set()
+        for i in range(nk):
+            e, a = self.group_key(cols, i)
+            if a in seen:
+                continue
+            seen.add(a)
+            keys.append((e, a))
+        sel_keys = ', '.join(f'{e} AS {a}' if e != a else e
+                             for e, a in keys)
+        aggs = ', '.join(self.agg_list(cols))
+        where = ''
+        if where_ok and self.r.random() < 0.7:
+            where = f'\nWHERE {self.pred(cols)}'
+        having = ''
+        if self.r.random() < 0.25:
+            having = f'\nHAVING count(*) > {self.r.randint(1, 5)}'
+        gb = ', '.join(str(i + 1) for i in range(len(keys)))
+        return (f'SELECT {sel_keys}, {aggs}\nFROM {from_clause}{where}\n'
+                f'GROUP BY {gb}{having}')
+
+    def q_fullagg(self):
+        t = self.pick(list(T))
+        aggs = ', '.join(self.agg_list(T[t]))
+        where = f'\nWHERE {self.pred(T[t])}' if self.r.random() < 0.7 else ''
+        return f'SELECT {aggs}\nFROM {t}{where}'
+
+    def join_clause(self, n):
+        """Build an n-table FK join path; returns (from_clause, cols)."""
+        fk = self.pick(FKS)
+        child, f, parent, p = fk
+        jt = 'JOIN' if self.r.random() < 0.8 else 'LEFT JOIN'
+        clause = f'{child} {jt} {parent} ON {f} = {p}'
+        tables = [child, parent]
+        if n > 2:
+            exts = [x for x in FKS if x is not fk and
+                    (x[0] in tables) != (x[2] in tables)]
+            if exts:
+                e = self.pick(exts)
+                newt = e[2] if e[0] in tables else e[0]
+                clause += f' JOIN {newt} ON {e[1]} = {e[3]}'
+                tables.append(newt)
+        cols = [c for tt in tables for c in T[tt]]
+        return clause, cols
+
+    def q_join(self, n=2):
+        clause, cols = self.join_clause(n)
+        if self.r.random() < 0.6:
+            return self.q_agg(t=None, cols=cols, from_clause=clause)
+        # projection + total-order limit
+        nproj = self.r.randint(2, 4)
+        ps, seen = [], set()
+        for i in range(nproj):
+            e, a = self.proj(cols, i)
+            if a in seen:
+                continue
+            seen.add(a)
+            ps.append((e, a))
+        sel = ', '.join(f'{e} AS {a}' if e != a else e for e, a in ps)
+        where = f'\nWHERE {self.pred(cols)}' if self.r.random() < 0.8 else ''
+        order = ', '.join(
+            a + (' DESC' if self.r.random() < 0.3 else '') for _, a in ps)
+        return (f'SELECT {sel}\nFROM {clause}{where}\n'
+                f'ORDER BY {order}\nLIMIT {self.r.randint(10, 200)}')
+
+    def q_window(self):
+        t = self.pick(['lineitem', 'orders', 'customer', 'part',
+                       'documents', 'supplier'])
+        cols = T[t]
+        pc, _ = self.pick([x for x in cols if x[1] in ('str', 'int')]
+                          or cols)
+        ocs = []
+        for c, k in self.r.sample(cols, len(cols)):
+            if c != pc and k in ('int', 'key', 'double', 'ts'):
+                ocs.append((c, k))
+            if len(ocs) == 2:
+                break
+        order = ', '.join(
+            c + (' DESC' if self.r.random() < 0.3 else '')
+            for c, _ in ocs)
+        inner_cols = [pc] + [c for c, _ in ocs]
+        fn = self.pick(['row_number()', 'rank()', 'dense_rank()'])
+        extra = ''
+        dnum = [c for c, k in ocs if k == 'double']
+        if dnum and self.r.random() < 0.4:
+            extra = (', CAST(round(sum(CAST(' + dnum[0] +
+                     ' AS DECIMAL(18,4))) OVER (PARTITION BY ' + pc +
+                     ' ORDER BY ' + order + '), 2) AS DOUBLE) AS csum')
+        where = f'\n  WHERE {self.pred(cols)}' if self.r.random() < 0.6 \
+            else ''
+        return (f'SELECT * FROM (\n'
+                f'  SELECT {", ".join(inner_cols)}, {fn} OVER '
+                f'(PARTITION BY {pc} ORDER BY {order}) AS rn{extra}\n'
+                f'  FROM {t}{where}\n'
+                f') w WHERE rn <= {self.r.randint(1, 5)}')
+
+    def q_subq(self):
+        fk = self.pick(FKS)
+        child, f, parent, p = fk
+        roll = self.r.random()
+        if roll < 0.4:
+            sub = (f'SELECT {p} FROM {parent} '
+                   f'WHERE {self.pred(T[parent], 1)}')
+            outer = self.q_agg(t=child,
+                               from_clause=f'{child}\nWHERE {f} IN ({sub})',
+                               cols=T[child], where_ok=False)
+            return outer
+        if roll < 0.8:
+            neg = 'NOT ' if self.r.random() < 0.5 else ''
+            sub = (f'SELECT 1 FROM {child} WHERE {f} = {p} AND '
+                   f'{self.pred(T[child], 1)}')
+            return self.q_agg(
+                t=parent, cols=T[parent],
+                from_clause=f'{parent}\nWHERE {neg}EXISTS ({sub})',
+                where_ok=False)
+        # uncorrelated scalar comparison
+        t2 = self.pick(list(T))
+        nc2 = [x for x in T[t2] if x[1] in ('int', 'key')]
+        c2, _ = self.pick(nc2)
+        t1 = self.pick(list(T))
+        nc1 = [x for x in T[t1] if x[1] in ('int', 'key')]
+        c1, _ = self.pick(nc1)
+        sub = f'SELECT min({c2}) FROM {t2} WHERE {self.pred(T[t2], 1)}'
+        return self.q_agg(t=t1, cols=T[t1],
+                          from_clause=f'{t1}\nWHERE {c1} >= ({sub})',
+                          where_ok=False)
+
+    def q_setop(self):
+        t = self.pick(list(T))
+        cols = [(c, k) for c, k in T[t] if k in ('str', 'int', 'key', 'ts')]
+        n = min(len(cols), self.r.randint(2, 3))
+        sel = ', '.join(c for c, _ in self.r.sample(cols, n))
+        op = self.pick(['UNION ALL', 'UNION', 'INTERSECT', 'EXCEPT',
+                        'INTERSECT ALL', 'EXCEPT ALL'])
+        return (f'SELECT {sel} FROM {t} WHERE {self.pred(T[t], 1)}\n'
+                f'{op}\n'
+                f'SELECT {sel} FROM {t} WHERE {self.pred(T[t], 1)}')
+
+    def q_leftnull(self):
+        """LEFT JOIN to a FILTERED right side — the one shape that
+        manufactures real NULLs from the FK-complete data. No LIMIT
+        (Spark defaults NULLS FIRST for ASC, DuckDB NULLS LAST — a
+        total order over nullable columns is not portable), so the
+        shape aggregates with null-aware buckets instead."""
+        child, f, parent, p = self.pick(FKS)
+        pcols = T[parent]
+        sub = f'(SELECT * FROM {parent} WHERE {self.pred(pcols, 1)}) v'
+        from_clause = f'{child}\nLEFT JOIN {sub} ON {f} = {p}'
+        c, k = self.pick([x for x in pcols if x[1] in ('str', 'int')]
+                         or pcols)
+        key = (f"COALESCE({c}, '(none)')" if k == 'str'
+               else f'COALESCE({c}, -1)')
+        extra = ''
+        if self.r.random() < 0.4:
+            neg = '' if self.r.random() < 0.5 else ' NOT'
+            extra = f'\nWHERE {p} IS{neg} NULL'
+        aggs = ', '.join(self.agg_list(T[child]))
+        return (f'SELECT {key} AS g0, count(*) AS n_all, '
+                f'count({p}) AS n_matched, {aggs}\n'
+                f'FROM {from_clause}{extra}\nGROUP BY 1')
+
+    def query(self):
+        roll = self.r.random()
+        if roll < 0.18:
+            return self.q_simple(), 'simple'
+        if roll < 0.40:
+            return self.q_agg(), 'agg'
+        if roll < 0.58:
+            return self.q_join(2), 'join2'
+        if roll < 0.66:
+            return self.q_join(3), 'join3'
+        if roll < 0.76:
+            return self.q_window(), 'window'
+        if roll < 0.86:
+            return self.q_subq(), 'subq'
+        if roll < 0.91:
+            return self.q_setop(), 'setop'
+        if roll < 0.97:
+            return self.q_leftnull(), 'leftnull'
+        return self.q_fullagg(), 'fullagg'
+
+
+# ------------------------------------------------------------- compare
+def norm(v):
+    if isinstance(v, bool):
+        return ('b', v)
+    if isinstance(v, Decimal):
+        return ('f', float(v))
+    if isinstance(v, float):
+        if v != v:
+            return ('f', 'nan')
+        return ('f', v + 0.0)  # collapse -0.0
+    if hasattr(v, 'isoformat'):
+        return ('t', v.isoformat())
+    return ('x', v)
+
+
+def fetch(con, sql):
+    cur = con.execute(sql)
+    names = [d[0].lower() for d in cur.description]
+    rows = [tuple(norm(v) for v in row) for row in cur.fetchall()]
+    return names, Counter(rows)
+
+
+def main():
+    args = sys.argv[1:]
+    seed = int(next((a.split('=')[1] for a in args
+                     if a.startswith('--seed=')), '9'))
+    n = int(next((a.split('=')[1] for a in args
+                  if a.startswith('--n=')), '500'))
+    sf = next((a.split('=')[1] for a in args if a.startswith('--sf=')),
+              '/root/testdata/sf0.01')
+    sql_dir = os.path.join(REPO, 'target/fuzz/sql')
+    out_dir = os.path.join(REPO, 'target/fuzz/out')
+    os.makedirs(sql_dir, exist_ok=True)
+
+    rng = random.Random(seed)
+    g = Gen(rng)
+    shapes = {}
+    for f in os.listdir(sql_dir):
+        os.remove(os.path.join(sql_dir, f))
+    for i in range(n):
+        sql, shape = g.query()
+        shapes[f'q{i:04d}'] = shape
+        with open(os.path.join(sql_dir, f'q{i:04d}.sql'), 'w') as f:
+            f.write(sql)
+    print(f'[fuzz] generated {n} queries (seed={seed})')
+
+    if '--skip-spark' not in args:
+        r = subprocess.run(
+            ['sbt', '-batch',
+             f'runMain graft.FuzzRun {sf} {out_dir} {sql_dir}'],
+            cwd=REPO, capture_output=True, text=True)
+        if r.returncode != 0:
+            print(r.stdout[-3000:], r.stderr[-3000:])
+            return 1
+        print('[fuzz] spark run complete')
+
+    spark_errors = {}
+    err_file = os.path.join(out_dir, 'errors.txt')
+    if os.path.exists(err_file):
+        for line in open(err_file):
+            if '\t' in line:
+                k, m = line.rstrip('\n').split('\t', 1)
+                spark_errors[k] = m
+
+    import duckdb
+    con = duckdb.connect()
+    for t in T:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    results = Counter()
+    problems = []
+    for i in range(n):
+        name = f'q{i:04d}'
+        sql = open(os.path.join(sql_dir, f'{name}.sql')).read()
+        duck_err = None
+        try:
+            dnames, drows = fetch(con, sql)
+        except Exception as e:
+            duck_err = str(e).split('\n')[0]
+        if name in spark_errors and duck_err:
+            results['both_error'] += 1
+            problems.append((name, 'both_error',
+                             f'spark={spark_errors[name]} duck={duck_err}'))
+            continue
+        if name in spark_errors:
+            results['spark_error'] += 1
+            problems.append((name, 'spark_error', spark_errors[name]))
+            continue
+        if duck_err:
+            results['duck_error'] += 1
+            problems.append((name, 'duck_error', duck_err))
+            continue
+        try:
+            snames, srows = fetch(
+                con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        except Exception as e:
+            results['no_output'] += 1
+            problems.append((name, 'no_output', str(e).split('\n')[0]))
+            continue
+        if snames != dnames:
+            results['schema_mismatch'] += 1
+            problems.append((name, 'schema_mismatch',
+                             f'spark={snames} duck={dnames}'))
+            continue
+        if srows != drows:
+            only_s = list((srows - drows).items())[:2]
+            only_d = list((drows - srows).items())[:2]
+            results['value_mismatch'] += 1
+            problems.append((name, 'value_mismatch',
+                             f'|spark|={sum(srows.values())} '
+                             f'|duck|={sum(drows.values())} '
+                             f'spark_only={only_s} duck_only={only_d}'))
+            continue
+        results['match'] += 1
+
+    shape_tot = Counter(shapes.values())
+    print(f'[fuzz] results: {dict(results)}')
+    for p in problems[:40]:
+        print('  ', p[0], p[1], shapes.get(p[0]), '::', p[2][:300])
+    with open(os.path.join(REPO, 'target/fuzz/report.txt'), 'w') as f:
+        f.write(f'seed={seed} n={n} sf={sf}\n')
+        f.write(f'shapes={dict(shape_tot)}\n')
+        f.write(f'results={dict(results)}\n')
+        for p in problems:
+            f.write(f'{p[0]}\t{p[1]}\t{shapes.get(p[0])}\t{p[2]}\n')
+    return 0 if results.get('match', 0) == n else 2
+
+
+if __name__ == '__main__':
+    sys.exit(main())
