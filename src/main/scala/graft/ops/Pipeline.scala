@@ -1407,6 +1407,54 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** BATCH PERCEPTRON (Rosenblatt 1958, batch variant) — 3 unrolled
+    * synchronous rounds of the linear classifier on the embeddings
+    * table (y = +1 iff label ≥ 5): M_r = {i : y_i·⟨w_r, x_i⟩ ≤ 0},
+    * w_{r+1} = w_r + Σ_{M_r} y_i·x_i. The simplest TRAINABLE model
+    * whose training loop has the canonical distributed shape — per
+    * round, w broadcasts into the scan as a 64-literal array, the
+    * per-dim update reduces MAP-SIDE (posexplode → partial sum over
+    * 64 keys), and the driver folds exactly 64 longs per round
+    * (control-plane, the embed_pca discipline). Exactness: vectors on
+    * the 1e-6 grid, w₀ = 0 makes round 1 engine-invariant by
+    * construction (y·0 ≤ 0 — every vector is in M₀), so each w_r is
+    * an exact integer function of the data; zero floats anywhere. A
+    * loud guard bounds |⟨w,x⟩| against Long overflow (binds ~sf30 at
+    * dim 64; past it, apply the embed_pca DIV-rescale discipline).
+    * Output: (dim, w after rounds 1..3) — 64 BIGINT-exact rows. */
+  private def mlPerceptron: Q = (s, d) => {
+    val rounds = 3
+    val dim = 64
+    val base = t(s, d, "embeddings").select(
+      when(col("label") >= 5, 1L).otherwise(-1L).as("y"),
+      transform(col("embedding"),
+        e => floor(e.cast("double") * 1e6 + lit(0.5)).cast("long"))
+        .as("qarr"))
+    val n = base.count()
+    require(BigInt(rounds) * n * 1000000L * dim * 1000000L <
+      BigInt(Long.MaxValue),
+      s"ml_perceptron: |<w,x>| bound exceeds Long at n=$n — " +
+        "add the embed_pca DIV rescale before growing further")
+    var w = Array.fill(dim)(0L)
+    val hist = Array.ofDim[Long](dim, rounds)
+    for (r <- 0 until rounds) {
+      val wLit = array(w.map(v => lit(v)): _*)
+      val score = aggregate(
+        zip_with(col("qarr"), wLit, (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v)
+      val delta = base.where(col("y") * score <= 0)
+        .select(col("y"), posexplode(col("qarr")).as(Seq("i", "q")))
+        .groupBy("i").agg(sum(col("q") * col("y")).as("dw"))
+        .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+      w = Array.tabulate(dim)(i => w(i) + delta.getOrElse(i, 0L))
+      for (i <- 0 until dim) hist(i)(r) = w(i)
+    }
+    val out = (0 until dim).map(i =>
+      (i.toLong, hist(i)(0), hist(i)(1), hist(i)(2)))
+    s.createDataFrame(out).toDF("dim", "w_r1", "w_r2", "w_r3")
+      .orderBy("dim")
+  }
+
   /** Weighted sampling WITHOUT replacement by sequential Poisson
     * sampling (Ohlsson '98): priority = u/w with u a 52-bit md5 uniform
     * and w the row weight (order value in cents); the k smallest
@@ -1636,6 +1684,7 @@ object Pipeline {
     "ml_linreg" -> mlLinreg,
     "ml_knn" -> mlKnn,
     "ml_naive_bayes" -> mlNaiveBayes,
+    "ml_perceptron" -> mlPerceptron,
     "ml_dbscan" -> mlDbscan,
     "sample_weighted" -> sampleWeighted,
     "sample_bootstrap" -> sampleBootstrap,
@@ -1815,6 +1864,47 @@ object Pipeline {
                 best_dist, pred_label = m.label AS correct
          FROM pick JOIN m ON m.vec_id = pick.probe_id
          WHERE vr = 1 ORDER BY probe_id""",
+    // Identical integer micro-units and the identical unrolled
+    // 3-round recurrence: w0 = 0 puts every vector in M0 (y*0 <= 0),
+    // so d1 sums over ALL rows; rounds 2-3 re-score with the previous
+    // w (HUGEINT dots, narrowed back to BIGINT at the output). i is
+    // 1-based from generate_subscripts -> dim = i - 1 matches
+    // posexplode's 0-based pos.
+    "ml_perceptron" ->
+      """WITH v AS MATERIALIZED (
+           SELECT vec_id, CASE WHEN label >= 5 THEN 1 ELSE -1 END AS y,
+                  i, CAST(floor(e*1e6+0.5) AS BIGINT) AS q
+           FROM (SELECT vec_id, label, unnest(embedding) AS e,
+                        generate_subscripts(embedding, 1) AS i
+                 FROM embeddings)),
+         w1 AS MATERIALIZED (
+           SELECT i, sum(y * q) AS w FROM v GROUP BY i),
+         s2 AS MATERIALIZED (
+           SELECT v.vec_id, min(v.y) AS y, sum(v.q * w1.w) AS sc
+           FROM v JOIN w1 USING (i) GROUP BY v.vec_id),
+         w2 AS MATERIALIZED (
+           SELECT w1.i, w1.w + coalesce(u.dw, 0) AS w
+           FROM w1 LEFT JOIN (
+             SELECT v.i, sum(v.y * v.q) AS dw
+             FROM v JOIN (SELECT vec_id FROM s2 WHERE y * sc <= 0) m
+               USING (vec_id)
+             GROUP BY v.i) u ON w1.i = u.i),
+         s3 AS MATERIALIZED (
+           SELECT v.vec_id, min(v.y) AS y, sum(v.q * w2.w) AS sc
+           FROM v JOIN w2 USING (i) GROUP BY v.vec_id),
+         w3 AS MATERIALIZED (
+           SELECT w2.i, w2.w + coalesce(u.dw, 0) AS w
+           FROM w2 LEFT JOIN (
+             SELECT v.i, sum(v.y * v.q) AS dw
+             FROM v JOIN (SELECT vec_id FROM s3 WHERE y * sc <= 0) m
+               USING (vec_id)
+             GROUP BY v.i) u ON w2.i = u.i)
+         SELECT CAST(w1.i - 1 AS BIGINT) AS dim,
+                CAST(w1.w AS BIGINT) AS w_r1,
+                CAST(w2.w AS BIGINT) AS w_r2,
+                CAST(w3.w AS BIGINT) AS w_r3
+         FROM w1 JOIN w2 ON w1.i = w2.i JOIN w3 ON w1.i = w3.i
+         ORDER BY dim""",
     // Same exact integer counts (c, n, V, priors), same one-division-
     // per-ln chains, same 1e-6 grid on the per-doc sums, same fixed
     // language-precedence argmax over the ROUNDED scores.

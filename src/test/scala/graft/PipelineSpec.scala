@@ -567,6 +567,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("ml_perceptron matches a driver-side BigInt recompute of the recurrence") {
+    val got = run("ml_perceptron").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val raw = Tables.t(spark, sf, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (if (r.getInt(0) >= 5) 1L else -1L, r.getSeq[Float](1)
+        .map(e => math.floor(e.toDouble * 1e6 + 0.5).toLong).toArray))
+    var w = Array.fill(64)(BigInt(0))
+    val hist = Array.ofDim[BigInt](64, 3)
+    for (round <- 0 until 3) {
+      val delta = Array.fill(64)(BigInt(0))
+      raw.foreach { case (y, x) =>
+        val sc = (0 until 64).map(i => w(i) * BigInt(x(i))).sum
+        if (BigInt(y) * sc <= 0)
+          (0 until 64).foreach(i => delta(i) += BigInt(y) * BigInt(x(i)))
+      }
+      w = Array.tabulate(64)(i => w(i) + delta(i))
+      for (i <- 0 until 64) hist(i)(round) = w(i)
+    }
+    val expect = (0 until 64).map(i =>
+      (i.toLong, hist(i)(0).toLong, hist(i)(1).toLong, hist(i)(2).toLong))
+    assert(got.toSeq === expect)
+    // round 1 sums over EVERY vector (w0 = 0): the update must be live
+    assert(got.exists(_._2 != 0L))
+  }
+
   test("ml_naive_bayes learns planted per-language vocabularies") {
     // Disjoint vocabularies per language: training on the even half
     // must classify every odd doc correctly — proving the model uses

@@ -29,6 +29,10 @@ VARIANTS = {
     "real": [("0.01", "target/testdata/real0.01"),
              ("0.1", "target/testdata/real0.1"),
              ("1", "target/testdata/real1")],
+    # round-9 judge item: one more decade for the alpha_hi >= 0.7 keys
+    "sf10": [("0.1", "target/testdata/gen0.1"),
+             ("1", "target/testdata/sf1"),
+             ("10", "target/testdata/sf10")],
 }
 SFS = VARIANTS["gen"]
 
@@ -73,24 +77,25 @@ def main(keys):
         print(f"[scaling] sf{label}: " + " ".join(
             f"{k}={v:.2f}" for k, v in sorted(qs.items())), flush=True)
     import math
+    labels = [l for l, _ in SFS]  # three decade-spaced SFs per variant
     rows = []
-    for k in sorted(results["1"].keys()):
+    for k in sorted(results[labels[-1]].keys()):
         # Bench reports a NEGATIVE wall time for a query that threw —
         # propagate that as NaN (plus a failed flag) instead of folding
         # |t| into the slope fit as if the run had succeeded.
-        raw = [results[sf].get(k, float("nan")) for sf in
-               ("0.01", "0.1", "1")]
-        bad = [sf for sf, v in zip(("0.01", "0.1", "1"), raw)
-               if v == v and v < 0]
+        raw = [results[sf].get(k, float("nan")) for sf in labels]
+        bad = [sf for sf, v in zip(labels, raw) if v == v and v < 0]
         t0, t1, t2 = (float("nan") if v < 0 else v for v in raw)
         a_lo = math.log10(t1 / t0) if t0 > 0 else float("nan")
         a_hi = math.log10(t2 / t1) if t1 > 0 else float("nan")
         rows.append((k, t0, t1, t2, a_lo, a_hi, bad))
     with open(os.path.join(REPO, "target/scaling_rows.json"), "w") as f:
-        json.dump([{"key": k, "t001": t0, "t01": t1, "t1": t2,
+        json.dump([{"key": k, f"t_{labels[0]}": t0, f"t_{labels[1]}": t1,
+                    f"t_{labels[2]}": t2,
                     "alpha_lo": a, "alpha_hi": b, "failed_at": bad}
                    for k, t0, t1, t2, a, b, bad in rows], f, indent=1)
-    print(f"{'key':28s} {'t(0.01)':>8s} {'t(0.1)':>8s} {'t(1)':>8s} "
+    print(f"{'key':28s} {'t(' + labels[0] + ')':>8s} "
+          f"{'t(' + labels[1] + ')':>8s} {'t(' + labels[2] + ')':>8s} "
           f"{'a_lo':>6s} {'a_hi':>6s}")
     for k, t0, t1, t2, a, b, bad in rows:
         mark = f"  FAILED@{','.join(bad)}" if bad else ""
