@@ -33,6 +33,14 @@ object FuzzRun {
     spark.sparkContext.setLogLevel("WARN")
     tables.foreach(n =>
       spark.read.parquet(s"$sfDir/$n.parquet").createOrReplaceTempView(n))
+    // events joins the fuzz surface through its PORTABLE projection:
+    // ts_us (bigint epoch-µs, derived identically in both engines —
+    // Tables.duckTsUs on the python side) instead of the physical ts,
+    // whose encoding has shipped as both int64-nanos and µs; props is
+    // dropped (its quotes fight the generator's literal quoting).
+    Tables.events(spark, sfDir)
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+      .createOrReplaceTempView("events")
     new java.io.File(outDir).mkdirs()
     val errors = new StringBuilder
     val files = new java.io.File(sqlDir).listFiles()

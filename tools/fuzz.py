@@ -61,6 +61,12 @@ T = {
                  ('l_shipdate', 'ts')],
     'documents': [('doc_id', 'key'), ('text', 'str'), ('lang', 'str'),
                   ('source', 'str'), ('n_chars', 'key')],
+    # portable projection (see FuzzRun): ts_us is bigint epoch-µs,
+    # 'bigkey' = comparable/groupable but NEVER summed (a 60k-row sum
+    # of 1.7e15 overflows BIGINT in both engines)
+    'events': [('event_id', 'key'), ('ts_us', 'bigkey'),
+               ('user_id', 'key'), ('event_type', 'str'),
+               ('value', 'double')],
 }
 
 # (child, fk, parent, pk) — every fk value has a parent row, so inner
@@ -93,6 +99,7 @@ STRVALS = {
     'c_name': ['Customer#'],
     's_name': ['Supplier#'],
     'text': ['spark', 'window', 'merge', 'table', 'dup', 'query', 'scan'],
+    'event_type': ['click', 'error', 'purchase', 'signup', 'view'],
 }
 
 NUMRANGE = {
@@ -104,6 +111,9 @@ NUMRANGE = {
     'p_size': (1, 50, 0), 'p_retailprice': (900, 1200, 2),
     'o_orderkey': (0, 15000, 0), 'o_custkey': (0, 1500, 0),
     'o_totalprice': (1000, 500000, 2), 'l_orderkey': (0, 15000, 0),
+    'event_id': (0, 10000, 0), 'user_id': (0, 1500, 0),
+    'value': (0, 560, 2),
+    'ts_us': (1704067200000000, 1706659200000000, 0),
     'l_partkey': (0, 2000, 0), 'l_suppkey': (0, 100, 0),
     'l_linenumber': (1, 7, 0), 'l_quantity': (1, 50, 0),
     'l_extendedprice': (900, 105000, 2), 'l_discount': (0, 0.10, 2),
@@ -139,7 +149,7 @@ class Gen:
 
     # ------------------------------------------------------- predicates
     def cmp_pred(self, col, kind):
-        if kind in ('int', 'key', 'double'):
+        if kind in ('int', 'key', 'bigkey', 'double'):
             op = self.pick(['<', '<=', '>', '>=', '=', '<>'])
             if self.r.random() < 0.15 and kind != 'double':
                 return f'({col} % {self.r.randint(2, 9)}) = ' \
@@ -184,10 +194,11 @@ class Gen:
         roll = self.r.random()
         if roll < 0.55:
             return c, c
-        if k in ('int', 'key'):
+        if k in ('int', 'key', 'bigkey'):
             if roll < 0.70:
                 return f'({c} % {self.r.randint(3, 17)})', f'd{i}'
-            c2 = self.pick([x for x, kk in cols if kk in ('int', 'key')])
+            c2 = self.pick([x for x, kk in cols
+                            if kk in ('int', 'key', 'bigkey')])
             return f'({c} + {c2})', f'd{i}'
         if k == 'str' and c not in ('text',):
             if roll < 0.75:
@@ -348,7 +359,7 @@ class Gen:
                           or cols)
         ocs = []
         for c, k in self.r.sample(cols, len(cols)):
-            if c != pc and k in ('int', 'key', 'double', 'ts'):
+            if c != pc and k in ('int', 'key', 'bigkey', 'double', 'ts'):
                 ocs.append((c, k))
             if len(ocs) == 2:
                 break
@@ -404,7 +415,8 @@ class Gen:
 
     def q_setop(self):
         t = self.pick(list(T))
-        cols = [(c, k) for c, k in T[t] if k in ('str', 'int', 'key', 'ts')]
+        cols = [(c, k) for c, k in T[t]
+                if k in ('str', 'int', 'key', 'bigkey', 'ts')]
         n = min(len(cols), self.r.randint(2, 3))
         sel = ', '.join(c for c, _ in self.r.sample(cols, n))
         op = self.pick(['UNION ALL', 'UNION', 'INTERSECT', 'EXCEPT',
@@ -524,7 +536,17 @@ def main():
     import duckdb
     con = duckdb.connect()
     for t in T:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        if t == 'events':
+            # mirror FuzzRun's portable projection: epoch_ns // 1000
+            # floors to µs exactly like Spark's derivation at BOTH
+            # physical encodings the writer has shipped (Tables.duckTsUs)
+            con.execute(
+                f"CREATE VIEW events AS SELECT event_id, "
+                f"CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us, "
+                f"user_id, event_type, value FROM '{sf}/events.parquet'")
+        else:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
     results = Counter()
     problems = []
