@@ -2,7 +2,7 @@
 """Seeded differential SQL fuzz gate (round-9 judge item #3).
 
 Deterministically generates ~500 shared-text ANSI SELECTs over the
-8-table parquet schema (joins, aggregates, windows, subqueries, set
+9-table parquet schema (joins, aggregates, windows, subqueries, set
 ops, CASE), runs every text through BOTH engines — graft/Spark via
 `sbt runMain graft.FuzzRun`, DuckDB directly over the same parquet
 files — and multiset-compares the results. TPC-H and the 268
