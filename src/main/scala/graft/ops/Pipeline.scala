@@ -428,6 +428,101 @@ object Pipeline {
       col("enc").as("pieces")).orderBy("w")
   }
 
+  /** Unigram-LM (SentencePiece-style, Kudo '18) VITERBI tokenizer —
+    * the fourth tokenizer discipline (tok_bpe merge-learned,
+    * tok_encode merge-applied, tok_wordpiece greedy longest-match,
+    * and HERE the globally-optimal segmentation): per word, the
+    * segmentation maximizing Σ score(piece) over a corpus-derived
+    * vocabulary (the alphabet plus the top-48 length-2..4 substrings
+    * by occurrence mass — tok_wordpiece's exact selection rule), with
+    * score(p) = digits(mass(p)) − 20, an integer log₁₀ surrogate of
+    * the unigram log-probability — so the whole DP stays in exact
+    * integers (no log/float in either engine). Tie-break: fewer
+    * pieces, encoded EXACTLY by packing (score, pieces) into one
+    * integer — packed = score·16 + (15 − np) telescopes under the DP
+    * recurrence (extend by one piece = +s·16 − 1), so a single
+    * greatest() resolves both criteria at once; reconstruction walks
+    * the suffix-DP array forward taking the longest piece that
+    * attains the optimum (canonical plateau order, same CASE chain in
+    * both engines). Scale shape: the corpus is touched ONCE for word
+    * counts; the suffix DP (max word length 8 → 13 padded chained
+    * columns, all codegen'd CASE/greatest over a ≤76-entry literal
+    * score map) and the 8-step unrolled reconstruction run on the
+    * DISTINCT-WORD table, never per document — tok_wordpiece's
+    * vocabulary-sized-compute discipline. */
+  private def tokUnigram: Q = (s, d) => {
+    val sentinel = -10000000L
+    val words = fanOut(t(s, d, "documents"))
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wfreq"))
+    def occ(l: Int) = words.select(col("wfreq"),
+      explode(filter(
+        transform(
+          sequence(lit(1), greatest(length(col("w")) - (l - 1), lit(1))),
+          i => col("w").substr(i, lit(l))),
+        p => length(p) === l)).as("p"))
+    val multi = occ(2).unionAll(occ(3)).unionAll(occ(4))
+      .groupBy("p").agg(sum(col("wfreq")).as("pfreq"))
+      .orderBy(col("pfreq").desc, col("p").asc).limit(48)
+    val single = occ(1).groupBy("p").agg(sum(col("wfreq")).as("pfreq"))
+    val vocab = single.unionAll(multi)
+      .select(col("p"),
+        (length(col("pfreq").cast("string")).cast("long") - 20L).as("sc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val sm = map(vocab.flatMap { case (p, sc) =>
+      Seq(lit(p), lit(sc)) }.toSeq: _*)
+    def sOf(piece: Column) =
+      coalesce(try_element_at(sm, piece), lit(-1000000L))
+    val L = col("L")
+    var df = words.withColumn("L", length(col("w")).cast("int"))
+    for (k <- 13 to 10 by -1) df = df.withColumn(s"dp$k", lit(sentinel))
+    df = df.withColumn("dp9",
+      when(L === 8, lit(15L)).otherwise(lit(sentinel)))
+    for (k <- 8 to 1 by -1) {
+      val cands = (1 to 4).map { ln =>
+        when(lit(k + ln) <= L + 1,
+          sOf(col("w").substr(lit(k), lit(ln))) * 16 +
+            col(s"dp${k + ln}") - 1)
+          .otherwise(lit(sentinel))
+      }
+      df = df.withColumn(s"dp$k",
+        when(lit(k) === L + 1, lit(15L))
+          .when(lit(k) <= L, greatest(cands: _*))
+          .otherwise(lit(sentinel)))
+    }
+    df = df
+      .withColumn("dparr", array((1 to 13).map(i => col(s"dp$i")): _*))
+      .drop((1 to 13).map(i => s"dp$i"): _*)
+      .withColumn("cur", lit(1)).withColumn("enc", lit(""))
+      .withColumn("np", lit(0L))
+    def dpAt(idx: Column) = try_element_at(col("dparr"), idx)
+    for (_ <- 1 to 8) {
+      val rem = L - col("cur") + 1
+      def piece(ln: Int) = col("w").substr(col("cur"), lit(ln))
+      def hits(ln: Int) = rem >= ln && dpAt(col("cur")) ===
+        sOf(piece(ln)) * 16 + dpAt(col("cur") + ln) - 1
+      val take = when(col("cur") > L, lit(null).cast("string"))
+        .when(hits(4), piece(4))
+        .when(hits(3), piece(3))
+        .when(hits(2), piece(2))
+        .otherwise(piece(1))
+      df = df.withColumn("take", take)
+        .withColumn("enc", when(col("take").isNull, col("enc"))
+          .when(col("enc") === "", col("take"))
+          .otherwise(concat(col("enc"), lit("|"), col("take"))))
+        .withColumn("np",
+          col("np") + when(col("take").isNull, 0L).otherwise(1L))
+        .withColumn("cur", when(col("take").isNull, col("cur"))
+          .otherwise(col("cur") + length(col("take"))))
+        .drop("take")
+    }
+    df.select(col("w"), col("wfreq"),
+        expr("(try_element_at(dparr, 1) - (15 - np)) DIV 16")
+          .cast("long").as("score"),
+        col("np").cast("long").as("n_pieces"), col("enc").as("pieces"))
+      .orderBy("w")
+  }
+
   /** END-TO-END CURATION PIPELINE — the round-8 capstone composition a
     * real pre-training data team runs as ONE job: Gopher rule filter
     * (text_gopher's keep law) → exact dedup (keep-lowest-id per text,
@@ -1455,6 +1550,65 @@ object Pipeline {
       .orderBy("dim")
   }
 
+  /** DECISION STUMP under 0-1 loss — the AdaBoost/GBDT round-1 weak
+    * learner (Freund & Schapire '97) over the embeddings table: per
+    * dimension, the threshold split of y = [label ≥ 5] minimizing
+    * misclassifications on a FIXED 16-bucket grid over the 1e-6
+    * quantized value domain (the histogram trick XGBoost/LightGBM use
+    * per feature per round). The canonical distributed tree-training
+    * shape: the only data-scale pass is ONE posexplode → per-(dim,
+    * bucket) (Σy, count) histogram that partial-aggregates MAP-SIDE
+    * into ≤ 64×16 = 1024 groups per input partition, so the shuffle
+    * moves O(grid × partitions) rows at ANY SF; everything downstream
+    * (dense-grid join so empty buckets still anchor the canonical
+    * tie-break, per-dim prefix windows, argmax) runs on the fixed
+    * 1024-row histogram — grid-sized, never data-sized. Exactness:
+    * 0-1 loss keeps the whole argmax in integer counts (no impurity
+    * ratios to divide), each leaf votes its majority class via
+    * greatest(), and the (correct DESC, split ASC) tie-break over the
+    * DENSE grid is a total order — both engines pick the identical
+    * split even on plateaus. Output: per dim the best split and its
+    * four leaf counts, 64 BIGINT rows. */
+  private def mlStump: Q = (s, d) => {
+    val dim = 64
+    val buckets = 16
+    val hist = t(s, d, "embeddings")
+      .select(
+        when(col("label") >= 5, 1L).otherwise(0L).as("y"),
+        posexplode(transform(col("embedding"),
+          e => floor(e.cast("double") * 1e6 + lit(0.5)).cast("long")))
+          .as(Seq("j", "q")))
+      .select(col("j").cast("long").as("j"),
+        expr("(q + 1000000L) DIV 125000").as("b"), col("y"))
+      .groupBy("j", "b")
+      .agg(sum("y").as("pos"), count(lit(1)).as("tot"))
+    val grid = s.range(dim).select(col("id").as("j"))
+      .crossJoin(s.range(buckets).select(col("id").as("b")))
+    val dense = grid.join(hist, Seq("j", "b"), "left")
+      .select(col("j"), col("b"),
+        coalesce(col("pos"), lit(0L)).as("pos"),
+        coalesce(col("tot"), lit(0L)).as("tot"))
+    val byJ = Window.partitionBy("j")
+    val pre = Window.partitionBy("j").orderBy("b")
+    val negL = col("tot_l") - col("pos_l")
+    val posR = col("n_pos") - col("pos_l")
+    val negR = col("n_tot") - col("n_pos") - negL
+    val scored = dense
+      .withColumn("pos_l", sum("pos").over(pre))
+      .withColumn("tot_l", sum("tot").over(pre))
+      .withColumn("n_pos", sum("pos").over(byJ))
+      .withColumn("n_tot", sum("tot").over(byJ))
+      .where(col("b") <= buckets - 2)
+      .select(col("j").as("dim"), col("b").as("split"),
+        col("pos_l"), negL.as("neg_l"), posR.as("pos_r"), negR.as("neg_r"),
+        (greatest(col("pos_l"), negL) + greatest(posR, negR)).as("correct"))
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy("dim")
+        .orderBy(col("correct").desc, col("split"))))
+      .where(col("rn") === 1).drop("rn")
+      .orderBy("dim")
+  }
+
   /** Weighted sampling WITHOUT replacement by sequential Poisson
     * sampling (Ohlsson '98): priority = u/w with u a 52-bit md5 uniform
     * and w the row weight (order value in cents); the k smallest
@@ -1685,6 +1839,7 @@ object Pipeline {
     "ml_knn" -> mlKnn,
     "ml_naive_bayes" -> mlNaiveBayes,
     "ml_perceptron" -> mlPerceptron,
+    "ml_stump" -> mlStump,
     "ml_dbscan" -> mlDbscan,
     "sample_weighted" -> sampleWeighted,
     "sample_bootstrap" -> sampleBootstrap,
@@ -1708,6 +1863,7 @@ object Pipeline {
     "sample_dsir" -> sampleDsir,
     "sample_kcenter" -> sampleKcenter,
     "tok_wordpiece" -> tokWordpiece,
+    "tok_unigram" -> tokUnigram,
     "pipeline_curate" -> pipelineCurate,
     "pack_sequences" -> packSequences,
     "pack_ffd" -> packFfd,
@@ -1905,6 +2061,51 @@ object Pipeline {
                 CAST(w3.w AS BIGINT) AS w_r3
          FROM w1 JOIN w2 ON w1.i = w2.i JOIN w3 ON w1.i = w3.i
          ORDER BY dim""",
+    // Same 1e-6 grid, same 16 fixed buckets, same dense-grid prefix
+    // sums and the identical (correct DESC, split ASC) tie-break.
+    "ml_stump" ->
+      """WITH v AS MATERIALIZED (
+           SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+                  CAST(i - 1 AS BIGINT) AS j,
+                  (CAST(floor(e*1e6+0.5) AS BIGINT) + 1000000) // 125000
+                    AS b
+           FROM (SELECT label, unnest(embedding) AS e,
+                        generate_subscripts(embedding, 1) AS i
+                 FROM embeddings)),
+         grid AS (SELECT j.j, b.b
+                  FROM (SELECT unnest(range(0, 64)) AS j) j,
+                       (SELECT unnest(range(0, 16)) AS b) b),
+         h AS (SELECT g.j, g.b,
+                      coalesce(sum(v.y), 0)::BIGINT AS pos,
+                      count(v.y)::BIGINT AS tot
+               FROM grid g LEFT JOIN v ON v.j = g.j AND v.b = g.b
+               GROUP BY 1, 2),
+         p AS (SELECT j, b,
+                      sum(pos) OVER (PARTITION BY j ORDER BY b) AS pos_l,
+                      sum(tot) OVER (PARTITION BY j ORDER BY b) AS tot_l,
+                      sum(pos) OVER (PARTITION BY j) AS n_pos,
+                      sum(tot) OVER (PARTITION BY j) AS n_tot
+               FROM h),
+         c AS (SELECT j AS dim, b AS split,
+                      pos_l, tot_l - pos_l AS neg_l,
+                      n_pos - pos_l AS pos_r,
+                      (n_tot - n_pos) - (tot_l - pos_l) AS neg_r
+               FROM p WHERE b <= 14),
+         r AS (SELECT dim, split, pos_l, neg_l, pos_r, neg_r,
+                      greatest(pos_l, neg_l) + greatest(pos_r, neg_r)
+                        AS correct,
+                      row_number() OVER (PARTITION BY dim
+                        ORDER BY greatest(pos_l, neg_l)
+                          + greatest(pos_r, neg_r) DESC, split) AS rn
+               FROM c)
+         SELECT CAST(dim AS BIGINT) AS dim,
+                CAST(split AS BIGINT) AS split,
+                CAST(pos_l AS BIGINT) AS pos_l,
+                CAST(neg_l AS BIGINT) AS neg_l,
+                CAST(pos_r AS BIGINT) AS pos_r,
+                CAST(neg_r AS BIGINT) AS neg_r,
+                CAST(correct AS BIGINT) AS correct
+         FROM r WHERE rn = 1 ORDER BY dim""",
     // Same exact integer counts (c, n, V, priors), same one-division-
     // per-ln chains, same 1e-6 grid on the per-doc sums, same fixed
     // language-precedence argmax over the ROUNDED scores.
@@ -2424,6 +2625,85 @@ object Pipeline {
       }.mkString(",\n")
       s"$head,\n$loops\n SELECT w, wfreq, np::BIGINT AS n_pieces, " +
         "enc AS pieces FROM e8 ORDER BY w"
+    },
+    // Identical corpus-derived scored vocabulary (alphabet + top-48 by
+    // mass), identical packed (score·16 + 15 − np) suffix DP over 13
+    // padded positions, identical longest-first plateau reconstruction.
+    "tok_unigram" -> {
+      val sent = "-10000000"
+      def sOf(sub: String) = s"coalesce(sm[$sub][1], -1000000)"
+      def dpDef(k: Int) = {
+        val cands = (1 to 4).map { ln =>
+          s"CASE WHEN $k + $ln <= L + 1 THEN " +
+            sOf(s"substr(w,$k,$ln)") + s"*16 + dp${k + ln} - 1 " +
+            s"ELSE $sent END"
+        }.mkString(", ")
+        s"CASE WHEN $k = L + 1 THEN 15 WHEN $k <= L " +
+          s"THEN greatest($cands) ELSE $sent END AS dp$k"
+      }
+      val dps = (Seq(s"$sent AS dp13", s"$sent AS dp12",
+        s"$sent AS dp11", s"$sent AS dp10",
+        s"CASE WHEN L = 8 THEN 15 ELSE $sent END AS dp9") ++
+        (8 to 1 by -1).map(dpDef)).mkString(",\n  ")
+      val loops = (1 to 8).map { r =>
+        val conds = Seq(4, 3, 2).map { ln =>
+          s"WHEN L-cur+1 >= $ln AND dparr[cur] = " +
+            sOf(s"substr(w,cur,$ln)") +
+            s"*16 + dparr[cur+$ln] - 1 THEN substr(w,cur,$ln)"
+        }.mkString("\n ")
+        s"""s$r AS (SELECT w, wfreq, L, sm, dparr, cur, enc, np,
+              CASE WHEN cur > L THEN NULL
+              $conds
+              ELSE substr(w,cur,1) END AS take FROM e${r - 1}),
+            e$r AS (SELECT w, wfreq, L, sm, dparr,
+              CASE WHEN take IS NULL THEN cur
+                   ELSE cur + length(take) END AS cur,
+              CASE WHEN take IS NULL THEN enc WHEN enc = '' THEN take
+                   ELSE enc || '|' || take END AS enc,
+              np + CASE WHEN take IS NULL THEN 0 ELSE 1 END AS np
+              FROM s$r)"""
+      }.mkString(",\n")
+      s"""WITH words AS MATERIALIZED (
+           SELECT w, count(*)::BIGINT AS wfreq FROM
+           (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY w),
+         occ1 AS MATERIALIZED (
+           SELECT p, sum(wfreq)::BIGINT AS pfreq FROM (
+             SELECT wfreq, unnest(list_transform(range(1, length(w)+1),
+               i -> substr(w, i::INT, 1))) AS p FROM words) GROUP BY p),
+         occm AS MATERIALIZED (
+           SELECT p, sum(wfreq)::BIGINT AS pfreq FROM (
+             SELECT wfreq, unnest(list_transform(
+               range(1, greatest(length(w)-1,0)+1),
+               i -> substr(w, i::INT, 2))) AS p FROM words
+             UNION ALL
+             SELECT wfreq, unnest(list_transform(
+               range(1, greatest(length(w)-2,0)+1),
+               i -> substr(w, i::INT, 3))) AS p FROM words
+             UNION ALL
+             SELECT wfreq, unnest(list_transform(
+               range(1, greatest(length(w)-3,0)+1),
+               i -> substr(w, i::INT, 4))) AS p FROM words) GROUP BY p),
+         vocab AS MATERIALIZED (
+           SELECT p, length(pfreq::VARCHAR)::BIGINT - 20 AS sc FROM occ1
+           UNION ALL
+           SELECT p, length(pfreq::VARCHAR)::BIGINT - 20 AS sc FROM
+             (SELECT p, pfreq FROM occm ORDER BY pfreq DESC, p LIMIT 48)),
+         m AS (SELECT map(list(p ORDER BY p), list(sc ORDER BY p)) AS sm
+               FROM vocab),
+         d AS (SELECT w, wfreq, length(w) AS L, sm,
+           $dps
+           FROM words, m),
+         arr AS (SELECT w, wfreq, L, sm,
+           [dp1,dp2,dp3,dp4,dp5,dp6,dp7,dp8,dp9,dp10,dp11,dp12,dp13]
+             AS dparr FROM d),
+         e0 AS (SELECT w, wfreq, L, sm, dparr, 1 AS cur, '' AS enc,
+                0 AS np FROM arr),
+         $loops
+         SELECT w, wfreq,
+           CAST((dparr[1] - (15 - np)) // 16 AS BIGINT) AS score,
+           CAST(np AS BIGINT) AS n_pieces, enc AS pieces
+         FROM e8 ORDER BY w"""
     },
     // Identical unrolled 8 rounds, same integer micro-unit metric,
     // same (max min-dist, min vec_id) tie-break; radius narrowed back

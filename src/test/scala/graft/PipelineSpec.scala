@@ -593,6 +593,91 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.exists(_._2 != 0L))
   }
 
+  test("ml_stump matches a driver-side integer recompute of the histogram argmax") {
+    val got = run("ml_stump").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val raw = Tables.t(spark, sf, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (if (r.getInt(0) >= 5) 1L else 0L, r.getSeq[Float](1)
+        .map(e => math.floor(e.toDouble * 1e6 + 0.5).toLong).toArray))
+    val expect = (0 until 64).map { j =>
+      val hist = Array.fill(16)((0L, 0L))
+      raw.foreach { case (y, x) =>
+        val b = ((x(j) + 1000000L) / 125000L).toInt
+        hist(b) = (hist(b)._1 + y, hist(b)._2 + 1L)
+      }
+      val nPos = hist.map(_._1).sum
+      val nTot = hist.map(_._2).sum
+      var (pl, tl) = (0L, 0L)
+      val cands = (0 until 15).map { bkt =>
+        pl += hist(bkt)._1; tl += hist(bkt)._2
+        val nl = tl - pl; val pr = nPos - pl; val nr = (nTot - nPos) - nl
+        (-(math.max(pl, nl) + math.max(pr, nr)), bkt.toLong, pl, nl, pr, nr)
+      }
+      val c = cands.min
+      (j.toLong, c._2, c._3, c._4, c._5, c._6, -c._1)
+    }
+    assert(got.toSeq === expect)
+    // the stump must beat the majority-class baseline on some dim
+    // (otherwise every split is vacuous and the argmax untested)
+    val nTot = raw.length.toLong
+    val base = math.max(raw.count(_._1 == 1L).toLong,
+      raw.count(_._1 == 0L).toLong)
+    assert(got.map(_._7).max > base, s"no dim beats the $base/$nTot prior")
+  }
+
+  test("tok_unigram is the exhaustive segmentation optimum under the packed tie-break") {
+    val got = run("tok_unigram").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.nonEmpty)
+    // rebuild the scored vocabulary independently (alphabet + top-48
+    // multi-char by mass, digits(mass) − 20 — the operator's rule)
+    val words = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val mass = collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    words.foreach { case (w, f) =>
+      for (ln <- 1 to 4; i <- 0 to w.length - ln)
+        mass(w.substring(i, i + ln)) += f
+    }
+    val top48 = mass.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, m) => (-m, p) }.take(48).map(_._1).toSet
+    val score = mass.collect {
+      case (p, m) if p.length == 1 || top48(p) =>
+        p -> (m.toString.length.toLong - 20L)
+    }.toMap
+    // exhaustive: every composition of the word into scored pieces of
+    // length <= 4; optimum = lexicographic max of (sum, -pieces)
+    def best(w: String): (Long, Long) = {
+      def rec(i: Int): Seq[(Long, Long)] =
+        if (i == w.length) Seq((0L, 0L))
+        else for {
+          ln <- 1 to math.min(4, w.length - i)
+          sc <- score.get(w.substring(i, i + ln)).toSeq
+          (rs, rn) <- rec(i + ln)
+        } yield (sc + rs, rn + 1L)
+      val cands = rec(0)
+      cands.maxBy { case (sc, np) => (sc, -np) }
+    }
+    got.foreach { case (w, f, sc, np, enc) =>
+      assert(f === words(w), s"$w freq")
+      assert((sc, np) === best(w), s"$w optimum")
+      // the reported segmentation realizes exactly that optimum
+      val pieces = enc.split('|')
+      assert(pieces.mkString === w, s"$w pieces concat")
+      assert(pieces.length.toLong === np, s"$w piece count")
+      assert(pieces.map(score).sum === sc, s"$w piece scores")
+    }
+    assert(got.map(_._1).toSet === words.keySet)
+    // at least one word must segment into a multi-char piece, or the
+    // vocabulary/DP interplay is vacuous
+    assert(got.exists(_._5.split('|').exists(_.length > 1)))
+  }
+
   test("ml_naive_bayes learns planted per-language vocabularies") {
     // Disjoint vocabularies per language: training on the even half
     // must classify every odd doc correctly — proving the model uses

@@ -430,6 +430,24 @@ class PlanSpec extends AnyFunSuite {
     assert("Window \\[".r.findAllIn(p).size === 1, p)
   }
 
+  test("ml_stump histograms map-side: no exchange between the explode and the partial agg") {
+    val p = planOf("ml_stump")
+    // plan prints top-down (root first): final agg … Exchange …
+    // partial agg … Generate (posexplode) … scan. The pin: the
+    // per-(dim, bucket) histogram partial-aggregates BEFORE the
+    // shuffle, so the exchange moves <= 1024 groups per partition,
+    // never the 64×n exploded rows.
+    val iPartial = p.indexOf("partial_sum")
+    val iGen = p.indexOf("Generate")
+    assert(iPartial >= 0 && iGen >= 0, p)
+    assert(iPartial < iGen, p)
+    assert(!p.substring(iPartial, iGen).contains("Exchange"),
+      "exploded rows must partial-aggregate before any exchange: " + p)
+    // and every window runs above the aggregate (grid-sized input)
+    val iWin = p.indexOf("Window")
+    assert(iWin >= 0 && iWin < p.indexOf("HashAggregate"), p)
+  }
+
   test("ml_naive_bayes never broadcasts the unbounded vocabulary model") {
     // the model side (groupBy tok — one row per distinct corpus token,
     // Heaps-law unbounded) carries NO broadcast hint: only the 1-row
