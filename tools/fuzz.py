@@ -448,25 +448,117 @@ class Gen:
                 f'count({p}) AS n_matched, {aggs}\n'
                 f'FROM {from_clause}{extra}\nGROUP BY 1')
 
+    def q_rollup(self):
+        """GROUP BY ROLLUP/CUBE — Spark's Expand operator, which no
+        other shape reaches. Rollup NULLs land in group keys; the
+        multiset compare handles them (no ORDER BY+LIMIT here), and a
+        CAST(grouping(k) AS BIGINT) flag disambiguates a rollup NULL
+        from a data NULL (the generated data has none, but the flag
+        also pins the two engines' grouping-id semantics).
+
+        Divergence class found by seed 10 and neutralized here: over
+        EMPTY input (a WHERE that matches nothing) DuckDB follows the
+        standard and still emits the grand-total grouping set as one
+        row (count 0, aggregates NULL) while Spark's Expand-based
+        grouping sets emit zero rows. `HAVING count(*) > 0` is a
+        provable no-op on non-empty input (every grouping-set row
+        covers >= 1 source row) and removes exactly the empty-input
+        grand-total row, so the shared text stays portable."""
+        t = self.pick(list(T))
+        cols = T[t]
+        keys, seen = [], set()
+        for i in range(2):
+            e, a = self.group_key(cols, i)
+            if a in seen:
+                continue
+            seen.add(a)
+            keys.append((e, a))
+        sel_keys = ', '.join(f'{e} AS {a}' if e != a else e
+                             for e, a in keys)
+        flags = ', '.join(f'CAST(grouping({e}) AS BIGINT) AS gf{i}'
+                          for i, (e, _) in enumerate(keys))
+        aggs = ', '.join(self.agg_list(cols))
+        where = f'\nWHERE {self.pred(cols)}' if self.r.random() < 0.7 else ''
+        op = self.pick(['ROLLUP', 'CUBE'])
+        gb = ', '.join(e for e, _ in keys)
+        return (f'SELECT {sel_keys}, {flags}, {aggs}\nFROM {t}{where}\n'
+                f'GROUP BY {op} ({gb})\nHAVING count(*) > 0')
+
+    def q_cte(self):
+        """WITH pipeline: an aggregate CTE consumed by an outer
+        filter+order or re-aggregation — CTE resolution plus
+        agg-over-agg, which no single-block shape produces."""
+        t = self.pick(list(T))
+        inner = self.q_agg(t=t)
+        if '\nHAVING' in inner:
+            inner = inner[:inner.index('\nHAVING')]
+        # inner output aliases: group keys then cnt then a0..; recover
+        # them from the SELECT list text
+        sel = inner.split('\nFROM')[0][len('SELECT '):]
+        outs = []
+        depth = 0
+        cur = ''
+        for ch in sel + ',':
+            if ch == ',' and depth == 0:
+                e = cur.strip()
+                outs.append(e.split(' AS ')[-1].strip() if ' AS ' in e
+                            else e)
+                cur = ''
+            else:
+                depth += (ch == '(') - (ch == ')')
+                cur += ch
+        if self.r.random() < 0.5:
+            order = ', '.join(
+                a + (' DESC' if self.r.random() < 0.3 else '')
+                for a in self.r.sample(outs, len(outs)))
+            outer = (f'SELECT * FROM v WHERE cnt > {self.r.randint(1, 4)}\n'
+                     f'ORDER BY {order}\nLIMIT {self.r.randint(10, 100)}')
+        else:
+            outer = (f'SELECT count(*) AS n_groups, '
+                     f'CAST(sum(cnt) AS BIGINT) AS total, '
+                     f'min(cnt) AS lo, max(cnt) AS hi FROM v '
+                     f'WHERE cnt >= {self.r.randint(1, 3)}')
+        return f'WITH v AS (\n{inner}\n)\n{outer}'
+
+    def q_distinct(self):
+        """SELECT DISTINCT over low-cardinality columns — the
+        dedup-projection path (Spark HashAggregate w/o agg exprs)."""
+        t = self.pick(list(T))
+        cols = [(c, k) for c, k in T[t]
+                if k in ('str', 'int', 'ts')]
+        if len(cols) < 2:
+            cols = [(c, k) for c, k in T[t] if k != 'double']
+        n = min(len(cols), self.r.randint(1, 3))
+        picked = self.r.sample(cols, n)
+        sel = ', '.join(c for c, _ in picked)
+        where = f'\nWHERE {self.pred(T[t])}' if self.r.random() < 0.7 else ''
+        return f'SELECT DISTINCT {sel}\nFROM {t}{where}'
+
     def query(self):
         roll = self.r.random()
-        if roll < 0.18:
+        if roll < 0.15:
             return self.q_simple(), 'simple'
-        if roll < 0.40:
+        if roll < 0.33:
             return self.q_agg(), 'agg'
-        if roll < 0.58:
+        if roll < 0.48:
             return self.q_join(2), 'join2'
-        if roll < 0.66:
+        if roll < 0.55:
             return self.q_join(3), 'join3'
-        if roll < 0.76:
+        if roll < 0.64:
             return self.q_window(), 'window'
-        if roll < 0.86:
+        if roll < 0.73:
             return self.q_subq(), 'subq'
-        if roll < 0.91:
+        if roll < 0.78:
             return self.q_setop(), 'setop'
-        if roll < 0.97:
+        if roll < 0.83:
             return self.q_leftnull(), 'leftnull'
-        return self.q_fullagg(), 'fullagg'
+        if roll < 0.86:
+            return self.q_fullagg(), 'fullagg'
+        if roll < 0.92:
+            return self.q_rollup(), 'rollup'
+        if roll < 0.97:
+            return self.q_cte(), 'cte'
+        return self.q_distinct(), 'distinct'
 
 
 # ------------------------------------------------------------- compare
