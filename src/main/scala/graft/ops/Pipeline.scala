@@ -1609,6 +1609,173 @@ object Pipeline {
       .orderBy("dim")
   }
 
+  /** DEPTH-2 DECISION TREE under 0-1 loss — [[mlStump]] grown one
+    * level, i.e. the actual per-round structure of a GBDT/random-forest
+    * trainer (histogram root split, then per-leaf conditional
+    * histograms; Chen & Guestrin '16 §3.3). Level 1 is the stump
+    * histogram with a GLOBAL argmax — tie-break (correct DESC, dim ASC,
+    * split ASC) over the dense grid is a total order, so the root is
+    * engine-invariant; the winning (dim, split) row collects to the
+    * driver (ONE row — control-plane, the kmeans-centroid discipline).
+    * Level 2 re-scans with the root as a LITERAL: each row computes its
+    * own leaf from embedding[rootDim] (no join back to a leaf table —
+    * the oracle DOES route through a vec_id join, making the two sides
+    * algorithmically independent) and feeds a (node, dim, bucket)
+    * histogram that partial-aggregates map-side into ≤ 2×64×16 = 2048
+    * groups per input partition. Both passes therefore shuffle
+    * O(grid × partitions) rows at ANY SF — data is touched exactly
+    * twice, always behind a map-side combine; every argmax/prefix
+    * window runs on the fixed grid, never on data. An EMPTY leaf stays
+    * deterministic: the dense grid anchors all-zero counts and the
+    * tie-break selects (dim 0, split 0) in both engines. Output: 3
+    * BIGINT rows — node 0 (root), 1 (left, bucket ≤ split),
+    * 2 (right). */
+  /** Shared histogram-stump machinery ([[mlDt2]], [[mlBoost]]): score
+    * every (…, split) of a dense-gridded (…, b) → (pos, tot) count
+    * histogram. Always runs on grid-sized input (≤ |nodeGrid| rows) —
+    * the data-sized work is the caller's map-side histogram. */
+  private def stumpSplits(h: DataFrame, nodeGrid: DataFrame,
+      part: Seq[String]): DataFrame = {
+    val dense = nodeGrid.join(h, part :+ "b", "left")
+      .select((part :+ "b").map(col) :+
+        coalesce(col("pos"), lit(0L)).as("pos") :+
+        coalesce(col("tot"), lit(0L)).as("tot"): _*)
+    val byK = Window.partitionBy(part.map(col): _*)
+    val pre = byK.orderBy("b")
+    val negL = col("tot_l") - col("pos_l")
+    dense
+      .withColumn("pos_l", sum("pos").over(pre))
+      .withColumn("tot_l", sum("tot").over(pre))
+      .withColumn("n_pos", sum("pos").over(byK))
+      .withColumn("n_tot", sum("tot").over(byK))
+      .where(col("b") <= 14)
+      .select(part.map(col) :+ col("b").as("split") :+
+        col("pos_l") :+ negL.as("neg_l") :+
+        (col("n_pos") - col("pos_l")).as("pos_r") :+
+        (col("n_tot") - col("n_pos") - negL).as("neg_r") :+
+        (greatest(col("pos_l"), negL) +
+          greatest(col("n_pos") - col("pos_l"),
+            col("n_tot") - col("n_pos") - negL)).as("correct"): _*)
+  }
+
+  /** 1e-6 quantized bucket of embedding dim `j` (0-based), as the SQL
+    * text both second-pass scans inline against the collected round-1
+    * literal. */
+  private def bucketSql(j: Long): String =
+    s"(CAST(floor(embedding[$j] * 1e6 + 0.5) AS LONG) + 1000000L)" +
+      " DIV 125000"
+
+  private def mlDt2: Q = (s, d) => {
+    val dim = 64
+    val buckets = 16
+    def hist(base: DataFrame, keys: Seq[String]): DataFrame =
+      base.groupBy(keys.map(col): _*)
+        .agg(sum("y").as("pos"), count(lit(1)).as("tot"))
+    def scoreSplits(h: DataFrame, nodeGrid: DataFrame,
+        part: Seq[String]): DataFrame = stumpSplits(h, nodeGrid, part)
+    val q = (e: Column) =>
+      floor(e.cast("double") * 1e6 + lit(0.5)).cast("long")
+    val base1 = t(s, d, "embeddings")
+      .select(when(col("label") >= 5, 1L).otherwise(0L).as("y"),
+        posexplode(transform(col("embedding"), q)).as(Seq("j0", "qv")))
+      .select(col("y"), col("j0").cast("long").as("j"),
+        expr("(qv + 1000000L) DIV 125000").as("b"))
+    val grid = s.range(dim).select(col("id").as("j"))
+      .crossJoin(s.range(buckets).select(col("id").as("b")))
+    val rootRow = scoreSplits(hist(base1, Seq("j", "b")), grid, Seq("j"))
+      .orderBy(col("correct").desc, col("j"), col("split"))
+      .limit(1).collect().head
+    val (rj, rs) = (rootRow.getLong(0), rootRow.getLong(1))
+    val base2 = t(s, d, "embeddings")
+      .select(when(col("label") >= 5, 1L).otherwise(0L).as("y"),
+        when(expr(bucketSql(rj)) <= rs, 1L).otherwise(2L).as("node"),
+        posexplode(transform(col("embedding"), q)).as(Seq("j0", "qv")))
+      .select(col("node"), col("y"), col("j0").cast("long").as("j"),
+        expr("(qv + 1000000L) DIV 125000").as("b"))
+    val grid2 = s.range(2).select((col("id") + 1).as("node"))
+      .crossJoin(grid)
+    val leaves = scoreSplits(hist(base2, Seq("node", "j", "b")), grid2,
+        Seq("node", "j"))
+      .withColumn("rn", row_number().over(Window.partitionBy("node")
+        .orderBy(col("correct").desc, col("j"), col("split"))))
+      .where(col("rn") === 1)
+      .select(col("node"), col("j").as("dim"), col("split"),
+        col("pos_l"), col("neg_l"), col("pos_r"), col("neg_r"),
+        col("correct"))
+    val root = s.createDataFrame(Seq((0L, rj, rs, rootRow.getLong(2),
+        rootRow.getLong(3), rootRow.getLong(4), rootRow.getLong(5),
+        rootRow.getLong(6))))
+      .toDF("node", "dim", "split", "pos_l", "neg_l", "pos_r", "neg_r",
+        "correct")
+    root.unionByName(leaves).orderBy("node")
+  }
+
+  /** TWO-ROUND BOOSTING over histogram stumps — the AdaBoost loop
+    * structure (Freund & Schapire '97) with a DETERMINISTIC INTEGER
+    * reweighting: round 1 fits [[mlStump]]'s global best stump; rows it
+    * misclassifies get weight 3 (everyone else 1 — a fixed-factor
+    * surrogate for exp(2α), chosen integer so both engines' weighted
+    * histograms stay in exact BIGINT arithmetic, no exp/ln anywhere);
+    * round 2 re-fits the best stump under those weights (weighted
+    * counts wpos = Σw·y, wtot = Σw — same dense grid, same total-order
+    * (correct DESC, dim ASC, split ASC) tie-break). Round 2 may
+    * legitimately RE-PICK round 1's split when no other dim wins on the
+    * reweighted mass (observed at the gate SF) — the weighted counts
+    * prove the reweighting is live either way. Scale shape: round 1's
+    * winning row (plus its leaf majorities) collects to the driver
+    * (ONE row — control-plane), round 2 re-scans computing each row's
+    * weight from the root LITERAL (prediction = collected leaf
+    * majority), and both scans partial-aggregate MAP-SIDE into ≤ 1024
+    * groups per partition — the classic "T passes over the data, grid-
+    * sized state" boosting layout, no per-row weight table ever
+    * materialized or joined. Output: 2 BIGINT rows (round 1 = the
+    * plain stump, round 2 = the weighted re-fit). */
+  private def mlBoost: Q = (s, d) => {
+    val dim = 64
+    val buckets = 16
+    val q = (e: Column) =>
+      floor(e.cast("double") * 1e6 + lit(0.5)).cast("long")
+    val base1 = t(s, d, "embeddings")
+      .select(when(col("label") >= 5, 1L).otherwise(0L).as("y"),
+        posexplode(transform(col("embedding"), q)).as(Seq("j0", "qv")))
+      .select(col("y"), col("j0").cast("long").as("j"),
+        expr("(qv + 1000000L) DIV 125000").as("b"))
+    val grid = s.range(dim).select(col("id").as("j"))
+      .crossJoin(s.range(buckets).select(col("id").as("b")))
+    val h1 = base1.groupBy("j", "b")
+      .agg(sum("y").as("pos"), count(lit(1)).as("tot"))
+    val r1 = stumpSplits(h1, grid, Seq("j"))
+      .orderBy(col("correct").desc, col("j"), col("split"))
+      .limit(1).collect().head
+    val (rj, rs) = (r1.getLong(0), r1.getLong(1))
+    val (pl, nl, pr, nr) = (r1.getLong(2), r1.getLong(3),
+      r1.getLong(4), r1.getLong(5))
+    val predL = if (pl > nl) 1L else 0L
+    val predR = if (pr > nr) 1L else 0L
+    val base2 = t(s, d, "embeddings")
+      .select(when(col("label") >= 5, 1L).otherwise(0L).as("y"),
+        when(when(expr(bucketSql(rj)) <= rs, predL).otherwise(predR) =!=
+          when(col("label") >= 5, 1L).otherwise(0L), 3L).otherwise(1L)
+          .as("w"),
+        posexplode(transform(col("embedding"), q)).as(Seq("j0", "qv")))
+      .select(col("y"), col("w"), col("j0").cast("long").as("j"),
+        expr("(qv + 1000000L) DIV 125000").as("b"))
+    val h2 = base2.groupBy("j", "b")
+      .agg(sum(col("w") * col("y")).as("pos"), sum("w").as("tot"))
+    val r2 = stumpSplits(h2, grid, Seq("j"))
+      .orderBy(col("correct").desc, col("j"), col("split"))
+      .limit(1)
+      .select(lit(2L).as("round"), col("j").as("dim"), col("split"),
+        col("pos_l").as("wpos_l"), col("neg_l").as("wneg_l"),
+        col("pos_r").as("wpos_r"), col("neg_r").as("wneg_r"),
+        col("correct").as("wcorrect"))
+    val round1 = s.createDataFrame(Seq((1L, rj, rs, pl, nl, pr, nr,
+        r1.getLong(6))))
+      .toDF("round", "dim", "split", "wpos_l", "wneg_l", "wpos_r",
+        "wneg_r", "wcorrect")
+    round1.unionByName(r2).orderBy("round")
+  }
+
   /** Weighted sampling WITHOUT replacement by sequential Poisson
     * sampling (Ohlsson '98): priority = u/w with u a 52-bit md5 uniform
     * and w the row weight (order value in cents); the k smallest
@@ -1840,6 +2007,8 @@ object Pipeline {
     "ml_naive_bayes" -> mlNaiveBayes,
     "ml_perceptron" -> mlPerceptron,
     "ml_stump" -> mlStump,
+    "ml_dt2" -> mlDt2,
+    "ml_boost" -> mlBoost,
     "ml_dbscan" -> mlDbscan,
     "sample_weighted" -> sampleWeighted,
     "sample_bootstrap" -> sampleBootstrap,
@@ -2106,6 +2275,188 @@ object Pipeline {
                 CAST(neg_r AS BIGINT) AS neg_r,
                 CAST(correct AS BIGINT) AS correct
          FROM r WHERE rn = 1 ORDER BY dim""",
+    // Same grid/tie-break discipline as ml_stump, grown one level. The
+    // oracle routes level 2 through a vec_id JOIN to a leaf table while
+    // the engine recomputes each row's leaf from the collected root
+    // literal — independent algorithms for the same tree.
+    "ml_dt2" ->
+      """WITH v AS MATERIALIZED (
+           SELECT vec_id,
+                  CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+                  CAST(i - 1 AS BIGINT) AS j,
+                  (CAST(floor(e*1e6+0.5) AS BIGINT) + 1000000) // 125000
+                    AS b
+           FROM (SELECT vec_id, label, unnest(embedding) AS e,
+                        generate_subscripts(embedding, 1) AS i
+                 FROM embeddings)),
+         grid AS (SELECT j.j, b.b
+                  FROM (SELECT unnest(range(0, 64)) AS j) j,
+                       (SELECT unnest(range(0, 16)) AS b) b),
+         h AS (SELECT g.j, g.b,
+                      coalesce(sum(v.y), 0)::BIGINT AS pos,
+                      count(v.y)::BIGINT AS tot
+               FROM grid g LEFT JOIN v ON v.j = g.j AND v.b = g.b
+               GROUP BY 1, 2),
+         p AS (SELECT j, b,
+                      sum(pos) OVER (PARTITION BY j ORDER BY b) AS pos_l,
+                      sum(tot) OVER (PARTITION BY j ORDER BY b) AS tot_l,
+                      sum(pos) OVER (PARTITION BY j) AS n_pos,
+                      sum(tot) OVER (PARTITION BY j) AS n_tot
+               FROM h),
+         c AS (SELECT j AS dim, b AS split,
+                      pos_l, tot_l - pos_l AS neg_l,
+                      n_pos - pos_l AS pos_r,
+                      (n_tot - n_pos) - (tot_l - pos_l) AS neg_r
+               FROM p WHERE b <= 14),
+         root AS (SELECT dim, split, pos_l, neg_l, pos_r, neg_r,
+                         greatest(pos_l, neg_l) + greatest(pos_r, neg_r)
+                           AS correct
+                  FROM c
+                  ORDER BY greatest(pos_l, neg_l)
+                    + greatest(pos_r, neg_r) DESC, dim, split
+                  LIMIT 1),
+         lf AS (SELECT v.vec_id,
+                       CASE WHEN v.b <= root.split THEN 1 ELSE 2 END
+                         AS node
+                FROM v, root WHERE v.j = root.dim),
+         v2 AS (SELECT lf.node, v.y, v.j, v.b
+                FROM v JOIN lf USING (vec_id)),
+         grid2 AS (SELECT n.node, g.j, g.b
+                   FROM (SELECT unnest(range(1, 3)) AS node) n, grid g),
+         h2 AS (SELECT g.node, g.j, g.b,
+                       coalesce(sum(v2.y), 0)::BIGINT AS pos,
+                       count(v2.y)::BIGINT AS tot
+                FROM grid2 g LEFT JOIN v2
+                  ON v2.node = g.node AND v2.j = g.j AND v2.b = g.b
+                GROUP BY 1, 2, 3),
+         p2 AS (SELECT node, j, b,
+                       sum(pos) OVER (PARTITION BY node, j ORDER BY b)
+                         AS pos_l,
+                       sum(tot) OVER (PARTITION BY node, j ORDER BY b)
+                         AS tot_l,
+                       sum(pos) OVER (PARTITION BY node, j) AS n_pos,
+                       sum(tot) OVER (PARTITION BY node, j) AS n_tot
+                FROM h2),
+         c2 AS (SELECT node, j AS dim, b AS split,
+                       pos_l, tot_l - pos_l AS neg_l,
+                       n_pos - pos_l AS pos_r,
+                       (n_tot - n_pos) - (tot_l - pos_l) AS neg_r
+                FROM p2 WHERE b <= 14),
+         r2 AS (SELECT node, dim, split, pos_l, neg_l, pos_r, neg_r,
+                       greatest(pos_l, neg_l) + greatest(pos_r, neg_r)
+                         AS correct,
+                       row_number() OVER (PARTITION BY node
+                         ORDER BY greatest(pos_l, neg_l)
+                           + greatest(pos_r, neg_r) DESC, dim, split)
+                         AS rn
+                FROM c2)
+         SELECT CAST(0 AS BIGINT) AS node, CAST(dim AS BIGINT) AS dim,
+                CAST(split AS BIGINT) AS split,
+                CAST(pos_l AS BIGINT) AS pos_l,
+                CAST(neg_l AS BIGINT) AS neg_l,
+                CAST(pos_r AS BIGINT) AS pos_r,
+                CAST(neg_r AS BIGINT) AS neg_r,
+                CAST(correct AS BIGINT) AS correct
+         FROM root
+         UNION ALL
+         SELECT CAST(node AS BIGINT), CAST(dim AS BIGINT),
+                CAST(split AS BIGINT), CAST(pos_l AS BIGINT),
+                CAST(neg_l AS BIGINT), CAST(pos_r AS BIGINT),
+                CAST(neg_r AS BIGINT), CAST(correct AS BIGINT)
+         FROM r2 WHERE rn = 1
+         ORDER BY node""",
+    // Same grid, tie-break, and ×3 integer reweighting; the oracle
+    // derives per-vector weights through a vec_id JOIN to the root's
+    // leaf predictions while the engine recomputes them per row from
+    // collected literals — independent routes to the same weights.
+    "ml_boost" ->
+      """WITH v AS MATERIALIZED (
+           SELECT vec_id,
+                  CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+                  CAST(i - 1 AS BIGINT) AS j,
+                  (CAST(floor(e*1e6+0.5) AS BIGINT) + 1000000) // 125000
+                    AS b
+           FROM (SELECT vec_id, label, unnest(embedding) AS e,
+                        generate_subscripts(embedding, 1) AS i
+                 FROM embeddings)),
+         grid AS (SELECT j.j, b.b
+                  FROM (SELECT unnest(range(0, 64)) AS j) j,
+                       (SELECT unnest(range(0, 16)) AS b) b),
+         h AS (SELECT g.j, g.b,
+                      coalesce(sum(v.y), 0)::BIGINT AS pos,
+                      count(v.y)::BIGINT AS tot
+               FROM grid g LEFT JOIN v ON v.j = g.j AND v.b = g.b
+               GROUP BY 1, 2),
+         p AS (SELECT j, b,
+                      sum(pos) OVER (PARTITION BY j ORDER BY b) AS pos_l,
+                      sum(tot) OVER (PARTITION BY j ORDER BY b) AS tot_l,
+                      sum(pos) OVER (PARTITION BY j) AS n_pos,
+                      sum(tot) OVER (PARTITION BY j) AS n_tot
+               FROM h),
+         c AS (SELECT j AS dim, b AS split,
+                      pos_l, tot_l - pos_l AS neg_l,
+                      n_pos - pos_l AS pos_r,
+                      (n_tot - n_pos) - (tot_l - pos_l) AS neg_r
+               FROM p WHERE b <= 14),
+         root AS (SELECT dim, split, pos_l, neg_l, pos_r, neg_r,
+                         greatest(pos_l, neg_l) + greatest(pos_r, neg_r)
+                           AS correct,
+                         CASE WHEN pos_l > neg_l THEN 1 ELSE 0 END
+                           AS pred_l,
+                         CASE WHEN pos_r > neg_r THEN 1 ELSE 0 END
+                           AS pred_r
+                  FROM c
+                  ORDER BY greatest(pos_l, neg_l)
+                    + greatest(pos_r, neg_r) DESC, dim, split
+                  LIMIT 1),
+         wt AS (SELECT v.vec_id,
+                       CASE WHEN (CASE WHEN v.b <= root.split
+                                       THEN root.pred_l
+                                       ELSE root.pred_r END)
+                                 <> v.y THEN 3 ELSE 1 END AS w
+                FROM v, root WHERE v.j = root.dim),
+         v2 AS (SELECT v.y, v.j, v.b, wt.w
+                FROM v JOIN wt USING (vec_id)),
+         h2 AS (SELECT g.j, g.b,
+                       coalesce(sum(v2.w * v2.y), 0)::BIGINT AS pos,
+                       coalesce(sum(v2.w), 0)::BIGINT AS tot
+                FROM grid g LEFT JOIN v2 ON v2.j = g.j AND v2.b = g.b
+                GROUP BY 1, 2),
+         p2 AS (SELECT j, b,
+                       sum(pos) OVER (PARTITION BY j ORDER BY b)
+                         AS pos_l,
+                       sum(tot) OVER (PARTITION BY j ORDER BY b)
+                         AS tot_l,
+                       sum(pos) OVER (PARTITION BY j) AS n_pos,
+                       sum(tot) OVER (PARTITION BY j) AS n_tot
+                FROM h2),
+         c2 AS (SELECT j AS dim, b AS split,
+                       pos_l, tot_l - pos_l AS neg_l,
+                       n_pos - pos_l AS pos_r,
+                       (n_tot - n_pos) - (tot_l - pos_l) AS neg_r
+                FROM p2 WHERE b <= 14),
+         r2 AS (SELECT dim, split, pos_l, neg_l, pos_r, neg_r,
+                       greatest(pos_l, neg_l) + greatest(pos_r, neg_r)
+                         AS correct
+                FROM c2
+                ORDER BY greatest(pos_l, neg_l)
+                  + greatest(pos_r, neg_r) DESC, dim, split
+                LIMIT 1)
+         SELECT CAST(1 AS BIGINT) AS round, CAST(dim AS BIGINT) AS dim,
+                CAST(split AS BIGINT) AS split,
+                CAST(pos_l AS BIGINT) AS wpos_l,
+                CAST(neg_l AS BIGINT) AS wneg_l,
+                CAST(pos_r AS BIGINT) AS wpos_r,
+                CAST(neg_r AS BIGINT) AS wneg_r,
+                CAST(correct AS BIGINT) AS wcorrect
+         FROM root
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), CAST(dim AS BIGINT),
+                CAST(split AS BIGINT), CAST(pos_l AS BIGINT),
+                CAST(neg_l AS BIGINT), CAST(pos_r AS BIGINT),
+                CAST(neg_r AS BIGINT), CAST(correct AS BIGINT)
+         FROM r2
+         ORDER BY round""",
     // Same exact integer counts (c, n, V, priors), same one-division-
     // per-ln chains, same 1e-6 grid on the per-doc sums, same fixed
     // language-precedence argmax over the ROUNDED scores.

@@ -627,6 +627,102 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_._7).max > base, s"no dim beats the $base/$nTot prior")
   }
 
+  test("ml_dt2 matches a driver-side integer recompute of the depth-2 tree") {
+    val got = run("ml_dt2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val raw = Tables.t(spark, sf, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (if (r.getInt(0) >= 5) 1L else 0L, r.getSeq[Float](1)
+        .map(e => ((math.floor(e.toDouble * 1e6 + 0.5).toLong
+          + 1000000L) / 125000L).toInt).toArray))
+    // best (dim, split) over a row subset under the global tie-break
+    // (correct DESC, dim ASC, split ASC) — the operator's total order
+    def best(rows: Array[(Long, Array[Int])])
+        : (Long, Long, Long, Long, Long, Long, Long) = {
+      val cands = for (j <- 0 until 64) yield {
+        val hist = Array.fill(16)((0L, 0L))
+        rows.foreach { case (y, b) =>
+          hist(b(j)) = (hist(b(j))._1 + y, hist(b(j))._2 + 1L)
+        }
+        val nPos = hist.map(_._1).sum
+        val nTot = hist.map(_._2).sum
+        var (pl, tl) = (0L, 0L)
+        (0 until 15).map { sp =>
+          pl += hist(sp)._1; tl += hist(sp)._2
+          val nl = tl - pl; val pr = nPos - pl
+          val nr = (nTot - nPos) - nl
+          (-(math.max(pl, nl) + math.max(pr, nr)), j.toLong, sp.toLong,
+            pl, nl, pr, nr)
+        }.min
+      }
+      val c = cands.min
+      (c._2, c._3, c._4, c._5, c._6, c._7, -c._1)
+    }
+    val r0 = best(raw)
+    val expect = (0L, r0._1, r0._2, r0._3, r0._4, r0._5, r0._6, r0._7) +:
+      Seq(1L, 2L).map { node =>
+        val sub = raw.filter { case (_, b) =>
+          (b(r0._1.toInt) <= r0._2) == (node == 1L) }
+        val r = best(sub)
+        (node, r._1, r._2, r._3, r._4, r._5, r._6, r._7)
+      }
+    assert(got.toSeq === expect)
+    // provable law: each leaf's best stump is at least that leaf's
+    // majority class, so the depth-2 tree never scores below its root
+    assert(got(1)._8 + got(2)._8 >= got(0)._8,
+      s"leaves ${got(1)._8}+${got(2)._8} below root ${got(0)._8}")
+    assert(got(0)._8 > 0L)
+  }
+
+  test("ml_boost matches a driver-side integer recompute of the weighted re-fit") {
+    val got = run("ml_boost").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val raw = Tables.t(spark, sf, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (if (r.getInt(0) >= 5) 1L else 0L, r.getSeq[Float](1)
+        .map(e => ((math.floor(e.toDouble * 1e6 + 0.5).toLong
+          + 1000000L) / 125000L).toInt).toArray))
+    def best(rows: Array[((Long, Array[Int]), Long)])
+        : (Long, Long, Long, Long, Long, Long, Long) = {
+      val cands = for (j <- 0 until 64) yield {
+        val hist = Array.fill(16)((0L, 0L))
+        rows.foreach { case ((y, b), w) =>
+          hist(b(j)) = (hist(b(j))._1 + w * y, hist(b(j))._2 + w)
+        }
+        val nPos = hist.map(_._1).sum
+        val nTot = hist.map(_._2).sum
+        var (pl, tl) = (0L, 0L)
+        (0 until 15).map { sp =>
+          pl += hist(sp)._1; tl += hist(sp)._2
+          val nl = tl - pl; val pr = nPos - pl
+          val nr = (nTot - nPos) - nl
+          (-(math.max(pl, nl) + math.max(pr, nr)), j.toLong, sp.toLong,
+            pl, nl, pr, nr)
+        }.min
+      }
+      val c = cands.min
+      (c._2, c._3, c._4, c._5, c._6, c._7, -c._1)
+    }
+    val r1 = best(raw.map(_ -> 1L))
+    val predL = if (r1._3 > r1._4) 1L else 0L
+    val predR = if (r1._5 > r1._6) 1L else 0L
+    val r2 = best(raw.map { case v @ (y, b) =>
+      val pred = if (b(r1._1.toInt) <= r1._2) predL else predR
+      v -> (if (pred != y) 3L else 1L)
+    })
+    val expect = Seq(
+      (1L, r1._1, r1._2, r1._3, r1._4, r1._5, r1._6, r1._7),
+      (2L, r2._1, r2._2, r2._3, r2._4, r2._5, r2._6, r2._7))
+    assert(got.toSeq === expect)
+    // the ×3 reweighting must be LIVE: round 2's weighted total mass
+    // exceeds round 1's row count (some row was misclassified)
+    val m1 = got(0)._4 + got(0)._5 + got(0)._6 + got(0)._7
+    val m2 = got(1)._4 + got(1)._5 + got(1)._6 + got(1)._7
+    assert(m2 > m1, s"reweighting vacuous: mass $m2 <= $m1")
+  }
+
   test("tok_unigram is the exhaustive segmentation optimum under the packed tie-break") {
     val got = run("tok_unigram").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

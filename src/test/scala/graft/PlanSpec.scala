@@ -448,6 +448,41 @@ class PlanSpec extends AnyFunSuite {
     assert(iWin >= 0 && iWin < p.indexOf("HashAggregate"), p)
   }
 
+  test("ml_dt2 level-2 histogram partial-aggregates map-side, no data-sized window") {
+    // the registered plan is the LEVEL-2 pass (the root argmax already
+    // collected during construction): the (node, dim, bucket) histogram
+    // must partial-aggregate before its exchange — the shuffle moves
+    // <= 2048 groups per partition, never the 64×n exploded rows — and
+    // every window must sit ABOVE the aggregate (grid-sized input).
+    val p = planOf("ml_dt2")
+    val iPartial = p.indexOf("partial_sum")
+    val iGen = p.indexOf("Generate")
+    assert(iPartial >= 0 && iGen >= 0, p)
+    assert(iPartial < iGen, p)
+    assert(!p.substring(iPartial, iGen).contains("Exchange"),
+      "exploded rows must partial-aggregate before any exchange: " + p)
+    val iWin = p.indexOf("Window")
+    assert(iWin >= 0 && iWin < p.indexOf("HashAggregate"), p)
+  }
+
+  test("ml_boost round-2 weighted histogram partial-aggregates map-side") {
+    // registered plan = the round-2 weighted re-fit (round 1 collected
+    // during construction): sum(w·y)/sum(w) must partial-aggregate
+    // before the exchange, and no per-row weight table is joined — the
+    // weight is computed inline from the collected root literal, so
+    // the plan contains NO join below the aggregate (the only joins
+    // are the grid-sized dense-grid ones above it).
+    val p = planOf("ml_boost")
+    val iPartial = p.indexOf("partial_sum")
+    val iGen = p.indexOf("Generate")
+    assert(iPartial >= 0 && iGen >= 0, p)
+    assert(iPartial < iGen, p)
+    assert(!p.substring(iPartial, iGen).contains("Exchange"),
+      "exploded rows must partial-aggregate before any exchange: " + p)
+    assert(!p.substring(iGen).contains("Join"),
+      "no join may sit below the histogram (weights are inline): " + p)
+  }
+
   test("ml_naive_bayes never broadcasts the unbounded vocabulary model") {
     // the model side (groupBy tok — one row per distinct corpus token,
     // Heaps-law unbounded) carries NO broadcast hint: only the 1-row
