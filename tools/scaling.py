@@ -33,6 +33,12 @@ VARIANTS = {
     "sf10": [("0.1", "target/testdata/gen0.1"),
              ("1", "target/testdata/sf1"),
              ("10", "target/testdata/sf10")],
+    # third decade on PRODUCTION-SHAPED data: the closed-vocab shingle
+    # degeneracy saturates at sf10 (SCALING.md §4), so the shingle
+    # family's real third-decade evidence runs on the Zipf variant
+    "real10": [("0.1", "target/testdata/real0.1"),
+               ("1", "target/testdata/real1"),
+               ("10", "target/testdata/real10")],
 }
 SFS = VARIANTS["gen"]
 
