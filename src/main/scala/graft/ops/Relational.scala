@@ -2352,6 +2352,57 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** DTW — DYNAMIC TIME WARPING alignment distance (Sakoe & Chiba '78)
+    * of every user's periodic activity profile against a fixed incident
+    * TEMPLATE: the "find entities whose curve matches this shape" scan
+    * a monitoring/curation pipeline runs. Each user's profile is the
+    * 16-bin count histogram of (ts_us div slot) mod 16 — built by ONE
+    * groupBy with 16 codegen'd conditional sums (map-side partial, no
+    * arrays touch the shuffle) — and the full 16×16 DP runs INSIDE one
+    * projection as a nested `aggregate` higher-order expression (outer
+    * fold over template rows, inner fold builds each DP row; the
+    * INF=10¹⁵ boundary keeps every cell in exact BIGINT — costs are
+    * |count−template| so a path is ≤ 31·max-count, no overflow until
+    * ~3·10¹³ events per bin). Scale shape: work is O(users · 256)
+    * after one shuffle; the DP state never leaves its row; top-20 by
+    * (dtw, user) is orderBy+limit → per-partition bounded heaps. The
+    * oracle runs the IDENTICAL recurrence in DuckDB as 16 unrolled
+    * list_reduce CTEs (its list_reduce takes no init, so each row
+    * prepends a list-typed seed — the tok_unigram discipline); both
+    * engines walk the same integer lattice, exact-hash by
+    * construction. */
+  private def tsDtw: Q = (s, d) => {
+    val inf = 1000000000000000L
+    val tplSql = dtwTemplate.map(v => s"${v}L")
+      .mkString("array(", ", ", ")")
+    val initSql = (0L +: Seq.fill(16)(inf)).map(v => s"${v}L")
+      .mkString("array(", ", ", ")")
+    val binned = events(s, d).select(col("user_id"),
+      expr(s"(ts_us div $acfSlotUs) % 16").as("k"))
+    val ser = binned.groupBy("user_id")
+      .agg(array((0 until 16).map(x =>
+        sum(when(col("k") === x, 1L).otherwise(0L))): _*).as("a"))
+    val dtwExpr =
+      s"""element_at(aggregate(
+            sequence(1, 16),
+            $initSql,
+            (p, i) -> aggregate(
+              sequence(1, 16),
+              array(${inf}L),
+              (acc, j) -> concat(acc, array(
+                abs(element_at(a, i) - element_at($tplSql, j)) +
+                least(element_at(p, j), element_at(p, j + 1),
+                      element_at(acc, j)))))), 17)"""
+    ser.select(col("user_id"), expr(dtwExpr).as("dtw"))
+      .orderBy(col("dtw"), col("user_id"))
+      .limit(20)
+  }
+
+  /** The fixed 16-bin spike template [[tsDtw]] aligns against (shared
+    * with its oracle and spec). */
+  private[graft] val dtwTemplate: Seq[Long] =
+    Seq(0L, 0L, 1L, 2L, 4L, 8L, 4L, 2L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+
   /** Event-SEQUENCE pattern matching (the MATCH_RECOGNIZE gap in
     * Spark's surface, expressed with what the engine has): per user,
     * the event stream becomes a path STRING (one char per event in
@@ -2596,6 +2647,7 @@ object Relational {
     "sql_tpch_q20" -> sqlTpchQ20,
     "ts_acf" -> tsAcf,
     "ts_changepoint" -> tsChangepoint,
+    "ts_dtw" -> tsDtw,
     "ts_seasonal" -> tsSeasonal,
     "ts_forecast" -> tsForecast,
     "ts_ohlc" -> tsOhlc,
@@ -3434,6 +3486,36 @@ object Relational {
                                * (nk * stt - st * st)::DOUBLE)
                 END AS acf
          FROM a ORDER BY event_type, lag""",
+    // Identical 16×16 integer DTW lattice; DuckDB's list_reduce takes
+    // no init, so each unrolled row-step prepends a list-typed seed.
+    "ts_dtw" -> {
+      val inf = 1000000000000000L
+      val tpl = dtwTemplate.mkString("CAST([", ",", "] AS BIGINT[])")
+      val sums = (0 until 16).map(x =>
+        s"coalesce(sum(CASE WHEN k = $x THEN 1 END), 0)::BIGINT")
+        .mkString(",\n             ")
+      val init = (0L +: Seq.fill(16)(inf))
+        .mkString("CAST([", ",", "] AS BIGINT[])")
+      val steps = (1 to 16).map(i =>
+        s""",
+           r$i AS (SELECT user_id, a,
+             list_reduce(
+               [CAST([$inf] AS BIGINT[])] ||
+                 list_transform(range(1, 17), jj -> [CAST(jj AS BIGINT)]),
+               (acc, x) -> list_append(acc,
+                 abs(a[$i] - ($tpl)[x[1]]) +
+                 least(p[x[1]], p[x[1] + 1], acc[x[1]]))) AS p
+             FROM r${i - 1})""").mkString
+      s"""WITH b AS (SELECT user_id,
+                 (${duckTsUs("ts")} // $acfSlotUs) % 16 AS k
+               FROM events),
+           ser AS (SELECT user_id, [$sums] AS a FROM b GROUP BY user_id),
+           r0 AS (SELECT user_id, a, $init AS p FROM ser)$steps
+         SELECT user_id, CAST(p[17] AS BIGINT) AS dtw
+         FROM r16
+         ORDER BY dtw, user_id
+         LIMIT 20"""
+    },
     "ts_changepoint" ->
       s"""WITH ev AS (SELECT event_type,
                              ${duckTsUs("ts")} // 600000000 AS slot

@@ -448,6 +448,41 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_dtw: matches a driver-side DTW recompute over all users") {
+    val got = SparkEntry.queries("ts_dtw")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val tpl = ops.Relational.dtwTemplate.toArray
+    val inf = 1000000000000000L
+    val profiles = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.expr(
+          "(ts_us div 600000000) % 16").as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt))
+      .groupBy(_._1).map { case (u, ks) =>
+        val a = Array.fill(16)(0L)
+        ks.foreach { case (_, k) => a(k) += 1L }
+        u -> a
+      }
+    def dtw(a: Array[Long]): Long = {
+      var prev = 0L +: Array.fill(16)(inf)
+      for (i <- 1 to 16) {
+        val cur = Array.fill(17)(inf)
+        for (j <- 1 to 16)
+          cur(j) = math.abs(a(i - 1) - tpl(j - 1)) +
+            math.min(math.min(prev(j - 1), prev(j)), cur(j - 1))
+        prev = cur
+      }
+      prev(16)
+    }
+    val expect = profiles.toSeq.map { case (u, a) => (dtw(a), u) }
+      .sorted.take(20).map { case (dv, u) => (u, dv) }
+    assert(got.toSeq === expect)
+    // non-vacuous: distances must spread (a constant column would mean
+    // the DP degenerated) and every distance is non-negative
+    assert(got.map(_._2).distinct.length > 1)
+    assert(got.forall(_._2 >= 0L))
+  }
+
   test("ts_changepoint: reported |S| is the series max; total CUSUM is zero") {
     val series = slotSeries()
     val rows = SparkEntry.queries("ts_changepoint")(spark, sf)
