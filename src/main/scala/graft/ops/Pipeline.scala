@@ -2001,7 +2001,84 @@ object Pipeline {
       .orderBy(col("true_cnt").desc, col("l_partkey"))
   }
 
+  /** THETA/KMV SKETCH SET OPERATIONS (Beyer et al. '07; the Theta
+    * sketch of Apache DataSketches): estimate |A|, |B|, |A∪B| and —
+    * the operation HLL cannot do — |A∩B| between two corpora's shingle
+    * sets from two 64-entry sketches. The corpus-overlap question
+    * ("how much of snapshot B is already in snapshot A?") at 100 TB,
+    * answered by moving 64 longs per corpus instead of the shingle
+    * sets. KMV sketch = the k SMALLEST 52-bit md5 hashes of the
+    * distinct shingles (52-bit so the bounded-heap aggregate's double
+    * scores stay EXACT — the sample_weighted u52 discipline);
+    * mergeable by construction (k smallest of a union = k smallest of
+    * sketch union); ∩ via the theta rule: θ = min(kthA, kthB), est =
+    * |{h < θ in both sketches}|·2⁵²/θ. Estimators are exact-integer
+    * numerators with ONE IEEE division each — both engines emit
+    * bit-identical doubles, so even the ESTIMATES are exact-hash
+    * gated (the sketch is deterministic; only its error vs the truth
+    * is statistical — observed ~1% on ∩, ~10% ≈ 1/√63 on the
+    * unaries). Scale shape: distinct (corpus, shingle) is one
+    * map-side-combined shuffle; the k-smallest run through the
+    * [[graft.expr.TopKAgg]] bounded heap (≤ 64 pairs per corpus per
+    * partition cross the wire); everything after runs on ≤ 128
+    * entries. The EXACT truth columns (the dedup_minhash_recall
+    * discipline) cost a full distinct + self-join — the expensive
+    * plan the sketch replaces, kept in-output so the error is
+    * auditable. Assumes ≥ k distinct shingles per corpus (thousands
+    * at every gate SF; below k the estimator degenerates to exact).
+    * Output: ONE row. */
+  private def aggTheta: Q = (s, d) => {
+    graft.expr.TopKAgg.register(s)
+    val k = 64
+    val scale = 1L << 52
+    val docs = t(s, d, "documents")
+    val tagged = docs.select(
+      explode(expr("filter(array(CASE WHEN doc_id % 3 <> 0 THEN 'a' END," +
+        " CASE WHEN doc_id % 2 = 0 THEN 'b' END), x -> x IS NOT NULL)"))
+        .as("corpus"),
+      explode(Llm.shingles(col("text"))).as("g"))
+    val dist = tagged.select("corpus", "g").distinct()
+    val hashed = dist.select(col("corpus"), col("g"),
+      conv(substring(md5(col("g")), 1, 13), 16, 10).cast("long").as("h"))
+    val sk = hashed.groupBy("corpus")
+      .agg(call_function("topk_pairs",
+        negate(col("h").cast("double")), col("h"), lit(k)).as("top"))
+      .select(col("corpus"), explode(col("top")).as("p"))
+      .select(col("corpus"), col("p.id").as("h"))
+    val kv = sk.groupBy("corpus").agg(max("h").as("kth"))
+    val kthA = kv.where(col("corpus") === "a").select("kth")
+    val kthB = kv.where(col("corpus") === "b").select("kth")
+    val unionKth = sk.select("h").distinct()
+      .orderBy("h").limit(k).agg(max("h").as("kth"))
+    val theta = kv.agg(min("kth").as("theta"))
+    val interC = sk.where(col("corpus") === "a").select(col("h"))
+      .join(sk.where(col("corpus") === "b").select(col("h")), "h")
+      .crossJoin(broadcast(theta))
+      .where(col("h") < col("theta"))
+      .agg(count(lit(1)).as("c"))
+      .crossJoin(theta)
+    val exactA = dist.where(col("corpus") === "a")
+      .agg(count(lit(1)).as("na"))
+    val exactB = dist.where(col("corpus") === "b")
+      .agg(count(lit(1)).as("nb"))
+    val exactI = dist.where(col("corpus") === "a").select("g")
+      .join(dist.where(col("corpus") === "b").select("g"), "g")
+      .agg(count(lit(1)).as("ni"))
+    def est(kth: Column) = (lit((k - 1) * scale)).cast("double") / kth
+    kthA.select(est(col("kth")).as("est_a"))
+      .crossJoin(kthB.select(est(col("kth")).as("est_b")))
+      .crossJoin(unionKth.select(est(col("kth")).as("est_union")))
+      .crossJoin(interC.select(
+        ((col("c") * scale).cast("double") / col("theta"))
+          .as("est_inter")))
+      .crossJoin(exactA).crossJoin(exactB).crossJoin(exactI)
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        col("est_inter"), col("na").as("exact_a"),
+        col("nb").as("exact_b"), col("ni").as("exact_inter"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_theta" -> aggTheta,
     "ml_linreg" -> mlLinreg,
     "ml_knn" -> mlKnn,
     "ml_naive_bayes" -> mlNaiveBayes,
@@ -2579,6 +2656,56 @@ object Pipeline {
               JOIN cells c ON c.j = h.j AND c.bucket = h.bucket
          GROUP BY t.l_partkey, t.true_cnt
          ORDER BY t.true_cnt DESC, t.l_partkey""",
+    // Same 52-bit md5 hash, same k-smallest sketches, same theta rule;
+    // shingles via the repo's padded slice idiom (clamped t[j:j+2]
+    // matches the engine's concat_ws null-skip on short docs). Each
+    // estimate is an exact-integer numerator with ONE IEEE division.
+    "agg_theta" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+                         array_to_string(t[j:j+2], ' ') AS g
+                  FROM tk,
+                       unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(j)),
+           corp AS (SELECT 'a' AS corpus, g FROM sh WHERE doc_id % 3 <> 0
+                    UNION ALL
+                    SELECT 'b', g FROM sh WHERE doc_id % 2 = 0),
+           dist AS (SELECT DISTINCT corpus, g FROM corp),
+           hashed AS (SELECT corpus,
+                             ('0x' || substr(md5(g), 1, 13))::BIGINT AS h
+                      FROM dist),
+           ranked AS (SELECT corpus, h, row_number() OVER
+                        (PARTITION BY corpus ORDER BY h) AS rn
+                      FROM hashed),
+           sk AS (SELECT corpus, h FROM ranked WHERE rn <= 64),
+           kv AS (SELECT corpus, max(h) AS kth FROM sk GROUP BY corpus),
+           mu AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                  FROM (SELECT DISTINCT h FROM sk)),
+           ukv AS (SELECT max(h) AS kth FROM mu WHERE rn <= 64),
+           th AS (SELECT min(kth) AS theta FROM kv),
+           inter AS (SELECT count(*) AS c
+                     FROM (SELECT h FROM sk WHERE corpus = 'a') a
+                     JOIN (SELECT h FROM sk WHERE corpus = 'b') b
+                       USING (h), th
+                     WHERE h < th.theta)
+         SELECT
+           CAST(283726776524341248 AS DOUBLE) /
+             (SELECT kth FROM kv WHERE corpus = 'a') AS est_a,
+           CAST(283726776524341248 AS DOUBLE) /
+             (SELECT kth FROM kv WHERE corpus = 'b') AS est_b,
+           CAST(283726776524341248 AS DOUBLE) /
+             (SELECT kth FROM ukv) AS est_union,
+           CAST((SELECT c FROM inter) * 4503599627370496 AS DOUBLE) /
+             (SELECT theta FROM th) AS est_inter,
+           (SELECT count(*) FROM dist WHERE corpus = 'a')::BIGINT
+             AS exact_a,
+           (SELECT count(*) FROM dist WHERE corpus = 'b')::BIGINT
+             AS exact_b,
+           (SELECT count(*) FROM
+              (SELECT g FROM dist WHERE corpus = 'a'
+               INTERSECT
+               SELECT g FROM dist WHERE corpus = 'b'))::BIGINT
+             AS exact_inter""",
     "ml_kmeans" -> kmOracle,
     // The identical closed-form probe re-derived independently: same
     // integer features (the hash-verified text_score fragments), same

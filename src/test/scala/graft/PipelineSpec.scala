@@ -723,6 +723,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(m2 > m1, s"reweighting vacuous: mass $m2 <= $m1")
   }
 
+  test("agg_theta matches a driver-side KMV recompute; sketch laws hold") {
+    val r = run("agg_theta").collect().head
+    val k = 64
+    val scale = 1L << 52
+    // rebuild both corpora's shingle sets under the ENGINE's padded
+    // rule (short docs degrade to shorter grams, never zero shingles)
+    def shingles(text: String): Set[String] = {
+      val w = text.split(" ")
+      val m = math.max(w.length - 2, 1)
+      (0 until m).map(j =>
+        w.slice(j, math.min(j + 3, w.length)).mkString(" ")).toSet
+    }
+    def u52(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(row => (row.getLong(0), shingles(row.getString(1))))
+    val a = docs.filter(_._1 % 3 != 0).flatMap(_._2).toSet
+    val b = docs.filter(_._1 % 2 == 0).flatMap(_._2).toSet
+    val ha = a.map(u52).toSeq.sorted.take(k)
+    val hb = b.map(u52).toSeq.sorted.take(k)
+    val hu = (ha ++ hb).distinct.sorted.take(k)
+    val theta = math.min(ha.last, hb.last)
+    val c = ha.filter(_ < theta).toSet
+      .intersect(hb.filter(_ < theta).toSet).size
+    def est(kth: Long) = ((k - 1) * scale).toDouble / kth
+    assert(r.getDouble(0) === est(ha.last))
+    assert(r.getDouble(1) === est(hb.last))
+    assert(r.getDouble(2) === est(hu.last))
+    assert(r.getDouble(3) === (c * scale).toDouble / theta)
+    assert(r.getLong(4) === a.size.toLong)
+    assert(r.getLong(5) === b.size.toLong)
+    assert(r.getLong(6) === a.intersect(b).size.toLong)
+    // structural sketch laws: the merged sketch's kth never precedes
+    // either input's (union estimate >= each unary estimate), and the
+    // intersection estimate is within the KMV error regime of truth
+    assert(r.getDouble(2) >= math.max(r.getDouble(0), r.getDouble(1)))
+    val relErr = math.abs(r.getDouble(3) - r.getLong(6)) /
+      math.max(r.getLong(6).toDouble, 1.0)
+    assert(relErr < 0.6, s"intersection estimate off by $relErr")
+  }
+
   test("tok_unigram is the exhaustive segmentation optimum under the packed tie-break") {
     val got = run("tok_unigram").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
