@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CollapseSanitize)
     e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    e.injectOptimizerRule(_ => graft.plans.MvRewrite)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction((new FunctionIdentifier("sanitize_filename"),
       new ExpressionInfo(classOf[graft.expr.SanitizeFilename].getName,

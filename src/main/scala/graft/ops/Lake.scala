@@ -486,6 +486,39 @@ object Lake {
     mergeMv(mv0, deltaAgg).orderBy("yr")
   }
 
+  /** TRANSPARENT MV REWRITE ([[graft.plans.MvRewrite]]) — the consumer
+    * half of the MV pair ([[mvIncremental]] is the refresh half): the
+    * pricing-summary aggregate over lineitem is materialized once and
+    * REGISTERED; a freshly constructed identical query — which knows
+    * nothing about the MV — is then optimized with the conf-gated rule
+    * on, and Catalyst swaps the whole aggregate subtree for a scan of
+    * the MV parquet (PlanSpec pins: MV path scanned, lineitem NOT
+    * scanned, vs both inverted with the rule off). Decimal sums are
+    * rounded to DOUBLE inside the DEFINITION (the shared-text
+    * discipline) so the parquet round-trip is type-identical and the
+    * registered output matches the consumer's position-wise. The
+    * eager `executedPlan` force inside the conf window is the
+    * documented conf-window materialization rule — optimization
+    * happens at action time. */
+  private def mvRewrite: Q = (s, d) => {
+    def define = t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"),
+        round(sum(dec(col("l_extendedprice"))), 2).cast("double")
+          .as("sum_price"),
+        count(lit(1)).as("n"))
+    val path = s"$scratchRoot/mv/pricing_${Llm.Scratch.key(d)}"
+    val mv = Llm.Scratch.table(s, path)(define)
+    graft.plans.MvCatalog.register(define, mv)
+    s.conf.set("spark.graft.mv.rewrite", "true")
+    try {
+      val q = define.orderBy("l_returnflag", "l_linestatus")
+      q.queryExecution.executedPlan // force optimize with the rule on
+      q
+    } finally s.conf.unset("spark.graft.mv.rewrite")
+  }
+
   /** FULL outer merge of an MV snapshot (yr, n, tot) with a signed
     * delta aggregate (yr, dn, dtot): a delta group absent from the MV
     * is an INSERT (new group appears), an MV group absent from the
@@ -1028,6 +1061,7 @@ object Lake {
     "sink_scd2" -> sinkScd2,
     "sink_overwrite_dynamic" -> sinkOverwriteDynamic,
     "mv_incremental" -> mvIncremental,
+    "mv_rewrite" -> mvRewrite,
     "scan_profile" -> scanProfile,
     "agg_argmax" -> aggArgmax,
     "agg_hll_merge" -> aggHllMerge,
@@ -1246,6 +1280,17 @@ object Lake {
                                       THEN 1.0 ELSE 0.0 END
                                AS DECIMAL(18,4))), 2)::DOUBLE AS total
          FROM orders GROUP BY 1 ORDER BY yr""",
+    // The DEFINITION's semantics — the rewrite must be result-invisible,
+    // so the oracle is simply the aggregate the MV materializes.
+    "mv_rewrite" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE
+                  AS sum_qty,
+                round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE
+                  AS sum_price,
+                count(*) AS n
+         FROM lineitem GROUP BY 1, 2
+         ORDER BY l_returnflag, l_linestatus""",
     "sink_scd2" ->
       """WITH v AS (
            SELECT c_custkey, c_mktsegment, c_acctbal,

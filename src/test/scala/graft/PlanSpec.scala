@@ -483,6 +483,47 @@ class PlanSpec extends AnyFunSuite {
       "no join may sit below the histogram (weights are inline): " + p)
   }
 
+  test("mv_rewrite: a fresh consumer query swaps to the MV scan; conf-gated; result-invisible") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.functions._
+    // registers the MV (and pins correctness via the oracle gate)
+    SparkEntry.queries("mv_rewrite")(spark, sf).collect()
+    // a consumer that knows NOTHING about the MV: same definition,
+    // freshly constructed (different exprIds — canonical match only)
+    def consumer = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(Tables.dec(col("l_quantity"))), 2).cast("double")
+          .as("sum_qty"),
+        round(sum(Tables.dec(col("l_extendedprice"))), 2).cast("double")
+          .as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case f: HadoopFsRelation => f.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+      }.flatten
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+    val (onPaths, onRows) = try {
+      val df = consumer
+      (scanPaths(df), df.collect().map(_.toSeq))
+    } finally spark.conf.unset("spark.graft.mv.rewrite")
+    assert(onPaths.exists(_.contains("/mv/pricing_")),
+      s"rewritten plan must scan the MV: $onPaths")
+    assert(!onPaths.exists(_.contains("lineitem")),
+      s"rewritten plan must NOT scan the base table: $onPaths")
+    val off = consumer
+    val offPaths = scanPaths(off)
+    assert(offPaths.exists(_.contains("lineitem")),
+      s"with the rule off the base table must be scanned: $offPaths")
+    assert(!offPaths.exists(_.contains("/mv/pricing_")), offPaths.toString)
+    // the rewrite is result-INVISIBLE
+    assert(onRows.toSeq === off.collect().map(_.toSeq).toSeq)
+  }
+
   test("ml_naive_bayes never broadcasts the unbounded vocabulary model") {
     // the model side (groupBy tok — one row per distinct corpus token,
     // Heaps-law unbounded) carries NO broadcast hint: only the 1-row
