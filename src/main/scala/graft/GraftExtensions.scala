@@ -35,6 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expr.DotProductF64].getName, "dot64"),
       (exprs: Seq[Expression]) =>
         graft.expr.DotProductF64(exprs.head, exprs(1))))
+    e.injectFunction((new FunctionIdentifier("dtw_dist"),
+      new ExpressionInfo(classOf[graft.expr.DtwDist].getName, "dtw_dist"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"dtw_dist expects 2 arguments, got ${exprs.length}")
+        graft.expr.DtwDist(exprs.head, exprs(1))
+      }))
     e.injectFunction((new FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[graft.expr.WinnowFps].getName, "winnow_fps"),
       (exprs: Seq[Expression]) => {

@@ -2359,43 +2359,56 @@ object Relational {
     * 16-bin count histogram of (ts_us div slot) mod 16 — built by ONE
     * groupBy with 16 codegen'd conditional sums (map-side partial, no
     * arrays touch the shuffle) — and the full 16×16 DP runs INSIDE one
-    * projection as a nested `aggregate` higher-order expression (outer
-    * fold over template rows, inner fold builds each DP row; the
-    * INF=10¹⁵ boundary keeps every cell in exact BIGINT — costs are
-    * |count−template| so a path is ≤ 31·max-count, no overflow until
-    * ~3·10¹³ events per bin). Scale shape: work is O(users · 256)
-    * after one shuffle; the DP state never leaves its row; top-20 by
-    * (dtw, user) is orderBy+limit → per-partition bounded heaps. The
-    * oracle runs the IDENTICAL recurrence in DuckDB as 16 unrolled
-    * list_reduce CTEs (its list_reduce takes no init, so each row
-    * prepends a list-typed seed — the tok_unigram discipline); both
-    * engines walk the same integer lattice, exact-hash by
-    * construction. */
+    * projection as the native codegen'd [[graft.expr.DtwDist]]
+    * expression (one static call per row, two reused primitive DP
+    * rows, stage stays fused — a nested aggregate() HOF walks the
+    * same lattice but pays interpreted lambda dispatch per CELL and
+    * breaks whole-stage codegen; RelationalSpec pins the two
+    * formulations equal on every user). The INF=10¹⁵ boundary keeps
+    * every cell in exact BIGINT — costs are |count−template| so a
+    * path is ≤ 31·max-count, no overflow until ~3·10¹³ events per
+    * bin. Scale shape: work is O(users · 256) after one shuffle; the
+    * DP state never leaves its row; top-20 by (dtw, user) is
+    * orderBy+limit → per-partition bounded heaps. The oracle runs the
+    * IDENTICAL recurrence in DuckDB as 16 unrolled list_reduce CTEs
+    * (its list_reduce takes no init, so each row prepends a
+    * list-typed seed — the tok_unigram discipline); both engines walk
+    * the same integer lattice, exact-hash by construction. */
   private def tsDtw: Q = (s, d) => {
-    val inf = 1000000000000000L
+    graft.expr.DtwDist.register(s)
     val tplSql = dtwTemplate.map(v => s"${v}L")
-      .mkString("array(", ", ", ")")
-    val initSql = (0L +: Seq.fill(16)(inf)).map(v => s"${v}L")
       .mkString("array(", ", ", ")")
     val binned = events(s, d).select(col("user_id"),
       expr(s"(ts_us div $acfSlotUs) % 16").as("k"))
     val ser = binned.groupBy("user_id")
       .agg(array((0 until 16).map(x =>
         sum(when(col("k") === x, 1L).otherwise(0L))): _*).as("a"))
-    val dtwExpr =
-      s"""element_at(aggregate(
-            sequence(1, 16),
-            $initSql,
-            (p, i) -> aggregate(
-              sequence(1, 16),
-              array(${inf}L),
-              (acc, j) -> concat(acc, array(
-                abs(element_at(a, i) - element_at($tplSql, j)) +
-                least(element_at(p, j), element_at(p, j + 1),
-                      element_at(acc, j)))))), 17)"""
-    ser.select(col("user_id"), expr(dtwExpr).as("dtw"))
+    ser.select(col("user_id"),
+        call_function("dtw_dist", col("a"), expr(tplSql)).as("dtw"))
       .orderBy(col("dtw"), col("user_id"))
       .limit(20)
+  }
+
+  /** The nested higher-order formulation of [[tsDtw]]'s DP —
+    * RelationalSpec's engine-side cross-check for [[graft.expr.DtwDist]]
+    * (the third independent implementation beside the driver recompute
+    * and the DuckDB CTE chain). */
+  private[graft] def dtwHofExpr: String = {
+    val inf = graft.expr.DtwDist.Inf
+    val tplSql = dtwTemplate.map(v => s"${v}L")
+      .mkString("array(", ", ", ")")
+    val initSql = (0L +: Seq.fill(16)(inf)).map(v => s"${v}L")
+      .mkString("array(", ", ", ")")
+    s"""element_at(aggregate(
+          sequence(1, 16),
+          $initSql,
+          (p, i) -> aggregate(
+            sequence(1, 16),
+            array(${inf}L),
+            (acc, j) -> concat(acc, array(
+              abs(element_at(a, i) - element_at($tplSql, j)) +
+              least(element_at(p, j), element_at(p, j + 1),
+                    element_at(acc, j)))))), 17)"""
   }
 
   /** The fixed 16-bin spike template [[tsDtw]] aligns against (shared

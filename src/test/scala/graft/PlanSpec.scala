@@ -524,6 +524,21 @@ class PlanSpec extends AnyFunSuite {
     assert(onRows.toSeq === off.collect().map(_.toSeq).toSeq)
   }
 
+  test("ts_dtw's DP runs inside whole-stage codegen (native expression, not a HOF)") {
+    val df = SparkEntry.queries("ts_dtw")(spark, sf)
+    df.collect() // AQE: the inspected plan must be the FINAL one
+    val lp = df.queryExecution.optimizedPlan.toString()
+    val p = df.queryExecution.executedPlan.toString()
+    // the native expression is in the plan (Catalyst fuses it into the
+    // final aggregate's result projection — no separate Project node)…
+    assert(lp.contains("dtw_dist"), lp)
+    // …and that aggregate is STARRED (whole-stage codegen compiled the
+    // DP's doGenCode; a HOF formulation — or a broken doGenCode, which
+    // silently falls back to interpreted eval — loses the star)
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("lambdafunction"), p)
+  }
+
   test("ml_naive_bayes never broadcasts the unbounded vocabulary model") {
     // the model side (groupBy tok — one row per distinct corpus token,
     // Heaps-law unbounded) carries NO broadcast hint: only the 1-row

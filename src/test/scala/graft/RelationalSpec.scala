@@ -483,6 +483,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.forall(_._2 >= 0L))
   }
 
+  test("ts_dtw: native dtw_dist equals the nested-HOF formulation on every user") {
+    import org.apache.spark.sql.functions._
+    graft.expr.DtwDist.register(spark)
+    val tplSql = ops.Relational.dtwTemplate.map(v => s"${v}L")
+      .mkString("array(", ", ", ")")
+    val ser = Tables.events(spark, sf)
+      .select(col("user_id"), expr("(ts_us div 600000000) % 16").as("k"))
+      .groupBy("user_id")
+      .agg(array((0 until 16).map(x =>
+        sum(when(col("k") === x, 1L).otherwise(0L))): _*).as("a"))
+    val both = ser.select(
+      call_function("dtw_dist", col("a"), expr(tplSql)).as("nat"),
+      expr(ops.Relational.dtwHofExpr).as("hof"))
+    assert(both.where(col("nat") =!= col("hof")).count() === 0L)
+    assert(both.count() > 0L)
+  }
+
   test("ts_changepoint: reported |S| is the series max; total CUSUM is zero") {
     val series = slotSeries()
     val rows = SparkEntry.queries("ts_changepoint")(spark, sf)
