@@ -576,6 +576,78 @@ object Streaming {
     lastBatch
   }
 
+  /** STREAMING KMV/THETA SKETCH maintenance — agg_theta's streaming
+    * twin and the "approximate distinct over an unbounded stream"
+    * shape: each micro-batch contributes the k smallest 52-bit md5
+    * hashes of its own distinct user_ids, folded into a persisted
+    * ≤ 64-row sketch as sketch' = kSmallest(sketch ∪ kSmallest(batch))
+    * — per-batch work is O(|batch| + k), state is 64 longs FOREVER (no
+    * streaming state store, no growth with cardinality), and the fold
+    * is exactly the KMV mergeability law, so the final sketch is
+    * PROVABLY equal to the batch sketch over all events — which is the
+    * oracle (exact-hash, estimate included: exact-integer numerator,
+    * one IEEE division). Versions are batchId-keyed dirs read at
+    * batchId−1 (the [[streamMv]] exactly-once discipline: a replayed
+    * batch re-reads its own predecessor and overwrites its own
+    * output). Output: one row — estimate, k-th hash, sketch size, and
+    * the exact distinct count (the expensive truth the sketch
+    * replaces, kept for auditability). */
+  private def streamTheta: Q = (s, d) => {
+    val root = streamDir("stream_theta/versions")
+    val last = runStreamTheta(s, d, root, streamDir("stream_theta/ckpt"))
+    val k = 64
+    val scale = 1L << 52
+    val sk = s.read.parquet(s"$root/v$last")
+    val exact = events(s, d).select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("exact_users"))
+    sk.agg(max("h").as("kth"), count(lit(1)).as("n_sketch"))
+      .crossJoin(exact)
+      .select(
+        (lit((k - 1) * scale).cast("double") / col("kth")).as("est_users"),
+        col("kth"), col("n_sketch"), col("exact_users"))
+  }
+
+  /** The stream_theta run loop with caller-owned dirs (see
+    * [[runStreamMv]]). Returns the last batch id of this invocation. */
+  private[graft] def runStreamTheta(s: SparkSession, d: String,
+      root: String, ckpt: String): Long = {
+    val k = 64
+    val src = s"$scratchRoot/stream_theta_src/${Llm.Scratch.key(d)}"
+    Llm.Scratch.once(src) {
+      events(s, d).select(col("user_id"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+    }
+    @volatile var lastBatch = -1L
+    val st = s.readStream
+      .schema(new StructType()
+        .add("user_id", org.apache.spark.sql.types.LongType))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    withStatePartitions(s) {
+      val q = st.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val part = batch.select(col("user_id")).distinct()
+            .select(conv(substring(md5(col("user_id").cast("string")),
+              1, 13), 16, 10).cast("long").as("h"))
+            .orderBy("h").limit(k)
+          val merged =
+            if (batchId == 0L) part
+            else s.read.parquet(s"$root/v${batchId - 1}")
+              .unionByName(part).select("h").distinct()
+              .orderBy("h").limit(k)
+          merged.coalesce(1).write.mode("overwrite")
+            .parquet(s"$root/v$batchId")
+          Faults.maybeFail(s"stream_theta:$batchId")
+          if (batchId > lastBatch) lastBatch = batchId
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    lastBatch
+  }
+
   /** STREAMING incremental SEQUENCE-PATTERN maintenance — seq_pattern's
     * streaming twin, and the interesting case of incremental MV logic:
     * the regex-over-path aggregate is NOT algebraic (a new event can
@@ -1086,6 +1158,7 @@ object Streaming {
     "stream_enrich" -> streamEnrich,
     "stream_sink" -> streamSink,
     "stream_mv" -> streamMv,
+    "stream_theta" -> streamTheta,
     "stream_seq" -> streamSeq,
     "stream_dedup_incremental" -> streamDedupIncremental,
     "pipeline_corpus_stream" -> streamPipelineCorpus,
@@ -1268,6 +1341,21 @@ object Streaming {
       """SELECT event_type, count(*) AS n,
                 round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS total_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // The KMV mergeability law AS the oracle: the incrementally-folded
+    // sketch must equal the batch sketch over all events — k smallest
+    // 52-bit md5 hashes, same estimator, one IEEE division.
+    "stream_theta" ->
+      """WITH h AS (SELECT DISTINCT
+                           ('0x' || substr(md5(user_id::VARCHAR), 1, 13))
+                             ::BIGINT AS h
+                    FROM events),
+           sk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h),
+           kv AS (SELECT max(h) AS kth, count(*) AS n_sketch
+                  FROM sk WHERE rn <= 64)
+         SELECT CAST(283726776524341248 AS DOUBLE) / kth AS est_users,
+                kth, n_sketch,
+                (SELECT count(*) FROM h)::BIGINT AS exact_users
+         FROM kv""",
     // Exactly-once across the restart: the resumed MV must equal the
     // batch aggregate over ALL staged files (= the whole events table).
     "stream_resume" ->

@@ -48,6 +48,35 @@ class ReplaySpec extends AnyFunSuite {
     assert(resumed === clean)
   }
 
+  test("stream_theta replay: crash after sketch-write before commit; resume is invisible") {
+    val clean = rows(SparkEntry.queries("stream_theta")(spark, sf))
+    val root = fresh("theta/versions")
+    val ckpt = fresh("theta/ckpt")
+    ops.Streaming.Faults.arm("stream_theta:2")
+    val ex = intercept[Exception] {
+      ops.Streaming.runStreamTheta(spark, sf, root, ckpt)
+    }
+    assert(injected(ex), ex.toString)
+    assert(new java.io.File(s"$root/v2").exists())
+    assert(!new java.io.File(s"$root/v3").exists())
+    val last = ops.Streaming.runStreamTheta(spark, sf, root, ckpt)
+    assert(last === 3L, s"resume should finish the 4-file drain, got $last")
+    // identical final SKETCH ⇒ identical estimate row (recompute the
+    // registered output shape from the resumed sketch)
+    val k = 64
+    val scale = 1L << 52
+    val exact = Tables.events(spark, sf).select(col("user_id"))
+      .distinct().agg(count(lit(1)).as("exact_users"))
+    val resumed = rows(spark.read.parquet(s"$root/v$last")
+      .agg(max("h").as("kth"), count(lit(1)).as("n_sketch"))
+      .crossJoin(exact)
+      .select((lit((k - 1) * scale).cast("double") / col("kth"))
+        .as("est_users"), col("kth"), col("n_sketch"), col("exact_users")))
+    assert(resumed === clean)
+    // bounded-state law: the sketch never exceeds k rows
+    assert(spark.read.parquet(s"$root/v$last").count() <= k.toLong)
+  }
+
   test("stream_seq replay: crash between event-dir write and MV write") {
     val clean = rows(SparkEntry.queries("stream_seq")(spark, sf))
     val root = fresh("seq/versions")
