@@ -483,6 +483,16 @@ class PlanSpec extends AnyFunSuite {
       "no join may sit below the histogram (weights are inline): " + p)
   }
 
+  test("agg_theta's k-smallest runs through the bounded-heap aggregate, map-side") {
+    // the sketch build must be the TopKAgg partial aggregate (≤ 64
+    // pairs per corpus per partition cross the shuffle), never a
+    // per-corpus window sort of the full distinct-shingle set
+    val p = planOf("agg_theta")
+    assert(p.contains("partial_topk_pairs") ||
+      "ObjectHashAggregate.*topk_pairs".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("Window"), "no window sort may build the sketch: " + p)
+  }
+
   test("mv_rewrite: a fresh consumer query swaps to the MV scan; conf-gated; result-invisible") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.functions._
