@@ -32,6 +32,16 @@ object Bench {
     (1 to 3).map(_ => once()).min
   }
 
+  /** r9 driver-box calibration constant (BENCH_r09 ran on a box that
+    * measures 149 ms on [[calibrateMs]]'s fixed work unit). The
+    * contract line carries BOTH the raw total and
+    * `normalized_total = total × (CalibRefMs / calib_ms)` — the wall
+    * time this suite WOULD take on the r9 reference box — so
+    * cross-round comparisons divide out box speed instead of
+    * re-attributing it by hand each round (the r8/r9 "identical
+    * jobs/tasks, 2-8× task CPU" analysis, now one number). */
+  private val CalibRefMs = 149.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -188,7 +198,7 @@ object Bench {
       // n + mean make rounds with different query counts comparable
       // (the suite grew 75 → 99 queries across rounds; the TOTAL alone
       // penalizes added coverage).
-      s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","n":${results.size},"mean_sec":${num("%.3f", mean)},"trials":$trials,"calib_ms":$calibMs,"queries":$qs$omitted,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","n":${results.size},"mean_sec":${num("%.3f", mean)},"trials":$trials,"calib_ms":$calibMs,"calib_ref_ms":${CalibRefMs.toInt},"normalized_total":${num("%.2f", total * CalibRefMs / calibMs)},"queries":$qs$omitted,"failed":$failed,"sf":"$sfDir"}"""
     }
     val budget = 1800
     val line = Iterator(render(2, results.size), render(1, results.size)) ++
@@ -203,7 +213,7 @@ object Bench {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_full.json"),
-      (s"""{"metric":"total","value":$total,"unit":"sec","calib_ms":$calibMs,"queries":$full,"failed":$failed,"sf":"$sfDir",""" +
+      (s"""{"metric":"total","value":$total,"unit":"sec","calib_ms":$calibMs,"calib_ref_ms":${CalibRefMs.toInt},"normalized_total":${total * CalibRefMs / calibMs},"queries":$full,"failed":$failed,"sf":"$sfDir",""" +
         s""""detail":[${detail.mkString(",")}]}""").getBytes("UTF-8"))
     spark.stop()
   }

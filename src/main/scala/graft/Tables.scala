@@ -36,6 +36,17 @@ object Tables {
   /** Recursive delete, null-safe on racing listFiles — the one shared
     * rm -rf used by scratch reaping, streamDir resets, and the WAP
     * protocol (keep fixes here, not in per-site clones). */
+  /** Audit switch for sketch operators (agg_theta / stream_theta):
+    * ON (the default — so the gate-SF oracle text is unchanged) keeps
+    * the exact-truth columns in the output, which cost precisely the
+    * full-distinct work the sketch exists to avoid; OFF is the 100 TB
+    * production plan — sketch-only, each corpus scanned once, no
+    * distinct self-join (pinned in PlanSpec). The
+    * dedup_minhash_recall discipline: truth is for audits, not for
+    * every run. */
+  def auditOn(s: SparkSession): Boolean =
+    s.conf.get("spark.graft.audit", "true").toBoolean
+
   def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) {
       val kids = f.listFiles()

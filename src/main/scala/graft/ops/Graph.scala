@@ -355,6 +355,81 @@ object Graph {
       .orderBy("component")
   }
 
+  /** Truncated KATZ centrality (Katz '53) over the frequent
+    * co-purchase backbone — "how many short walks end here", the
+    * centrality that sees beyond degree without PageRank's damping
+    * loop: katz₆₄(v) = Σ_{k≤3} (β^k·64)·walks_k(v) with β = 1/4, i.e.
+    * 16·w₁ + 4·w₂ + w₃ — ALL-INTEGER walk counts (the graph_pagerank
+    * no-IEEE-fold-hazard discipline), so the score is exact-hash vs
+    * the identically unrolled oracle. Each walk level is ONE
+    * join-on-src + sum-per-dst — shuffle on node id, map-side partial
+    * sums, the same key every level (bucket the edges once on a
+    * cluster and the joins are exchange-free); state per node is one
+    * long per level, never paths. Top-20 is TakeOrderedAndProject
+    * bounded heaps. */
+  private def graphKatz: Q = (s, d) => {
+    val e = frequentEdges(s, d)
+    val w1 = e.groupBy(col("dst").as("v")).agg(count(lit(1)).as("w1"))
+    val w2 = e.join(w1.select(col("v").as("src"), col("w1")), "src")
+      .groupBy(col("dst").as("v")).agg(sum(col("w1")).as("w2"))
+    val w3 = e.join(w2.select(col("v").as("src"), col("w2")), "src")
+      .groupBy(col("dst").as("v")).agg(sum(col("w2")).as("w3"))
+    w1.join(w2, Seq("v"), "left").join(w3, Seq("v"), "left")
+      .select(col("v").as("node"), col("w1"),
+        coalesce(col("w2"), lit(0L)).as("w2"),
+        coalesce(col("w3"), lit(0L)).as("w3"))
+      .withColumn("katz64",
+        col("w1") * 16L + col("w2") * 4L + col("w3"))
+      .orderBy(col("katz64").desc, col("node"))
+      .limit(20)
+  }
+
+  /** Landmark CLOSENESS centrality — multi-source BFS from the 8
+    * smallest node ids at once (the exact all-pairs closeness is
+    * O(V·E), dead at 100 TB; the landmark estimate is the standard
+    * production form and IS the declared statistic): frontier state
+    * is (landmark, node, dist) — 8·V rows max — and each round is one
+    * join + min-aggregate on node id (the graph_cc convergence loop
+    * with a (count, Σdist) digest as the monotone-lattice fixpoint
+    * test: rows only appear, dists only drop, so an unchanged digest
+    * IS convergence). Nodes are ranked by (landmarks reached DESC,
+    * Σdist ASC) so disconnected components compare honestly;
+    * closeness = n_lm/Σdist with a guarded 0 for the degenerate
+    * isolated-landmark row. */
+  private def graphCloseness: Q = (s, d) => {
+    val e = frequentEdges(s, d)
+    val landmarks = e.select(col("src").as("node")).distinct()
+      .orderBy("node").limit(8)
+    var dist = landmarks
+      .select(col("node").as("lm"), col("node"), lit(0L).as("dd"))
+    var digest = (-1L, -1L)
+    var done = false
+    var i = 0
+    while (!done && i < 32) {
+      i += 1
+      val next = dist.join(e, dist("node") === e("src"))
+        .select(col("lm"), col("dst").as("node"), (col("dd") + 1L).as("dd"))
+        .unionAll(dist.select(col("lm"), col("node"), col("dd")))
+        .groupBy("lm", "node").agg(min(col("dd")).as("dd"))
+      val path = s"$scratchRoot/graph/close_${Llm.Scratch.key(d)}_i$i"
+      next.coalesce(1).write.mode("overwrite").parquet(path)
+      val cur = s.read.parquet(path)
+      val row = cur.agg(count(lit(1)), sum(col("dd"))).collect()(0)
+      val dg = (row.getLong(0), row.getLong(1))
+      done = dg == digest
+      digest = dg
+      dist = cur
+    }
+    dist.groupBy("node")
+      .agg(count(lit(1)).as("n_lm"), sum(col("dd")).as("sum_d"))
+      .select(col("node"), col("n_lm"), col("sum_d"),
+        when(col("sum_d") > 0L,
+          col("n_lm").cast("double") / col("sum_d").cast("double"))
+          .otherwise(lit(0.0d)).as("closeness"))
+      .orderBy(col("n_lm").desc, col("sum_d"), col("node"))
+      .limit(20)
+  }
+
   /** Degree ASSORTATIVITY of the repeat co-purchase graph — the
     * one-number answer to "do popular items co-sell with popular
     * items?": Pearson r between the degrees at the two ends of every
@@ -560,7 +635,9 @@ object Graph {
     "graph_triangles_fwd" -> graphTrianglesFwd,
     "graph_cc" -> graphCc,
     "graph_jaccard" -> graphJaccard,
-    "graph_lpa" -> graphLpa)
+    "graph_lpa" -> graphLpa,
+    "graph_katz" -> graphKatz,
+    "graph_closeness" -> graphCloseness)
 
   // Shared by graph_triangles and graph_triangles_fwd: both enumerate
   // the same triangle set, so both must hash-match the same oracle.
@@ -676,6 +753,56 @@ object Graph {
     "graph_pagerank" -> prOracle,
     "graph_triangles" -> trianglesOracle,
     "graph_triangles_fwd" -> trianglesOracle,
+    // The identical three unrolled walk levels, all-integer.
+    "graph_katz" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+           p AS (SELECT a.pk AS x, b.pk AS y
+                 FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                 GROUP BY x, y HAVING count(*) >= 3),
+           e AS (SELECT x AS src, y AS dst FROM p
+                 UNION ALL SELECT y AS src, x AS dst FROM p),
+           w1 AS (SELECT dst AS v, count(*)::BIGINT AS w1
+                  FROM e GROUP BY 1),
+           w2 AS (SELECT e.dst AS v, sum(w1.w1)::BIGINT AS w2
+                  FROM e JOIN w1 ON w1.v = e.src GROUP BY 1),
+           w3 AS (SELECT e.dst AS v, sum(w2.w2)::BIGINT AS w3
+                  FROM e JOIN w2 ON w2.v = e.src GROUP BY 1)
+         SELECT w1.v AS node, w1.w1 AS w1,
+                COALESCE(w2.w2, 0)::BIGINT AS w2,
+                COALESCE(w3.w3, 0)::BIGINT AS w3,
+                (w1.w1 * 16 + COALESCE(w2.w2, 0) * 4
+                   + COALESCE(w3.w3, 0))::BIGINT AS katz64
+         FROM w1 LEFT JOIN w2 ON w2.v = w1.v LEFT JOIN w3 ON w3.v = w1.v
+         ORDER BY katz64 DESC, node LIMIT 20""",
+    // Independent formulation: recursive walk from the 8 landmarks,
+    // min-hop per (landmark, node) — vs the engine's digest-converged
+    // frontier loop.
+    "graph_closeness" ->
+      """WITH RECURSIVE
+           li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem),
+           p AS (SELECT a.pk AS x, b.pk AS y
+                 FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                 GROUP BY x, y HAVING count(*) >= 3),
+           e AS (SELECT x AS src, y AS dst FROM p
+                 UNION ALL SELECT y AS src, x AS dst FROM p),
+           lms AS (SELECT DISTINCT src AS lm FROM e ORDER BY lm LIMIT 8),
+           walk(lm, node, hop) AS (
+             SELECT lm, lm, 0::BIGINT FROM lms
+             UNION
+             SELECT w.lm, e.dst, w.hop + 1 FROM walk w
+             JOIN e ON e.src = w.node WHERE w.hop < 32),
+           dist AS (SELECT lm, node, min(hop)::BIGINT AS dd
+                    FROM walk GROUP BY 1, 2),
+           cl AS (SELECT node, count(*)::BIGINT AS n_lm,
+                         sum(dd)::BIGINT AS sum_d
+                  FROM dist GROUP BY 1)
+         SELECT node, n_lm, sum_d,
+                CASE WHEN sum_d > 0
+                     THEN CAST(n_lm AS DOUBLE) / CAST(sum_d AS DOUBLE)
+                     ELSE 0.0 END AS closeness
+         FROM cl ORDER BY n_lm DESC, sum_d, node LIMIT 20""",
     "graph_jaccard" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
            pr AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb, a.ok

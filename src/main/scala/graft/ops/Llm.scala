@@ -1882,11 +1882,36 @@ object Llm {
     * brute-force O(n²) oracle proves the blocked path loses nothing.
     *
     * Scale shape: O(L) 8-byte keys per row cross the shuffle (never
-    * quadratic in corpus size — join groups are bounded by how many
-    * strings collapse to one variant); candidate ids then re-join the
-    * name table to verify. Contrast with an all-pairs cross join, which
-    * is dead at 100×. */
-  private def dedupFuzzy: Q = (s, d) => {
+    * quadratic in corpus size); candidate ids then re-join the name
+    * table to verify. Contrast with an all-pairs cross join, which is
+    * dead at 100×. The r9 verdict measured the residual hazard: join
+    * output is Σ bucket² over variant-hash buckets, and with NO bucket
+    * bound a hot short string (an empty/placeholder name) is a
+    * mega-bucket — sf10 measured candidate mass α = 1.16. The fix is
+    * the [[containmentDfCap]] / dedupNgram dfCap discipline applied to
+    * the variant buckets: one windowed df pass over `vh` (the SAME
+    * hash-partitioned exchange the self-join reuses — no extra
+    * shuffle), drop df=1 buckets (provably lossless, a singleton
+    * pairs with nothing) and df > [[fuzzyBucketCap]] buckets. Capped,
+    * candidate mass ≤ cap · Σ df = cap · O(n·L) — LINEAR in corpus
+    * size by construction, no skewed-key full shuffle possible. The
+    * cap is a measured NO-OP at both gate SFs (max variant df 29 at
+    * sf0.01, 38 at sf0.1 — pinned capped≡uncapped in LlmSpec) and the
+    * DuckDB oracle applies the IDENTICAL cap over the variant strings,
+    * so semantics agree at ANY SF. Recall contract when the cap binds
+    * (digit-dense keyspaces exceed it around sf10, where max df ≈ 56):
+    * a pair is reported iff SOME shared deletion variant lives in a
+    * sub-cap bucket — dropped buckets are exactly the variants shared
+    * by > cap strings, i.e. the least discriminative blocking keys;
+    * a Levenshtein-≤1 pair is lost only if EVERY witness variant is
+    * that popular. (Cap over vh vs the oracle's cap over the variant
+    * string differ only if xxhash64 collides two distinct variants
+    * into one bucket that then crosses the cap — ~n²/2⁶⁴, and the
+    * exact-hash gate would catch it.) */
+  private[graft] val fuzzyBucketCap = 48L
+
+  private[graft] def dedupFuzzyPlan(
+      s: SparkSession, d: String, cap: Long): DataFrame = {
     val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
     val name = col("c_name")
     // sequence(1, 0) DESCENDS — guard the (theoretical) empty name.
@@ -1895,9 +1920,17 @@ object Llm {
         i => concat(name.substr(lit(1), i - lit(1)),
           name.substr(i + lit(1), length(name)))))
       .otherwise(array().cast("array<string>"))
-    val variants = c.select(col("c_custkey"),
+    // array_union dedupes repeated deletions (e.g. "aab" → "ab" twice),
+    // so bucket df counts DISTINCT custkeys — mirrored by the oracle's
+    // SELECT DISTINCT (c_custkey, v).
+    val raw = c.select(col("c_custkey"),
       explode(array_union(array(name), deletions)).as("v"))
       .select(col("c_custkey"), xxhash64(col("v")).as("vh"))
+    // df window and the pair self-join share ONE exchange on vh.
+    val variants = raw
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("vh")))
+      .where(col("df") >= 2 && col("df") <= cap)
+      .select("c_custkey", "vh")
     val a = variants.as("a")
     val b = variants.as("b")
     val cand = a.join(b, col("a.vh") === col("b.vh") &&
@@ -1912,6 +1945,35 @@ object Llm {
       .where(col("dist") <= 1)
       .select("a_id", "b_id", "dist")
       .orderBy("a_id", "b_id")
+  }
+
+  private def dedupFuzzy: Q = (s, d) => dedupFuzzyPlan(s, d, fuzzyBucketCap)
+
+  /** Lexical-diversity profile per document — TYPE-TOKEN RATIO plus
+    * the log-free concentration pair: the Simpson index Σf²/n² (the
+    * probability two random tokens coincide — collision entropy's
+    * exact-rational core) and effective vocabulary n²/Σf² (the
+    * "perplexity-like" diversity number a corpus-quality dashboard
+    * wants). Deliberately NO Shannon entropy: ln() is not IEEE
+    * correctly-rounded, so its bits differ across libm builds and
+    * could never exact-hash (the tok_unigram digits() lesson); the
+    * Simpson pair carries the same diversity signal as exact integer
+    * numerators with a fixed 2-3 division sequence. Scale shape: two
+    * map-side-combined hash aggregates — (doc, token) then doc —
+    * 16-byte rows after the first; nothing per-corpus. */
+  private def textTtr: Q = (s, d) => {
+    def D(c: String) = col(c).cast("double")
+    val tf = fanOut(t(s, d, "documents"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("f"))
+    tf.groupBy("doc_id")
+      .agg(sum(col("f")).as("n_words"), count(lit(1)).as("n_types"),
+        sum(col("f") * col("f")).as("s2"))
+      .select(col("doc_id"), col("n_words"), col("n_types"),
+        (D("n_types") / D("n_words")).as("ttr"),
+        (D("s2") / D("n_words") / D("n_words")).as("simpson"),
+        (D("n_words") * D("n_words") / D("s2")).as("eff_vocab"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(
@@ -1960,6 +2022,7 @@ object Llm {
     "text_quality" -> textQuality,
     "text_lang_id" -> textLangId,
     "multimodal_join" -> multimodalJoin,
+    "text_ttr" -> textTtr,
   )
 
   /** DuckDB cosine between <l>.emb and <r>.emb — left-fold order matches
@@ -2005,6 +2068,25 @@ object Llm {
          ORDER BY score DESC, doc_id LIMIT 20"""
 
   val oracles: Map[String, String] = Map(
+    // Same (doc, token) frequency table; exact integer n/types/Σf²;
+    // the 2-3 division sequences mirrored cast-for-cast.
+    "text_ttr" ->
+      """WITH tf AS (
+           SELECT doc_id, w, count(*) AS f
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents) t
+           GROUP BY 1, 2),
+         a AS (
+           SELECT doc_id, sum(f)::BIGINT AS n_words,
+                  count(*) AS n_types, sum(f*f)::BIGINT AS s2
+           FROM tf GROUP BY 1)
+         SELECT doc_id, n_words, n_types,
+                CAST(n_types AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr,
+                CAST(s2 AS DOUBLE) / CAST(n_words AS DOUBLE)
+                  / CAST(n_words AS DOUBLE) AS simpson,
+                CAST(n_words AS DOUBLE) * CAST(n_words AS DOUBLE)
+                  / CAST(s2 AS DOUBLE) AS eff_vocab
+         FROM a ORDER BY doc_id""",
     // The identical exact pipeline: same 3-gram shingle construction,
     // integer intersections, one IEEE division, integer-cross-mult flag —
     // and the SAME df cap (≤32) / singleton drop / shared-shingle floor
@@ -2123,14 +2205,35 @@ object Llm {
       s"$head,\n$loops\n SELECT k, vec_id, rel AS relevance, " +
         "mmr AS mmr_score FROM sel8 ORDER BY k"
     },
-    // Brute-force O(n²) edit-distance: proves the SymSpell deletion-
-    // neighborhood blocking in dedupFuzzy loses no pair.
+    // The SAME SymSpell deletion-neighborhood blocking as the engine,
+    // INCLUDING the variant-bucket df cap (over the variant string —
+    // the engine caps over its xxhash64, identical modulo ~n²/2⁶⁴
+    // collisions), so semantics agree at ANY SF. LlmSpec separately
+    // pins blocked ≡ brute-force O(n²) and capped ≡ uncapped at the
+    // gate SFs, so this oracle still transitively proves the blocked
+    // path loses nothing where the cap is a no-op.
     "dedup_fuzzy" ->
-      """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
-                levenshtein(a.c_name, b.c_name)::BIGINT AS dist
-         FROM customer a, customer b
-         WHERE a.c_custkey < b.c_custkey
-           AND levenshtein(a.c_name, b.c_name) <= 1
+      s"""WITH vv AS (
+           SELECT DISTINCT c_custkey, v FROM (
+             SELECT c_custkey,
+                    unnest(list_prepend(c_name,
+                      list_transform(range(1, length(c_name) + 1),
+                        i -> substr(c_name, 1, i - 1)
+                          || substr(c_name, i + 1)))) AS v
+             FROM customer) t),
+         keep AS (
+           SELECT v FROM vv GROUP BY v
+           HAVING count(*) BETWEEN 2 AND $fuzzyBucketCap),
+         cand AS (
+           SELECT DISTINCT a.c_custkey AS a_id, b.c_custkey AS b_id
+           FROM vv a JOIN keep USING (v) JOIN vv b USING (v)
+           WHERE a.c_custkey < b.c_custkey)
+         SELECT a_id, b_id,
+                levenshtein(an.c_name, bn.c_name)::BIGINT AS dist
+         FROM cand
+           JOIN customer an ON an.c_custkey = a_id
+           JOIN customer bn ON bn.c_custkey = b_id
+         WHERE levenshtein(an.c_name, bn.c_name) <= 1
          ORDER BY a_id, b_id""",
     // Pinned from tools/phash_oracle.py (pure-python regeneration of
     // the Media.scala pixel spec — no JVM codec — cross-checked against

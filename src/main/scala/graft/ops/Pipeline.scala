@@ -2023,28 +2023,46 @@ object Pipeline {
     * partition cross the wire); everything after runs on ≤ 128
     * entries. The EXACT truth columns (the dedup_minhash_recall
     * discipline) cost a full distinct + self-join — the expensive
-    * plan the sketch replaces, kept in-output so the error is
-    * auditable. Assumes ≥ k distinct shingles per corpus (thousands
-    * at every gate SF; below k the estimator degenerates to exact).
-    * Output: ONE row. */
-  private def aggTheta: Q = (s, d) => {
+    * plan the sketch replaces — so they are gated behind
+    * [[Tables.auditOn]] (`spark.graft.audit`, default ON so the
+    * gate-SF oracle text is unchanged): conf OFF is the registered
+    * 100 TB plan — sketch-only, one documents scan, no shingle
+    * self-join (PlanSpec pins both). Assumes ≥ k distinct shingles
+    * per corpus (thousands at every gate SF; below k the estimator
+    * degenerates to exact). Output: ONE row. */
+  private def aggTheta: Q = (s, d) => aggThetaPlan(s, d, auditOn(s))
+
+  private[graft] def aggThetaPlan(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      audit: Boolean): DataFrame = {
     graft.expr.TopKAgg.register(s)
     val k = 64
     val scale = 1L << 52
-    val docs = t(s, d, "documents")
-    val tagged = docs.select(
-      explode(expr("filter(array(CASE WHEN doc_id % 3 <> 0 THEN 'a' END," +
-        " CASE WHEN doc_id % 2 = 0 THEN 'b' END), x -> x IS NOT NULL)"))
-        .as("corpus"),
-      explode(Llm.shingles(col("text"))).as("g"))
-    val dist = tagged.select("corpus", "g").distinct()
-    val hashed = dist.select(col("corpus"), col("g"),
-      conv(substring(md5(col("g")), 1, 13), 16, 10).cast("long").as("h"))
-    val sk = hashed.groupBy("corpus")
-      .agg(call_function("topk_pairs",
-        negate(col("h").cast("double")), col("h"), lit(k)).as("top"))
-      .select(col("corpus"), explode(col("top")).as("p"))
-      .select(col("corpus"), col("p.id").as("h"))
+    def dist = {
+      val docs = t(s, d, "documents")
+      docs.select(
+        explode(expr("filter(array(CASE WHEN doc_id % 3 <> 0 THEN 'a' END," +
+          " CASE WHEN doc_id % 2 = 0 THEN 'b' END), x -> x IS NOT NULL)"))
+          .as("corpus"),
+        explode(Llm.shingles(col("text"))).as("g"))
+        .select("corpus", "g").distinct()
+    }
+    // Train-once artifact (the minhashSigTable discipline): the raw
+    // sketch build is the ONLY pass over the corpus — materialized to
+    // a ≤128-row scratch table so the four estimator branches below
+    // (each references sk twice) read 64-long parquet, not the corpus.
+    // Without it each branch re-derived the full distinct-shingle
+    // sub-DAG: 7 corpus scans where 100 TB affords exactly one.
+    val sk = Llm.Scratch.table(s,
+        s"$scratchRoot/theta_sk/${Llm.Scratch.key(d)}") {
+      val hashed = dist.select(col("corpus"),
+        conv(substring(md5(col("g")), 1, 13), 16, 10).cast("long").as("h"))
+      hashed.groupBy("corpus")
+        .agg(call_function("topk_pairs",
+          negate(col("h").cast("double")), col("h"), lit(k)).as("top"))
+        .select(col("corpus"), explode(col("top")).as("p"))
+        .select(col("corpus"), col("p.id").as("h"))
+    }
     val kv = sk.groupBy("corpus").agg(max("h").as("kth"))
     val kthA = kv.where(col("corpus") === "a").select("kth")
     val kthB = kv.where(col("corpus") === "b").select("kth")
@@ -2057,24 +2075,27 @@ object Pipeline {
       .where(col("h") < col("theta"))
       .agg(count(lit(1)).as("c"))
       .crossJoin(theta)
-    val exactA = dist.where(col("corpus") === "a")
-      .agg(count(lit(1)).as("na"))
-    val exactB = dist.where(col("corpus") === "b")
-      .agg(count(lit(1)).as("nb"))
-    val exactI = dist.where(col("corpus") === "a").select("g")
-      .join(dist.where(col("corpus") === "b").select("g"), "g")
-      .agg(count(lit(1)).as("ni"))
     def est(kth: Column) = (lit((k - 1) * scale)).cast("double") / kth
-    kthA.select(est(col("kth")).as("est_a"))
+    val ests = kthA.select(est(col("kth")).as("est_a"))
       .crossJoin(kthB.select(est(col("kth")).as("est_b")))
       .crossJoin(unionKth.select(est(col("kth")).as("est_union")))
       .crossJoin(interC.select(
         ((col("c") * scale).cast("double") / col("theta"))
           .as("est_inter")))
-      .crossJoin(exactA).crossJoin(exactB).crossJoin(exactI)
-      .select(col("est_a"), col("est_b"), col("est_union"),
-        col("est_inter"), col("na").as("exact_a"),
-        col("nb").as("exact_b"), col("ni").as("exact_inter"))
+    if (!audit) ests
+    else {
+      val exactA = dist.where(col("corpus") === "a")
+        .agg(count(lit(1)).as("na"))
+      val exactB = dist.where(col("corpus") === "b")
+        .agg(count(lit(1)).as("nb"))
+      val exactI = dist.where(col("corpus") === "a").select("g")
+        .join(dist.where(col("corpus") === "b").select("g"), "g")
+        .agg(count(lit(1)).as("ni"))
+      ests.crossJoin(exactA).crossJoin(exactB).crossJoin(exactI)
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          col("est_inter"), col("na").as("exact_a"),
+          col("nb").as("exact_b"), col("ni").as("exact_inter"))
+    }
   }
 
   val queries: Map[String, Q] = Map(

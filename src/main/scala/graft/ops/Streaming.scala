@@ -590,21 +590,26 @@ object Streaming {
     * batchId−1 (the [[streamMv]] exactly-once discipline: a replayed
     * batch re-reads its own predecessor and overwrites its own
     * output). Output: one row — estimate, k-th hash, sketch size, and
-    * the exact distinct count (the expensive truth the sketch
-    * replaces, kept for auditability). */
+    * (only under [[Tables.auditOn]], default ON so the gate-SF oracle
+    * text is unchanged) the exact distinct count — the full-corpus
+    * distinct the sketch replaces; conf OFF is the production plan,
+    * which touches nothing but the 64-row sketch after the fold. */
   private def streamTheta: Q = (s, d) => {
     val root = streamDir("stream_theta/versions")
     val last = runStreamTheta(s, d, root, streamDir("stream_theta/ckpt"))
     val k = 64
     val scale = 1L << 52
     val sk = s.read.parquet(s"$root/v$last")
-    val exact = events(s, d).select(col("user_id")).distinct()
-      .agg(count(lit(1)).as("exact_users"))
-    sk.agg(max("h").as("kth"), count(lit(1)).as("n_sketch"))
-      .crossJoin(exact)
-      .select(
-        (lit((k - 1) * scale).cast("double") / col("kth")).as("est_users"),
-        col("kth"), col("n_sketch"), col("exact_users"))
+    val base = sk.agg(max("h").as("kth"), count(lit(1)).as("n_sketch"))
+    val est =
+      (lit((k - 1) * scale).cast("double") / col("kth")).as("est_users")
+    if (!auditOn(s)) base.select(est, col("kth"), col("n_sketch"))
+    else {
+      val exact = events(s, d).select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("exact_users"))
+      base.crossJoin(exact)
+        .select(est, col("kth"), col("n_sketch"), col("exact_users"))
+    }
   }
 
   /** The stream_theta run loop with caller-owned dirs (see
@@ -638,6 +643,65 @@ object Streaming {
           merged.coalesce(1).write.mode("overwrite")
             .parquet(s"$root/v$batchId")
           Faults.maybeFail(s"stream_theta:$batchId")
+          if (batchId > lastBatch) lastBatch = batchId
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    lastBatch
+  }
+
+  /** STREAMING BOUNDED TOP-K maintenance — the leaderboard shape over
+    * an unbounded stream: each micro-batch contributes its OWN top-k
+    * rows (a per-batch TakeOrderedAndProject — bounded heaps, never a
+    * batch sort), folded into a persisted ≤ k-row state as
+    * state' = topk(state ∪ topk(batch)). Top-k is mergeable exactly
+    * like the KMV sketch ([[streamTheta]]): any global top-k row is
+    * necessarily in its own batch's top-k, so the fold provably equals
+    * the batch top-k over ALL rows — which is the oracle (exact-hash:
+    * integer ordering on (n_chars DESC, doc_id), no floats anywhere).
+    * State is k rows FOREVER; per-batch work O(|batch| + k). Versions
+    * are batchId-keyed dirs read at batchId−1 (the [[streamMv]]
+    * exactly-once discipline) with the Faults crash-resume seam. */
+  private def streamTopk: Q = (s, d) => {
+    val root = streamDir("stream_topk/versions")
+    val last = runStreamTopk(s, d, root, streamDir("stream_topk/ckpt"))
+    s.read.parquet(s"$root/v$last")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+  }
+
+  /** The stream_topk run loop with caller-owned dirs (see
+    * [[runStreamMv]]). Returns the last batch id of this invocation. */
+  private[graft] def runStreamTopk(s: SparkSession, d: String,
+      root: String, ckpt: String): Long = {
+    val k = 25
+    val src = s"$scratchRoot/stream_topk_src/${Llm.Scratch.key(d)}"
+    Llm.Scratch.once(src) {
+      t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+    }
+    @volatile var lastBatch = -1L
+    val st = s.readStream
+      .schema(new StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("n_chars", org.apache.spark.sql.types.LongType))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    withStatePartitions(s) {
+      val q = st.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val part = batch.orderBy(col("n_chars").desc, col("doc_id"))
+            .limit(k)
+          val merged =
+            if (batchId == 0L) part
+            else s.read.parquet(s"$root/v${batchId - 1}")
+              .unionByName(part)
+              .orderBy(col("n_chars").desc, col("doc_id")).limit(k)
+          merged.coalesce(1).write.mode("overwrite")
+            .parquet(s"$root/v$batchId")
+          Faults.maybeFail(s"stream_topk:$batchId")
           if (batchId > lastBatch) lastBatch = batchId
         }
         .option("checkpointLocation", ckpt)
@@ -1159,12 +1223,18 @@ object Streaming {
     "stream_sink" -> streamSink,
     "stream_mv" -> streamMv,
     "stream_theta" -> streamTheta,
+    "stream_topk" -> streamTopk,
     "stream_seq" -> streamSeq,
     "stream_dedup_incremental" -> streamDedupIncremental,
     "pipeline_corpus_stream" -> streamPipelineCorpus,
   )
 
   val oracles: Map[String, String] = Map(
+    // Mergeability law: the folded stream state must equal the batch
+    // top-k over the whole corpus.
+    "stream_topk" ->
+      """SELECT doc_id, n_chars FROM documents
+         ORDER BY n_chars DESC, doc_id LIMIT 25""",
     // The streaming twin must be row-identical to dedup_incremental
     // (same partner predicate over the same ordered growth), so it
     // shares the python-pinned oracle verbatim.

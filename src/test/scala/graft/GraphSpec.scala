@@ -266,4 +266,56 @@ class GraphSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq === (0L until got.length.toLong))
     assert(dist.size <= adj.size)
   }
+
+  test("graph_katz matches a driver adjacency walk-count recompute") {
+    val edges = ops.Graph.frequentEdges(spark, SharedSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    val inN = edges.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSeq).toMap // v -> in-neighbors
+    val w1 = inN.view.mapValues(_.length.toLong).toMap
+    val w2 = inN.view.mapValues(_.map(u => w1.getOrElse(u, 0L)).sum).toMap
+    val w3 = inN.view.mapValues(_.map(u => w2.getOrElse(u, 0L)).sum).toMap
+    val exp = w1.keys.toSeq
+      .map(v => (v, w1(v), w2.getOrElse(v, 0L), w3.getOrElse(v, 0L)))
+      .map { case (v, a, b, c) => (v, a, b, c, a * 16 + b * 4 + c) }
+      .sortBy(t => (-t._5, t._1)).take(20)
+    val got = SparkEntry.queries("graph_katz")(spark, SharedSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === exp)
+  }
+
+  test("graph_closeness matches a driver multi-source BFS recompute") {
+    val edges = ops.Graph.frequentEdges(spark, SharedSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val landmarks = adj.keys.toSeq.sorted.take(8)
+    val dists = landmarks.flatMap { lm =>
+      // plain BFS from lm
+      var d = Map(lm -> 0L)
+      var frontier = Seq(lm)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(v => adj.getOrElse(v, Nil))
+          .distinct.filterNot(d.contains)
+        val hop = d(frontier.head) + 1
+        d ++= next.map(_ -> hop)
+        frontier = next
+      }
+      d.map { case (v, dd) => (lm, v, dd) }
+    }
+    val exp = dists.groupBy(_._2).toSeq
+      .map { case (v, xs) =>
+        val nLm = xs.length.toLong
+        val sumD = xs.map(_._3).sum
+        val cl = if (sumD > 0) nLm.toDouble / sumD.toDouble else 0.0
+        (v, nLm, sumD, cl)
+      }
+      .sortBy(t => (-t._2, t._3, t._1)).take(20)
+    val got = SparkEntry.queries("graph_closeness")(spark, SharedSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === exp)
+  }
 }

@@ -619,4 +619,63 @@ class LakeSpec extends AnyFunSuite {
     val curKeys = cur.map(_.getLong(0)).toSet
     assert(v1.forall(r => curKeys.contains(r.getLong(0))))
   }
+
+  test("MV lifecycle: IVM delta-fold refresh re-registers and a fresh consumer reads it THROUGH the rewrite") {
+    // Composes the pair the r9 verdict asked to wire together:
+    // mergeMv (refresh half) → MvCatalog.register (re-registration
+    // after refresh) → MvRewrite (consumer half). A consumer that
+    // constructs the post-delta aggregate from scratch must (a) be
+    // plan-swapped onto the REFRESHED parquet — never touching the
+    // base table — and (b) return rows exactly equal to the rule-off
+    // full recompute.
+    val o = Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+    // consumer-facing definition over the RESTATED base (delta applied)
+    def define = o
+      .withColumn("o_totalprice",
+        when(col("yr") === 1995L, col("o_totalprice") + 1.0d)
+          .otherwise(col("o_totalprice")))
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n"),
+        round(sum(Tables.dec(col("o_totalprice"))), 2).cast("double")
+          .as("total"))
+    // yesterday's MV state: algebraic partials over the PRE-delta base
+    val mv0 = o.groupBy("yr")
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.dec(col("o_totalprice"))).as("tot"))
+    // the CDC delta: 1995 restated as retraction + insert, sign-folded
+    val oldRows = o.where(col("yr") === 1995L).withColumn("sign", lit(-1L))
+    val newRows = o.where(col("yr") === 1995L)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0d)
+      .withColumn("sign", lit(1L))
+    val deltaAgg = oldRows.unionByName(newRows)
+      .groupBy("yr")
+      .agg(sum(col("sign")).as("dn"),
+        sum(col("sign") * Tables.dec(col("o_totalprice"))).as("dtot"))
+    // refresh: O(|delta|) fold, then re-register the refreshed parquet
+    val path = s"${Tables.scratchRoot}/mv/refresh_rewrite_test"
+    graft.ops.Lake.mergeMv(mv0, deltaAgg)
+      .write.mode("overwrite").parquet(path)
+    val refreshed = spark.read.parquet(path)
+    graft.plans.MvCatalog.register(define, refreshed)
+    // oracle first (rule off): full recompute over the restated base
+    val expect = define.orderBy("yr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // fresh consumer with the rule on
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+    try {
+      val q = define.orderBy("yr")
+      val plan = q.queryExecution.executedPlan.toString()
+      assert(plan.contains("refresh_rewrite_test"),
+        s"consumer must scan the refreshed MV parquet:\n$plan")
+      assert(!plan.contains("orders.parquet"),
+        s"consumer must NOT touch the base table:\n$plan")
+      val got = q.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got === expect,
+        "rows read through the rewrite must equal the full recompute")
+      assert(got.nonEmpty)
+    } finally spark.conf.unset("spark.graft.mv.rewrite")
+  }
 }

@@ -733,4 +733,74 @@ class LlmSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.length === 8)
     assert(got.map(_._2).toSet.subsetOf(pool.map(_._1).toSet))
   }
+
+  test("text_ttr matches a driver tokenize-count recompute") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = SharedSpark.sf
+    val got = SparkEntry.queries("text_ttr")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val exp = docs.sortBy(_._1).map { case (id, text) =>
+      val f = text.split(" ", -1).groupBy(identity).view
+        .mapValues(_.length.toLong).toMap
+      val n = f.values.sum
+      val types = f.size.toLong
+      val s2 = f.values.map(v => v * v).sum
+      (id, n, types, types.toDouble / n.toDouble,
+        s2.toDouble / n.toDouble / n.toDouble,
+        n.toDouble * n.toDouble / s2.toDouble)
+    }
+    assert(got.toSeq === exp.toSeq)
+    assert(got.forall(r => r._4 > 0.0 && r._4 <= 1.0))
+  }
+
+  test("dedup_fuzzy: variant-bucket cap is live yet a no-op at both gate SFs") {
+    import graft.ops.Llm
+    def rows(d: String, cap: Long) =
+      Llm.dedupFuzzyPlan(spark, d, cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(identity).toSeq
+    for (scale <- Seq("0.01", "0.1")) {
+      val dOpt = SharedSpark.sfDir(scale)
+      assume(dOpt.isDefined, s"testdata sf$scale absent on this machine")
+      val d = dOpt.get
+      val capped = rows(d, Llm.fuzzyBucketCap)
+      val uncapped = rows(d, Long.MaxValue)
+      assert(capped === uncapped,
+        s"sf$scale: bucket cap ${Llm.fuzzyBucketCap} must be a no-op " +
+          "(max variant df is 29 at sf0.01, 38 at sf0.1)")
+      assert(capped.nonEmpty,
+        s"sf$scale: corpus must have Levenshtein-1 name pairs")
+    }
+    // Liveness: a binding cap (1, below the df>=2 singleton floor)
+    // eliminates every pair — the cap is wired into the registered
+    // plan, not dead configuration.
+    val d = SharedSpark.sfDir("0.01").get
+    assert(rows(d, 1L).isEmpty,
+      "cap=1 must drop every pairable variant bucket")
+  }
+
+  test("dedup_fuzzy: blocked+capped path reproduces brute-force O(n²) truth at sf0.01") {
+    import graft.ops.Llm
+    import org.apache.spark.sql.functions._
+    val dOpt = SharedSpark.sfDir("0.01")
+    assume(dOpt.isDefined, "testdata sf0.01 absent on this machine")
+    val d = dOpt.get
+    val got = Llm.dedupFuzzyPlan(spark, d, Llm.fuzzyBucketCap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(identity).toSeq
+    val c = Tables.t(spark, d, "customer")
+    val a = c.select(col("c_custkey").as("a_id"), col("c_name").as("a_name"))
+    val b = c.select(col("c_custkey").as("b_id"), col("c_name").as("b_name"))
+    val truth = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .where(col("dist") <= 1)
+      .select("a_id", "b_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(identity).toSeq
+    assert(got === truth,
+      "SymSpell blocking with the gate-SF-no-op cap must lose no pair " +
+        "vs the all-pairs Levenshtein truth")
+    assert(got.nonEmpty)
+  }
 }

@@ -486,8 +486,26 @@ class PlanSpec extends AnyFunSuite {
   test("agg_theta's k-smallest runs through the bounded-heap aggregate, map-side") {
     // the sketch build must be the TopKAgg partial aggregate (≤ 64
     // pairs per corpus per partition cross the shuffle), never a
-    // per-corpus window sort of the full distinct-shingle set
-    val p = planOf("agg_theta")
+    // per-corpus window sort of the full distinct-shingle set. Since
+    // r10 the build is a train-once Scratch materialization (the
+    // registered plan reads the ≤128-row sketch parquet), so the pin
+    // inspects the BUILD plan — reconstructed identically here; the
+    // audit PlanSpec test pins what the registered plan reads.
+    import org.apache.spark.sql.functions._
+    graft.expr.TopKAgg.register(spark)
+    val dist = Tables.t(spark, sf, "documents")
+      .select(
+        explode(expr("filter(array(CASE WHEN doc_id % 3 <> 0 THEN 'a' END," +
+          " CASE WHEN doc_id % 2 = 0 THEN 'b' END), x -> x IS NOT NULL)"))
+          .as("corpus"),
+        explode(ops.Llm.shingles(col("text"))).as("g"))
+      .select("corpus", "g").distinct()
+    val build = dist.select(col("corpus"),
+        conv(substring(md5(col("g")), 1, 13), 16, 10).cast("long").as("h"))
+      .groupBy("corpus")
+      .agg(call_function("topk_pairs",
+        negate(col("h").cast("double")), col("h"), lit(64)).as("top"))
+    val p = build.queryExecution.executedPlan.toString()
     assert(p.contains("partial_topk_pairs") ||
       "ObjectHashAggregate.*topk_pairs".r.findFirstIn(p).isDefined, p)
     assert(!p.contains("Window"), "no window sort may build the sketch: " + p)
@@ -571,5 +589,30 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
       assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row hints survive
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("agg_theta audit-off is sketch-only: zero corpus scans, no shingle self-join") {
+    import graft.ops.Pipeline
+    // production (conf-off) plan: the corpus is scanned exactly once —
+    // inside the train-once sketch materialization — so the QUERY plan
+    // reads only the ≤128-row sketch table; the exact-truth distinct +
+    // self-join over the corpus shingles (precisely the cost the
+    // sketch replaces) must be absent. Audit-on (the registered gate
+    // default) re-scans the corpus for the truth columns.
+    def docScans(p: String) = "documents\\.parquet".r.findAllIn(p).size
+    val offDf = Pipeline.aggThetaPlan(spark, sf, audit = false)
+    val eOff = offDf.collect()(0) // materializes the scratch sketch
+    val off = offDf.queryExecution.executedPlan.toString()
+    assert(docScans(off) === 0, off)
+    assert(!off.contains("exact_inter"), off)
+    val onDf = Pipeline.aggThetaPlan(spark, sf, audit = true)
+    val eOn = onDf.collect()(0)
+    val on = onDf.queryExecution.executedPlan.toString()
+    assert(on.contains("exact_inter") || on.contains("ni"), on)
+    assert(docScans(on) >= 1, on)
+    // and the estimates are IDENTICAL either way — the audit columns
+    // only append, never perturb (exact-hash-stable doubles)
+    for (i <- 0 until 4)
+      assert(eOff.getDouble(i) === eOn.getDouble(i))
   }
 }

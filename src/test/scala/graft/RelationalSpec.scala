@@ -762,4 +762,109 @@ class RelationalSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getString(1), r.getString(2))))
       .foreach(o => assert(o.toSeq === rows.toSeq))
   }
+
+  test("obs_lineage_union unions branch sources and reports why-provenance") {
+    val rows = SparkEntry.queries("obs_lineage_union")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    // a column surviving the Union must cite BOTH branches' tables
+    assert(rows.filter(_._1 == "tot_bal").map(t => s"${t._2}.${t._3}")
+      .toSet === Set("customer.c_acctbal", "supplier.s_acctbal"))
+    // why-provenance: both branches' join keys + the nation key + the
+    // pre-join region filter, once, under the "(rows)" pseudo-column
+    assert(rows.filter(_._1 == "(rows)").map(t => s"${t._2}.${t._3}")
+      .toSet === Set("customer.c_nationkey", "supplier.s_nationkey",
+        "nation.n_nationkey", "nation.n_regionkey"))
+    assert(rows.filter(_._1 == "(rows)").forall(_._4 == "presence"))
+    assert(rows.filter(_._1 != "(rows)").forall(_._4 == "data"))
+    // still pure plan metadata: identical at another SF
+    SharedSpark.sfDir("0.001")
+      .map(d => SparkEntry.queries("obs_lineage_union")(spark, d).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3))))
+      .foreach(o => assert(o.toSeq === rows.toSeq))
+  }
+
+  test("agg_moments matches a BigInt central-moment driver recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("agg_moments")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val rows = Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exp = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, xs) =>
+      val q = xs.map(x => BigInt(x._2))
+      val n = q.size.toLong
+      val s1 = q.sum.toDouble
+      val s2 = q.map(x => x * x).sum.toDouble
+      val s3 = q.map(x => x * x * x).sum.toDouble
+      val s4 = q.map(x => x * x * x * x).sum.toDouble
+      val nd = n.toDouble
+      val m2num = nd * s2 - s1 * s1
+      val sknum = nd * nd * s3 - 3.0 * nd * s1 * s2 + 2.0 * s1 * s1 * s1
+      val kunum = nd * nd * nd * s4 - 4.0 * nd * nd * s1 * s3 +
+        6.0 * nd * s1 * s1 * s2 - 3.0 * s1 * s1 * s1 * s1
+      (f, n, s1 / nd, m2num / nd / nd,
+        sknum / (m2num * math.sqrt(m2num)), kunum / (m2num * m2num))
+    }
+    assert(got.toSeq === exp,
+      "exact integer power sums + fixed IEEE chain must match bitwise")
+    assert(got.nonEmpty)
+  }
+
+  test("agg_ks matches a driver grid-ECDF recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("agg_ks")(spark, sf).collect()(0)
+    val rows = Tables.t(spark, sf, "orders")
+      .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) / 500.0).toLong))
+    val buckets = rows.map(_._2).distinct.sorted
+    val by = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var c1 = 0L; var c2 = 0L
+    val n1 = rows.count(_._1 == "1-URGENT").toLong
+    val n2 = rows.count(_._1 == "5-LOW").toLong
+    var best = (-1L, Long.MaxValue) // (d_num, bucket)
+    buckets.foreach { b =>
+      c1 += by.getOrElse(("1-URGENT", b), 0L)
+      c2 += by.getOrElse(("5-LOW", b), 0L)
+      val d = math.abs(c1 * n2 - c2 * n1)
+      if (d > best._1 || (d == best._1 && b < best._2)) best = (d, b)
+    }
+    assert((got.getLong(0), got.getLong(1)) === ((n1, n2)))
+    assert(got.getLong(2) === best._2, "arg bucket")
+    assert(got.getLong(3) === best._1, "integer sup")
+    assert(got.getDouble(4) === best._1.toDouble / n1 / n2)
+    assert(best._1 > 0L, "the two priority groups must actually differ")
+  }
+
+  test("ts_holt matches a driver sequential-fold recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("ts_holt")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exp = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, xs) =>
+      val counts = xs.groupBy(_._2).toSeq.sortBy(_._1)
+        .map(_._2.length.toDouble)
+      var l = 0.0; var b = 0.0; var i = 0L
+      counts.foreach { x =>
+        if (i == 0L) { l = x; b = 0.0 }
+        else {
+          val lp = 0.5 * x + 0.5 * (l + b)
+          val bp = 0.3 * (lp - l) + 0.7 * b
+          l = lp; b = bp
+        }
+        i += 1
+      }
+      (et, i, l, b, l + b, l + 2.0 * b, l + 3.0 * b)
+    }
+    assert(got.toSeq === exp,
+      "identical fold order + IEEE ops must reproduce the state bitwise")
+    assert(got.nonEmpty && got.forall(_._2 > 1L))
+  }
 }

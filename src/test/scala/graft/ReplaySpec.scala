@@ -77,6 +77,26 @@ class ReplaySpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/v$last").count() <= k.toLong)
   }
 
+  test("stream_topk replay: crash after topk-write before commit; resume is invisible") {
+    val clean = rows(SparkEntry.queries("stream_topk")(spark, sf))
+    val root = fresh("topk/versions")
+    val ckpt = fresh("topk/ckpt")
+    ops.Streaming.Faults.arm("stream_topk:2")
+    val ex = intercept[Exception] {
+      ops.Streaming.runStreamTopk(spark, sf, root, ckpt)
+    }
+    assert(injected(ex), ex.toString)
+    assert(new java.io.File(s"$root/v2").exists())
+    assert(!new java.io.File(s"$root/v3").exists())
+    val last = ops.Streaming.runStreamTopk(spark, sf, root, ckpt)
+    assert(last === 3L, s"resume should finish the 4-file drain, got $last")
+    val resumed = rows(spark.read.parquet(s"$root/v$last")
+      .orderBy(col("n_chars").desc, col("doc_id")))
+    assert(resumed === clean)
+    // bounded-state law: the leaderboard never exceeds k rows
+    assert(spark.read.parquet(s"$root/v$last").count() <= 25L)
+  }
+
   test("stream_seq replay: crash between event-dir write and MV write") {
     val clean = rows(SparkEntry.queries("stream_seq")(spark, sf))
     val root = fresh("seq/versions")

@@ -534,31 +534,147 @@ class Gen:
         where = f'\nWHERE {self.pred(T[t])}' if self.r.random() < 0.7 else ''
         return f'SELECT DISTINCT {sel}\nFROM {t}{where}'
 
+    # -------------------------------------------- round-10 extensions
+    def q_outer(self):
+        """RIGHT/FULL OUTER join with FILTERED side(s) — the r9 advice
+        shape: outer-join NULL manufacture on the preserved side(s),
+        aggregated with null-aware buckets (same no-LIMIT discipline
+        as q_leftnull: a total order over nullable columns needs
+        explicit NULLS placement, which q_nullorder covers)."""
+        child, f, parent, p = self.pick(FKS)
+        jt = self.pick(['RIGHT JOIN', 'FULL JOIN'])
+        lsub = (f'(SELECT * FROM {child} '
+                f'WHERE {self.pred(T[child], 1)}) lc')
+        rside = parent
+        if jt == 'FULL JOIN' and self.r.random() < 0.7:
+            rside = (f'(SELECT * FROM {parent} '
+                     f'WHERE {self.pred(T[parent], 1)}) rp')
+        c, k = self.pick([x for x in T[parent] if x[1] in ('str', 'int')]
+                         or T[parent])
+        key = (f"COALESCE({c}, '(none)')" if k == 'str'
+               else f'COALESCE({c}, -1)')
+        aggs = ', '.join(self.agg_list(T[child]))
+        return (f'SELECT {key} AS g0, count(*) AS n_all, '
+                f'count({f}) AS n_l, count({p}) AS n_r, {aggs}\n'
+                f'FROM {lsub}\n{jt} {rside} ON {f} = {p}\nGROUP BY 1')
+
+    def q_having_exists(self):
+        """Correlated EXISTS/NOT EXISTS inside HAVING — subquery
+        correlation on a GROUP BY key, a decorrelation path none of
+        the WHERE-side shapes reach."""
+        child, f, parent, p = self.pick(FKS)
+        neg = 'NOT ' if self.r.random() < 0.4 else ''
+        sub = (f'SELECT 1 FROM {parent} WHERE {p} = {f} AND '
+               f'{self.pred(T[parent], 1)}')
+        aggs = ', '.join(self.agg_list(T[child]))
+        where = ''
+        if self.r.random() < 0.5:
+            where = f'\nWHERE {self.pred(T[child], 1)}'
+        return (f'SELECT {f}, {aggs}\nFROM {child}{where}\n'
+                f'GROUP BY {f}\nHAVING {neg}EXISTS ({sub})')
+
+    def q_scalar_select(self):
+        """Correlated scalar subquery in the SELECT list (count/min/max
+        per outer row) — decorrelates to an aggregate join; count(*)
+        over an empty correlation exercises the COUNT-bug path (0, not
+        NULL). Outer ORDER BY is the parent PK alone: unique, so the
+        LIMIT multiset is total-order determined without touching the
+        nullable scalar."""
+        child, f, parent, p = self.pick(FKS)
+        roll = self.r.random()
+        if roll < 0.4:
+            agg = 'CAST(count(*) AS BIGINT)'
+        elif roll < 0.7:
+            agg = f'min({f})'
+        else:
+            agg = f'max({f})'
+        sub = (f'SELECT {agg} FROM {child} WHERE {f} = {p} AND '
+               f'{self.pred(T[child], 1)}')
+        extra = [x for x in T[parent]
+                 if x[1] in ('str', 'int') and x[0] != p]
+        cols = [p] + ([self.pick(extra)[0]] if extra else [])
+        return (f'SELECT {", ".join(cols)}, ({sub}) AS sc\n'
+                f'FROM {parent}\nORDER BY {p}\n'
+                f'LIMIT {self.r.randint(10, 200)}')
+
+    def q_cte_union(self):
+        """UNION / UNION ALL INSIDE a CTE, re-aggregated outside —
+        set-op output feeding a second aggregation block."""
+        t = self.pick(list(T))
+        cols = [(c, k) for c, k in T[t]
+                if k in ('str', 'int', 'key', 'bigkey', 'ts')]
+        n = min(len(cols), self.r.randint(2, 3))
+        picked = self.r.sample(cols, n)
+        sel = ', '.join(c for c, _ in picked)
+        op = self.pick(['UNION ALL', 'UNION'])
+        inner = (f'SELECT {sel} FROM {t} WHERE {self.pred(T[t], 1)}\n'
+                 f'{op}\n'
+                 f'SELECT {sel} FROM {t} WHERE {self.pred(T[t], 1)}')
+        outer = self.q_agg(t=t, cols=picked, from_clause='v',
+                           where_ok=self.r.random() < 0.5)
+        return f'WITH v AS (\n{inner}\n)\n{outer}'
+
+    def q_nullorder(self):
+        """LEFT JOIN to a filtered right side, then ORDER BY + LIMIT
+        over the NULLABLE columns with EXPLICIT NULLS FIRST/LAST on
+        every key — lifting the LIMIT-over-nullable exclusion (Spark
+        defaults ASC NULLS FIRST, DuckDB NULLS LAST; explicit placement
+        makes the kept multiset engine-invariant)."""
+        child, f, parent, p = self.pick(FKS)
+        sub = (f'(SELECT * FROM {parent} '
+               f'WHERE {self.pred(T[parent], 1)}) v')
+        extra = [x for x in T[parent]
+                 if x[1] in ('str', 'int') and x[0] != p]
+        pcol = self.pick(extra)[0] if extra else p
+        ccol = self.pick([x for x in T[child]
+                          if x[1] in ('int', 'key') and x[0] != f])[0]
+        outs = [f, ccol, p] + ([pcol] if pcol != p else [])
+        order = ', '.join(
+            c + (' DESC' if self.r.random() < 0.4 else '') +
+            ' NULLS ' + self.pick(['FIRST', 'LAST'])
+            for c in self.r.sample(outs, len(outs)))
+        where = ''
+        if self.r.random() < 0.5:
+            where = f'\nWHERE {self.pred(T[child], 1)}'
+        return (f'SELECT {", ".join(outs)}\n'
+                f'FROM {child}\nLEFT JOIN {sub} ON {f} = {p}{where}\n'
+                f'ORDER BY {order}\nLIMIT {self.r.randint(10, 200)}')
+
     def query(self):
         roll = self.r.random()
-        if roll < 0.15:
+        if roll < 0.10:
             return self.q_simple(), 'simple'
-        if roll < 0.33:
+        if roll < 0.21:
             return self.q_agg(), 'agg'
-        if roll < 0.48:
+        if roll < 0.30:
             return self.q_join(2), 'join2'
-        if roll < 0.55:
+        if roll < 0.35:
             return self.q_join(3), 'join3'
-        if roll < 0.64:
+        if roll < 0.41:
             return self.q_window(), 'window'
-        if roll < 0.73:
+        if roll < 0.47:
             return self.q_subq(), 'subq'
-        if roll < 0.78:
+        if roll < 0.50:
             return self.q_setop(), 'setop'
-        if roll < 0.83:
+        if roll < 0.54:
             return self.q_leftnull(), 'leftnull'
-        if roll < 0.86:
+        if roll < 0.56:
             return self.q_fullagg(), 'fullagg'
-        if roll < 0.92:
+        if roll < 0.60:
             return self.q_rollup(), 'rollup'
-        if roll < 0.97:
+        if roll < 0.64:
             return self.q_cte(), 'cte'
-        return self.q_distinct(), 'distinct'
+        if roll < 0.66:
+            return self.q_distinct(), 'distinct'
+        if roll < 0.74:
+            return self.q_outer(), 'outer'
+        if roll < 0.81:
+            return self.q_having_exists(), 'having_exists'
+        if roll < 0.88:
+            return self.q_scalar_select(), 'scalar_select'
+        if roll < 0.94:
+            return self.q_cte_union(), 'cte_union'
+        return self.q_nullorder(), 'nullorder'
 
 
 # ------------------------------------------------------------- compare

@@ -53,10 +53,109 @@ DEFAULT_KEYS = [
 ]
 
 
+# ---------------------------------------------------------------------
+# Candidate-mass preflight (r9 judge item #2): the sf10 leg's
+# dedup_minhash_recall OOM killed the shared bench JVM and poisoned the
+# four keys queued behind it. Before any Σdf²-class plan runs at a new
+# SF, compute its candidate-pair mass with ONE cheap DuckDB aggregate
+# over the same parquet and SKIP the key with a classified sentinel
+# when the mass exceeds the budget a 12g bench JVM survives. The probe
+# mirrors each key's blocking column: word-trigram shingles
+# (Llm.shingles) for the shingle family, the SymSpell deletion-variant
+# buckets (with the registered fuzzyBucketCap=48) for dedup_fuzzy.
+RISK_KEYS = {
+    "dedup_minhash_recall": "shingle",  # exact-truth side: Σ df² of shingles
+    "dedup_containment": "shingle",
+    "dedup_ngram": "shingle",
+    "dedup_fuzzy": "variant",
+}
+CAND_BUDGET = 2_000_000_000  # pairs; sf10 measured 2.2e8 OK, recall OOM ≫
+
+SHINGLE_MASS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM read_parquet(?)),
+sh AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) t(i))
+SELECT COALESCE(sum(df * df), 0)::HUGEINT
+FROM (SELECT s, count(*) AS df FROM sh GROUP BY s) b
+"""
+
+VARIANT_MASS_SQL = """
+WITH vv AS (
+  SELECT DISTINCT c_custkey, v FROM (
+    SELECT c_custkey,
+           unnest(list_prepend(c_name,
+             list_transform(range(1, length(c_name) + 1),
+               i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)))) AS v
+    FROM read_parquet(?)) t)
+SELECT COALESCE(sum(CASE WHEN df <= 48 THEN df * df ELSE 0 END), 0)::HUGEINT
+FROM (SELECT v, count(*) AS df FROM vv GROUP BY v) b
+"""
+
+
+def preflight(sf_dir, keys):
+    """Returns (keys_to_run, {skipped_key: mass})."""
+    risk = [k for k in keys if k in RISK_KEYS]
+    if not risk:
+        return keys, {}
+    import duckdb
+    con = duckdb.connect()
+    mass_by_probe = {}
+    for probe in {RISK_KEYS[k] for k in risk}:
+        if probe == "shingle":
+            path = os.path.join(REPO, sf_dir, "documents.parquet")
+            sql = SHINGLE_MASS_SQL
+        else:
+            path = os.path.join(REPO, sf_dir, "customer.parquet")
+            sql = VARIANT_MASS_SQL
+        mass_by_probe[probe] = int(con.execute(sql, [path]).fetchone()[0])
+    skipped = {}
+    for k in risk:
+        m = mass_by_probe[RISK_KEYS[k]]
+        if m > CAND_BUDGET:
+            skipped[k] = m
+            print(f"[scaling] PREFLIGHT-SKIP {k} at {sf_dir}: "
+                  f"{m:.2e} candidate pairs > budget {CAND_BUDGET:.0e}",
+                  flush=True)
+    return [k for k in keys if k not in skipped], skipped
+
+
+# Direct-JVM runner (round-10): `sbt` serializes on the project lock,
+# so an hours-long slope leg blocks all development compiles. If a
+# class snapshot exists (cp -r target/scala-2.13/classes
+# target/bench_classes after a green compile), run the SAME JVM flags
+# build.sbt forks with, against the snapshot — immutable while source
+# keeps moving. Falls back to sbt when no snapshot is present.
+JDK17_ADD_OPENS = [f"--add-opens={p}=ALL-UNNAMED" for p in [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"]]
+
+
+def java_cmd(main, args):
+    classes = os.path.join(REPO, "target/bench_classes")
+    if not os.path.isdir(classes):
+        return None
+    mem = os.environ.get("SPARK_DRIVER_MEM", "12g")
+    return (["java"] + JDK17_ADD_OPENS +
+            ["-Dspark.ui.enabled=false",
+             "-Dspark.sql.session.timeZone=UTC",
+             f"-Xms{mem}", f"-Xmx{mem}", "-XX:+UseParallelGC",
+             "-XX:ReservedCodeCacheSize=512m",
+             "-cp", classes + ":/opt/spark/jars/*", main] + args)
+
+
 def run_bench(sf_dir, keys):
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_TRIALS="2")
-    cmd = ["sbt", "-batch", "runMain graft.Bench " + " ".join(keys)]
+    cmd = java_cmd("graft.Bench", list(keys)) or \
+        ["sbt", "-batch", "runMain graft.Bench " + " ".join(keys)]
     subprocess.run(cmd, cwd=REPO, env=env, check=True,
                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     with open(os.path.join(REPO, "target/bench_full.json")) as f:
@@ -77,7 +176,11 @@ def main(keys):
                   file=sys.stderr)
             return 1
         print(f"[scaling] bench at sf{label} ({sf_dir}) ...", flush=True)
-        qs, fl = run_bench(sf_dir, keys)
+        run_keys, skipped = preflight(sf_dir, keys)
+        qs, fl = run_bench(sf_dir, run_keys) if run_keys else ({}, [])
+        for k, m in skipped.items():
+            qs[k] = float("nan")
+            fl.append(f"{k}:preflight_skip:{m:.3e}_candidates")
         results[label] = qs
         failed[label] = fl
         print(f"[scaling] sf{label}: " + " ".join(
