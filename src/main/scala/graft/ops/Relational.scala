@@ -1814,7 +1814,9 @@ object Relational {
     val ecdf = marks
       .withColumn("c1", sum(col("d1")).over(w))
       .withColumn("c2", sum(col("d2")).over(w))
-    val tot = ecdf.agg(max(col("c1")).as("n1"), max(col("c2")).as("n2"))
+    // group totals from the bucket table directly (Σd ≡ max cumsum) —
+    // one aggregate, not a second window over a recomputed ECDF
+    val tot = marks.agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"))
     ecdf.crossJoin(broadcast(tot))
       .select(col("bucket"),
         abs(col("c1") * col("n2") - col("c2") * col("n1")).as("d_num"),
@@ -2167,6 +2169,62 @@ object Relational {
         (col("st.l") + lit(2.0d) * col("st.b")).as("fc2"),
         (col("st.l") + lit(3.0d) * col("st.b")).as("fc3"))
       .orderBy("event_type")
+  }
+
+  /** First-order MARKOV TRANSITION MATRIX of user behavior — the
+    * "what do users do next" table behind funnel design and synthetic
+    * session generation: per (prev, next) event-type pair, the count
+    * and the row-conditional probability P(next|prev). One lead()
+    * window per user (shuffle on user_id — bounded per-user state,
+    * parallel across users), then a ≤|types|² count aggregate;
+    * probability is ONE division of exact integers. Total order
+    * inside a user is (ts_us, event_id) — event_id breaks timestamp
+    * ties deterministically. */
+  private def seqMarkov: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val trans = events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = trans.groupBy("prev_type").agg(sum(col("n")).as("n_prev"))
+    trans.join(tot, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"), col("n_prev"),
+        (col("n").cast("double") / col("n_prev").cast("double")).as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** GINI COEFFICIENT of order-value inequality per priority class —
+    * the one-number concentration measure (0 = equal, →1 = one order
+    * carries everything) a revenue dashboard wants: the rank-sum form
+    * G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx) over the CENTS-integer
+    * values sorted within each group. The within-group sort is a
+    * row_number window partitioned by the group key — groups sort in
+    * parallel and the sort is inherent to the statistic (same shape
+    * as win_rank); every numerator stays exact (cents are integers;
+    * sums ride DECIMAL(38,0) — per-term i·x fits a long at any
+    * plausible SF, the SUM would overflow a long around sf1, and
+    * DuckDB's BIGINT sum auto-promotes to HUGEINT, mirrored); ONE
+    * int→double cast each side of ONE division. */
+  private def aggGini: Q = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy("cents", "o_orderkey")
+    val ranked = t(s, d, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .withColumn("i", row_number().over(w).cast("long"))
+    ranked.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast(dec38)).as("sx"),
+        sum((col("i") * col("cents")).cast(dec38)).as("six"))
+      .select(col("o_orderpriority"), col("n"),
+        col("sx").cast("long").as("total_cents"),
+        ((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast("double") /
+          (col("n") * col("sx")).cast("double")).as("gini"))
+      .orderBy("o_orderpriority")
   }
 
   private def obsAccounting: Q = (s, d) => {
@@ -2849,6 +2907,8 @@ object Relational {
     "agg_moments" -> aggMoments,
     "agg_ks" -> aggKs,
     "ts_holt" -> tsHolt,
+    "seq_markov" -> seqMarkov,
+    "agg_gini" -> aggGini,
     "ingest_quarantine" -> ingestQuarantine,
   )
 
@@ -3868,6 +3928,45 @@ object Relational {
                 st[2] + st[3] AS fc1, st[2] + 2.0 * st[3] AS fc2,
                 st[2] + 3.0 * st[3] AS fc3
          FROM folded ORDER BY event_type""",
+    // Identical lead() windows with the (ts_us, event_id) total order;
+    // exact integer counts, one division.
+    "seq_markov" ->
+      s"""WITH ev AS (SELECT user_id, event_id, ${duckTsUs("ts")} AS ts_us,
+                             event_type FROM events),
+         tr AS (
+           SELECT event_type AS prev_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS next_type
+           FROM ev),
+         c AS (SELECT prev_type, next_type, count(*) AS n FROM tr
+               WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT prev_type, sum(n)::BIGINT AS n_prev FROM c GROUP BY 1)
+         SELECT c.prev_type, c.next_type, c.n, t.n_prev,
+                CAST(c.n AS DOUBLE) / CAST(t.n_prev AS DOUBLE) AS p
+         FROM c JOIN t USING (prev_type)
+         ORDER BY prev_type, next_type""",
+    // Same cents integers, same rank-sum numerators (DuckDB's BIGINT
+    // sum auto-promotes to HUGEINT — mirrors Spark's DECIMAL(38,0)),
+    // one cast each side of one division.
+    "agg_gini" ->
+      """WITH c AS (
+           SELECT o_orderpriority, o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT) AS cents
+           FROM orders),
+         r AS (
+           SELECT o_orderpriority, cents,
+                  CAST(row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY cents, o_orderkey) AS BIGINT) AS i
+           FROM c),
+         g AS (
+           SELECT o_orderpriority, count(*) AS n,
+                  sum(cents) AS sx, sum(i * cents) AS six
+           FROM r GROUP BY 1)
+         SELECT o_orderpriority, n, CAST(sx AS BIGINT) AS total_cents,
+                CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                  / CAST(n * sx AS DOUBLE) AS gini
+         FROM g ORDER BY o_orderpriority""",
     // Identical 1024-bucket grid (explicit floor — DuckDB's bare
     // double→int cast rounds), identical integer sup, one division.
     "agg_ks" ->
@@ -3885,7 +3984,8 @@ object Relational {
                   sum(d1) OVER (ORDER BY bucket)::BIGINT AS c1,
                   sum(d2) OVER (ORDER BY bucket)::BIGINT AS c2
            FROM marks),
-         tot AS (SELECT max(c1) AS n1, max(c2) AS n2 FROM ecdf)
+         tot AS (SELECT sum(d1)::BIGINT AS n1, sum(d2)::BIGINT AS n2
+                 FROM marks)
          SELECT n1, n2, bucket AS arg_bucket,
                 abs(c1 * n2 - c2 * n1) AS d_num,
                 CAST(abs(c1 * n2 - c2 * n1) AS DOUBLE) / n1 / n2 AS ks_d

@@ -591,6 +591,38 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("agg_moments partial-aggregates the power sums map-side") {
+    val p = planOf("agg_moments")
+    assert(p.contains("partial_sum"), p)
+    // column pruning reaches the scan: only the group key + quantity
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string>"), p)
+  }
+
+  test("agg_ks windows over the bounded grid, never the data rows") {
+    val p = planOf("agg_ks")
+    // one global-order window — legal ONLY because its input is the
+    // ≤1024-row bucket aggregate, which must sit between scan and window
+    assert("Window \\[".r.findAllIn(p).size === 1, p)
+    val iWin = p.indexOf("Window")
+    val iAgg = p.indexOf("HashAggregate")
+    assert(iAgg >= 0 && iWin >= 0 && iWin < p.lastIndexOf("HashAggregate"),
+      "window must consume the bucket aggregate: " + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("seq_markov shuffles once on user_id for the lead window") {
+    val p = planOf("seq_markov")
+    assert("Window \\[".r.findAllIn(p).size === 1, p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("agg_gini's rank window is group-partitioned, never a global sort") {
+    val p = planOf("agg_gini")
+    assert(p.contains("hashpartitioning(o_orderpriority"), p)
+    assert(!p.contains("rangepartitioning"),
+      "no global sort may feed the rank window: " + p)
+  }
+
   test("agg_theta audit-off is sketch-only: zero corpus scans, no shingle self-join") {
     import graft.ops.Pipeline
     // production (conf-off) plan: the corpus is scanned exactly once —

@@ -840,6 +840,60 @@ class RelationalSpec extends AnyFunSuite {
     assert(best._1 > 0L, "the two priority groups must actually differ")
   }
 
+  test("seq_markov matches a driver transition-count recompute and rows sum to 1") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("seq_markov")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { xs =>
+      val path = xs.sortBy(x => (x._2, x._3)).map(_._4)
+      path.zip(path.drop(1))
+    }.toSeq
+    val cnt = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val exp = cnt.toSeq.sortBy(_._1).map { case ((a, b), n) =>
+      (a, b, n, tot(a), n.toDouble / tot(a).toDouble)
+    }
+    assert(got.toSeq === exp)
+    // each prev row-distribution sums to exactly its own mass
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sum === rows.head._4)
+    }
+  }
+
+  test("agg_gini matches a BigInt rank-sum recompute and sits in [0,1)") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("agg_gini")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val rows = Tables.t(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (Tables.dec(col("o_totalprice")) * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, xs) =>
+      val sorted = xs.sortBy(x => (x._3, x._2)).map(x => BigInt(x._3))
+      val n = BigInt(sorted.length)
+      val sx = sorted.sum
+      val six = sorted.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+      val gini = (BigDecimal(2 * six - (n + 1) * sx) /
+        BigDecimal(n * sx)).toDouble
+      (p, n.toLong, sx.toLong, gini)
+    }
+    // gini compares within 1 ulp-ish tolerance: the engine divides two
+    // exact-integer-valued doubles; the BigDecimal reference divides
+    // exactly then rounds — equal when the numerators are < 2^53
+    got.zip(exp).foreach { case (g, e) =>
+      assert((g._1, g._2, g._3) === ((e._1, e._2, e._3)))
+      assert(math.abs(g._4 - e._4) < 1e-12, s"${g._1}: ${g._4} vs ${e._4}")
+      assert(g._4 >= 0.0 && g._4 < 1.0)
+    }
+    assert(got.length === 5)
+  }
+
   test("ts_holt matches a driver sequential-fold recompute") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("ts_holt")(spark, sf).collect()
