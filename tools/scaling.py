@@ -63,26 +63,34 @@ DEFAULT_KEYS = [
 # mirrors each key's blocking column: word-trigram shingles
 # (Llm.shingles) for the shingle family, the SymSpell deletion-variant
 # buckets (with the registered fuzzyBucketCap=48) for dedup_fuzzy.
+# (probe, df_cap): the probe MIRRORS the registered plan — keys whose
+# plans drop blocking buckets above a df cap are probed with that cap
+# (containment caps at 32, ngram at 16, fuzzy variants at 48), so the
+# guard skips exactly the plans that would actually shuffle the mass.
+# dedup_minhash_recall's exact-truth side is the UNCAPPED one (the key
+# that OOM'd the r9 sf10 leg).
 RISK_KEYS = {
-    "dedup_minhash_recall": "shingle",  # exact-truth side: Σ df² of shingles
-    "dedup_containment": "shingle",
-    "dedup_ngram": "shingle",
-    "dedup_fuzzy": "variant",
+    "dedup_minhash_recall": ("shingle", None),
+    "dedup_containment": ("shingle", 32),
+    "dedup_ngram": ("shingle", 16),
+    "dedup_fuzzy": ("variant", 48),
 }
-CAND_BUDGET = 2_000_000_000  # pairs; sf10 measured 2.2e8 OK, recall OOM ≫
+# pairs; calibrated between the largest measured-completing mass
+# (real10 recall: 3.1e9 candidates, 26 s, r9) and the measured-fatal
+# one (gen-sf10 recall: 5.97e9 prefix candidates OOM'd the 12g JVM)
+CAND_BUDGET = 4_000_000_000
 
-SHINGLE_MASS_SQL = """
+SHINGLE_DF_SQL = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM read_parquet(?)),
 sh AS (
   SELECT DISTINCT doc_id,
          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
   FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) t(i))
-SELECT COALESCE(sum(df * df), 0)::HUGEINT
-FROM (SELECT s, count(*) AS df FROM sh GROUP BY s) b
+SELECT s AS k, count(*) AS df FROM sh GROUP BY s
 """
 
-VARIANT_MASS_SQL = """
+VARIANT_DF_SQL = """
 WITH vv AS (
   SELECT DISTINCT c_custkey, v FROM (
     SELECT c_custkey,
@@ -90,8 +98,7 @@ WITH vv AS (
              list_transform(range(1, length(c_name) + 1),
                i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)))) AS v
     FROM read_parquet(?)) t)
-SELECT COALESCE(sum(CASE WHEN df <= 48 THEN df * df ELSE 0 END), 0)::HUGEINT
-FROM (SELECT v, count(*) AS df FROM vv GROUP BY v) b
+SELECT v AS k, count(*) AS df FROM vv GROUP BY v
 """
 
 
@@ -102,18 +109,24 @@ def preflight(sf_dir, keys):
         return keys, {}
     import duckdb
     con = duckdb.connect()
-    mass_by_probe = {}
-    for probe in {RISK_KEYS[k] for k in risk}:
+    df_tables = {}
+    for probe in {RISK_KEYS[k][0] for k in risk}:
         if probe == "shingle":
             path = os.path.join(REPO, sf_dir, "documents.parquet")
-            sql = SHINGLE_MASS_SQL
+            sql = SHINGLE_DF_SQL
         else:
             path = os.path.join(REPO, sf_dir, "customer.parquet")
-            sql = VARIANT_MASS_SQL
-        mass_by_probe[probe] = int(con.execute(sql, [path]).fetchone()[0])
+            sql = VARIANT_DF_SQL
+        con.execute(
+            f"CREATE OR REPLACE TABLE df_{probe} AS {sql}", [path])
+        df_tables[probe] = f"df_{probe}"
     skipped = {}
     for k in risk:
-        m = mass_by_probe[RISK_KEYS[k]]
+        probe, cap = RISK_KEYS[k]
+        where = f"WHERE df <= {cap}" if cap else ""
+        m = int(con.execute(
+            f"SELECT COALESCE(sum(df * df), 0)::HUGEINT "
+            f"FROM {df_tables[probe]} {where}").fetchone()[0])
         if m > CAND_BUDGET:
             skipped[k] = m
             print(f"[scaling] PREFLIGHT-SKIP {k} at {sf_dir}: "
