@@ -414,7 +414,11 @@ object Graph {
       val path = s"$scratchRoot/graph/close_${Llm.Scratch.key(d)}_i$i"
       next.coalesce(1).write.mode("overwrite").parquet(path)
       val cur = s.read.parquet(path)
-      val row = cur.agg(count(lit(1)), sum(col("dd"))).collect()(0)
+      // coalesce: a VACUOUS graph (no c≥3 repeat pairs — the sf1
+      // uniform-draw degeneracy, SCALING §5) leaves dist empty and a
+      // bare sum returns NULL
+      val row = cur.agg(count(lit(1)),
+        coalesce(sum(col("dd")), lit(0L))).collect()(0)
       val dg = (row.getLong(0), row.getLong(1))
       done = dg == digest
       digest = dg

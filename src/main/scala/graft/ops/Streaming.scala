@@ -808,6 +808,100 @@ object Streaming {
     lastBatch
   }
 
+  /** STREAMING MARKOV TRANSITION-MATRIX maintenance — seq_markov's
+    * streaming twin, and the second instance of the CHANGED-KEYS-ONLY
+    * recompute discipline ([[streamSeq]]): a user's (prev→next)
+    * transition multiset is NOT algebraic under out-of-order arrival
+    * (a late event splices into the middle of the path and rewrites
+    * two transitions), so per batch only the TOUCHED users re-derive —
+    * their raw (ts, type) history is re-read from the append-only
+    * per-batch event dirs pruned to `batch <= id`, re-sorted,
+    * re-paired; every untouched user's count rows carry forward via
+    * anti-join. Per-batch work is O(batch users × their history). The
+    * source is split round-robin (arrival order ≠ time order) and the
+    * result is provably arrival-order-independent because state
+    * stores (ts_us, event_id, type) and sorts at recompute. The final
+    * matrix aggregates the per-user counts and SHARES seq_markov's
+    * oracle — the streamed fold must reproduce the batch answer
+    * exactly. Exactly-once: event dir and MV version both batchId-
+    * keyed (the stream_mv replay discipline + Faults seam). */
+  private def streamMarkov: Q = (s, d) => {
+    val root = streamDir("stream_markov/versions")
+    val last = runStreamMarkov(s, d, root, streamDir("stream_markov/ckpt"))
+    val perUser = s.read.parquet(s"$root/mv_v$last")
+    val trans = perUser.groupBy("prev_type", "next_type")
+      .agg(sum(col("n")).as("n"))
+    val tot = trans.groupBy("prev_type").agg(sum(col("n")).as("n_prev"))
+    trans.join(tot, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"), col("n_prev"),
+        (col("n").cast("double") / col("n_prev").cast("double")).as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** The stream_markov run loop with caller-owned dirs (see
+    * [[runStreamMv]]). Returns the last batch id of this invocation. */
+  private[graft] def runStreamMarkov(s: SparkSession, d: String,
+      root: String, ckpt: String): Long = {
+    val src = s"$scratchRoot/stream_markov_src/${Llm.Scratch.key(d)}"
+    Llm.Scratch.once(src) {
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_type"))
+        .repartition(4) // round-robin: arrival order ≠ time order
+        .write.mode("overwrite").parquet(src)
+    }
+    @volatile var lastBatch = -1L
+    val st = s.readStream
+      .schema(new StructType()
+        .add("event_id", org.apache.spark.sql.types.LongType)
+        .add("user_id", org.apache.spark.sql.types.LongType)
+        .add("ts_us", org.apache.spark.sql.types.LongType)
+        .add("event_type", org.apache.spark.sql.types.StringType))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    // per-user transition counts from this user's full sorted history
+    def countsOf(ev: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("user_id"), col("event_type").as("prev_type"),
+          col("next_type"))
+        .agg(count(lit(1)).as("n"))
+    }
+    withStatePartitions(s) {
+      val q = st.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val bev = batch.select("event_id", "user_id", "ts_us",
+            "event_type")
+          val touched = bev.select("user_id").distinct()
+          bev.write.mode("overwrite").parquet(s"$root/ev/batch=$batchId")
+          // replay seam: event dir written, MV not yet
+          Faults.maybeFail(s"stream_markov:$batchId")
+          val prevMv =
+            if (batchId == 0L) None
+            else Some(s.read.parquet(s"$root/mv_v${batchId - 1}"))
+          val evNow = s.read.parquet(s"$root/ev")
+            .where(col("batch") <= batchId)
+          val changed = countsOf(
+            evNow.join(touched, Seq("user_id"), "left_semi"))
+          val mv = prevMv match {
+            case None => changed
+            case Some(prev) =>
+              prev.join(touched, Seq("user_id"), "left_anti")
+                .unionByName(changed)
+          }
+          mv.write.mode("overwrite").parquet(s"$root/mv_v$batchId")
+          if (batchId > lastBatch) lastBatch = batchId
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    lastBatch
+  }
+
   /** STREAMING incremental near-dup dedup — dedup_incremental's
     * streaming twin, and the shape a 100 TB corpus actually grows in:
     * the signature BAND INDEX is a stored artifact; new documents
@@ -1224,6 +1318,7 @@ object Streaming {
     "stream_mv" -> streamMv,
     "stream_theta" -> streamTheta,
     "stream_topk" -> streamTopk,
+    "stream_markov" -> streamMarkov,
     "stream_seq" -> streamSeq,
     "stream_dedup_incremental" -> streamDedupIncremental,
     "pipeline_corpus_stream" -> streamPipelineCorpus,
@@ -1235,6 +1330,9 @@ object Streaming {
     "stream_topk" ->
       """SELECT doc_id, n_chars FROM documents
          ORDER BY n_chars DESC, doc_id LIMIT 25""",
+    // Changed-keys-only recompute must land on the batch matrix
+    // exactly — the oracle IS seq_markov's.
+    "stream_markov" -> Relational.oracles("seq_markov"),
     // The streaming twin must be row-identical to dedup_incremental
     // (same partner predicate over the same ordered growth), so it
     // shares the python-pinned oracle verbatim.

@@ -97,6 +97,34 @@ class ReplaySpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/v$last").count() <= 25L)
   }
 
+  test("stream_markov replay: crash between event-dir write and MV write") {
+    val clean = rows(SparkEntry.queries("stream_markov")(spark, sf))
+    val root = fresh("markov/versions")
+    val ckpt = fresh("markov/ckpt")
+    ops.Streaming.Faults.arm("stream_markov:2")
+    val ex = intercept[Exception] {
+      ops.Streaming.runStreamMarkov(spark, sf, root, ckpt)
+    }
+    assert(injected(ex), ex.toString)
+    assert(new java.io.File(s"$root/ev/batch=2").exists())
+    assert(!new java.io.File(s"$root/mv_v2").exists())
+    val last = ops.Streaming.runStreamMarkov(spark, sf, root, ckpt)
+    assert(last === 3L, s"resume should finish the 4-file drain, got $last")
+    // rebuild the registered output shape from the resumed per-user MV
+    val perUser = spark.read.parquet(s"$root/mv_v$last")
+    val trans = perUser.groupBy("prev_type", "next_type")
+      .agg(sum(col("n")).as("n"))
+    val tot = trans.groupBy("prev_type").agg(sum(col("n")).as("n_prev"))
+    val resumed = rows(trans.join(tot, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"), col("n_prev"),
+        (col("n").cast("double") / col("n_prev").cast("double")).as("p"))
+      .orderBy("prev_type", "next_type"))
+    assert(resumed === clean)
+    // Σ-rows law: every event stored exactly once across batch dirs
+    val stored = spark.read.parquet(s"$root/ev").count()
+    assert(stored === Tables.events(spark, sf).count())
+  }
+
   test("stream_seq replay: crash between event-dir write and MV write") {
     val clean = rows(SparkEntry.queries("stream_seq")(spark, sf))
     val root = fresh("seq/versions")
