@@ -2227,6 +2227,44 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** LORENZ / PARETO concentration curve per priority class — the
+    * "top decile of orders carries what share of revenue" table
+    * [[aggGini]] summarizes to one number: orders ranked by value
+    * within each group (the same group-partitioned ntile window —
+    * groups sort in parallel), 10 equal-count buckets, per-decile and
+    * cumulative revenue shares. ntile's remainder-to-early-buckets
+    * rule is the SQL standard and engine-identical under a total
+    * order ((cents, orderkey) — ties broken); cents stay exact
+    * integers (DECIMAL(38,0) sums ↔ DuckDB auto-HUGEINT), shares are
+    * ONE division each off a single int→double cast; the cumulative
+    * window runs over the 10-row-per-group decile table, never data
+    * rows. */
+  private def winLorenz: Q = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy("cents", "o_orderkey")
+    val deciles = t(s, d, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("o_orderpriority", "decile")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents").cast(dec38)).as("dc"))
+    val tot = deciles.groupBy("o_orderpriority")
+      .agg(sum(col("dc")).as("total"))
+    val wc = Window.partitionBy("o_orderpriority").orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles.join(tot, "o_orderpriority")
+      .withColumn("cum", sum(col("dc")).over(wc))
+      .select(col("o_orderpriority"), col("decile"), col("n_orders"),
+        col("dc").cast("long").as("decile_cents"),
+        (col("dc").cast("double") / col("total").cast("double"))
+          .as("share"),
+        (col("cum").cast("double") / col("total").cast("double"))
+          .as("cum_share"))
+      .orderBy("o_orderpriority", "decile")
+  }
+
   private def obsAccounting: Q = (s, d) => {
     val obs = new org.apache.spark.sql.Observation("graft_acct")
     val li = t(s, d, "lineitem")
@@ -2909,6 +2947,7 @@ object Relational {
     "ts_holt" -> tsHolt,
     "seq_markov" -> seqMarkov,
     "agg_gini" -> aggGini,
+    "win_lorenz" -> winLorenz,
     "ingest_quarantine" -> ingestQuarantine,
   )
 
@@ -3945,6 +3984,33 @@ object Relational {
                 CAST(c.n AS DOUBLE) / CAST(t.n_prev AS DOUBLE) AS p
          FROM c JOIN t USING (prev_type)
          ORDER BY prev_type, next_type""",
+    // Same cents/ntile/total-order; the cumulative window runs over
+    // the 10-row-per-group decile table in both engines.
+    "win_lorenz" ->
+      """WITH c AS (
+           SELECT o_orderpriority, o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT) AS cents
+           FROM orders),
+         r AS (
+           SELECT o_orderpriority, cents,
+                  CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+                    ORDER BY cents, o_orderkey) AS BIGINT) AS decile
+           FROM c),
+         d AS (
+           SELECT o_orderpriority, decile, count(*) AS n_orders,
+                  sum(cents) AS dc
+           FROM r GROUP BY 1, 2),
+         t AS (SELECT o_orderpriority, sum(dc) AS total FROM d GROUP BY 1)
+         SELECT d.o_orderpriority, d.decile, d.n_orders,
+                CAST(d.dc AS BIGINT) AS decile_cents,
+                CAST(d.dc AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+                CAST(sum(d.dc) OVER (PARTITION BY d.o_orderpriority
+                    ORDER BY d.decile ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS DOUBLE)
+                  / CAST(t.total AS DOUBLE) AS cum_share
+         FROM d JOIN t USING (o_orderpriority)
+         ORDER BY o_orderpriority, decile""",
     // Same cents integers, same rank-sum numerators (DuckDB's BIGINT
     // sum auto-promotes to HUGEINT — mirrors Spark's DECIMAL(38,0)),
     // one cast each side of one division.

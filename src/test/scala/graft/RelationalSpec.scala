@@ -894,6 +894,45 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.length === 5)
   }
 
+  test("win_lorenz: decile recompute + Lorenz-curve laws") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("win_lorenz")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val rows = Tables.t(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (Tables.dec(col("o_totalprice")) * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (p, xs) =>
+      val sorted = xs.sortBy(x => (x._3, x._2))
+      val n = sorted.length
+      // standard ntile: remainder spread over the FIRST buckets
+      val base = n / 10; val rem = n % 10
+      val sizes = (1 to 10).map(i => base + (if (i <= rem) 1 else 0))
+      val cuts = sizes.scanLeft(0)(_ + _)
+      val total = sorted.map(x => BigInt(x._3)).sum
+      var cum = BigInt(0)
+      (1 to 10).map { i =>
+        val slice = sorted.slice(cuts(i - 1), cuts(i))
+        val dc = slice.map(x => BigInt(x._3)).sum
+        cum += dc
+        (p, i.toLong, slice.length.toLong, dc.toLong,
+          dc.toLong.toDouble / total.toLong.toDouble,
+          cum.toLong.toDouble / total.toLong.toDouble)
+      }
+    }
+    assert(got.toSeq === exp)
+    // Lorenz laws: per group, shares ascend with decile (sorted
+    // ascending), cum_share is monotone and ends at exactly 1.0
+    got.groupBy(_._1).values.foreach { g =>
+      val byDecile = g.sortBy(_._2)
+      assert(byDecile.last._6 === 1.0)
+      assert(byDecile.map(_._6).sliding(2).forall(w => w(0) <= w(1)))
+      assert(byDecile.head._5 <= byDecile.last._5,
+        "bottom decile cannot out-earn the top")
+    }
+  }
+
   test("ts_holt matches a driver sequential-fold recompute") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("ts_holt")(spark, sf).collect()
