@@ -57,6 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"repetition_stats expects 1 argument, got ${exprs.length}")
         graft.expr.RepetitionStats(exprs.head)
       }))
+    e.injectFunction((new FunctionIdentifier("ttr_stats"),
+      new ExpressionInfo(classOf[graft.expr.TtrStats].getName, "ttr_stats"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"ttr_stats expects 1 argument, got ${exprs.length}")
+        graft.expr.TtrStats(exprs.head)
+      }))
     e.injectFunction((new FunctionIdentifier("deflate_len"),
       new ExpressionInfo(classOf[graft.expr.DeflateLen].getName, "deflate_len"),
       (exprs: Seq[Expression]) => {

@@ -1958,13 +1958,37 @@ object Llm {
     * correctly-rounded, so its bits differ across libm builds and
     * could never exact-hash (the tok_unigram digits() lesson); the
     * Simpson pair carries the same diversity signal as exact integer
-    * numerators with a fixed 2-3 division sequence. Scale shape: two
-    * map-side-combined hash aggregates — (doc, token) then doc —
-    * 16-byte rows after the first; nothing per-corpus. */
+    * numerators with a fixed 2-3 division sequence. Scale shape: the
+    * registered plan is the native [[graft.expr.TtrStats]] kernel —
+    * ONE tokenize+hash sweep per row fused into whole-stage codegen,
+    * ZERO shuffle (each doc's triple is a pure function of its own
+    * text; the exploded two-aggregate formulation ships every token
+    * through a shuffle that carries nothing the result needs — kept
+    * as [[textTtrExploded]] for the LlmSpec bit-identity pin, the
+    * RepetitionStats discipline). */
   private def textTtr: Q = (s, d) => {
     def D(c: String) = col(c).cast("double")
+    val st = call_function("ttr_stats", col("text"))
+    fanOut(t(s, d, "documents"))
+      .select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        col("st.n_words").as("n_words"), col("st.n_types").as("n_types"),
+        col("st.s2").as("s2"))
+      .select(col("doc_id"), col("n_words"), col("n_types"),
+        (D("n_types") / D("n_words")).as("ttr"),
+        (D("s2") / D("n_words") / D("n_words")).as("simpson"),
+        (D("n_words") * D("n_words") / D("s2")).as("eff_vocab"))
+      .orderBy("doc_id")
+  }
+
+  /** The declarative twin of [[textTtr]] — explode + two aggregates.
+    * NOT registered: the token shuffle is pure waste at scale; kept as
+    * the spec's independent implementation for bit-identity. */
+  private[graft] def textTtrExploded(
+      s: SparkSession, d: String): DataFrame = {
+    def D(c: String) = col(c).cast("double")
     val tf = fanOut(t(s, d, "documents"))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("f"))
     tf.groupBy("doc_id")
       .agg(sum(col("f")).as("n_words"), count(lit(1)).as("n_types"),

@@ -755,6 +755,12 @@ class LlmSpec extends AnyFunSuite {
     }
     assert(got.toSeq === exp.toSeq)
     assert(got.forall(r => r._4 > 0.0 && r._4 <= 1.0))
+    // bit-identity vs the exploded two-aggregate formulation (the
+    // declarative twin the native kernel replaced)
+    val exploded = ops.Llm.textTtrExploded(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(exploded.toSeq === got.toSeq)
   }
 
   test("dedup_fuzzy: variant-bucket cap is live yet a no-op at both gate SFs") {

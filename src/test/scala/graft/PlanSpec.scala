@@ -631,6 +631,14 @@ class PlanSpec extends AnyFunSuite {
       "no unpartitioned global rank may feed the sums: " + p)
   }
 
+  test("text_ttr is the zero-shuffle native kernel: no hash exchange, no explode") {
+    val p = planOf("text_ttr")
+    assert(p.contains("ttr_stats"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the diversity triple is per-row — no token may shuffle: " + p)
+    assert(!p.contains("Generate"), "no explode in the registered plan: " + p)
+  }
+
   test("agg_theta audit-off is sketch-only: zero corpus scans, no shingle self-join") {
     import graft.ops.Pipeline
     // production (conf-off) plan: the corpus is scanned exactly once —
