@@ -92,6 +92,29 @@ object Bench {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     wq.awaitTermination()
+    // Fixture fingerprint (r10 judge item #3): the 2026-08-14 testdata
+    // regen silently broke r9↔r10 per-query comparability — BENCH files
+    // carried no record of WHAT data they measured. Per-table row counts
+    // plus total on-disk bytes let the next round attribute a per-query
+    // delta to data vs code mechanically. Counting also pre-warms the
+    // page cache uniformly (part of the warmup story above).
+    def dirBytes(f: java.io.File): Long =
+      if (f.isDirectory) {
+        val kids = f.listFiles()
+        if (kids == null) 0L else kids.map(dirBytes).sum
+      } else f.length()
+    val fixture = {
+      val tabs = Option(new java.io.File(sfDir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val rows = tabs.map { f =>
+        val n =
+          try spark.read.parquet(f.getPath).count()
+          catch { case _: Throwable => -1L }
+        "\"" + f.getName.stripSuffix(".parquet") + "\":" + n
+      }.mkString("{", ",", "}")
+      s"""{"bytes":${tabs.map(dirBytes).sum},"rows":$rows}"""
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.exists(n.startsWith) }
     // Min of N trials (default 2): this guest kernel initializes struct
@@ -173,6 +196,29 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map { case (_, v) => math.abs(v) }.sum
 
+    // Production (audit-OFF) timings for the sketch pair (r10 judge
+    // item #4): the headline keys bench the audit-ON gate plan by
+    // design (oracle text unchanged); the conf-off plan is the 100 TB
+    // production shape — sketch-only, zero corpus re-scans,
+    // PlanSpec-pinned. Emit it as extra detail rows so both numbers
+    // are visible per round without a manual run. Headline map
+    // untouched.
+    for (name <- Seq("agg_theta", "stream_theta")
+         if SparkEntry.queries.contains(name) &&
+           (args.isEmpty || args.exists(name.startsWith))) {
+      spark.conf.set("spark.graft.audit", "false")
+      try (1 to trials).foreach { trial =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        detail += s"""{"q":"$name#audit_off","trial":$trial,""" +
+          s""""wall_s":${(dt * 1000).round / 1000.0},"ok":$ok}"""
+        System.err.println(f"[bench] $name#audit_off $dt%.2f s")
+      } finally spark.conf.set("spark.graft.audit", "true")
+    }
+
     // The driver keeps only the LAST ~2000 chars of the run output; sbt
     // appends its own "[success] Total time ..." trailer (~85 chars)
     // after our line. A full-precision map over 80+ queries is ~2900
@@ -198,7 +244,7 @@ object Bench {
       // n + mean make rounds with different query counts comparable
       // (the suite grew 75 → 99 queries across rounds; the TOTAL alone
       // penalizes added coverage).
-      s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","n":${results.size},"mean_sec":${num("%.3f", mean)},"trials":$trials,"calib_ms":$calibMs,"calib_ref_ms":${CalibRefMs.toInt},"normalized_total":${num("%.2f", total * CalibRefMs / calibMs)},"queries":$qs$omitted,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","n":${results.size},"mean_sec":${num("%.3f", mean)},"trials":$trials,"calib_ms":$calibMs,"calib_ref_ms":${CalibRefMs.toInt},"normalized_total":${num("%.2f", total * CalibRefMs / calibMs)},"fixture":$fixture,"queries":$qs$omitted,"failed":$failed,"sf":"$sfDir"}"""
     }
     val budget = 1800
     val line = Iterator(render(2, results.size), render(1, results.size)) ++
@@ -213,7 +259,7 @@ object Bench {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_full.json"),
-      (s"""{"metric":"total","value":$total,"unit":"sec","calib_ms":$calibMs,"calib_ref_ms":${CalibRefMs.toInt},"normalized_total":${total * CalibRefMs / calibMs},"queries":$full,"failed":$failed,"sf":"$sfDir",""" +
+      (s"""{"metric":"total","value":$total,"unit":"sec","calib_ms":$calibMs,"calib_ref_ms":${CalibRefMs.toInt},"normalized_total":${total * CalibRefMs / calibMs},"fixture":$fixture,"queries":$full,"failed":$failed,"sf":"$sfDir",""" +
         s""""detail":[${detail.mkString(",")}]}""").getBytes("UTF-8"))
     spark.stop()
   }

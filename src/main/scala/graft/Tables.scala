@@ -33,9 +33,6 @@ object Tables {
     * Scratch from dead JVMs (and pre-pid legacy layouts) is reaped at
     * init so the tmpfs doesn't accumulate across rounds; live sibling
     * processes are left alone. */
-  /** Recursive delete, null-safe on racing listFiles — the one shared
-    * rm -rf used by scratch reaping, streamDir resets, and the WAP
-    * protocol (keep fixes here, not in per-site clones). */
   /** Audit switch for sketch operators (agg_theta / stream_theta):
     * ON (the default — so the gate-SF oracle text is unchanged) keeps
     * the exact-truth columns in the output, which cost precisely the
@@ -47,6 +44,9 @@ object Tables {
   def auditOn(s: SparkSession): Boolean =
     s.conf.get("spark.graft.audit", "true").toBoolean
 
+  /** Recursive delete, null-safe on racing listFiles — the one shared
+    * rm -rf used by scratch reaping, streamDir resets, and the WAP
+    * protocol (keep fixes here, not in per-site clones). */
   def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) {
       val kids = f.listFiles()

@@ -2230,23 +2230,48 @@ object Relational {
   /** LORENZ / PARETO concentration curve per priority class — the
     * "top decile of orders carries what share of revenue" table
     * [[aggGini]] summarizes to one number: orders ranked by value
-    * within each group (the same group-partitioned ntile window —
-    * groups sort in parallel), 10 equal-count buckets, per-decile and
-    * cumulative revenue shares. ntile's remainder-to-early-buckets
-    * rule is the SQL standard and engine-identical under a total
-    * order ((cents, orderkey) — ties broken); cents stay exact
-    * integers (DECIMAL(38,0) sums ↔ DuckDB auto-HUGEINT), shares are
-    * ONE division each off a single int→double cast; the cumulative
-    * window runs over the 10-row-per-group decile table, never data
-    * rows. */
+    * within each group, 10 equal-count buckets, per-decile and
+    * cumulative revenue shares. The bucket is NOT ntile: ntile is a
+    * SizeBasedWindowFunction, so WindowExec must hold each priority
+    * group (20% of orders) whole in one task's buffer to learn n
+    * before emitting bucket 1 — measured 17.98 s / α_hi 1.05 at sf10
+    * vs agg_gini's 0.82 s on the SAME window shape (r10 verdict).
+    * Instead: per-group n is ONE broadcast hash agg, the rank is a
+    * STREAMING row_number over the identical total order
+    * ((cents, orderkey) — ties broken), and the decile falls out of
+    * (rn, n, 10) closed-form via the SQL-standard
+    * remainder-to-early-buckets rule — big = n mod 10 buckets of size
+    * sz+1 first, then size-sz buckets: pure integer arithmetic,
+    * engine-identical to ntile by construction, zero group buffering.
+    * Cents stay exact integers (DECIMAL(38,0) sums ↔ DuckDB
+    * auto-HUGEINT), shares are ONE division each off a single
+    * int→double cast; the cumulative window runs over the
+    * 10-row-per-group decile table, never data rows. */
   private def winLorenz: Q = (s, d) => {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val w = Window.partitionBy("o_orderpriority")
       .orderBy("cents", "o_orderkey")
-    val deciles = t(s, d, "orders")
+    val cents = t(s, d, "orders")
       .select(col("o_orderpriority"), col("o_orderkey"),
         (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val gn = cents.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("gn"))
+    // ntile(10) ≡ first (n mod 10) buckets of size (n div 10)+1, rest
+    // of size (n div 10); ceil(a/b) = (a+b-1) div b on positive ints.
+    // The when() guards the sz=0 arm (n<10): every row then lands in
+    // the first branch (rn ≤ n = big·1), so the sz division never
+    // evaluates on a zero divisor.
+    val deciles = cents
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(gn), "o_orderpriority")
+      .withColumn("sz", expr("gn div 10"))
+      .withColumn("big", col("gn") % 10)
+      .withColumn("decile",
+        when(col("rn") <= col("big") * (col("sz") + lit(1)),
+          expr("(rn + sz) div (sz + 1)"))
+          .otherwise(col("big") +
+            expr("(rn - big * (sz + 1) + sz - 1) div sz"))
+          .cast("long"))
       .groupBy("o_orderpriority", "decile")
       .agg(count(lit(1)).as("n_orders"),
         sum(col("cents").cast(dec38)).as("dc"))

@@ -763,6 +763,25 @@ class LlmSpec extends AnyFunSuite {
     assert(exploded.toSeq === got.toSeq)
   }
 
+  test("text_ttr drops NULL-text docs exactly like the exploded twin and the oracle") {
+    // r10 ADVICE: the native kernel used to keep a NULL-stats row for a
+    // NULL-text doc while explode (and the oracle's string_split→unnest)
+    // drop it — the bit-identity claim must hold on NULLs too.
+    val cd = s"${Tables.scratchRoot}/llm_ttr_null_fixture"
+    spark.createDataFrame(Seq(
+      (0L, "a b a c"), (1L, null.asInstanceOf[String]), (2L, "x x")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$cd/documents.parquet")
+    def six(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    val native = SparkEntry.queries("text_ttr")(spark, cd).collect().map(six)
+    val exploded = ops.Llm.textTtrExploded(spark, cd).collect().map(six)
+    assert(native.map(_._1).toSeq === Seq(0L, 2L),
+      "the NULL-text doc must be omitted, not emitted with NULL stats")
+    assert(native.toSeq === exploded.toSeq)
+  }
+
   test("dedup_fuzzy: variant-bucket cap is live yet a no-op at both gate SFs") {
     import graft.ops.Llm
     def rows(d: String, cap: Long) =

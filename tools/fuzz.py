@@ -640,41 +640,159 @@ class Gen:
                 f'FROM {child}\nLEFT JOIN {sub} ON {f} = {p}{where}\n'
                 f'ORDER BY {order}\nLIMIT {self.r.randint(10, 200)}')
 
+    # -------------------------------------------- round-11 extensions
+    # single-column unique keys -> a (col, pk) ORDER BY inside a window
+    # is a TOTAL order, making ROWS-frame results engine-invariant
+    UNIQ = {'orders': 'o_orderkey', 'customer': 'c_custkey',
+            'part': 'p_partkey', 'supplier': 's_suppkey',
+            'documents': 'doc_id', 'events': 'event_id'}
+
+    def q_winframe(self):
+        """Aggregates OVER explicit ROWS frames + lag/lead — the
+        engine's biggest previously-unfuzzed surface (r10 advice). The
+        window orders by (some col, unique pk): a total order within
+        every partition, so ROWS-frame contents (which depend on row
+        ORDER, unlike RANGE) are identical in both engines. Sum
+        discipline as everywhere: doubles via DECIMAL(18,4) then one
+        rounded cast, ints via CAST(.. AS BIGINT) (DuckDB windowed
+        BIGINT sums return HUGEINT)."""
+        t = self.pick(list(self.UNIQ))
+        pk = self.UNIQ[t]
+        cols = T[t]
+        pc, _ = self.pick([x for x in cols if x[1] in ('str', 'int')]
+                          or cols)
+        oc, ok = self.pick([x for x in cols
+                            if x[0] not in (pc, pk) and
+                            x[1] in ('int', 'key', 'bigkey', 'double',
+                                     'ts')] or [(pk, 'key')])
+        order = (f'{oc}' + (' DESC' if self.r.random() < 0.3 else '') +
+                 f', {pk}')
+        frame = self.pick([
+            f'ROWS BETWEEN {self.r.randint(1, 5)} PRECEDING AND CURRENT ROW',
+            'ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW',
+            f'ROWS BETWEEN {self.r.randint(1, 3)} PRECEDING AND '
+            f'{self.r.randint(1, 3)} FOLLOWING',
+            f'ROWS BETWEEN CURRENT ROW AND {self.r.randint(1, 5)} FOLLOWING',
+        ])
+        w = f'PARTITION BY {pc} ORDER BY {order} {frame}'
+        ac, ak = self.pick([x for x in cols
+                            if x[1] in ('int', 'key', 'double')])
+        roll = self.r.random()
+        if ak == 'double':
+            if roll < 0.5:
+                win = (f'CAST(round(sum(CAST({ac} AS DECIMAL(18,4))) '
+                       f'OVER ({w}), 2) AS DOUBLE)')
+            else:
+                win = f'{self.pick(["min", "max"])}({ac}) OVER ({w})'
+        elif roll < 0.4:
+            win = f'CAST(sum({ac}) OVER ({w}) AS BIGINT)'
+        elif roll < 0.7:
+            win = f'{self.pick(["min", "max"])}({ac}) OVER ({w})'
+        else:
+            win = f'count(*) OVER ({w})'
+        extra = ''
+        if self.r.random() < 0.4:
+            # lag/lead: frame-free, order-dependent — same total order
+            fn = self.pick(['lag', 'lead'])
+            lc, _ = self.pick([x for x in cols
+                               if x[1] in ('int', 'key', 'str')])
+            extra = (f', {fn}({lc}, {self.r.randint(1, 3)}) OVER '
+                     f'(PARTITION BY {pc} ORDER BY {order}) AS lv')
+        where = f'\nWHERE {self.pred(cols)}' if self.r.random() < 0.6 \
+            else ''
+        return (f'SELECT {pc}, {pk}, {oc}, {win} AS wv{extra}\n'
+                f'FROM {t}{where}')
+
+    def q_setop_join(self):
+        """INTERSECT/EXCEPT [ALL] between two FK-join projection blocks
+        — set-op semantics over DERIVED (joined, expression-projected)
+        inputs rather than q_setop's single-table columns."""
+        fk = self.pick(FKS)
+        child, f, parent, p = fk
+        cols = T[child] + T[parent]
+        picked = self.r.sample(
+            [(c, k) for c, k in cols if k in ('str', 'int', 'key')],
+            self.r.randint(2, 3))
+        sel = ', '.join(
+            (f'({c} % {self.r.randint(3, 17)})' if self.r.random() < 0.3
+             and k in ('int', 'key') else c)
+            for c, k in picked)
+        op = self.pick(['INTERSECT', 'EXCEPT', 'INTERSECT ALL',
+                        'EXCEPT ALL', 'UNION'])
+        blk = (f'SELECT {sel} FROM {child} JOIN {parent} ON {f} = {p} '
+               f'WHERE {{pred}}')
+        return (blk.format(pred=self.pred(cols, 1)) + f'\n{op}\n' +
+                blk.format(pred=self.pred(cols, 1)))
+
+    def q_scalar_where(self):
+        """CORRELATED scalar subquery in WHERE (count/min/max per outer
+        row compared against a literal) — the decorrelate-to-aggregate-
+        join path on the FILTER side, which q_subq's uncorrelated
+        scalar and q_scalar_select's SELECT-side scalar never reach.
+        count(*) over an empty correlation must read 0 (the COUNT-bug
+        path) for the comparison to agree."""
+        child, f, parent, p = self.pick(FKS)
+        roll = self.r.random()
+        if roll < 0.5:
+            sub = (f'SELECT CAST(count(*) AS BIGINT) FROM {child} '
+                   f'WHERE {f} = {p} AND {self.pred(T[child], 1)}')
+            cmpop = self.pick(['>=', '=', '<'])
+            cond = f'({sub}) {cmpop} {self.r.randint(0, 5)}'
+        else:
+            agg = self.pick(['min', 'max'])
+            sub = (f'SELECT {agg}({f}) FROM {child} WHERE {f} = {p} AND '
+                   f'{self.pred(T[child], 1)}')
+            # NULL scalar (empty correlation) fails the comparison in
+            # both engines — portable
+            cond = f'({sub}) = {p}'
+        extra = [x for x in T[parent]
+                 if x[1] in ('str', 'int') and x[0] != p]
+        cols = [p] + ([self.pick(extra)[0]] if extra else [])
+        return (f'SELECT {", ".join(cols)}\nFROM {parent}\n'
+                f'WHERE {cond}\nORDER BY {p}\n'
+                f'LIMIT {self.r.randint(10, 200)}')
+
     def query(self):
         roll = self.r.random()
-        if roll < 0.10:
+        if roll < 0.08:
             return self.q_simple(), 'simple'
-        if roll < 0.21:
+        if roll < 0.17:
             return self.q_agg(), 'agg'
-        if roll < 0.30:
+        if roll < 0.25:
             return self.q_join(2), 'join2'
-        if roll < 0.35:
+        if roll < 0.30:
             return self.q_join(3), 'join3'
-        if roll < 0.41:
+        if roll < 0.35:
             return self.q_window(), 'window'
-        if roll < 0.47:
+        if roll < 0.40:
             return self.q_subq(), 'subq'
-        if roll < 0.50:
+        if roll < 0.43:
             return self.q_setop(), 'setop'
-        if roll < 0.54:
+        if roll < 0.46:
             return self.q_leftnull(), 'leftnull'
-        if roll < 0.56:
+        if roll < 0.48:
             return self.q_fullagg(), 'fullagg'
-        if roll < 0.60:
+        if roll < 0.52:
             return self.q_rollup(), 'rollup'
-        if roll < 0.64:
+        if roll < 0.55:
             return self.q_cte(), 'cte'
-        if roll < 0.66:
+        if roll < 0.57:
             return self.q_distinct(), 'distinct'
-        if roll < 0.74:
+        if roll < 0.63:
             return self.q_outer(), 'outer'
-        if roll < 0.81:
+        if roll < 0.68:
             return self.q_having_exists(), 'having_exists'
-        if roll < 0.88:
+        if roll < 0.73:
             return self.q_scalar_select(), 'scalar_select'
-        if roll < 0.94:
+        if roll < 0.77:
             return self.q_cte_union(), 'cte_union'
-        return self.q_nullorder(), 'nullorder'
+        if roll < 0.81:
+            return self.q_nullorder(), 'nullorder'
+        if roll < 0.90:
+            return self.q_winframe(), 'winframe'
+        if roll < 0.95:
+            return self.q_setop_join(), 'setop_join'
+        return self.q_scalar_where(), 'scalar_where'
 
 
 # ------------------------------------------------------------- compare

@@ -84,8 +84,12 @@ SHINGLE_DF_SQL = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM read_parquet(?)),
 sh AS (
+  -- concat_ws mirrors Llm.shingles' short-doc degradation: out-of-range
+  -- w[i+2] is NULL and concat_ws SKIPS it, so a 1-2-word doc yields its
+  -- own degenerate shingle instead of pooling every short doc into one
+  -- NULL bucket whose df^2 inflates the mass estimate (r10 ADVICE).
   SELECT DISTINCT doc_id,
-         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         concat_ws(' ', w[i], w[i+1], w[i+2]) AS s
   FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) t(i))
 SELECT s AS k, count(*) AS df FROM sh GROUP BY s
 """
