@@ -1817,6 +1817,60 @@ object Llm {
         (element_at(col("emb"), 2) / col("nrm")).as("u1"))
       .orderBy("vec_id")
 
+  /** INT8 SCALAR QUANTIZATION of the embedding store — the vector-
+    * database compression pass (4× over float32) a 100 TB corpus's ANN
+    * index lives on: per-vector symmetric scale = max|x|/127, integer
+    * codes floor(x/scale), plus the decode-error audit max|x −
+    * code·scale| a quantization rollout needs. Pure per-row map — zero
+    * shuffle, fused into the scan. Exactness: every emitted double is
+    * an identical single-op IEEE sequence in both engines (one
+    * division for the scale, one division + floor per code — floor,
+    * never a bare CAST: double→int CAST truncates in Spark but rounds
+    * half-even in DuckDB), so the gate exact-hashes. */
+  private def embedQuantize: Q = (s, d) => {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("x"))
+      .withColumn("scale",
+        array_max(transform(col("x"), v => abs(v))) / lit(127.0d))
+    e.withColumn("q",
+        transform(col("x"), v => floor(v / col("scale")).cast("long")))
+      .select(col("vec_id"), col("label"), col("scale"),
+        element_at(col("q"), 1).as("q0"),
+        element_at(col("q"), 2).as("q1"),
+        aggregate(col("q"), lit(0L), (a, v) => a + v).as("sum_q"),
+        array_max(zip_with(col("x"), col("q"),
+          (xv, qv) => abs(xv - qv.cast("double") * col("scale"))))
+          .as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  /** MEAN-RECIPROCAL-RANK relevance audit — rank_bm25 / rank_rrf
+    * produce rankings; this SCORES one, the retrieval-quality number a
+    * curation pipeline tracks per corpus slice: docs ranked within
+    * each language by (n_chars DESC, doc_id), the 'dup'-marker docs as
+    * relevance labels, and the metric is 1/rank of the first relevant
+    * hit. One group-partitioned STREAMING rank window + two bounded
+    * aggs; rr is ONE IEEE division; a language with no relevant doc
+    * degrades to NULLs via the left join instead of vanishing. */
+  private def rankMrr: Q = (s, d) => {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val ranked = fanOut(t(s, d, "documents"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("text").contains("dup").as("rel"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+    val first = ranked.where(col("rel"))
+      .groupBy("lang").agg(min(col("rnk")).as("first_rank"))
+    ranked.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel"))
+      .join(first, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("n_rel"), col("first_rank"),
+        (lit(1.0d) / col("first_rank").cast("double")).as("rr"))
+      .orderBy("lang")
+  }
+
   /** Similarity RANGE search (all pairs with cosine ≥ τ) — the other
     * fundamental ANN query shape next to top-k: near-duplicate mining
     * wants "everything this similar", not "the 10 nearest". Candidates
@@ -2043,6 +2097,8 @@ object Llm {
     "text_repetition" -> textRepetition,
     "text_score" -> textScore,
     "embed_normalize" -> embedNormalize,
+    "embed_quantize" -> embedQuantize,
+    "rank_mrr" -> rankMrr,
     "sim_range_search" -> simRangeSearch,
     "dedup_exact" -> dedupExact,
     "dedup_url" -> dedupUrl,
@@ -2463,6 +2519,42 @@ object Llm {
                  FROM e)
          SELECT vec_id, label, nrm, emb[1] / nrm AS u0, emb[2] / nrm AS u1
          FROM n ORDER BY vec_id""",
+    // Identical single-op sequences: one scale division, floor (never
+    // bare CAST — Spark truncates, DuckDB rounds) + one division per
+    // code, multiply/subtract/abs for the error. list_aggregate's sum
+    // over BIGINT codes is cast back to BIGINT (DuckDB widens to
+    // HUGEINT; Spark's aggregate folds in LONG).
+    "embed_quantize" ->
+      """WITH e AS (
+           SELECT vec_id, label, embedding::DOUBLE[] AS x,
+                  list_max(list_transform(embedding::DOUBLE[],
+                    v -> abs(v))) / CAST(127 AS DOUBLE) AS scale
+           FROM embeddings)
+         SELECT vec_id, label, scale,
+                CAST(floor(x[1] / scale) AS BIGINT) AS q0,
+                CAST(floor(x[2] / scale) AS BIGINT) AS q1,
+                CAST(list_aggregate(list_transform(x,
+                  v -> CAST(floor(v / scale) AS BIGINT)), 'sum')
+                  AS BIGINT) AS sum_q,
+                list_max(list_transform(x,
+                  v -> abs(v - floor(v / scale) * scale))) AS max_err
+         FROM e ORDER BY vec_id""",
+    "rank_mrr" ->
+      """WITH ranked AS (
+           SELECT doc_id, lang, (text LIKE '%dup%') AS rel,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id) AS rnk
+           FROM documents),
+         f AS (SELECT lang, min(rnk) AS first_rank
+               FROM ranked WHERE rel GROUP BY 1),
+         g AS (SELECT lang, count(*) AS n_docs,
+                      CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_rel
+               FROM ranked GROUP BY 1)
+         SELECT g.lang, n_docs, n_rel, first_rank,
+                CAST(1 AS DOUBLE) / CAST(first_rank AS DOUBLE) AS rr
+         FROM g LEFT JOIN f ON g.lang = f.lang
+         ORDER BY g.lang""",
     // Identical LSH bucket function (plane literals from lshPlanes):
     // candidates pair only within a shared bucket, as in the Spark plan.
     "sim_range_search" ->

@@ -2290,6 +2290,117 @@ object Relational {
       .orderBy("o_orderpriority", "decile")
   }
 
+  /** Exact per-group MODE (most frequent value, smallest-value
+    * tie-break) — the categorical summary the approximate heavy-hitter
+    * family (agg_heavy_hitters / agg_cms) estimates; here the value
+    * domain is small (50 distinct quantities) so the exact two-level
+    * plan is right: one hash agg on (group, value) — map-side
+    * combined, state bounded by the domain, NOT by rows — then a
+    * streaming row_number over (count DESC, value) picks the winner.
+    * No size-based window, no per-group buffer; at 100 TB the only
+    * full-data pass is the combinable count. */
+  private def aggMode: Q = (s, d) => {
+    val counts = t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .groupBy("l_returnflag", "q").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("n").desc, col("q"))
+    counts.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("l_returnflag"), col("q").as("mode_q"),
+        col("n").as("mode_n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** THEIL–SEN robust trend per event-type series — the median of all
+    * pairwise slopes, the estimator that shrugs off the outliers a
+    * least-squares fit (ml_linreg / ts_forecast) chases. Scale shape:
+    * the pair self-join runs over the BOUNDED hourly grid (≤720
+    * buckets/series, the ts_holt bound), never data rows — per-series
+    * pair work is a ≤720²/2 constant regardless of corpus volume, and
+    * the grid itself is one combinable hash agg over the scan.
+    * Exactness: each slope is ONE IEEE division of exact integer
+    * differences; the median is SELECTED (streaming row_number over
+    * the (slope, h1, h2) total order at rank ⌈m/2⌉ against a
+    * broadcast per-group pair count), never averaged — no float
+    * accumulation anywhere, no whole-group window buffer. */
+  private def tsTheilsen: Q = (s, d) => {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = hourly.select(col("event_type"), col("hr").as("h1"),
+      col("cnt").as("c1"))
+    val b = hourly.select(col("event_type"), col("hr").as("h2"),
+      col("cnt").as("c2"))
+    val slopes = a.join(b, Seq("event_type"))
+      .where(col("h1") < col("h2"))
+      .select(col("event_type"), col("h1"), col("h2"),
+        ((col("c2") - col("c1")).cast("double") /
+          (col("h2") - col("h1")).cast("double")).as("slope"))
+    val m = slopes.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+    val w = Window.partitionBy("event_type").orderBy("slope", "h1", "h2")
+    slopes.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(m), "event_type")
+      .where(col("rn") === expr("(n_pairs + 1) DIV 2"))
+      .select(col("event_type"), col("n_pairs"), col("slope").as("trend"))
+      .orderBy("event_type")
+  }
+
+  /** MEDIAN/MAD robust anomaly count per event-type series — the
+    * outlier-resistant twin of ts_anomaly's mean/σ z-score (one wild
+    * hour drags a mean; it cannot drag a median). ALL-INTEGER: hourly
+    * counts are ints, both medians are SELECTED at rank ⌈n/2⌉ from
+    * streaming row_number windows over the bounded hourly grid (the
+    * tsTheilsen discipline — never data rows, no averaging, no
+    * floats), |cnt−med| is integer, and the 3·MAD anomaly test is
+    * integer cross-multiplication. Exact-hash trivially. */
+  private def tsMad: Q = (s, d) => {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val n = hourly.groupBy("event_type").agg(count(lit(1)).as("n_hours"))
+    def pickMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(col(v), col("hr"))
+      df.withColumn("rn", row_number().over(w).cast("long"))
+        .join(broadcast(n), "event_type")
+        .where(col("rn") === expr("(n_hours + 1) DIV 2"))
+        .select(col("event_type"), col(v).as(out))
+    }
+    val med = pickMedian(hourly, "cnt", "med")
+    val dev = hourly.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("cnt") - col("med")))
+    val mad = pickMedian(dev.select(col("event_type"), col("hr"),
+      col("adev").as("cnt")), "cnt", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("adev") > lit(3L) * col("mad"), 1L).otherwise(0L))
+          .as("n_anomalies"))
+      .select("event_type", "n_hours", "med", "mad", "n_anomalies")
+      .orderBy("event_type")
+  }
+
+  /** Longest consecutive-active-day streak per user — the
+    * gaps-and-islands idiom (win_islands) at day granularity, the
+    * classic engagement metric. DISTINCT (user, day) first — one hash
+    * agg that bounds the window input at ≤30 rows/user regardless of
+    * event volume — then the day − row_number constant-per-island key
+    * and two bounded aggs. All integer arithmetic. */
+  private def winStreak: Q = (s, d) => {
+    val days = events(s, d)
+      .select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val isl = days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+    isl.groupBy("user_id")
+      .agg(sum(col("len")).as("n_days"), count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"))
+      .select("user_id", "n_days", "n_streaks", "max_streak")
+      .orderBy("user_id")
+  }
+
   private def obsAccounting: Q = (s, d) => {
     val obs = new org.apache.spark.sql.Observation("graft_acct")
     val li = t(s, d, "lineitem")
@@ -2974,6 +3085,10 @@ object Relational {
     "agg_gini" -> aggGini,
     "win_lorenz" -> winLorenz,
     "ingest_quarantine" -> ingestQuarantine,
+    "agg_mode" -> aggMode,
+    "ts_theilsen" -> tsTheilsen,
+    "ts_mad" -> tsMad,
+    "win_streak" -> winStreak,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4097,5 +4212,86 @@ object Relational {
            ('tot_bal', 'supplier', 's_acctbal', 'data'))
            t(out_col, src_table, src_col, kind)
          ORDER BY out_col, src_table, src_col, kind""",
+    // l_quantity is integral-valued; the BIGINT cast is exact in both
+    // engines (the agg_moments precedent).
+    "agg_mode" ->
+      """WITH c AS (
+           SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                  count(*) AS n
+           FROM lineitem GROUP BY 1, 2)
+         SELECT l_returnflag, q AS mode_q, n AS mode_n
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY l_returnflag ORDER BY n DESC, q) AS rn
+               FROM c)
+         WHERE rn = 1 ORDER BY l_returnflag""",
+    // Identical hourly grid, identical single division per slope,
+    // median SELECTED at the same ⌈m/2⌉ rank under the same
+    // (slope, h1, h2) total order — never averaged.
+    "ts_theilsen" ->
+      s"""WITH hourly AS (
+           SELECT event_type, ${duckTsUs("ts")} // 3600000000 AS hr,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         sl AS (
+           SELECT a.event_type, a.hr AS h1, b.hr AS h2,
+                  CAST(b.cnt - a.cnt AS DOUBLE)
+                    / CAST(b.hr - a.hr AS DOUBLE) AS slope
+           FROM hourly a JOIN hourly b
+             ON a.event_type = b.event_type AND a.hr < b.hr),
+         r AS (
+           SELECT event_type, slope,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY slope, h1, h2) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS m
+           FROM sl)
+         SELECT event_type, m AS n_pairs, slope AS trend
+         FROM r WHERE rn = (m + 1) // 2
+         ORDER BY event_type""",
+    // All-integer: both medians selected at rank ⌈n/2⌉, deviations and
+    // the 3·MAD test stay in BIGINT.
+    "ts_mad" ->
+      s"""WITH hourly AS (
+           SELECT event_type, ${duckTsUs("ts")} // 3600000000 AS hr,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         med AS (
+           SELECT event_type, cnt AS med FROM (
+             SELECT event_type, hr, cnt,
+                    row_number() OVER (PARTITION BY event_type
+                      ORDER BY cnt, hr) AS rn,
+                    count(*) OVER (PARTITION BY event_type) AS n
+             FROM hourly) WHERE rn = (n + 1) // 2),
+         dev AS (
+           SELECT h.event_type, h.hr, abs(h.cnt - m.med) AS adev, m.med
+           FROM hourly h JOIN med m ON h.event_type = m.event_type),
+         mad AS (
+           SELECT event_type, adev AS mad FROM (
+             SELECT event_type, hr, adev,
+                    row_number() OVER (PARTITION BY event_type
+                      ORDER BY adev, hr) AS rn,
+                    count(*) OVER (PARTITION BY event_type) AS n
+             FROM dev) WHERE rn = (n + 1) // 2)
+         SELECT d.event_type, count(*) AS n_hours, d.med, x.mad,
+                CAST(sum(CASE WHEN d.adev > 3 * x.mad THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_anomalies
+         FROM dev d JOIN mad x ON d.event_type = x.event_type
+         GROUP BY d.event_type, d.med, x.mad
+         ORDER BY d.event_type""",
+    "win_streak" ->
+      s"""WITH days AS (
+           SELECT DISTINCT user_id,
+                  ${duckTsUs("ts")} // 86400000000 AS day
+           FROM events),
+         isl AS (
+           SELECT user_id,
+                  day - row_number() OVER (PARTITION BY user_id
+                    ORDER BY day) AS grp
+           FROM days),
+         st AS (
+           SELECT user_id, grp, count(*) AS len
+           FROM isl GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+                count(*) AS n_streaks, max(len) AS max_streak
+         FROM st GROUP BY user_id ORDER BY user_id""",
   )
 }

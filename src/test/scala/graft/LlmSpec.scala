@@ -828,4 +828,61 @@ class LlmSpec extends AnyFunSuite {
         "vs the all-pairs Levenshtein truth")
     assert(got.nonEmpty)
   }
+
+  test("embed_quantize: codes bounded to int8, decode error within one scale step") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = SharedSpark.sf
+    val got = SparkEntry.queries("embed_quantize")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6)))
+    val raw = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val rawMap = raw.toMap
+    got.foreach { case (id, scale, q0, q1, sumQ, maxErr) =>
+      val x = rawMap(id)
+      val s0 = x.map(math.abs).max / 127.0
+      assert(scale === s0)
+      val codes = x.map(v => math.floor(v / s0).toLong)
+      assert(q0 === codes(0) && q1 === codes(1) && sumQ === codes.sum)
+      // floor codes live in [-128, 127] (exactly int8): when the scale
+      // division rounds down, v/scale for the extreme NEGATIVE
+      // component can land a hair past -127 and floor takes -128 —
+      // the two's-complement asymmetry working in our favor
+      assert(codes.forall(c => c >= -128L && c <= 127L))
+      // decode error is one quantization step at most, and exactly the
+      // driver recompute
+      val err = x.zip(codes).map { case (v, c) => math.abs(v - c * s0) }.max
+      assert(maxErr === err)
+      assert(maxErr <= s0 + 1e-15)
+    }
+    assert(got.length === raw.length)
+  }
+
+  test("rank_mrr: first_rank is the true first relevant position per language") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = SharedSpark.sf
+    val got = SparkEntry.queries("rank_mrr")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("lang"), col("n_chars"), col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3).contains("dup")))
+    val exp = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, xs) =>
+      val ranked = xs.sortBy(x => (-x._2, x._3))
+      val nRel = ranked.count(_._4).toLong
+      val first = ranked.indexWhere(_._4)
+      if (first < 0) (lang, xs.length.toLong, nRel, -1L, -1.0)
+      else (lang, xs.length.toLong, nRel, first + 1L, 1.0 / (first + 1L))
+    }
+    assert(got.toSeq === exp)
+    // rr is a valid reciprocal rank where defined
+    got.filter(_._4 > 0).foreach { r =>
+      assert(r._5 > 0.0 && r._5 <= 1.0 && r._4 <= r._2)
+    }
+  }
 }

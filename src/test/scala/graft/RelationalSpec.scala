@@ -960,4 +960,99 @@ class RelationalSpec extends AnyFunSuite {
       "identical fold order + IEEE ops must reproduce the state bitwise")
     assert(got.nonEmpty && got.forall(_._2 > 1L))
   }
+
+  test("agg_mode picks the true per-group mode with the smallest-value tie-break") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("agg_mode")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exp = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, xs) =>
+      val counts = xs.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+      val (q, n) = counts.minBy { case (v, c) => (-c, v) }
+      (f, q, n)
+    }
+    assert(got.toSeq === exp)
+    // the mode really is a maximum of the count histogram
+    got.foreach { case (f, q, n) =>
+      val hist = rows.filter(_._1 == f).groupBy(_._2).view.mapValues(_.size)
+      assert(hist.values.max.toLong === n && hist(q).toLong === n)
+    }
+  }
+
+  test("ts_theilsen selects the exact median pairwise slope") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("ts_theilsen")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = hourly.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, xs) =>
+      val pts = xs.map(x => (x._2, x._3)).sortBy(_._1)
+      val slopes = for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield ((pts(j)._2 - pts(i)._2).toDouble /
+        (pts(j)._1 - pts(i)._1).toDouble, pts(i)._1, pts(j)._1)
+      val sorted = slopes.sortBy(identity)
+      val m = sorted.length
+      (et, m.toLong, sorted((m + 1) / 2 - 1)._1)
+    }
+    assert(got.toSeq === exp)
+    // a bounded grid: pair counts stay ≤ 720²/2 per series at ANY SF
+    assert(got.forall(_._2 <= 720L * 719 / 2))
+  }
+
+  test("ts_mad matches a driver median/MAD recompute, all integer") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("ts_mad")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def medianBy(xs: Seq[(Long, Long)]): Long = {
+      // rank ⌈n/2⌉ under (value, hr) — the engine's selection rule
+      val sorted = xs.sortBy(x => (x._2, x._1))
+      sorted((sorted.length + 1) / 2 - 1)._2
+    }
+    val exp = hourly.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, xs) =>
+      val pts = xs.map(x => (x._2, x._3))
+      val med = medianBy(pts)
+      val devs = pts.map { case (hr, c) => (hr, math.abs(c - med)) }
+      val mad = medianBy(devs)
+      val anom = devs.count(_._2 > 3 * mad).toLong
+      (et, pts.length.toLong, med, mad, anom)
+    }
+    assert(got.toSeq === exp)
+    assert(got.forall(r => r._3 >= 0 && r._4 >= 0))
+  }
+
+  test("win_streak equals a driver gaps-and-islands recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("win_streak")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts_us DIV 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exp = days.groupBy(_._1).toSeq.sortBy(_._1).map { case (u, xs) =>
+      val ds = xs.map(_._2).sorted
+      // direct island walk
+      var runs = List.empty[Long]
+      var cur = 0L
+      var prev = Long.MinValue
+      ds.foreach { d =>
+        if (d == prev + 1) cur += 1
+        else { if (cur > 0) runs ::= cur; cur = 1 }
+        prev = d
+      }
+      runs ::= cur
+      (u, ds.length.toLong, runs.length.toLong, runs.max)
+    }
+    assert(got.toSeq === exp)
+    // streak laws: Σ streak days = n_days, max ≤ n_days
+    got.foreach { r => assert(r._4 <= r._2 && r._3 >= 1) }
+  }
 }

@@ -842,10 +842,32 @@ def main():
     print(f'[fuzz] generated {n} queries (seed={seed})')
 
     if '--skip-spark' not in args:
-        r = subprocess.run(
-            ['sbt', '-batch',
-             f'runMain graft.FuzzRun {sf} {out_dir} {sql_dir}'],
-            cwd=REPO, capture_output=True, text=True)
+        # Prefer the immutable class snapshot (scaling.py's direct-JVM
+        # runner): sbt serializes on the project lock, so a 4-seed fuzz
+        # campaign would otherwise block every compile — and a compile
+        # mid-campaign would change the engine under test between seeds.
+        classes = os.path.join(REPO, 'target/bench_classes')
+        if os.path.isdir(classes):
+            add_opens = [f'--add-opens={p}=ALL-UNNAMED' for p in [
+                'java.base/java.lang', 'java.base/java.lang.invoke',
+                'java.base/java.lang.reflect', 'java.base/java.io',
+                'java.base/java.net', 'java.base/java.nio',
+                'java.base/java.util', 'java.base/java.util.concurrent',
+                'java.base/java.util.concurrent.atomic',
+                'java.base/sun.nio.ch', 'java.base/sun.nio.cs',
+                'java.base/sun.security.action',
+                'java.base/sun.util.calendar']]
+            cmd = (['java'] + add_opens +
+                   ['-Xms12g', '-Xmx12g', '-XX:+UseParallelGC',
+                    '-XX:ReservedCodeCacheSize=512m',
+                    '-cp', classes + ':/opt/spark/jars/*',
+                    'graft.FuzzRun', sf, out_dir, sql_dir])
+        else:
+            cmd = ['sbt', '-batch',
+                   f'runMain graft.FuzzRun {sf} {out_dir} {sql_dir}']
+        env = dict(os.environ, SPARK_GRAFT_CPUS='32')
+        r = subprocess.run(cmd, cwd=REPO, env=env,
+                           capture_output=True, text=True)
         if r.returncode != 0:
             print(r.stdout[-3000:], r.stderr[-3000:])
             return 1
