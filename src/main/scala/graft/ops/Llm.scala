@@ -1425,11 +1425,21 @@ object Llm {
     // and long-vs-long compares in the hot join. Exact for top-10
     // purposes (a collision would need two distinct grams of one pair
     // to hash equal: ~|A||B|/2^64 per pair).
-    val g = fanOut(t(s, d, "documents"))
-      .select(col("doc_id"), col("source"), col("lang"),
-        explode(grams).as("gram"))
-      .select(col("doc_id"), col("source"), col("lang"),
-        xxhash64(col("gram")).as("gram_h"))
+    // Train-once artifact (the dedupContainment discipline): the hashed
+    // gram postings feed THREE consumers below (the df aggregate, both
+    // pair-join sides via gk) — checkpointing to scratch parquet turns
+    // three explode+hash recomputations into one small-row scan. This
+    // matters doubly since the r11 bounded-df fix: the df hash-agg and
+    // the join-back no longer share the window's single exchange, so
+    // without the checkpoint the explode would run twice (measured at
+    // sf10: the double compute held the old wall while GC stayed).
+    val g = Scratch.table(s, s"$scratchRoot/ngram_g/${Scratch.key(d)}") {
+      fanOut(t(s, d, "documents"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(grams).as("gram"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          xxhash64(col("gram")).as("gram_h"))
+    }
     // Document-frequency cap: grams present in > dfCap docs of a block
     // carry no discriminative signal but produce O(df²) join groups —
     // the quadratic blow-up at 100× scale. Dropping them bounds every
@@ -2004,9 +2014,16 @@ object Llm {
     // array_union dedupes repeated deletions (e.g. "aab" → "ab" twice),
     // so bucket df counts DISTINCT custkeys — mirrored by the oracle's
     // SELECT DISTINCT (c_custkey, v).
-    val raw = c.select(col("c_custkey"),
-      explode(array_union(array(name), deletions)).as("v"))
-      .select(col("c_custkey"), xxhash64(col("v")).as("vh"))
+    // Train-once artifact: the variant postings feed the df aggregate
+    // AND the join-back (plus both self-join sides through `variants`)
+    // — checkpoint so the deletion-neighborhood explode runs ONCE
+    // (without this the r11 bounded-df split recomputed it per
+    // consumer: sf10 measured 25 → 78 s on pure duplicate work).
+    val raw = Scratch.table(s, s"$scratchRoot/fuzzy_vh/${Scratch.key(d)}") {
+      c.select(col("c_custkey"),
+        explode(array_union(array(name), deletions)).as("v"))
+        .select(col("c_custkey"), xxhash64(col("v")).as("vh"))
+    }
     // Bounded-memory df: hash-agg per vh, band-filter, join back (the
     // dedupNgram/dedupContainment discipline — no per-bucket window
     // buffer; a mega-bucket dies at the agg, not in executor memory).

@@ -801,7 +801,12 @@ object Streaming {
           // history) (the O(B²)-over-a-long-stream scan the r10 plan
           // audit flagged). The touched-bucket set is ≤ evBuckets
           // values — a bounded control-plane collect.
+          // repartition ON ub before partitionBy: without it every one
+          // of the micro-batch's tasks writes a sliver into every
+          // bucket dir (tasks × buckets small files); clustered, file
+          // count per batch is ~buckets.
           bev.withColumn("ub", pmod(col("user_id"), lit(evBuckets)))
+            .repartition(evBuckets.toInt, col("ub"))
             .write.mode("overwrite").partitionBy("ub")
             .parquet(s"$root/ev/batch=$batchId")
           // replay-spec seam: the event dir is written, the MV is not —
@@ -908,6 +913,7 @@ object Streaming {
           // [[runStreamSeq]]): recompute reads only the partitions the
           // touched users hash into, never the full history.
           bev.withColumn("ub", pmod(col("user_id"), lit(evBuckets)))
+            .repartition(evBuckets.toInt, col("ub"))
             .write.mode("overwrite").partitionBy("ub")
             .parquet(s"$root/ev/batch=$batchId")
           // replay seam: event dir written, MV not yet
