@@ -267,6 +267,58 @@ object Graph {
     * with deg > K before pairing — exactly dedup_ngram's discipline,
     * which leaves high-similarity pairs intact because hub-mediated
     * wedges contribute little Jaccard mass). */
+  /** Support-weighted repeat graph (the weighted twin of
+    * [[repeatCopurchaseEdges]] — keeps the co-purchase count as an
+    * integer edge weight). Same Scratch train-once discipline. */
+  private[graft] def weightedRepeatEdges(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Llm.Scratch.table(s, s"$scratchRoot/graph/wrepeat_${Llm.Scratch.key(d)}") {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("pa"), col("b.pk").as("pb"),
+          col("a.ok").as("ok"))
+        .distinct()
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+    }
+
+  /** WEIGHTED Jaccard neighbor similarity — graph_jaccard with the
+    * co-purchase support as edge weight: J_w(a,b) = Σ_w min(w_a, w_b)
+    * / Σ_w max(w_a, w_b) over the neighborhood union, the similarity
+    * that distinguishes "both bought once with everything" from
+    * "repeatedly bought with the same basket core". The max-sum never
+    * materializes the union: Σmax = S_a + S_b − Σ_shared min (per-node
+    * strength S is one hash agg), so the only pair work is the same
+    * shared-neighbor wedge join the unweighted key runs — on the
+    * support-pruned graph, Σ deg(w)² bounded. All integer sums, ONE
+    * division. */
+  private def graphJaccardWeighted: Q = (s, d) => {
+    val und = weightedRepeatEdges(s, d)
+    val e = und.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .unionAll(und.select(col("pb").as("src"), col("pa").as("dst"),
+        col("w")))
+    val strength = e.groupBy("src").agg(sum(col("w")).as("st"))
+    val minsum = e.as("x").join(e.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("a"), col("y.src").as("b"))
+      .agg(sum(least(col("x.w"), col("y.w"))).as("msum"),
+        count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+    minsum
+      .join(strength.select(col("src").as("a"), col("st").as("sa")), "a")
+      .join(strength.select(col("src").as("b"), col("st").as("sb")), "b")
+      .select(col("a"), col("b"), col("n_shared"), col("msum"),
+        (col("sa") + col("sb") - col("msum")).as("maxsum"))
+      .withColumn("wjac",
+        col("msum").cast("double") / col("maxsum").cast("double"))
+      .orderBy(col("wjac").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   private def graphJaccard: Q = (s, d) => {
     // The REPEAT (support ≥ 2) graph, symmetrized: the wedge join's
     // fanout is Σ deg(w)², so it runs on the noise-bounded graph —
@@ -639,6 +691,7 @@ object Graph {
     "graph_triangles_fwd" -> graphTrianglesFwd,
     "graph_cc" -> graphCc,
     "graph_jaccard" -> graphJaccard,
+    "graph_jaccard_weighted" -> graphJaccardWeighted,
     "graph_lpa" -> graphLpa,
     "graph_katz" -> graphKatz,
     "graph_closeness" -> graphCloseness)
@@ -826,6 +879,29 @@ object Graph {
          SELECT a, b, inter::BIGINT AS inter, uni::BIGINT AS uni,
                 inter::DOUBLE / uni::DOUBLE AS jac
          FROM j ORDER BY jac DESC, a, b LIMIT 20""",
+    // Σmax = Sa + Sb − Σ_shared min — the union never materializes.
+    "graph_jaccard_weighted" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           pr AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb, a.ok
+                  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+           u AS (SELECT pa, pb, count(*) AS w FROM pr GROUP BY pa, pb
+                 HAVING count(*) >= 2),
+           e AS (SELECT pa AS src, pb AS dst, w FROM u
+                 UNION ALL SELECT pb AS src, pa AS dst, w FROM u),
+           st AS (SELECT src, CAST(sum(w) AS BIGINT) AS st
+                  FROM e GROUP BY src),
+           m AS (SELECT x.src AS a, y.src AS b,
+                        CAST(sum(least(x.w, y.w)) AS BIGINT) AS msum,
+                        count(*) AS n_shared
+                 FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
+                 GROUP BY 1, 2 HAVING count(*) >= 2),
+           j AS (SELECT a, b, n_shared, msum,
+                        sa.st + sb.st - msum AS maxsum
+                 FROM m JOIN st sa ON sa.src = a
+                        JOIN st sb ON sb.src = b)
+         SELECT a, b, n_shared, msum, maxsum::BIGINT AS maxsum,
+                msum::DOUBLE / maxsum::DOUBLE AS wjac
+         FROM j ORDER BY wjac DESC, a, b LIMIT 20""",
     // The identical 3 synchronized rounds unrolled; same
     // (count desc, label asc) deterministic tie-break.
     "graph_lpa" ->

@@ -1812,6 +1812,31 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** FLESCH READING-EASE readability per document — the classic
+    * corpus-quality feature the gopher/quality/lm_score trio doesn't
+    * carry (they measure composition and fluency; this measures
+    * structural complexity): 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), with vowel-run counts as the standard
+    * syllable proxy and a ≥1 sentence guard for unpunctuated text.
+    * Counts are exact integers (regexp_count), the score a fixed
+    * 2-division IEEE chain mirrored token-for-token by the oracle —
+    * raw doubles exact-hash. Pure map stage, fused into the scan. */
+  private def textReadability: Q = (s, d) => {
+    val words = size(split(col("text"), " ", -1)).cast("long")
+    val sents = greatest(
+      regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
+    val syls = regexp_count(col("text"), lit("[aeiouy]+")).cast("long")
+    def D(c: Column) = c.cast("double")
+    val flesch = lit(206.835d) - lit(1.015d) * (D(words) / D(sents)) -
+      lit(84.6d) * (D(syls) / D(words))
+    t(s, d, "documents")
+      .select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+        syls.as("n_syllables"), flesch.as("flesch"),
+        when(flesch >= 60.0d, "easy")
+          .when(flesch >= 30.0d, "medium").otherwise("hard").as("band"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding L2-normalization — the preprocessing pass before any
     * cosine-based retrieval (unit vectors turn cosine into plain dot
     * product, halving the flops of every later pair computation). Pure
@@ -2116,6 +2141,7 @@ object Llm {
     "embed_normalize" -> embedNormalize,
     "embed_quantize" -> embedQuantize,
     "rank_mrr" -> rankMrr,
+    "text_readability" -> textReadability,
     "sim_range_search" -> simRangeSearch,
     "dedup_exact" -> dedupExact,
     "dedup_url" -> dedupUrl,
@@ -2556,6 +2582,33 @@ object Llm {
                 list_max(list_transform(x,
                   v -> abs(v - floor(v / scale) * scale))) AS max_err
          FROM e ORDER BY vec_id""",
+    // len(regexp_extract_all) mirrors regexp_count; same literals,
+    // same 2-division chain. Spark's split(text,' ',-1) counts words
+    // as separator-fields; DuckDB's string_split is identical on the
+    // trailing-separator cases.
+    "text_readability" ->
+      """WITH q AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+                  greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                    AS BIGINT), 1) AS s,
+                  CAST(len(regexp_extract_all(text, '[aeiouy]+'))
+                    AS BIGINT) AS y
+           FROM documents)
+         SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+                206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                  - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))
+                  AS flesch,
+                CASE WHEN 206.835
+                          - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                          - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))
+                       >= 60.0 THEN 'easy'
+                     WHEN 206.835
+                          - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                          - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))
+                       >= 30.0 THEN 'medium'
+                     ELSE 'hard' END AS band
+         FROM q ORDER BY doc_id""",
     "rank_mrr" ->
       """WITH ranked AS (
            SELECT doc_id, lang, (text LIKE '%dup%') AS rel,

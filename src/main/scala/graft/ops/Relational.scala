@@ -2401,6 +2401,71 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** BOLLINGER BANDS over the hourly series — 24-hour rolling mean ±
+    * 2σ with breach flags, the ops-dashboard staple. The ROWS-frame
+    * window runs over the BOUNDED hourly grid (≤720 rows/series — the
+    * tsTheilsen/tsMad discipline), never data rows, and carries exact
+    * INTEGER power sums (Σc, Σc², n) — mean/σ/bands are then a fixed
+    * IEEE chain (divisions, one sqrt) the oracle mirrors
+    * token-for-token, so the raw doubles exact-hash. Short-prefix
+    * hours use the true window count n (no NULL warm-up rows). */
+  private def tsBollinger: Q = (s, d) => {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(-23, Window.currentRow)
+    val sums = hourly
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("cnt")).over(w))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+    def D(c: Column) = c.cast("double")
+    val mean = D(col("s1")) / D(col("n"))
+    val sd = sqrt(D(col("n") * col("s2") - col("s1") * col("s1")) /
+      D(col("n")) / D(col("n")))
+    sums
+      .withColumn("mean24", mean)
+      .withColumn("sd24", sd)
+      .select(col("event_type"), col("hr"), col("cnt"), col("n"),
+        col("mean24"), col("sd24"),
+        (D(col("cnt")) > col("mean24") + lit(2.0d) * col("sd24"))
+          .as("breach_hi"),
+        (D(col("cnt")) < col("mean24") - lit(2.0d) * col("sd24"))
+          .as("breach_lo"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** TOP-N REVENUE CONCENTRATION per market segment — "the top 10
+    * customers carry what share": the win_lorenz question at entity
+    * grain, the account-concentration number a sales dashboard wants.
+    * The rank window runs over the per-customer AGGREGATE (customers-
+    * sized, one combinable hash agg collapses orders first), cents
+    * stay exact integers through DECIMAL(38,0) sums, and the share is
+    * ONE division. */
+  private def aggTopnShare: Q = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perCust = t(s, d, "orders")
+      .join(t(s, d, "customer").select(col("c_custkey"),
+        col("c_mktsegment")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long").cast(dec38))
+        .as("cents"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("cents").desc, col("c_custkey"))
+    perCust.withColumn("rn", row_number().over(w))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(when(col("rn") <= 10, col("cents")).otherwise(lit(0).cast(dec38)))
+          .as("top10"),
+        sum(col("cents")).as("total"))
+      .select(col("c_mktsegment"), col("n_cust"),
+        col("top10").cast("long").as("top10_cents"),
+        col("total").cast("long").as("total_cents"),
+        (col("top10").cast("double") / col("total").cast("double"))
+          .as("top10_share"))
+      .orderBy("c_mktsegment")
+  }
+
   private def obsAccounting: Q = (s, d) => {
     val obs = new org.apache.spark.sql.Observation("graft_acct")
     val li = t(s, d, "lineitem")
@@ -3089,6 +3154,8 @@ object Relational {
     "ts_theilsen" -> tsTheilsen,
     "ts_mad" -> tsMad,
     "win_streak" -> winStreak,
+    "ts_bollinger" -> tsBollinger,
+    "agg_topn_share" -> aggTopnShare,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4277,6 +4344,53 @@ object Relational {
          FROM dev d JOIN mad x ON d.event_type = x.event_type
          GROUP BY d.event_type, d.med, x.mad
          ORDER BY d.event_type""",
+    // Same bounded grid, same exact integer window sums, same fixed
+    // IEEE chain (two divisions + sqrt) token-for-token; band
+    // comparisons are then over identical doubles.
+    "ts_bollinger" ->
+      s"""WITH hourly AS (
+           SELECT event_type, ${duckTsUs("ts")} // 3600000000 AS hr,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         sums AS (
+           SELECT event_type, hr, cnt,
+                  count(*) OVER w AS n,
+                  CAST(sum(cnt) OVER w AS BIGINT) AS s1,
+                  CAST(sum(cnt * cnt) OVER w AS BIGINT) AS s2
+           FROM hourly
+           WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+         b AS (
+           SELECT event_type, hr, cnt, n,
+                  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean24,
+                  sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)) AS sd24
+           FROM sums)
+         SELECT event_type, hr, cnt, n, mean24, sd24,
+                CAST(cnt AS DOUBLE) > mean24 + 2.0 * sd24 AS breach_hi,
+                CAST(cnt AS DOUBLE) < mean24 - 2.0 * sd24 AS breach_lo
+         FROM b ORDER BY event_type, hr""",
+    // cents as in agg_gini; the rank window runs over the per-customer
+    // aggregate, sums on auto-HUGEINT mirror DECIMAL(38,0).
+    "agg_topn_share" ->
+      """WITH pc AS (
+           SELECT c_mktsegment, c_custkey,
+                  sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT)) AS cents
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         r AS (
+           SELECT c_mktsegment, cents,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY cents DESC, c_custkey) AS rn
+           FROM pc)
+         SELECT c_mktsegment, count(*) AS n_cust,
+                CAST(sum(CASE WHEN rn <= 10 THEN cents ELSE 0 END)
+                  AS BIGINT) AS top10_cents,
+                CAST(sum(cents) AS BIGINT) AS total_cents,
+                CAST(sum(CASE WHEN rn <= 10 THEN cents ELSE 0 END)
+                  AS DOUBLE) / CAST(sum(cents) AS DOUBLE) AS top10_share
+         FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "win_streak" ->
       s"""WITH days AS (
            SELECT DISTINCT user_id,

@@ -114,6 +114,41 @@ class GraphSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("graph_jaccard_weighted matches a driver min/max-sum reference") {
+    val und = ops.Graph.weightedRepeatEdges(spark, SharedSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = und.map { case (a, b, w) => (a, b, w) } ++
+      und.map { case (a, b, w) => (b, a, w) }
+    val nbrs = edges.groupBy(_._1).view
+      .mapValues(_.map(e => e._2 -> e._3).toMap).toMap
+    val pairs = for {
+      (a, na) <- nbrs.toSeq
+      (b, nb) <- nbrs.toSeq
+      if a < b
+      shared = na.keySet & nb.keySet
+      if shared.size >= 2
+    } yield {
+      val msum = shared.toSeq.map(w => math.min(na(w), nb(w))).sum
+      val maxsum = na.values.sum + nb.values.sum - msum
+      (a, b, shared.size.toLong, msum, maxsum,
+        msum.toDouble / maxsum.toDouble)
+    }
+    val expected = pairs
+      .sortBy { case (a, b, _, _, _, j) => (-j, a, b) }.take(20)
+    val got = SparkEntry.queries("graph_jaccard_weighted")(
+      spark, SharedSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // weighted Jaccard is bounded by the unweighted on the same pair
+    // set only in special cases — pin instead the [0,1] law and that
+    // min-sum never exceeds either strength
+    got.foreach { case (_, _, _, msum, maxsum, j) =>
+      assert(j > 0.0 && j <= 1.0 && msum <= maxsum)
+    }
+  }
+
   test("graph_lpa matches a driver-side synchronous propagation reference") {
     val und = ops.Graph.repeatCopurchaseEdges(spark, SharedSpark.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -860,6 +860,33 @@ class LlmSpec extends AnyFunSuite {
     assert(got.length === raw.length)
   }
 
+  test("text_readability matches a driver recompute and bands consistently") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = SharedSpark.sf
+    val got = SparkEntry.queries("text_readability")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5)))
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val exp = docs.sortBy(_._1).map { case (id, text) =>
+      val w = text.split(" ", -1).length.toLong
+      val s = math.max("[.!?]+".r.findAllIn(text).length.toLong, 1L)
+      val y = "[aeiouy]+".r.findAllIn(text).length.toLong
+      val f = 206.835 - 1.015 * (w.toDouble / s.toDouble) -
+        84.6 * (y.toDouble / w.toDouble)
+      val band = if (f >= 60.0) "easy" else if (f >= 30.0) "medium"
+        else "hard"
+      (id, w, s, y, f, band)
+    }
+    assert(got.toSeq === exp.toSeq)
+    // bands partition the score axis consistently
+    got.foreach { r =>
+      if (r._6 == "easy") assert(r._5 >= 60.0)
+      if (r._6 == "hard") assert(r._5 < 30.0)
+    }
+  }
+
   test("rank_mrr: first_rank is the true first relevant position per language") {
     import org.apache.spark.sql.functions.col
     val sfDir = SharedSpark.sf

@@ -1055,4 +1055,60 @@ class RelationalSpec extends AnyFunSuite {
     // streak laws: Σ streak days = n_days, max ≤ n_days
     got.foreach { r => assert(r._4 <= r._2 && r._3 >= 1) }
   }
+
+  test("ts_bollinger matches a driver rolling-power-sum recompute") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("ts_bollinger")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6), r.getBoolean(7)))
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = hourly.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (et, xs) =>
+        val pts = xs.map(x => (x._2, x._3)).sortBy(_._1)
+        pts.indices.map { i =>
+          val win = pts.slice(math.max(0, i - 23), i + 1)
+          val n = win.length.toLong
+          val s1 = win.map(_._2).sum
+          val s2 = win.map(x => x._2 * x._2).sum
+          val mean = s1.toDouble / n.toDouble
+          val sd = math.sqrt((n * s2 - s1 * s1).toDouble /
+            n.toDouble / n.toDouble)
+          val c = pts(i)._2
+          (et, pts(i)._1, c, n, mean, sd,
+            c.toDouble > mean + 2.0 * sd, c.toDouble < mean - 2.0 * sd)
+        }
+    }
+    assert(got.toSeq === exp)
+    // breaches exist but are rare (bands are 2σ)
+    val breaches = got.count(r => r._7 || r._8)
+    assert(breaches > 0 && breaches < got.length / 4)
+  }
+
+  test("agg_topn_share: top-10 really is the 10 largest and share in (0,1]") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("agg_topn_share")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val perCust = Tables.t(spark, sf, "orders")
+      .join(Tables.t(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum((Tables.dec(col("o_totalprice")) * 100).cast("long"))
+        .as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = perCust.groupBy(_._1).toSeq.sortBy(_._1).map { case (seg, xs) =>
+      val sorted = xs.sortBy(x => (-x._3, x._2))
+      val top10 = sorted.take(10).map(x => BigInt(x._3)).sum
+      val total = sorted.map(x => BigInt(x._3)).sum
+      (seg, xs.length.toLong, top10.toLong, total.toLong,
+        top10.toLong.toDouble / total.toLong.toDouble)
+    }
+    assert(got.toSeq === exp)
+    got.foreach { r =>
+      assert(r._5 > 0.0 && r._5 <= 1.0 && r._3 <= r._4)
+    }
+  }
 }
