@@ -486,6 +486,39 @@ object Lake {
     mergeMv(mv0, deltaAgg).orderBy("yr")
   }
 
+  /** INCREMENTAL JOIN-VIEW MAINTENANCE — the bilinear delta rule
+    * Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, the join-view counterpart of
+    * [[mvIncremental]]'s aggregate deltas (aggregates fold deltas by
+    * sign; join views EXPAND them — two different IVM algebras, both
+    * needed by a real MV layer): the standing MV is yesterday's
+    * orders⋈customers (the %-held-out slices are "today's" inserts).
+    * Each delta leg touches a delta-sized input on at least one side —
+    * the delta sides BROADCAST against the base instead of re-running
+    * A′⋈B′ whole, so refresh cost is O(Δ·matching), not O(|A⋈B|).
+    * Final MV provably equals the full recompute; the oracle IS the
+    * full join. */
+  private def mvIncrementalJoin: Q = (s, d) => {
+    val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+      (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val c = t(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o0 = o.where(col("o_orderkey") % 10 =!= 7)
+    val dO = o.where(col("o_orderkey") % 10 === 7)
+    val c0 = c.where(col("c_custkey") % 10 =!= 3)
+    val dC = c.where(col("c_custkey") % 10 === 3)
+    def j(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      a.join(b, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"),
+          col("c_mktsegment"), col("cents"))
+    val mv0 = Llm.Scratch.table(s,
+      s"$scratchRoot/mv/join_${Llm.Scratch.key(d)}")(j(o0, c0))
+    val delta = j(broadcast(dO), c0)
+      .unionByName(j(o0, broadcast(dC)))
+      .unionByName(j(broadcast(dO), broadcast(dC)))
+    mv0.unionByName(delta).orderBy("o_orderkey", "c_custkey")
+  }
+
   /** TRANSPARENT MV REWRITE ([[graft.plans.MvRewrite]]) — the consumer
     * half of the MV pair ([[mvIncremental]] is the refresh half): the
     * pricing-summary aggregate over lineitem is materialized once and
@@ -1061,6 +1094,7 @@ object Lake {
     "sink_scd2" -> sinkScd2,
     "sink_overwrite_dynamic" -> sinkOverwriteDynamic,
     "mv_incremental" -> mvIncremental,
+    "mv_incremental_join" -> mvIncrementalJoin,
     "mv_rewrite" -> mvRewrite,
     "scan_profile" -> scanProfile,
     "agg_argmax" -> aggArgmax,
@@ -1269,6 +1303,14 @@ object Lake {
                  n_distinct, min_s, max_s
           FROM ($perCol) ORDER BY col_name"""
     },
+    // Full join recompute: equality proves the three-leg bilinear
+    // delta (ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB) rebuilt exactly the view.
+    "mv_incremental_join" ->
+      """SELECT o_orderkey, c_custkey, c_mktsegment,
+                CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                  AS BIGINT) AS cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey, c_custkey""",
     // Full recompute over the restated table: equality proves the
     // delta-merge maintenance path ≡ recompute. The CASE adds the
     // restatement on the DOUBLE before the decimal cast, exactly as

@@ -2466,6 +2466,24 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Deterministic LISTAGG / string_agg — ordered string concatenation
+    * per group, the reporting primitive with a real cross-engine trap:
+    * concat ORDER is engine-arbitrary unless total. Spark has no
+    * ordered listagg, so the plan imposes it: collect_set bounds state
+    * at the DISTINCT value domain (20 sources — never row count), then
+    * sort_array + array_join render the canonical form; DuckDB's
+    * string_agg(DISTINCT .. ORDER BY ..) states the same order
+    * declaratively. */
+  private def aggListagg: Q = (s, d) => {
+    t(s, d, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        size(collect_set(col("source"))).cast("long").as("n_sources"),
+        array_join(sort_array(collect_set(col("source"))), ",")
+          .as("sources"))
+      .orderBy("lang")
+  }
+
   private def obsAccounting: Q = (s, d) => {
     val obs = new org.apache.spark.sql.Observation("graft_acct")
     val li = t(s, d, "lineitem")
@@ -3156,6 +3174,7 @@ object Relational {
     "win_streak" -> winStreak,
     "ts_bollinger" -> tsBollinger,
     "agg_topn_share" -> aggTopnShare,
+    "agg_listagg" -> aggListagg,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4370,6 +4389,12 @@ object Relational {
                 CAST(cnt AS DOUBLE) > mean24 + 2.0 * sd24 AS breach_hi,
                 CAST(cnt AS DOUBLE) < mean24 - 2.0 * sd24 AS breach_lo
          FROM b ORDER BY event_type, hr""",
+    "agg_listagg" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                string_agg(DISTINCT source, ',' ORDER BY source)
+                  AS sources
+         FROM documents GROUP BY lang ORDER BY lang""",
     // cents as in agg_gini; the rank window runs over the per-customer
     // aggregate, sums on auto-HUGEINT mirror DECIMAL(38,0).
     "agg_topn_share" ->

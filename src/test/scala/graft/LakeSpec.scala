@@ -678,4 +678,25 @@ class LakeSpec extends AnyFunSuite {
       assert(got.nonEmpty)
     } finally spark.conf.unset("spark.graft.mv.rewrite")
   }
+
+  test("mv_incremental_join: bilinear delta equals recompute, deltas broadcast") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("mv_incremental_join")(spark, SharedSpark.sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val full = Tables.t(spark, SharedSpark.sf, "orders")
+      .join(Tables.t(spark, SharedSpark.sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"),
+        (Tables.dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .orderBy("o_orderkey", "c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === full.toSeq,
+      "ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB over the standing MV must rebuild the view")
+    // refresh-cost shape: all three delta legs broadcast the
+    // delta-sized side — never a full shuffle of the base
+    val p = df.queryExecution.executedPlan.toString()
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -1056,6 +1056,25 @@ class RelationalSpec extends AnyFunSuite {
     got.foreach { r => assert(r._4 <= r._2 && r._3 >= 1) }
   }
 
+  test("agg_listagg renders the canonical sorted-distinct concatenation") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("agg_listagg")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val exp = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, xs) =>
+      val srcs = xs.map(_._2).distinct.sorted
+      (lang, xs.length.toLong, srcs.length.toLong, srcs.mkString(","))
+    }
+    assert(got.toSeq === exp)
+    // canonical form: sorted, no dup entries
+    got.foreach { r =>
+      val parts = r._4.split(",").toSeq
+      assert(parts === parts.distinct.sorted && parts.length.toLong === r._3)
+    }
+  }
+
   test("ts_bollinger matches a driver rolling-power-sum recompute") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("ts_bollinger")(spark, sf).collect()
