@@ -2484,6 +2484,42 @@ object Relational {
       .orderBy("lang")
   }
 
+  /** WINSORIZED MEAN per group — the robust location estimate that
+    * clamps (not drops — that's trimming) tails at the exact p5/p95:
+    * on the BOUNDED integer domain (50 distinct quantities) exact
+    * percentiles are RANK SELECTIONS over the ≤50-row count histogram,
+    * not data sorts — one map-side-combined hash agg on (group,
+    * value), a cumulative window over histogram rows, ceil-rank
+    * thresholds in pure integer arithmetic, then the clamped sum is
+    * Σ count·clamp(q) — everything integer until ONE final division.
+    * The 100 TB shape: data passes once; all percentile machinery runs
+    * over the domain-sized histogram. */
+  private def aggWinsorized: Q = (s, d) => {
+    val hist = t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .groupBy("l_returnflag", "q").agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy("l_returnflag").orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(wcum))
+    val tot = hist.groupBy("l_returnflag").agg(sum(col("c")).as("n"))
+    val marked = cum.join(broadcast(tot), "l_returnflag")
+      .withColumn("k05", expr("(n * 5 + 99) DIV 100"))
+      .withColumn("k95", expr("(n * 95 + 99) DIV 100"))
+    val lo = marked.where(col("cum") >= col("k05"))
+      .groupBy("l_returnflag").agg(min(col("q")).as("lo"))
+    val hi = marked.where(col("cum") >= col("k95"))
+      .groupBy("l_returnflag").agg(min(col("q")).as("hi"))
+    hist.join(broadcast(lo), "l_returnflag")
+      .join(broadcast(hi), "l_returnflag")
+      .withColumn("cq", greatest(least(col("q"), col("hi")), col("lo")))
+      .groupBy(col("l_returnflag"), col("lo"), col("hi"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("cq")).as("ws"))
+      .select(col("l_returnflag"), col("n"), col("lo"), col("hi"),
+        (col("ws").cast("double") / col("n").cast("double"))
+          .as("winsorized_mean"))
+      .orderBy("l_returnflag")
+  }
+
   private def obsAccounting: Q = (s, d) => {
     val obs = new org.apache.spark.sql.Observation("graft_acct")
     val li = t(s, d, "lineitem")
@@ -3175,6 +3211,7 @@ object Relational {
     "ts_bollinger" -> tsBollinger,
     "agg_topn_share" -> aggTopnShare,
     "agg_listagg" -> aggListagg,
+    "agg_winsorized" -> aggWinsorized,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4389,6 +4426,36 @@ object Relational {
                 CAST(cnt AS DOUBLE) > mean24 + 2.0 * sd24 AS breach_hi,
                 CAST(cnt AS DOUBLE) < mean24 - 2.0 * sd24 AS breach_lo
          FROM b ORDER BY event_type, hr""",
+    // Identical ceil-rank thresholds over the identical ≤50-row
+    // histogram; integers until the one mean division.
+    "agg_winsorized" ->
+      """WITH hist AS (
+           SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                  count(*) AS c
+           FROM lineitem GROUP BY 1, 2),
+         cum AS (
+           SELECT l_returnflag, q, c,
+                  CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY q
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+           FROM hist),
+         tot AS (SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n
+                 FROM hist GROUP BY 1),
+         m AS (SELECT cum.*, n,
+                      (n * 5 + 99) // 100 AS k05,
+                      (n * 95 + 99) // 100 AS k95
+               FROM cum JOIN tot USING (l_returnflag)),
+         lo AS (SELECT l_returnflag, min(q) AS lo FROM m
+                WHERE cum >= k05 GROUP BY 1),
+         hi AS (SELECT l_returnflag, min(q) AS hi FROM m
+                WHERE cum >= k95 GROUP BY 1)
+         SELECT h.l_returnflag, CAST(sum(h.c) AS BIGINT) AS n, lo, hi,
+                CAST(sum(h.c * greatest(least(h.q, hi), lo)) AS DOUBLE)
+                  / CAST(sum(h.c) AS DOUBLE) AS winsorized_mean
+         FROM hist h JOIN lo USING (l_returnflag)
+                     JOIN hi USING (l_returnflag)
+         GROUP BY h.l_returnflag, lo, hi
+         ORDER BY h.l_returnflag""",
     "agg_listagg" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,

@@ -149,6 +149,38 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_ppr: teleport mass returns to the seed, scores localize") {
+    val got = SparkEntry.queries("graph_ppr")(spark, SharedSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.length <= 20)
+    // driver recompute: integer fixed-point on the symmetrized repeat
+    // graph from the same seed
+    val und = ops.Graph.repeatCopurchaseEdges(spark, SharedSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = und ++ und.map { case (a, b) => (b, a) }
+    val outdeg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val e = sym.map { case (a, b) => (a, b, outdeg(a)) }
+    val seed = outdeg.toSeq.minBy { case (n, dg) => (-dg, n) }._1
+    val scale = 1000000000L
+    val base = 150000000L
+    var pr: Map[Long, Long] = outdeg.keys
+      .map(n => n -> (if (n == seed) scale else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val in = collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      e.foreach { case (src, dst, dg) => in(dst) += pr(src) / dg }
+      pr = in.map { case (n, sm) =>
+        n -> ((if (n == seed) base else 0L) + 85 * sm / 100)
+      }.toMap
+    }
+    val exp = pr.toSeq.filter(_._2 > 0)
+      .map { case (n, p) => (n, outdeg(n), p) }
+      .sortBy { case (n, _, p) => (-p, n) }.take(20)
+    assert(got.toSeq === exp)
+    // the seed's own score dominates (teleport localizes the walk)
+    assert(got.head._1 === seed)
+  }
+
   test("graph_lpa matches a driver-side synchronous propagation reference") {
     val und = ops.Graph.repeatCopurchaseEdges(spark, SharedSpark.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

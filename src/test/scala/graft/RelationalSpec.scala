@@ -1056,6 +1056,29 @@ class RelationalSpec extends AnyFunSuite {
     got.foreach { r => assert(r._4 <= r._2 && r._3 >= 1) }
   }
 
+  test("agg_winsorized clamps at the exact ceil-rank p5/p95 thresholds") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("agg_winsorized")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val rows = Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exp = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, xs) =>
+      val vs = xs.map(_._2).sorted
+      val n = vs.length.toLong
+      val k05 = (n * 5 + 99) / 100
+      val k95 = (n * 95 + 99) / 100
+      val lo = vs((k05 - 1).toInt)
+      val hi = vs((k95 - 1).toInt)
+      val ws = vs.map(v => math.max(math.min(v, hi), lo)).sum
+      (f, n, lo, hi, ws.toDouble / n.toDouble)
+    }
+    assert(got.toSeq === exp)
+    // robustness law: the winsorized mean sits inside [lo, hi]
+    got.foreach { r => assert(r._5 >= r._3 && r._5 <= r._4) }
+  }
+
   test("agg_listagg renders the canonical sorted-distinct concatenation") {
     import org.apache.spark.sql.functions.col
     val got = SparkEntry.queries("agg_listagg")(spark, sf).collect()
