@@ -2236,10 +2236,14 @@ object Relational {
     * group (20% of orders) whole in one task's buffer to learn n
     * before emitting bucket 1 — measured 17.98 s / α_hi 1.05 at sf10
     * vs agg_gini's 0.82 s on the SAME window shape (r10 verdict).
-    * Instead: per-group n is ONE broadcast hash agg, the rank is a
-    * STREAMING row_number over the identical total order
-    * ((cents, orderkey) — ties broken), and the decile falls out of
-    * (rn, n, 10) closed-form via the SQL-standard
+    * Instead: the rank is a STREAMING row_number over the identical
+    * total order ((cents, orderkey) — ties broken), computed on
+    * SALT-RANGE-PARTITIONED slices (local rank + broadcast cumulative
+    * slice offset — exact, since a total-order position cannot depend
+    * on boundary placement; without the salt the FIVE priority values
+    * cap sort parallelism at 5, which WAS the whole sf10 cost), group
+    * sizes ride the same bounded slice-count table, and the decile
+    * falls out of (rn, n, 10) closed-form via the SQL-standard
     * remainder-to-early-buckets rule — big = n mod 10 buckets of size
     * sz+1 first, then size-sz buckets: pure integer arithmetic,
     * engine-identical to ntile by construction, zero group buffering.
@@ -2249,21 +2253,41 @@ object Relational {
     * 10-row-per-group decile table, never data rows. */
   private def winLorenz: Q = (s, d) => {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy("cents", "o_orderkey")
     val cents = t(s, d, "orders")
       .select(col("o_orderpriority"), col("o_orderkey"),
         (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
-    val gn = cents.groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("gn"))
+    // SALT-RANGE-PARTITIONED ranking (the knob the r10 scaladoc only
+    // documented — five priority values otherwise cap the rank sort at
+    // 5-way parallelism, the whole sf10 cost): range-partition the
+    // (priority, cents, orderkey) TOTAL ORDER across default
+    // parallelism so every core sorts a slice; the global per-group
+    // rank is local row_number + the broadcast cumulative slice
+    // offset — EXACT by construction (a total-order position cannot
+    // depend on where the range boundaries fell). Slice counts and
+    // group sizes ride one ≤(parts·groups)-row control table.
+    val parts = s.sparkContext.defaultParallelism
+    val ranged = cents.repartitionByRange(parts,
+      col("o_orderpriority"), col("cents"), col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+    val wLoc = Window.partitionBy("pid", "o_orderpriority")
+      .orderBy("cents", "o_orderkey")
+    val wOff = Window.partitionBy("o_orderpriority").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranged.groupBy("pid", "o_orderpriority")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .withColumn("gn",
+        sum(col("c")).over(Window.partitionBy("o_orderpriority")))
+      .select("pid", "o_orderpriority", "off", "gn")
     // ntile(10) ≡ first (n mod 10) buckets of size (n div 10)+1, rest
     // of size (n div 10); ceil(a/b) = (a+b-1) div b on positive ints.
     // The when() guards the sz=0 arm (n<10): every row then lands in
     // the first branch (rn ≤ n = big·1), so the sz division never
     // evaluates on a zero divisor.
-    val deciles = cents
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .join(broadcast(gn), "o_orderpriority")
+    val deciles = ranged
+      .withColumn("lrn", row_number().over(wLoc).cast("long"))
+      .join(broadcast(offs), Seq("pid", "o_orderpriority"))
+      .withColumn("rn", col("lrn") + col("off"))
       .withColumn("sz", expr("gn div 10"))
       .withColumn("big", col("gn") % 10)
       .withColumn("decile",
@@ -2275,11 +2299,16 @@ object Relational {
       .groupBy("o_orderpriority", "decile")
       .agg(count(lit(1)).as("n_orders"),
         sum(col("cents").cast(dec38)).as("dc"))
-    val tot = deciles.groupBy("o_orderpriority")
-      .agg(sum(col("dc")).as("total"))
+    // total as a whole-group window over the 10-row-per-group DECILE
+    // table, NOT a second aggregation of `deciles`: a re-aggregation
+    // branch re-instantiates the entire rank-window lineage (measured:
+    // the sf10 plan sorted the full data TWICE — 13.4 s; one lineage
+    // runs in ~2 s). The window buffer here is ≤10 rows per group.
     val wc = Window.partitionBy("o_orderpriority").orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deciles.join(tot, "o_orderpriority")
+    val wTot = Window.partitionBy("o_orderpriority")
+    deciles
+      .withColumn("total", sum(col("dc")).over(wTot))
       .withColumn("cum", sum(col("dc")).over(wc))
       .select(col("o_orderpriority"), col("decile"), col("n_orders"),
         col("dc").cast("long").as("decile_cents"),

@@ -635,12 +635,16 @@ class PlanSpec extends AnyFunSuite {
     // ntile is a SizeBasedWindowFunction: WindowExec must hold each
     // priority group whole to know n before emitting bucket 1 (r10
     // verdict: 17.98 s / α_hi 1.05 at sf10). The registered plan ranks
-    // with STREAMING row_number and derives the decile from (rn, n, 10)
-    // — no ntile anywhere, and every window is group-partitioned.
+    // with STREAMING row_number over SALT-RANGE-PARTITIONED slices
+    // (rank = local row_number + broadcast slice offset) and derives
+    // the decile from (rn, n, 10) — no ntile anywhere, the data-sized
+    // rank window is salted by partition id (5 priority values cannot
+    // cap sort parallelism), and no window orders globally.
     val p = planOf("win_lorenz")
     assert(!p.contains("ntile"), p)
     assert(p.contains("row_number"), p)
-    assert(p.contains("windowspecdefinition(o_orderpriority"), p)
+    assert(p.contains("windowspecdefinition(pid"),
+      "the rank window must be salt-partitioned: " + p)
     assert(!p.contains("windowspecdefinition(cents"),
       "no unpartitioned global window may rank the orders: " + p)
   }
