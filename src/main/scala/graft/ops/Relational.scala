@@ -2549,6 +2549,32 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** SKYLINE (Pareto frontier) per brand — the classic "best value"
+    * multi-criteria operator (Börzsönyi '01): parts not dominated on
+    * (price ↓, size ↑) by any brand-mate. NOT the O(n²) dominance
+    * self-join: under the cents-ascending order a row is on the
+    * frontier iff its size strictly beats the running max over all
+    * STRICTLY cheaper rows (an UnboundedPreceding RANGE frame —
+    * streaming, no group buffer) and ties the max among its price
+    * peers (a peers-only frame — buffer bounded by one price point).
+    * All integer compares; per-brand windows sort in parallel. */
+  private def winSkyline: Q = (s, d) => {
+    val p = t(s, d, "part")
+      .select(col("p_brand"), col("p_partkey"),
+        (dec(col("p_retailprice")) * 100).cast("long").as("cents"),
+        col("p_size").cast("long").as("size"))
+    val wCheaper = Window.partitionBy("p_brand").orderBy("cents")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wPeer = Window.partitionBy("p_brand").orderBy("cents")
+      .rangeBetween(Window.currentRow, Window.currentRow)
+    p.withColumn("mxc", max(col("size")).over(wCheaper))
+      .withColumn("mxp", max(col("size")).over(wPeer))
+      .where((col("mxc").isNull || col("size") > col("mxc")) &&
+        col("size") === col("mxp"))
+      .select(col("p_brand"), col("p_partkey"), col("cents"), col("size"))
+      .orderBy("p_brand", "cents", "p_partkey")
+  }
+
   private def obsAccounting: Q = (s, d) => {
     val obs = new org.apache.spark.sql.Observation("graft_acct")
     val li = t(s, d, "lineitem")
@@ -3241,6 +3267,7 @@ object Relational {
     "agg_topn_share" -> aggTopnShare,
     "agg_listagg" -> aggListagg,
     "agg_winsorized" -> aggWinsorized,
+    "win_skyline" -> winSkyline,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4485,6 +4512,26 @@ object Relational {
                      JOIN hi USING (l_returnflag)
          GROUP BY h.l_returnflag, lo, hi
          ORDER BY h.l_returnflag""",
+    // Identical strictly-cheaper/peer RANGE frames over identical
+    // cents; dominance test in pure integer compares.
+    "win_skyline" ->
+      """WITH p AS (
+           SELECT p_brand, p_partkey,
+                  CAST(CAST(p_retailprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT) AS cents,
+                  CAST(p_size AS BIGINT) AS size
+           FROM part),
+         w AS (
+           SELECT p_brand, p_partkey, cents, size,
+                  max(size) OVER (PARTITION BY p_brand ORDER BY cents
+                    RANGE BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING) AS mxc,
+                  max(size) OVER (PARTITION BY p_brand ORDER BY cents
+                    RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS mxp
+           FROM p)
+         SELECT p_brand, p_partkey, cents, size FROM w
+         WHERE (mxc IS NULL OR size > mxc) AND size = mxp
+         ORDER BY p_brand, cents, p_partkey""",
     "agg_listagg" ->
       """SELECT lang, count(*) AS n_docs,
                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,

@@ -1056,6 +1056,39 @@ class RelationalSpec extends AnyFunSuite {
     got.foreach { r => assert(r._4 <= r._2 && r._3 >= 1) }
   }
 
+  test("win_skyline equals the brute-force O(n²) dominance frontier") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("win_skyline")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val parts = Tables.t(spark, sf, "part")
+      .select(col("p_brand"), col("p_partkey"),
+        (Tables.dec(col("p_retailprice")) * 100).cast("long"),
+        col("p_size").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = parts.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (_, xs) =>
+        xs.filter { a =>
+          !xs.exists(b => b._2 != a._2 &&
+            b._3 <= a._3 && b._4 >= a._4 &&
+            (b._3 < a._3 || b._4 > a._4))
+        }.sortBy(x => (x._3, x._2))
+    }
+    assert(got.toSeq === exp)
+    // frontier law: along ascending price a skyline point must buy
+    // strictly MORE size (else the cheaper point dominates it); price
+    // ties carry identical (peer-max) size
+    got.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(x => (x._3, x._2)).toList
+      sorted.sliding(2).foreach {
+        case List(a, b) =>
+          assert(if (a._3 == b._3) a._4 == b._4 else a._4 < b._4,
+            s"dominated point on the skyline: $a $b")
+        case _ =>
+      }
+    }
+  }
+
   test("agg_winsorized clamps at the exact ceil-rank p5/p95 thresholds") {
     import org.apache.spark.sql.functions.col
     val got = SparkEntry.queries("agg_winsorized")(spark, sf).collect()
