@@ -2558,11 +2558,11 @@ object Relational {
     * streaming, no group buffer) and ties the max among its price
     * peers (a peers-only frame — buffer bounded by one price point).
     * All integer compares; per-brand windows sort in parallel. */
-  private def winSkyline: Q = (s, d) => {
-    val p = t(s, d, "part")
-      .select(col("p_brand"), col("p_partkey"),
-        (dec(col("p_retailprice")) * 100).cast("long").as("cents"),
-        col("p_size").cast("long").as("size"))
+  /** The skyline kernel over any (p_brand, p_partkey, cents, size)
+    * relation — shared by the batch key and [[Streaming]]'s
+    * incremental stream_skyline (frontiers are MERGEABLE: a global
+    * frontier point is non-dominated in every subset containing it). */
+  private[graft] def skylineOf(p: DataFrame): DataFrame = {
     val wCheaper = Window.partitionBy("p_brand").orderBy("cents")
       .rangeBetween(Window.unboundedPreceding, -1)
     val wPeer = Window.partitionBy("p_brand").orderBy("cents")
@@ -2572,8 +2572,16 @@ object Relational {
       .where((col("mxc").isNull || col("size") > col("mxc")) &&
         col("size") === col("mxp"))
       .select(col("p_brand"), col("p_partkey"), col("cents"), col("size"))
-      .orderBy("p_brand", "cents", "p_partkey")
   }
+
+  private[graft] def skylineInput(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .select(col("p_brand"), col("p_partkey"),
+        (dec(col("p_retailprice")) * 100).cast("long").as("cents"),
+        col("p_size").cast("long").as("size"))
+
+  private def winSkyline: Q = (s, d) =>
+    skylineOf(skylineInput(s, d)).orderBy("p_brand", "cents", "p_partkey")
 
   private def obsAccounting: Q = (s, d) => {
     val obs = new org.apache.spark.sql.Observation("graft_acct")

@@ -663,6 +663,66 @@ object Streaming {
     lastBatch
   }
 
+  /** STREAMING SKYLINE maintenance — the Pareto frontier over an
+    * unbounded catalog stream, the third algebraic-state fold next to
+    * [[streamTopk]] (top-k) and [[streamTheta]] (KMV): frontiers are
+    * MERGEABLE — skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) —
+    * because a globally non-dominated point is non-dominated in every
+    * subset containing it (it survives both inner skylines), while a
+    * dominated point dies at the first merge where any dominator
+    * coexists (dominance is transitive, so dominators that are
+    * themselves later dominated leave a dominator behind). Per batch:
+    * fold state' = skyline(state ∪ skyline(batch)) via the SHARED
+    * [[Relational.skylineOf]] kernel; state is frontier-sized forever.
+    * Shares win_skyline's oracle — the streamed fold must equal the
+    * batch frontier exactly. Versions batchId-keyed (the streamMv
+    * exactly-once discipline) with the Faults crash-resume seam. */
+  private def streamSkyline: Q = (s, d) => {
+    val root = streamDir("stream_skyline/versions")
+    val last = runStreamSkyline(s, d, root, streamDir("stream_skyline/ckpt"))
+    s.read.parquet(s"$root/v$last")
+      .orderBy("p_brand", "cents", "p_partkey")
+  }
+
+  /** The stream_skyline run loop with caller-owned dirs (see
+    * [[runStreamMv]]). Returns the last batch id of this invocation. */
+  private[graft] def runStreamSkyline(s: SparkSession, d: String,
+      root: String, ckpt: String): Long = {
+    val src = s"$scratchRoot/stream_skyline_src/${Llm.Scratch.key(d)}"
+    Llm.Scratch.once(src) {
+      Relational.skylineInput(s, d)
+        .repartition(4).write.mode("overwrite").parquet(src)
+    }
+    @volatile var lastBatch = -1L
+    val st = s.readStream
+      .schema(new StructType()
+        .add("p_brand", org.apache.spark.sql.types.StringType)
+        .add("p_partkey", org.apache.spark.sql.types.LongType)
+        .add("cents", org.apache.spark.sql.types.LongType)
+        .add("size", org.apache.spark.sql.types.LongType))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    withStatePartitions(s) {
+      val q = st.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val part = Relational.skylineOf(batch)
+          val merged =
+            if (batchId == 0L) part
+            else Relational.skylineOf(
+              s.read.parquet(s"$root/v${batchId - 1}").unionByName(part))
+          merged.coalesce(1).write.mode("overwrite")
+            .parquet(s"$root/v$batchId")
+          Faults.maybeFail(s"stream_skyline:$batchId")
+          if (batchId > lastBatch) lastBatch = batchId
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    lastBatch
+  }
+
   /** STREAMING BOUNDED TOP-K maintenance — the leaderboard shape over
     * an unbounded stream: each micro-batch contributes its OWN top-k
     * rows (a per-batch TakeOrderedAndProject — bounded heaps, never a
@@ -1361,6 +1421,7 @@ object Streaming {
     "stream_mv" -> streamMv,
     "stream_theta" -> streamTheta,
     "stream_topk" -> streamTopk,
+    "stream_skyline" -> streamSkyline,
     "stream_markov" -> streamMarkov,
     "stream_seq" -> streamSeq,
     "stream_dedup_incremental" -> streamDedupIncremental,
@@ -1373,6 +1434,9 @@ object Streaming {
     "stream_topk" ->
       """SELECT doc_id, n_chars FROM documents
          ORDER BY n_chars DESC, doc_id LIMIT 25""",
+    // Frontier mergeability law: the folded stream state must equal
+    // the batch skyline — the oracle IS win_skyline's.
+    "stream_skyline" -> Relational.oracles("win_skyline"),
     // Changed-keys-only recompute must land on the batch matrix
     // exactly — the oracle IS seq_markov's.
     "stream_markov" -> Relational.oracles("seq_markov"),

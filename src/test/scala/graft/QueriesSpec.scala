@@ -139,6 +139,34 @@ class QueriesSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream_skyline folds to the exact batch frontier with frontier-sized state") {
+    val streamed = SparkEntry.queries("stream_skyline")(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = SparkEntry.queries("win_skyline")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed === batch,
+      "skyline(state ∪ skyline(batch)) must equal the batch frontier")
+    // 4 staged files → ≥4 version dirs, and every intermediate state
+    // is ITSELF a valid frontier (frontier-sized, never corpus-sized)
+    val root = s"${Tables.scratchRoot}/stream/stream_skyline/versions"
+    val versions = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("v")).sortBy(_.getName)
+    assert(versions.length >= 4)
+    versions.foreach { v =>
+      val st = spark.read.parquet(v.getPath)
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      assert(st.length <= batch.length * 4,
+        s"state must stay frontier-sized, got ${st.length} rows in $v")
+      // no dominated pair inside any state version
+      st.groupBy(_._1).values.foreach { g =>
+        for (a <- g; b <- g if a != b)
+          assert(!(b._2 <= a._2 && b._3 >= a._3 &&
+            (b._2 < a._2 || b._3 > a._3)),
+            s"dominated point persisted in $v: $a by $b")
+      }
+    }
+  }
+
   test("stream_state_read: checkpoint state is sharded across every state partition") {
     import org.apache.spark.sql.functions._
     val audit = SparkEntry.queries("stream_state_read")(spark, sf).collect()(0)
