@@ -39,6 +39,32 @@ class GraphSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("iterative checkpoint write tasks scale with state rows (r11 item #1)") {
+    import ops.Graph
+    // Unit pins on the sizing function: small state stays one file,
+    // large state grows linearly, the backstop clamps.
+    assert(Graph.ckptParts(0L) == 1)
+    assert(Graph.ckptParts(1L) == 1)
+    assert(Graph.ckptParts(Graph.ckptRowsPerTask) == 1)
+    assert(Graph.ckptParts(Graph.ckptRowsPerTask + 1) == 2)
+    assert(Graph.ckptParts(200000000L) == 50) // 200M-node rank table
+    assert(Graph.ckptParts(Long.MaxValue) == Graph.ckptMaxTasks)
+    val probes = Seq(0L, 1000L, 4000000L, 9000000L, 1000000000L)
+    assert(probes.map(Graph.ckptParts) == probes.map(Graph.ckptParts).sorted)
+    // Mechanical pin: the checkpoint actually WRITES ckptParts(rows)
+    // part-files (i.e. that many write tasks) — the property whose
+    // absence made the old coalesce(1) a parallelism-1 wall.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    try {
+      val out = Graph.ckpt(spark, spark.range(1000).toDF("node"),
+        s"${dir.getPath}/s", 9000001L) // forces 3 write tasks
+      assert(out.count() == 1000)
+      val parts = new java.io.File(dir, "s").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(parts == 3)
+    } finally Tables.deleteRecursively(dir)
+  }
+
   test("graph_triangles matches a driver-side reference enumeration") {
     val edges = ops.Graph.repeatCopurchaseEdges(spark, SharedSpark.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
