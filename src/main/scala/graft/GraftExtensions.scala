@@ -49,6 +49,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"winnow_fps expects 1 argument, got ${exprs.length}")
         graft.expr.WinnowFps(exprs.head)
       }))
+    e.injectFunction((new FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[graft.expr.NgramHashes].getName,
+        "ngram_hashes"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"ngram_hashes expects 1 argument, got ${exprs.length}")
+        graft.expr.NgramHashes(exprs.head)
+      }))
     e.injectFunction((new FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(classOf[graft.expr.RepetitionStats].getName,
         "repetition_stats"),
