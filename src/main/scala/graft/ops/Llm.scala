@@ -1887,13 +1887,17 @@ object Llm {
     * an identical single-op IEEE sequence in both engines (one
     * division for the scale, one division + floor per code — floor,
     * never a bare CAST: double→int CAST truncates in Spark but rounds
-    * half-even in DuckDB), so the gate exact-hashes. */
+    * half-even in DuckDB), so the gate exact-hashes. A degenerate
+    * all-zero vector gives scale = 0 and floor(0/0) = NaN codes whose
+    * handling DIVERGES between engines (ADVICE r11) — the scale is
+    * nullif-guarded on both sides, so zero vectors degrade identically
+    * to NULL scale/codes. */
   private def embedQuantize: Q = (s, d) => {
+    val s0 = array_max(transform(col("x"), v => abs(v))) / lit(127.0d)
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("x"))
-      .withColumn("scale",
-        array_max(transform(col("x"), v => abs(v))) / lit(127.0d))
+      .withColumn("scale", when(s0 =!= 0.0d, s0))
     e.withColumn("q",
         transform(col("x"), v => floor(v / col("scale")).cast("long")))
       .select(col("vec_id"), col("label"), col("scale"),
@@ -2596,8 +2600,8 @@ object Llm {
     "embed_quantize" ->
       """WITH e AS (
            SELECT vec_id, label, embedding::DOUBLE[] AS x,
-                  list_max(list_transform(embedding::DOUBLE[],
-                    v -> abs(v))) / CAST(127 AS DOUBLE) AS scale
+                  nullif(list_max(list_transform(embedding::DOUBLE[],
+                    v -> abs(v))) / CAST(127 AS DOUBLE), 0.0) AS scale
            FROM embeddings)
          SELECT vec_id, label, scale,
                 CAST(floor(x[1] / scale) AS BIGINT) AS q0,

@@ -2437,8 +2437,14 @@ object Relational {
     * INTEGER power sums (Σc, Σc², n) — mean/σ/bands are then a fixed
     * IEEE chain (divisions, one sqrt) the oracle mirrors
     * token-for-token, so the raw doubles exact-hash. Short-prefix
-    * hours use the true window count n (no NULL warm-up rows). */
+    * hours use the true window count n (no NULL warm-up rows).
+    * The power sums ride DECIMAL (↔ DuckDB's native HUGEINT windowed
+    * sum): in 64-bit longs n·Σc² − (Σc)² overflows once 24-hour count
+    * sums pass ~3×10⁹ — and overflow DIVERGES, Spark wrapping silently
+    * (non-ANSI) where DuckDB raises (ADVICE r11). Exact at any SF the
+    * 38-digit headroom admits (Σc to ~10¹⁸). */
   private def tsBollinger: Q = (s, d) => {
+    val dec20 = org.apache.spark.sql.types.DecimalType(20, 0)
     val hourly = events(s, d)
       .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
       .agg(count(lit(1)).as("cnt"))
@@ -2446,8 +2452,9 @@ object Relational {
       .rowsBetween(-23, Window.currentRow)
     val sums = hourly
       .withColumn("n", count(lit(1)).over(w))
-      .withColumn("s1", sum(col("cnt")).over(w))
-      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+      .withColumn("s1", sum(col("cnt").cast(dec20)).over(w))
+      .withColumn("s2",
+        sum(col("cnt").cast(dec20) * col("cnt").cast(dec20)).over(w))
     def D(c: Column) = c.cast("double")
     val mean = D(col("s1")) / D(col("n"))
     val sd = sqrt(D(col("n") * col("s2") - col("s1") * col("s1")) /
@@ -4475,8 +4482,8 @@ object Relational {
          sums AS (
            SELECT event_type, hr, cnt,
                   count(*) OVER w AS n,
-                  CAST(sum(cnt) OVER w AS BIGINT) AS s1,
-                  CAST(sum(cnt * cnt) OVER w AS BIGINT) AS s2
+                  sum(cnt) OVER w AS s1,
+                  sum(cnt * cnt) OVER w AS s2
            FROM hourly
            WINDOW w AS (PARTITION BY event_type ORDER BY hr
                         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),

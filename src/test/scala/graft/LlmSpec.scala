@@ -341,6 +341,31 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_quantize degrades a zero vector to NULLs, never NaN codes") {
+    import org.apache.spark.sql.functions._
+    // ADVICE r11: scale = max|x|/127 is 0 for an all-zero embedding,
+    // so codes were floor(0/0) = NaN — an engine-divergent garbage row.
+    // The nullif guard (mirrored in the oracle) must yield NULL
+    // scale/codes instead, and leave non-degenerate vectors untouched.
+    val d = s"${Tables.scratchRoot}/llm_zero_vec"
+    spark.createDataFrame(Seq(
+        (0L, Seq.fill(8)(0.0f), 0),
+        (1L, Seq(0.5f, -1.27f, 0.1f, 0f, 0f, 0f, 0f, 0f), 0)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = SparkEntry.queries("embed_quantize")(spark, d)
+      .orderBy("vec_id").collect()
+    val zero = rows(0)
+    assert(zero.isNullAt(zero.fieldIndex("scale")))
+    assert(zero.isNullAt(zero.fieldIndex("q0")))
+    assert(zero.isNullAt(zero.fieldIndex("sum_q")))
+    assert(zero.isNullAt(zero.fieldIndex("max_err")))
+    val live = rows(1)
+    assert(live.getDouble(live.fieldIndex("scale")) ===
+      1.27f.toDouble / 127.0d)
+    assert(live.getLong(live.fieldIndex("q1")) === -127L)
+  }
+
   test("dedup_incremental: batch docs only, partners are index-or-lower-id, dups clear the threshold") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("dedup_incremental")(spark, SharedSpark.sf)

@@ -649,6 +649,47 @@ class PlanSpec extends AnyFunSuite {
       "no unpartitioned global window may rank the orders: " + p)
   }
 
+  test("win_lorenz's branches observe ONE range exchange (pid stability)") {
+    // ADVICE r11: rn = local row_number + broadcast slice offset is
+    // only exact if the `offs` and `deciles` branches read the SAME
+    // range-shuffle output — spark_partition_id() is nondeterministic
+    // and RangePartitioner samples with an RDD-id-derived seed, so two
+    // INDEPENDENT range exchanges could place boundary ties
+    // differently, pids would disagree, and ranks would be silently
+    // wrong. Pin: every RangePartitioning exchange in the final
+    // adaptive plan is the same reused instance.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val df = SparkEntry.queries("win_lorenz")(spark, sf)
+    df.collect() // materialize so AQE finalizes its stages
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => Nil
+      }
+      p +: (p.children ++ inner).flatMap(allNodes)
+    }
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    // Only the user repartitionByRange (REPARTITION_BY_NUM) — the
+    // final 10-rows-per-group orderBy adds its own harmless
+    // ENSURE_REQUIREMENTS range exchange.
+    val rangeEx = nodes.collect {
+      case e: ShuffleExchangeLike
+          if e.outputPartitioning.isInstanceOf[RangePartitioning] &&
+            e.shuffleOrigin == REPARTITION_BY_NUM => e
+    }
+    assert(rangeEx.nonEmpty, "expected a range exchange in win_lorenz:\n" +
+      df.queryExecution.executedPlan)
+    assert(rangeEx.map(_.id).distinct.size == 1,
+      "the salt-range shuffle must be computed ONCE and reused — " +
+        s"found ${rangeEx.map(_.id).distinct.size} distinct range " +
+        "exchanges:\n" + df.queryExecution.executedPlan)
+  }
+
   test("dedup_ngram/dedup_fuzzy df is a hash aggregate — no per-gram window buffer") {
     // r10 judge item #1: `count over Window.partitionBy(gram)` buffers
     // each gram group whole BEFORE the df cap filters it (153 s task GC

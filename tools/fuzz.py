@@ -857,17 +857,47 @@ def main():
                 'java.base/sun.nio.ch', 'java.base/sun.nio.cs',
                 'java.base/sun.security.action',
                 'java.base/sun.util.calendar']]
+            # Host-derived sizing (ADVICE r11: the old hardcoded
+            # -Xmx12g / 32 CPUs / /opt/spark/jars failed at JVM startup
+            # on smaller or differently-laid-out hosts instead of
+            # falling back): heap = half of RAM capped at 12g, CPUs
+            # from the host, jar dir from SPARK_HOME if set.
+            cpus = os.environ.get('SPARK_GRAFT_CPUS',
+                                  str(os.cpu_count() or 4))
+            mem_kb = 0
+            try:
+                with open('/proc/meminfo') as f:
+                    mem_kb = int(f.readline().split()[1])
+            except OSError:
+                pass
+            heap_g = max(2, min(12, mem_kb // (2 * 1024 * 1024) or 12))
+            jars = os.path.join(
+                os.environ.get('SPARK_HOME', '/opt/spark'), 'jars')
             cmd = (['java'] + add_opens +
-                   ['-Xms12g', '-Xmx12g', '-XX:+UseParallelGC',
+                   [f'-Xms{heap_g}g', f'-Xmx{heap_g}g',
+                    '-XX:+UseParallelGC',
                     '-XX:ReservedCodeCacheSize=512m',
-                    '-cp', classes + ':/opt/spark/jars/*',
+                    '-cp', classes + ':' + jars + '/*',
                     'graft.FuzzRun', sf, out_dir, sql_dir])
         else:
+            cmd = None
+        if cmd is None:
             cmd = ['sbt', '-batch',
                    f'runMain graft.FuzzRun {sf} {out_dir} {sql_dir}']
-        env = dict(os.environ, SPARK_GRAFT_CPUS='32')
+        env = dict(os.environ,
+                   SPARK_GRAFT_CPUS=os.environ.get('SPARK_GRAFT_CPUS', '32'))
         r = subprocess.run(cmd, cwd=REPO, env=env,
                            capture_output=True, text=True)
+        if r.returncode != 0 and cmd[0] == 'java':
+            # Direct-JVM startup can fail for environment reasons the
+            # class-dir probe cannot see (heap too big, jar layout) —
+            # fall back to the sbt path instead of dying (ADVICE r11).
+            print('[fuzz] direct JVM failed, retrying via sbt:',
+                  (r.stderr or r.stdout)[-500:])
+            cmd = ['sbt', '-batch',
+                   f'runMain graft.FuzzRun {sf} {out_dir} {sql_dir}']
+            r = subprocess.run(cmd, cwd=REPO, env=env,
+                               capture_output=True, text=True)
         if r.returncode != 0:
             print(r.stdout[-3000:], r.stderr[-3000:])
             return 1
