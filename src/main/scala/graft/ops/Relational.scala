@@ -2328,17 +2328,28 @@ object Relational {
     * streaming row_number over (count DESC, value) picks the winner.
     * No size-based window, no per-group buffer; at 100 TB the only
     * full-data pass is the combinable count. */
-  private def aggMode: Q = (s, d) => {
-    val counts = t(s, d, "lineitem")
+  private def aggMode: Q = (s, d) =>
+    modeOf(quantityHist(s, d)).orderBy("l_returnflag")
+
+  /** The (group, value, count) quantity histogram both robust-stat
+    * batch keys aggregate — and the MERGEABLE state [[Streaming]]'s
+    * stream_mode / stream_winsorized fold per micro-batch (counts on a
+    * bounded domain merge by addition; state is domain-sized forever). */
+  private[graft] def quantityHist(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
-      .groupBy("l_returnflag", "q").agg(count(lit(1)).as("n"))
+      .groupBy("l_returnflag", "q").agg(count(lit(1)).as("c"))
+
+  /** Mode finalizer over a (l_returnflag, q, c) histogram — shared by
+    * agg_mode and the streaming twin (same winner selection, so the
+    * streamed fold provably shares agg_mode's oracle). */
+  private[graft] def modeOf(hist: DataFrame): DataFrame = {
     val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("n").desc, col("q"))
-    counts.withColumn("rn", row_number().over(w))
+      .orderBy(col("c").desc, col("q"))
+    hist.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("l_returnflag"), col("q").as("mode_q"),
-        col("n").as("mode_n"))
-      .orderBy("l_returnflag")
+        col("c").as("mode_n"))
   }
 
   /** THEIL–SEN robust trend per event-type series — the median of all
@@ -2530,10 +2541,14 @@ object Relational {
     * Σ count·clamp(q) — everything integer until ONE final division.
     * The 100 TB shape: data passes once; all percentile machinery runs
     * over the domain-sized histogram. */
-  private def aggWinsorized: Q = (s, d) => {
-    val hist = t(s, d, "lineitem")
-      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
-      .groupBy("l_returnflag", "q").agg(count(lit(1)).as("c"))
+  private def aggWinsorized: Q = (s, d) =>
+    winsorizedOf(quantityHist(s, d)).orderBy("l_returnflag")
+
+  /** Winsorized-mean finalizer over a (l_returnflag, q, c) histogram —
+    * shared by agg_winsorized and the streaming twin (the histogram IS
+    * the mergeable summary; all percentile machinery runs on its ≤50
+    * rows per group). */
+  private[graft] def winsorizedOf(hist: DataFrame): DataFrame = {
     val wcum = Window.partitionBy("l_returnflag").orderBy("q")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum", sum(col("c")).over(wcum))
@@ -2553,7 +2568,6 @@ object Relational {
       .select(col("l_returnflag"), col("n"), col("lo"), col("hi"),
         (col("ws").cast("double") / col("n").cast("double"))
           .as("winsorized_mean"))
-      .orderBy("l_returnflag")
   }
 
   /** SKYLINE (Pareto frontier) per brand — the classic "best value"

@@ -782,6 +782,85 @@ object Streaming {
     lastBatch
   }
 
+  /** STREAMING MODE maintenance — agg_mode's streaming twin and the
+    * fourth algebraic-state fold next to [[streamTopk]] / [[streamTheta]]
+    * / [[streamSkyline]]: counts on a BOUNDED value domain merge by
+    * addition (hist(A ∪ B) = hist(A) + hist(B) — the simplest mergeable
+    * summary there is), so state is the (group, value, count) histogram
+    * — domain-sized forever (≤ 3 flags × 50 quantities), never row-
+    * scaled — and the winner selection is [[Relational.modeOf]], the
+    * SAME finalizer as the batch key, which is why the streamed fold
+    * shares agg_mode's oracle verbatim. Versions batchId-keyed (the
+    * streamMv exactly-once discipline) with the Faults crash-resume
+    * seam. */
+  private def streamMode: Q = (s, d) => {
+    val root = streamDir("stream_mode/versions")
+    val last = runStreamHist(s, d, root, streamDir("stream_mode/ckpt"),
+      "stream_mode")
+    Relational.modeOf(s.read.parquet(s"$root/v$last"))
+      .orderBy("l_returnflag")
+  }
+
+  /** STREAMING WINSORIZED MEAN maintenance — agg_winsorized's streaming
+    * twin over the SAME mergeable histogram state as [[streamMode]]
+    * (one fold shape, two finalizers — exactly how a production MV
+    * layer amortizes robust statistics: the ≤150-row histogram answers
+    * any rank statistic after the fact). Percentile thresholds, clamps,
+    * and the mean re-derive per refresh from the folded counts via
+    * [[Relational.winsorizedOf]], so the streamed result shares
+    * agg_winsorized's oracle verbatim. */
+  private def streamWinsorized: Q = (s, d) => {
+    val root = streamDir("stream_winsorized/versions")
+    val last = runStreamHist(s, d, root, streamDir("stream_winsorized/ckpt"),
+      "stream_winsorized")
+    Relational.winsorizedOf(s.read.parquet(s"$root/v$last"))
+      .orderBy("l_returnflag")
+  }
+
+  /** The shared histogram fold loop of [[streamMode]] /
+    * [[streamWinsorized]], caller-owned dirs (see [[runStreamMv]]).
+    * Per batch: state' = state ⊎ hist(batch), a count-sum merge on the
+    * bounded (l_returnflag, q) domain — per-batch shuffle rows bounded
+    * by the domain (map-side combined), state frozen at domain size.
+    * Returns the last batch id of this invocation. */
+  private[graft] def runStreamHist(s: SparkSession, d: String,
+      root: String, ckpt: String, tag: String): Long = {
+    val src = s"$scratchRoot/stream_hist_src/${Llm.Scratch.key(d)}"
+    Llm.Scratch.once(src) {
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+    }
+    @volatile var lastBatch = -1L
+    val st = s.readStream
+      .schema(new StructType()
+        .add("l_returnflag", org.apache.spark.sql.types.StringType)
+        .add("q", org.apache.spark.sql.types.LongType))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    withStatePartitions(s) {
+      val q = st.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val part = batch.groupBy("l_returnflag", "q")
+            .agg(count(lit(1)).as("c"))
+          val merged =
+            if (batchId == 0L) part
+            else s.read.parquet(s"$root/v${batchId - 1}")
+              .unionByName(part)
+              .groupBy("l_returnflag", "q").agg(sum(col("c")).as("c"))
+          merged.coalesce(1).write.mode("overwrite")
+            .parquet(s"$root/v$batchId")
+          Faults.maybeFail(s"$tag:$batchId")
+          if (batchId > lastBatch) lastBatch = batchId
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    lastBatch
+  }
+
   /** STREAMING incremental SEQUENCE-PATTERN maintenance — seq_pattern's
     * streaming twin, and the interesting case of incremental MV logic:
     * the regex-over-path aggregate is NOT algebraic (a new event can
@@ -1422,6 +1501,8 @@ object Streaming {
     "stream_theta" -> streamTheta,
     "stream_topk" -> streamTopk,
     "stream_skyline" -> streamSkyline,
+    "stream_mode" -> streamMode,
+    "stream_winsorized" -> streamWinsorized,
     "stream_markov" -> streamMarkov,
     "stream_seq" -> streamSeq,
     "stream_dedup_incremental" -> streamDedupIncremental,
@@ -1437,6 +1518,10 @@ object Streaming {
     // Frontier mergeability law: the folded stream state must equal
     // the batch skyline — the oracle IS win_skyline's.
     "stream_skyline" -> Relational.oracles("win_skyline"),
+    // Histogram mergeability law: the folded count state must yield
+    // the batch statistics exactly — the oracles ARE the batch twins'.
+    "stream_mode" -> Relational.oracles("agg_mode"),
+    "stream_winsorized" -> Relational.oracles("agg_winsorized"),
     // Changed-keys-only recompute must land on the batch matrix
     // exactly — the oracle IS seq_markov's.
     "stream_markov" -> Relational.oracles("seq_markov"),

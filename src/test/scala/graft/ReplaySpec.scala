@@ -97,6 +97,39 @@ class ReplaySpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/v$last").count() <= 25L)
   }
 
+  test("stream_mode/stream_winsorized replay: crash after hist-write before commit") {
+    // One fold, two finalizers: the shared histogram state must resume
+    // to the exact batch histogram, so BOTH keys' outputs equal their
+    // clean runs off one injected crash.
+    val cleanMode = rows(SparkEntry.queries("stream_mode")(spark, sf))
+    val cleanWins = rows(SparkEntry.queries("stream_winsorized")(spark, sf))
+    val root = fresh("hist/versions")
+    val ckpt = fresh("hist/ckpt")
+    ops.Streaming.Faults.arm("hist:2")
+    val ex = intercept[Exception] {
+      ops.Streaming.runStreamHist(spark, sf, root, ckpt, "hist")
+    }
+    assert(injected(ex), ex.toString)
+    assert(new java.io.File(s"$root/v2").exists())
+    assert(!new java.io.File(s"$root/v3").exists())
+    val last = ops.Streaming.runStreamHist(spark, sf, root, ckpt, "hist")
+    assert(last === 3L, s"resume should finish the 4-file drain, got $last")
+    val hist = spark.read.parquet(s"$root/v$last")
+    val resumedMode = rows(ops.Relational.modeOf(hist)
+      .orderBy("l_returnflag"))
+    assert(resumedMode === cleanMode)
+    val resumedWins = rows(ops.Relational.winsorizedOf(hist)
+      .orderBy("l_returnflag"))
+    assert(resumedWins === cleanWins)
+    // bounded-state laws: the histogram is the batch histogram exactly
+    // (mergeability), and its size is the value DOMAIN, never row count
+    val batchHist = ops.Relational.quantityHist(spark, sf)
+    assert(rows(hist.orderBy("l_returnflag", "q")) ===
+      rows(batchHist.orderBy("l_returnflag", "q")))
+    assert(hist.count() === batchHist.count())
+    assert(hist.count() <= 150L)
+  }
+
   test("stream_markov replay: crash between event-dir write and MV write") {
     val clean = rows(SparkEntry.queries("stream_markov")(spark, sf))
     val root = fresh("markov/versions")
