@@ -71,7 +71,8 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    write(spark, outDir, sf, realism = args.contains("--real"))
+    write(spark, outDir, sf, realism = args.contains("--real"),
+      hot = args.contains("--hot"))
     spark.stop()
   }
 
@@ -94,8 +95,18 @@ object GenData {
     Tables.deleteRecursively(new java.io.File(tmp))
   }
 
+  /** `--hot` adversarial mode (round-12 judge item #7): deliberately
+    * DEGENERATE key distributions that the gen/real legs never draw,
+    * for worst-case slope legs of the skew-sensitive operators.
+    * - part: HALF of all parts carry ONE brand at ONE price point —
+    *   the skyline peer frame's worst case (a single (brand, cents)
+    *   tie group holding 50% of the table).
+    * - lineitem: HALF of all lines hit ONE part — the max-degree
+    *   co-purchase hub, which is exactly where graph_ppr's teleport
+    *   seed lands (deterministic max-degree pick).
+    * Composable with --real; used by tools/scaling.py --variant=hot. */
   def write(spark: SparkSession, outDir: String, sf: Double,
-      realism: Boolean = false): Unit = {
+      realism: Boolean = false, hot: Boolean = false): Unit = {
     new java.io.File(outDir).mkdirs()
     val nCust = math.max(1, (150000 * sf).toLong)
     val nPart = math.max(1, (200000 * sf).toLong)
@@ -136,11 +147,17 @@ object GenData {
           "metallic", "plated")),
         pick(2, Seq("ring", "bolt", "screw", "washer", "anchor", "plate",
           "rod", "spring"))).as("p_name"),
-      concat(lit("Brand#"), ui(3, 25)).as("p_brand"),
+      // --hot: even part ids collapse onto ONE brand at ONE price —
+      // a single (brand, cents) skyline tie group with 50% of parts.
+      (if (hot) when(col("id") % 2 === 0, lit("Brand#0"))
+        .otherwise(concat(lit("Brand#"), ui(3, 25)))
+      else concat(lit("Brand#"), ui(3, 25))).as("p_brand"),
       pick(4, Seq("STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY",
         "PROMO")).as("p_type"),
       (ui(5, 50) + 1).cast("int").as("p_size"),
-      round(lit(900.0) + col("id") * 0.1, 2).as("p_retailprice")),
+      (if (hot) when(col("id") % 2 === 0, lit(999.99))
+        .otherwise(round(lit(900.0) + col("id") * 0.1, 2))
+      else round(lit(900.0) + col("id") * 0.1, 2)).as("p_retailprice")),
       outDir, "part")
 
     writeTable(range(nOrd).select(col("id").as("o_orderkey"),
@@ -169,7 +186,16 @@ object GenData {
       // at 1/64 hot-hot support still concentrates (≈40% of hot pairs
       // reach support 2 at sf1 → a live 3-core) while hot-head pair
       // support stays below the threshold, so the hubs never form.
-      (if (realism)
+      // --hot: half of ALL lines hit part 0 — the maximal co-purchase
+      // hub (graph_ppr's deterministic seed). Overrides the realism
+      // draw on the hot half; the other half keeps the mode's shape.
+      (if (hot)
+        when(ui(26, 2) === 0, lit(0L))
+          .otherwise(if (realism)
+            when(ui(23, 64) === 0, ui(24, math.min(64L, nPart)))
+              .otherwise((u(2) * u(22) * nPart).cast("long"))
+          else ui(2, nPart))
+      else if (realism)
         when(ui(23, 64) === 0, ui(24, math.min(64L, nPart)))
           .otherwise((u(2) * u(22) * nPart).cast("long"))
       else ui(2, nPart)).as("l_partkey"),

@@ -39,6 +39,13 @@ VARIANTS = {
     "real10": [("0.1", "target/testdata/real0.1"),
                ("1", "target/testdata/real1"),
                ("10", "target/testdata/real10")],
+    # GenData --hot adversarial degeneracy (r11 judge item #7): half of
+    # part in ONE (brand, price) skyline tie group, half of lineitem on
+    # ONE co-purchase hub part — worst case for the skyline peer frame
+    # and the ppr hot seed, which gen/real never draw
+    "hot": [("0.01", "target/testdata/hot0.01"),
+            ("0.1", "target/testdata/hot0.1"),
+            ("1", "target/testdata/hot1")],
 }
 SFS = VARIANTS["gen"]
 
@@ -187,7 +194,9 @@ def main(keys):
     failed = {}
     for label, sf_dir in SFS:
         if not os.path.isdir(os.path.join(REPO, sf_dir)):
-            flag = " --real" if "real" in os.path.basename(sf_dir) else ""
+            base = os.path.basename(sf_dir)
+            flag = (" --real" if "real" in base else "") + \
+                (" --hot" if "hot" in base else "")
             print(f"missing {sf_dir}; run: "
                   f"sbt 'runMain graft.GenData {sf_dir} {label}{flag}'",
                   file=sys.stderr)
