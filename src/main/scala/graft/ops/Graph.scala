@@ -737,8 +737,14 @@ object Graph {
     * lesson); the removed-edge count is coordinator metadata. The
     * oracle peels the IDENTICAL recurrence unrolled [[kcoreRounds]]
     * deep (GraphSpec pins convergence within that depth, and a
-    * driver-side independent peeler agrees). */
-  private[graft] val kcoreRounds = 16
+    * driver-side independent peeler agrees). 16 → 32 in r12: the
+    * generated sf0.01 graph peels 18 rounds deep (measured with an
+    * iterative DuckDB probe — thin support structures peel one layer
+    * per round), tripping the old cap; rounds past the fixpoint are
+    * IDENTITY in both engines (keep = all nodes once every degree
+    * ≥ k), so the wider unroll costs CTE boilerplate, never
+    * correctness. */
+  private[graft] val kcoreRounds = 32
   private def graphKcore: Q = (s, d) => {
     val und = repeatCopurchaseEdges(s, d)
     var edges = und.select(col("pa").as("src"), col("pb").as("dst"))
