@@ -827,8 +827,45 @@ object Graph {
       .orderBy("node")
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT — "how clique-like is each part's
+    * co-purchase neighborhood": cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
+    * the community-cohesion number next to raw triangle counts. Reuses
+    * the [[repeatCopurchaseEdges]] support-pruned artifact and the
+    * graph_triangles value-ordered enumeration (same two equi-joins,
+    * same Σ deg² bound; at web scale the compact-forward orientation
+    * of graph_triangles_fwd applies unchanged); degree is one hash agg
+    * over both endpoint columns. A node on edges but in no triangle
+    * keeps cc = 0 via the left join (it must not vanish — zero
+    * clustering is the signal). The coefficient is ONE IEEE division
+    * of exact integers, so the top-20 sort agrees bit-for-bit. */
+  private def graphClustering: Q = (s, d) => {
+    val e = repeatCopurchaseEdges(s, d)
+    val deg = e.select(col("pa").as("node"))
+      .unionAll(e.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.pb") === col("e2.pa"))
+      .join(e.as("e3"),
+        col("e3.pa") === col("e1.pa") && col("e3.pb") === col("e2.pb"))
+      .select(col("e1.pa").as("x"), col("e1.pb").as("y"),
+        col("e2.pb").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.where(col("deg") >= 2)
+      .join(perNode, Seq("node"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("cc",
+        lit(2.0d) * col("n_tri").cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double"))
+      .select("node", "deg", "n_tri", "cc")
+      .orderBy(col("cc").desc, col("n_tri").desc, col("node"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_kcore" -> graphKcore,
+    "graph_clustering" -> graphClustering,
     "graph_bfs" -> graphBfs,
     "graph_assortativity" -> graphAssortativity,
     "graph_pagerank" -> graphPagerank,
@@ -957,6 +994,34 @@ object Graph {
     "graph_ppr" -> pprOracle,
     "graph_triangles" -> trianglesOracle,
     "graph_triangles_fwd" -> trianglesOracle,
+    // Same edge set and triangle enumeration as trianglesOracle; cc is
+    // one division of exact integers, left join keeps triangle-free
+    // nodes at cc = 0.
+    "graph_clustering" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                     FROM lineitem),
+         pr AS (SELECT DISTINCT a.pk AS pa, b.pk AS pb, a.ok
+                FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         e AS (SELECT pa, pb FROM pr GROUP BY pa, pb
+               HAVING count(*) >= 2),
+         deg AS (SELECT node, count(*) AS deg FROM (
+                   SELECT pa AS node FROM e
+                   UNION ALL SELECT pb AS node FROM e)
+                 GROUP BY node),
+         tri AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+                 FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                           JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+         n AS (SELECT unnest([x, y, z]) AS node FROM tri),
+         pt AS (SELECT node, count(*)::BIGINT AS n_tri
+                FROM n GROUP BY node),
+         c AS (
+           SELECT d.node, d.deg, coalesce(pt.n_tri, 0) AS n_tri,
+                  2.0 * coalesce(pt.n_tri, 0)::DOUBLE
+                    / (d.deg * (d.deg - 1))::DOUBLE AS cc
+           FROM deg d LEFT JOIN pt ON d.node = pt.node
+           WHERE d.deg >= 2)
+         SELECT node, deg, n_tri, cc FROM c
+         ORDER BY cc DESC, n_tri DESC, node LIMIT 20""",
     // The identical three unrolled walk levels, all-integer.
     "graph_katz" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -1936,6 +1936,91 @@ object Llm {
       .orderBy("lang")
   }
 
+  /** NDCG@10 — the graded cousin of [[rankMrr]]'s first-hit metric:
+    * discounted cumulative gain over the top 10 ranks, normalized by
+    * the ideal ordering. Same ranking and relevance labels as
+    * rank_mrr (docs by (n_chars DESC, doc_id) within language,
+    * 'dup'-marker docs relevant). Discounts use the NATURAL-log DCG
+    * variant (rank ordering is identical to log2 — it's one constant
+    * factor — and ln is the engine's one admitted libm function). The
+    * float sums are SEQUENTIAL folds in rank order on both sides
+    * (Spark `aggregate` over the rank-sorted array ↔ DuckDB
+    * list_reduce over the rank-ordered list — the agg_chisq
+    * discipline), bounded at 10 terms; outputs are rounded to 6
+    * decimals to absorb ln's last-ulp wobble; a language with no
+    * relevant docs degrades to NULL ndcg via the nullif guard. */
+  private def rankNdcg: Q = (s, d) => {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val ranked = fanOut(t(s, d, "documents"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("text").contains("dup").as("rel"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+    val gains = ranked.where(col("rnk") <= 10)
+      .groupBy("lang")
+      .agg(aggregate(
+        transform(
+          array_sort(collect_list(struct(col("rnk"), col("rel")))),
+          x => when(x.getField("rel"),
+            lit(1.0d) /
+              log(x.getField("rnk").cast("double") + lit(1.0d)))
+            .otherwise(lit(0.0d))),
+        lit(0.0d), (a, v) => a + v).as("dcg"))
+    val rels = ranked.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel"))
+    rels.join(gains, "lang")
+      .withColumn("k", least(col("n_rel"), lit(10L)))
+      .withColumn("idcg",
+        when(col("k") > 0, aggregate(
+          transform(sequence(lit(1L), col("k")),
+            r => lit(1.0d) / log(r.cast("double") + lit(1.0d))),
+          lit(0.0d), (a, v) => a + v)).otherwise(lit(0.0d)))
+      .select(col("lang"), col("n_docs"), col("n_rel"),
+        round(col("dcg"), 6).as("dcg"),
+        round(col("idcg"), 6).as("idcg"),
+        round(col("dcg") / nullif(col("idcg"), lit(0.0d)), 6).as("ndcg"))
+      .orderBy("lang")
+  }
+
+  /** ZIPF-slope fit per language — does the corpus's token frequency
+    * curve follow the ~rank⁻¹ law natural text obeys? (A scraped
+    * corpus that DOESN'T is machine-generated or boilerplate — this
+    * is a corpus-level quality screen next to text_gopher's per-doc
+    * rules.) Frequencies come off one hash agg; only the TOP-32 ranks
+    * per language enter the fit (the head is where Zipf lives and the
+    * bound makes pair work a ≤496-row constant per language — the
+    * ts_theilsen discipline in log-log space); the slope estimate is
+    * the MEDIAN of pairwise log-log slopes, SELECTED (row_number at
+    * rank ⌈m/2⌉), never averaged. Each slope is a fixed chain of four
+    * ln() calls and one division, rounded to 6 decimals BEFORE the
+    * selection order so the median choice itself is ulp-robust. */
+  private def textZipf: Q = (s, d) => {
+    val tok = fanOut(t(s, d, "documents"))
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+    val freq = tok.groupBy("lang", "word").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("lang").orderBy(col("c").desc, col("word"))
+    val top = freq.withColumn("r", row_number().over(w).cast("long"))
+      .where(col("r") <= 32)
+      .select(col("lang"), col("r"), col("c"))
+    val a = top.select(col("lang"), col("r").as("r1"), col("c").as("c1"))
+    val b = top.select(col("lang"), col("r").as("r2"), col("c").as("c2"))
+    val slopes = a.join(b, Seq("lang")).where(col("r1") < col("r2"))
+      .select(col("lang"), col("r1"), col("r2"),
+        round((log(col("c2").cast("double")) -
+            log(col("c1").cast("double"))) /
+          (log(col("r2").cast("double")) -
+            log(col("r1").cast("double"))), 6).as("slope"))
+    val m = slopes.groupBy("lang").agg(count(lit(1)).as("n_pairs"))
+    val ws = Window.partitionBy("lang").orderBy("slope", "r1", "r2")
+    slopes.withColumn("rn", row_number().over(ws).cast("long"))
+      .join(broadcast(m), "lang")
+      .where(col("rn") === expr("(n_pairs + 1) DIV 2"))
+      .select(col("lang"), col("n_pairs"), col("slope").as("zipf_slope"))
+      .orderBy("lang")
+  }
+
   /** Similarity RANGE search (all pairs with cosine ≥ τ) — the other
     * fundamental ANN query shape next to top-k: near-duplicate mining
     * wants "everything this similar", not "the 10 nearest". Candidates
@@ -2171,6 +2256,8 @@ object Llm {
     "embed_normalize" -> embedNormalize,
     "embed_quantize" -> embedQuantize,
     "rank_mrr" -> rankMrr,
+    "rank_ndcg" -> rankNdcg,
+    "text_zipf" -> textZipf,
     "text_readability" -> textReadability,
     "sim_range_search" -> simRangeSearch,
     "dedup_exact" -> dedupExact,
@@ -2655,6 +2742,71 @@ object Llm {
                 CAST(1 AS DOUBLE) / CAST(first_rank AS DOUBLE) AS rr
          FROM g LEFT JOIN f ON g.lang = f.lang
          ORDER BY g.lang""",
+    // Sequential rank-ordered folds (list_reduce ↔ Spark aggregate),
+    // natural-log discounts, round-6 on the ln-derived outputs.
+    "rank_ndcg" ->
+      """WITH ranked AS (
+           SELECT doc_id, lang, (text LIKE '%dup%') AS rel,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY n_chars DESC, doc_id) AS rnk
+           FROM documents),
+         gains AS (
+           SELECT lang, list_reduce(list_prepend(0.0::DOUBLE,
+                    list(CASE WHEN rel
+                           THEN 1.0 / ln(rnk::DOUBLE + 1.0)
+                           ELSE 0.0 END ORDER BY rnk)),
+                    (a, b) -> a + b) AS dcg
+           FROM ranked WHERE rnk <= 10 GROUP BY lang),
+         rels AS (
+           SELECT lang, count(*) AS n_docs,
+                  CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_rel
+           FROM ranked GROUP BY lang),
+         j AS (
+           SELECT r.lang, r.n_docs, r.n_rel, g.dcg,
+                  least(r.n_rel, 10) AS k
+           FROM rels r JOIN gains g ON r.lang = g.lang),
+         i AS (
+           SELECT *, CASE WHEN k > 0 THEN
+                    list_reduce(list_prepend(0.0::DOUBLE,
+                      list_transform(generate_series(1, k),
+                        x -> 1.0 / ln(x::DOUBLE + 1.0))),
+                      (a, b) -> a + b)
+                  ELSE 0.0 END AS idcg
+           FROM j)
+         SELECT lang, n_docs, n_rel, round(dcg, 6) AS dcg,
+                round(idcg, 6) AS idcg,
+                round(dcg / nullif(idcg, 0.0), 6) AS ndcg
+         FROM i ORDER BY lang""",
+    // Median-selected pairwise log-log slope over the top-32 ranks;
+    // slopes rounded to 6 BEFORE the selection order.
+    "text_zipf" ->
+      """WITH tok AS (
+           SELECT lang, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         freq AS (
+           SELECT lang, word, count(*) AS c FROM tok
+           WHERE word <> '' GROUP BY 1, 2),
+         top AS (
+           SELECT lang, r, c FROM (
+             SELECT lang, c, row_number() OVER (PARTITION BY lang
+               ORDER BY c DESC, word) AS r
+             FROM freq) WHERE r <= 32),
+         sl AS (
+           SELECT a.lang, a.r AS r1, b.r AS r2,
+                  round((ln(b.c::DOUBLE) - ln(a.c::DOUBLE))
+                    / (ln(b.r::DOUBLE) - ln(a.r::DOUBLE)), 6) AS slope
+           FROM top a JOIN top b
+             ON a.lang = b.lang AND a.r < b.r),
+         rr AS (
+           SELECT lang, slope, r1, r2,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY slope, r1, r2) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS m
+           FROM sl)
+         SELECT lang, m AS n_pairs, slope AS zipf_slope
+         FROM rr WHERE rn = (m + 1) // 2
+         ORDER BY lang""",
     // Identical LSH bucket function (plane literals from lshPlanes):
     // candidates pair only within a shared bucket, as in the Spark plan.
     "sim_range_search" ->

@@ -3182,6 +3182,182 @@ object Relational {
       .orderBy("event_type", "phase")
   }
 
+  /** SHANNON ENTROPY of the part-type mix per brand — the catalog-
+    * diversity number an assortment dashboard tracks (0 = one type,
+    * ln(k) = uniform over k types). Closed form H = ln(n) − Σc·ln(c)/n
+    * over the BOUNDED (brand, type) histogram (≤150 type rows/brand —
+    * one combinable hash agg over the scan; the entropy machinery
+    * never touches data rows). ln() is the one non-IEEE-pinned
+    * function the engine admits (text_lm_score discipline): each term
+    * is ln of an exact integer, and the final H and its ln(n_types)
+    * normalization are rounded to 6 decimals on both sides to absorb
+    * the last-ulp libm wobble. */
+  private def aggEntropy: Q = (s, d) => {
+    val hist = t(s, d, "part")
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("c"))
+    hist.groupBy("p_brand")
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("sclnc"))
+      .select(col("p_brand"), col("n_types"), col("n"),
+        round(log(col("n").cast("double")) -
+          col("sclnc") / col("n").cast("double"), 6).as("entropy"),
+        round((log(col("n").cast("double")) -
+          col("sclnc") / col("n").cast("double")) /
+          nullif(log(col("n_types").cast("double")), lit(0.0d)), 6)
+          .as("norm_entropy"))
+      .orderBy("p_brand")
+  }
+
+  /** CHI-SQUARED independence test between return flag and line
+    * status — the contingency-table screen (is returning independent
+    * of fulfillment state?) every data-quality audit runs. Observed
+    * counts are one hash agg over the scan into the BOUNDED 3×2 cell
+    * grid; marginals are two aggs over the 6 cells; expected counts
+    * and per-cell contributions are fixed IEEE chains of exact
+    * integers (products ride DECIMAL(38,0) ↔ DuckDB HUGEINT — row·col
+    * marginal products pass 2⁶³ near sf100); the statistic is a
+    * SEQUENTIAL fold over the 6 cells in (flag, status) order — both
+    * engines add the same doubles in the same order (the tok_encode
+    * list_reduce discipline), so χ² exact-hashes with NO rounding. */
+  private def aggChisq: Q = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("o"))
+    val rm = cells.groupBy("l_returnflag").agg(sum(col("o")).as("rt"))
+    val cm = cells.groupBy("l_linestatus").agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("nt"))
+    val e = cells.join(broadcast(rm), "l_returnflag")
+      .join(broadcast(cm), "l_linestatus").crossJoin(broadcast(n))
+      .withColumn("e",
+        (col("rt").cast(dec38) * col("ct").cast(dec38)).cast("double") /
+          col("nt").cast("double"))
+      .withColumn("contrib",
+        (col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e"))
+    val chi2 = e.agg(
+      aggregate(
+        transform(
+          array_sort(collect_list(
+            struct(col("l_returnflag"), col("l_linestatus"),
+              col("contrib")))),
+          x => x.getField("contrib")),
+        lit(0.0d), (a, v) => a + v).as("chi2"),
+      count(lit(1)).as("n_cells"))
+    e.select(col("l_returnflag"), col("l_linestatus"), col("o"),
+        col("e"), col("contrib"))
+      .crossJoin(broadcast(chi2))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** MANN–WHITNEY U rank-sum test (returned vs accepted quantities) —
+    * the nonparametric two-sample test that needs no normality
+    * assumption, tie-corrected. ALL-INTEGER until the final z: rank
+    * sums come off the BOUNDED quantity histogram (≤50 value rows —
+    * the agg_winsorized discipline; with ties, every member of a tie
+    * group gets the average rank, so 2·R₁ = Σ c₁(v)·(2·cum_below(v) +
+    * c(v) + 1) stays integral), the tie-correction Σ(t³−t) and all
+    * products ride DECIMAL(38,0) (↔ DuckDB HUGEINT — c³ passes 2⁶³
+    * once a tie group holds ~2M rows, i.e. already at sf1), and z is
+    * ONE shared IEEE chain (two divisions, one sqrt — no libm, no
+    * rounding) over exact integers. */
+  private def aggMannwhitney: Q = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hist = t(s, d, "lineitem")
+      .where(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .groupBy("q")
+      .agg(sum(when(col("l_returnflag") === "A", 1L).otherwise(0L))
+          .cast(dec38).as("c1"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .cast(dec38).as("c2"))
+      .withColumn("c", col("c1") + col("c2"))
+    val wcb = Window.orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cb",
+      coalesce(sum(col("c")).over(wcb), lit(0L).cast(dec38)))
+    val a = cum.agg(
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      sum(col("c1") * (lit(2) * col("cb") + col("c") + lit(1))).as("r2"),
+      sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+    def D(c: Column) = c.cast("double")
+    a.select(
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        // 2·U₁, not U₁: with ties U₁ can be half-integral (average
+        // ranks), and truncating halves diverges between engines —
+        // the doubled statistic is ALWAYS integral.
+        (col("r2") - col("n1") * (col("n1") + lit(1)))
+          .cast("long").as("u1_x2"),
+        (D(col("r2") - col("n1") * (col("n1") + lit(1)) -
+            col("n1") * col("n2")) /
+          (lit(2.0d) * sqrt(
+            D(col("n1") * col("n2")) / lit(12.0d) *
+              (D(col("n1") + col("n2") + lit(1)) -
+                D(col("ties")) /
+                  D((col("n1") + col("n2")) *
+                    (col("n1") + col("n2") - lit(1))))))).as("z"))
+      .orderBy("n1")
+  }
+
+  /** RSI (relative strength index, SMA variant) over the hourly event
+    * series — the momentum oscillator, here as a load-trend signal per
+    * event type. The Wilder recursion is deliberately replaced by the
+    * 14-hour simple-average variant: the recursive EWMA would force a
+    * sequential scan per series (ts_ewma pays that once; RSI doesn't
+    * need it), while gains/losses are INTEGER diffs off lag(), the
+    * 14-row window sums stay integer (bounded hourly grid — the
+    * tsTheilsen discipline, never data rows), and RSI = 100·G/(G+L)
+    * is ONE division of exact ints (nulled when the window moved
+    * nowhere), so the doubles exact-hash with no rounding. */
+  private def tsRsi: Q = (s, d) => {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val wl = Window.partitionBy("event_type").orderBy("hr")
+    val diffs = hourly
+      .withColumn("dv", col("cnt") - lag(col("cnt"), 1).over(wl))
+      .where(col("dv").isNotNull)
+    val w14 = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(-13, Window.currentRow)
+    diffs
+      .withColumn("gs", sum(greatest(col("dv"), lit(0L))).over(w14))
+      .withColumn("ls", sum(greatest(-col("dv"), lit(0L))).over(w14))
+      .select(col("event_type"), col("hr"), col("cnt"), col("gs"),
+        col("ls"),
+        (lit(100.0d) * col("gs").cast("double") /
+          nullif(col("gs") + col("ls"), lit(0L)).cast("double"))
+          .as("rsi"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** MAX DRAWDOWN per event series — "how far below its historical
+    * peak did traffic fall" (the resilience twin of ts_bollinger's
+    * volatility bands). Running peak is an integer window max over the
+    * bounded hourly grid; the drawdown ratio is ONE IEEE division per
+    * hour; the worst hour is SELECTED (row_number over the (dd, hr)
+    * total order — the tsMad selection discipline, no float
+    * accumulation anywhere), so every double exact-hashes. */
+  private def tsDrawdown: Q = (s, d) => {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val wrun = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = hourly
+      .withColumn("peak", max(col("cnt")).over(wrun))
+      .withColumn("dd",
+        col("cnt").cast("double") / col("peak").cast("double"))
+    val wpick = Window.partitionBy("event_type").orderBy("dd", "hr")
+    dd.withColumn("rn", row_number().over(wpick))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("hr").as("worst_hr"),
+        col("cnt").as("worst_cnt"), col("peak").as("peak_cnt"),
+        col("dd").as("max_drawdown"))
+      .orderBy("event_type")
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
@@ -3297,6 +3473,11 @@ object Relational {
     "agg_listagg" -> aggListagg,
     "agg_winsorized" -> aggWinsorized,
     "win_skyline" -> winSkyline,
+    "agg_entropy" -> aggEntropy,
+    "agg_chisq" -> aggChisq,
+    "agg_mannwhitney" -> aggMannwhitney,
+    "ts_rsi" -> tsRsi,
+    "ts_drawdown" -> tsDrawdown,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4604,5 +4785,126 @@ object Relational {
          SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
                 count(*) AS n_streaks, max(len) AS max_streak
          FROM st GROUP BY user_id ORDER BY user_id""",
+    // ln of exact integers; final entropy rounded to 6 decimals both
+    // sides (the text_lm_score libm-ulp discipline).
+    "agg_entropy" ->
+      """WITH hist AS (
+           SELECT p_brand, p_type, count(*) AS c
+           FROM part GROUP BY 1, 2),
+         g AS (
+           SELECT p_brand, count(*) AS n_types,
+                  CAST(sum(c) AS BIGINT) AS n,
+                  sum(c::DOUBLE * ln(c::DOUBLE)) AS sclnc
+           FROM hist GROUP BY 1)
+         SELECT p_brand, n_types, n,
+                round(ln(n::DOUBLE) - sclnc / n::DOUBLE, 6) AS entropy,
+                round((ln(n::DOUBLE) - sclnc / n::DOUBLE)
+                  / nullif(ln(n_types::DOUBLE), 0.0), 6) AS norm_entropy
+         FROM g ORDER BY p_brand""",
+    // Sequential fold over the 6 cells in (flag, status) order — the
+    // identical add order makes the float sum engine-exact, no round.
+    "agg_chisq" ->
+      """WITH cells AS (
+           SELECT l_returnflag, l_linestatus, count(*) AS o
+           FROM lineitem GROUP BY 1, 2),
+         rm AS (SELECT l_returnflag, CAST(sum(o) AS BIGINT) AS rt
+                FROM cells GROUP BY 1),
+         cm AS (SELECT l_linestatus, CAST(sum(o) AS BIGINT) AS ct
+                FROM cells GROUP BY 1),
+         nt AS (SELECT CAST(sum(o) AS BIGINT) AS nt FROM cells),
+         ex AS (
+           SELECT c.l_returnflag, c.l_linestatus, c.o,
+                  CAST(rt::HUGEINT * ct::HUGEINT AS DOUBLE)
+                    / nt::DOUBLE AS e
+           FROM cells c JOIN rm USING (l_returnflag)
+                JOIN cm USING (l_linestatus), nt),
+         e2 AS (
+           SELECT *, (o::DOUBLE - e) * (o::DOUBLE - e) / e AS contrib
+           FROM ex),
+         tot AS (
+           SELECT list_reduce(list_prepend(0.0::DOUBLE,
+                    list(contrib ORDER BY l_returnflag, l_linestatus)),
+                    (a, b) -> a + b) AS chi2,
+                  count(*) AS n_cells
+           FROM e2)
+         SELECT e2.l_returnflag, e2.l_linestatus, e2.o, e2.e,
+                e2.contrib, tot.chi2, tot.n_cells
+         FROM e2, tot ORDER BY 1, 2""",
+    // All-integer rank sums off the bounded histogram (HUGEINT ↔
+    // DECIMAL(38,0) — c³ passes 2⁶³ at sf1 tie groups); z is one
+    // shared IEEE chain, and 2·U₁ stays integral under ties.
+    "agg_mannwhitney" ->
+      """WITH hist AS (
+           SELECT CAST(l_quantity AS BIGINT) AS q,
+                  CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0
+                    END) AS HUGEINT) AS c1,
+                  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                    END) AS HUGEINT) AS c2
+           FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+         h AS (SELECT *, c1 + c2 AS c FROM hist),
+         cum AS (
+           SELECT *, coalesce(sum(c) OVER (ORDER BY q
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0::HUGEINT) AS cb
+           FROM h),
+         a AS (
+           SELECT CAST(sum(c1) AS HUGEINT) AS n1,
+                  CAST(sum(c2) AS HUGEINT) AS n2,
+                  CAST(sum(c1 * (2 * cb + c + 1)) AS HUGEINT) AS r2,
+                  CAST(sum(c * c * c - c) AS HUGEINT) AS ties
+           FROM cum)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                CAST(r2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+                CAST(r2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+                  / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+                    * (CAST(n1 + n2 + 1 AS DOUBLE)
+                      - CAST(ties AS DOUBLE)
+                        / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))))
+                  AS z
+         FROM a ORDER BY n1""",
+    // Integer diffs, integer 14-row window sums over the bounded
+    // hourly grid; RSI is one division of exact ints.
+    "ts_rsi" ->
+      s"""WITH hourly AS (
+           SELECT event_type, ${duckTsUs("ts")} // 3600000000 AS hr,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         d AS (
+           SELECT event_type, hr, cnt,
+                  cnt - lag(cnt) OVER (PARTITION BY event_type
+                    ORDER BY hr) AS dv
+           FROM hourly),
+         f AS (SELECT * FROM d WHERE dv IS NOT NULL),
+         w AS (
+           SELECT event_type, hr, cnt,
+                  CAST(sum(greatest(dv, 0)) OVER w14 AS BIGINT) AS gs,
+                  CAST(sum(greatest(-dv, 0)) OVER w14 AS BIGINT) AS ls
+           FROM f
+           WINDOW w14 AS (PARTITION BY event_type ORDER BY hr
+                          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT event_type, hr, cnt, gs, ls,
+                100.0 * gs::DOUBLE / nullif(gs + ls, 0)::DOUBLE AS rsi
+         FROM w ORDER BY event_type, hr""",
+    // Integer running peak; one division per hour; the worst hour is
+    // SELECTED on the (dd, hr) total order, never accumulated.
+    "ts_drawdown" ->
+      s"""WITH hourly AS (
+           SELECT event_type, ${duckTsUs("ts")} // 3600000000 AS hr,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT event_type, hr, cnt,
+                  max(cnt) OVER (PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS peak
+           FROM hourly),
+         ddt AS (SELECT *, cnt::DOUBLE / peak::DOUBLE AS dd FROM r),
+         p AS (
+           SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY dd, hr) AS rn
+           FROM ddt)
+         SELECT event_type, hr AS worst_hr, cnt AS worst_cnt,
+                peak AS peak_cnt, dd AS max_drawdown
+         FROM p WHERE rn = 1 ORDER BY event_type""",
   )
 }

@@ -411,4 +411,29 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq === exp)
   }
+
+  test("graph_clustering matches a driver-side coefficient recompute") {
+    val edges = ops.Graph.repeatCopurchaseEdges(spark, SharedSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val eset = edges.toSet
+    val byA = edges.groupBy(_._1)
+    val deg = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+    val tri = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (x, y) =>
+      byA.getOrElse(y, Array.empty).foreach { case (_, z) =>
+        if (eset.contains((x, z))) { tri(x) += 1; tri(y) += 1; tri(z) += 1 }
+      }
+    }
+    val exp = deg.toSeq.filter(_._2 >= 2).map { case (n, dg) =>
+      val t = tri(n)
+      (n, dg, t, 2.0 * t.toDouble / (dg * (dg - 1)).toDouble)
+    }.sortBy(x => (-x._4, -x._3, x._1)).take(20)
+    val got = SparkEntry.queries("graph_clustering")(spark, SharedSpark.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === exp)
+    // the coefficient is a proper fraction of closable wedges
+    got.foreach(r => assert(r._4 >= 0.0 && r._4 <= 1.0 + 1e-12))
+  }
 }

@@ -970,4 +970,69 @@ class LlmSpec extends AnyFunSuite {
       assert(r._5 > 0.0 && r._5 <= 1.0 && r._4 <= r._2)
     }
   }
+
+  test("rank_ndcg matches a driver DCG/IDCG recompute in [0, 1]") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = SharedSpark.sf
+    val got = SparkEntry.queries("rank_ndcg")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) -1.0 else r.getDouble(5)))
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("lang"), col("n_chars"), col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3).contains("dup")))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, xs) =>
+      val ranked = xs.sortBy(x => (-x._2, x._3))
+      val nRel = ranked.count(_._4).toLong
+      val dcg = ranked.take(10).zipWithIndex
+        .foldLeft(0.0d) { case (a, (x, i)) =>
+          a + (if (x._4) 1.0 / math.log(i + 2.0) else 0.0) }
+      val k = math.min(nRel, 10L).toInt
+      val idcg = (1 to k)
+        .foldLeft(0.0d)((a, r) => a + 1.0 / math.log(r + 1.0))
+      val ndcg = if (idcg == 0.0) -1.0 else r6(dcg / idcg)
+      (lang, xs.length.toLong, nRel, r6(dcg), r6(idcg), ndcg)
+    }
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g._1 === e._1 && g._2 === e._2 && g._3 === e._3)
+      assert(math.abs(g._4 - e._4) < 2e-6 && math.abs(g._5 - e._5) < 2e-6)
+      assert(math.abs(g._6 - e._6) < 2e-6)
+      if (g._6 >= 0) assert(g._6 <= 1.0 + 1e-9)
+    }
+  }
+
+  test("text_zipf: the selected median slope is real and negative") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = SharedSpark.sf
+    val got = SparkEntry.queries("text_zipf")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, xs) =>
+      val freq = xs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+      val top = freq.toSeq.sortBy(x => (-x._2, x._1)).take(32)
+        .zipWithIndex.map { case ((_, c), i) => (i + 1L, c) }
+      val slopes = for {
+        (r1, c1) <- top; (r2, c2) <- top if r1 < r2
+      } yield (r6((math.log(c2.toDouble) - math.log(c1.toDouble)) /
+          (math.log(r2.toDouble) - math.log(r1.toDouble))), r1, r2)
+      val sorted = slopes.sortBy(x => (x._1, x._2, x._3))
+      val med = sorted((sorted.length + 1) / 2 - 1)
+      (lang, slopes.length.toLong, med._1)
+    }
+    assert(got.toSeq === exp)
+    // natural text: the head frequency curve falls (slope < 0); the
+    // pair count is the bounded top-32 constant
+    got.foreach { r =>
+      assert(r._3 < 0.0 && r._2 <= 32L * 31 / 2)
+    }
+  }
 }

@@ -1186,4 +1186,148 @@ class RelationalSpec extends AnyFunSuite {
       assert(r._5 > 0.0 && r._5 <= 1.0 && r._3 <= r._4)
     }
   }
+
+  test("agg_entropy matches a driver closed-form recompute and its bounds") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("agg_entropy")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val hist = Tables.t(spark, sf, "part")
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = hist.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, xs) =>
+      val n = xs.map(_._3).sum
+      val h = math.log(n.toDouble) -
+        xs.map(x => x._3.toDouble * math.log(x._3.toDouble)).sum / n
+      (b, xs.length.toLong, n, h)
+    }
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g._1 === e._1 && g._2 === e._2 && g._3 === e._3)
+      // entropy is the 6-rounded closed form, within the float-sum-
+      // order tolerance of the driver recompute
+      assert(math.abs(g._4 - e._4) < 1e-5)
+      // bounds: 0 ≤ H ≤ ln(n_types) (+ the 6-decimal rounding quantum:
+      // a uniform mix rounds H = ln(k) UP past the bound), norm in [0,1]
+      assert(g._4 >= -1e-9 && g._4 <= math.log(g._2.toDouble) + 1e-6)
+      assert(g._5 >= -1e-9 && g._5 <= 1.0 + 1e-6)
+    }
+  }
+
+  test("agg_chisq: expected counts reproduce marginals and χ² is the fold") {
+    val got = SparkEntry.queries("agg_chisq")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(got.length === 6 && got.forall(_._7 === 6L))
+    val n = got.map(_._3).sum
+    // Σe over a row/column equals that marginal (law of the table)
+    got.groupBy(_._1).foreach { case (_, xs) =>
+      assert(math.abs(xs.map(_._4).sum - xs.map(_._3).sum.toDouble) < 1e-6)
+    }
+    got.groupBy(_._2).foreach { case (_, xs) =>
+      assert(math.abs(xs.map(_._4).sum - xs.map(_._3).sum.toDouble) < 1e-6)
+    }
+    // χ² is EXACTLY the sequential (flag, status)-ordered fold
+    val fold = got.sortBy(x => (x._1, x._2))
+      .foldLeft(0.0d)((a, x) => a + x._5)
+    assert(got.forall(_._6 === fold))
+    // each contribution is (o−e)²/e exactly
+    got.foreach { x =>
+      val c = (x._3.toDouble - x._4) * (x._3.toDouble - x._4) / x._4
+      assert(x._5 === c)
+    }
+    assert(n > 0)
+  }
+
+  test("agg_mannwhitney matches a direct average-rank recompute") {
+    import org.apache.spark.sql.functions._
+    val Array(row) = SparkEntry.queries("agg_mannwhitney")(spark, sf)
+      .collect()
+    val (n1, n2, u1x2, z) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    val qs = Tables.t(spark, sf, "lineitem")
+      .where(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val a = qs.filter(_._1 == "A").map(_._2)
+    val r = qs.filter(_._1 == "R").map(_._2)
+    assert(n1 === a.length.toLong && n2 === r.length.toLong)
+    // direct average ranks over the pooled sample (2× to stay integral)
+    val pooled = (a ++ r).sorted
+    val rank2 = pooled.zipWithIndex.groupBy(_._1).map { case (v, xs) =>
+      // average of 1-based ranks, doubled: Σ(lo..hi)·2/t = (lo+hi+2)…
+      val idxs = xs.map(_._2 + 1)
+      (v, idxs.min + idxs.max)  // 2·avgRank for the tie group
+    }
+    val r1x2 = a.map(v => BigInt(rank2(v))).sum
+    val expU1x2 = r1x2 - BigInt(a.length) * (a.length + 1)
+    assert(BigInt(u1x2) === expU1x2)
+    // z against the tie-corrected normal approximation
+    val nn = a.length.toLong + r.length
+    val ties = pooled.groupBy(identity).values
+      .map(g => BigInt(g.length).pow(3) - g.length).sum
+    val num = (expU1x2 - BigInt(a.length) * r.length).toDouble
+    val den = 2.0 * math.sqrt(
+      a.length.toDouble * r.length / 12.0 *
+        ((nn + 1).toDouble -
+          ties.toDouble / (nn.toDouble * (nn - 1).toDouble)))
+    assert(math.abs(z - num / den) < 1e-9)
+  }
+
+  test("ts_rsi matches a driver window recompute and stays in [0, 100]") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("ts_rsi")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) Double.NaN else r.getDouble(5)))
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = hourly.groupBy(_._1).toSeq.flatMap { case (et, xs) =>
+      val s = xs.sortBy(_._2)
+      val diffs = s.zip(s.tail).map { case (p, c) => (c._2, c._3, c._3 - p._3) }
+      diffs.zipWithIndex.map { case ((hr, cnt, _), i) =>
+        val win = diffs.slice(math.max(0, i - 13), i + 1)
+        val gs = win.map(w => math.max(w._3, 0L)).sum
+        val ls = win.map(w => math.max(-w._3, 0L)).sum
+        val rsi = if (gs + ls == 0) Double.NaN
+                  else 100.0 * gs.toDouble / (gs + ls).toDouble
+        (et, hr, cnt, gs, ls, rsi)
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(got.length === exp.length)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g._1 === e._1 && g._2 === e._2 && g._3 === e._3 &&
+        g._4 === e._4 && g._5 === e._5)
+      assert((g._6.isNaN && e._6.isNaN) || g._6 === e._6)
+      if (!g._6.isNaN) assert(g._6 >= 0.0 && g._6 <= 100.0)
+    }
+  }
+
+  test("ts_drawdown picks the true worst peak-relative hour per series") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("ts_drawdown")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = hourly.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, xs) =>
+      val s = xs.sortBy(_._2)
+      var peak = Long.MinValue
+      val dds = s.map { case (_, hr, c) =>
+        peak = math.max(peak, c)
+        (hr, c, peak, c.toDouble / peak.toDouble)
+      }
+      val w = dds.minBy(x => (x._4, x._1))
+      (et, w._1, w._2, w._3, w._4)
+    }
+    assert(got.toSeq === exp)
+    got.foreach { r =>
+      assert(r._5 > 0.0 && r._5 <= 1.0 && r._3 <= r._4)
+    }
+  }
 }
