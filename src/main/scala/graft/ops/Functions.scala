@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables._
 import graft.expr.Sanitize
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scalar-function surface: string/date/math/array/map/json functions plus
@@ -320,8 +321,30 @@ object Functions {
       .orderBy("segment")
   }
 
+  /** EDIT-DISTANCE catalog screen — "which part names are one typo
+    * apart": levenshtein (a codegen'd built-in in BOTH engines — no
+    * UDF) between SORT-ADJACENT names within each brand, top-20
+    * closest pairs. Sort-adjacency is the scale trick: all-pairs
+    * edit distance is O(n²·L²); adjacent-in-order comparison is one
+    * STREAMING lead() window per brand (no buffer, n−1 pairs total)
+    * and catches the near-identical names that matter because string
+    * order clusters shared prefixes. All-integer distances; the
+    * top-20 sort's total order is (dist, brand, name_a, name_b). */
+  private def fnEditdist: Q = (s, d) => {
+    val w = Window.partitionBy("p_brand").orderBy("p_name", "p_partkey")
+    t(s, d, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_name"))
+      .withColumn("name_b", lead(col("p_name"), 1).over(w))
+      .where(col("name_b").isNotNull)
+      .select(col("p_brand"), col("p_name").as("name_a"), col("name_b"),
+        levenshtein(col("p_name"), col("name_b")).cast("long").as("dist"))
+      .orderBy(col("dist"), col("p_brand"), col("name_a"), col("name_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "fn_collation" -> fnCollation,
+    "fn_editdist" -> fnEditdist,
     "fn_crypto" -> fnCrypto,
     "fn_try" -> fnTry,
     "fn_hash" -> fnHash,
@@ -342,6 +365,18 @@ object Functions {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same sort-adjacent pairing, same built-in levenshtein, same
+    // (dist, brand, name_a, name_b) total order on the top-20.
+    "fn_editdist" ->
+      """WITH p AS (
+           SELECT p_brand, p_name,
+                  lead(p_name, 1) OVER (PARTITION BY p_brand
+                    ORDER BY p_name, p_partkey) AS name_b
+           FROM part)
+         SELECT p_brand, p_name AS name_a, name_b,
+                CAST(levenshtein(p_name, name_b) AS BIGINT) AS dist
+         FROM p WHERE name_b IS NOT NULL
+         ORDER BY dist, p_brand, name_a, name_b LIMIT 20""",
     // No collations in the oracle: lower()-grouping is provably the
     // same partition for ASCII segments, binary min the same rep.
     "fn_collation" ->

@@ -3221,7 +3221,10 @@ object Relational {
     * SEQUENTIAL fold over the 6 cells in (flag, status) order — both
     * engines add the same doubles in the same order (the tok_encode
     * list_reduce discipline), so χ² exact-hashes with NO rounding. */
-  private def aggChisq: Q = (s, d) => {
+  /** The (flag, status, o, e, contrib) contingency cells [[aggChisq]]
+    * reports and [[aggCramersv]] summarizes — one hash agg into the
+    * bounded 3×2 grid plus two marginal aggs over the cells. */
+  private[graft] def chisqCells(s: SparkSession, d: String): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val cells = t(s, d, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -3229,7 +3232,7 @@ object Relational {
     val rm = cells.groupBy("l_returnflag").agg(sum(col("o")).as("rt"))
     val cm = cells.groupBy("l_linestatus").agg(sum(col("o")).as("ct"))
     val n = cells.agg(sum(col("o")).as("nt"))
-    val e = cells.join(broadcast(rm), "l_returnflag")
+    cells.join(broadcast(rm), "l_returnflag")
       .join(broadcast(cm), "l_linestatus").crossJoin(broadcast(n))
       .withColumn("e",
         (col("rt").cast(dec38) * col("ct").cast(dec38)).cast("double") /
@@ -3237,19 +3240,99 @@ object Relational {
       .withColumn("contrib",
         (col("o").cast("double") - col("e")) *
           (col("o").cast("double") - col("e")) / col("e"))
-    val chi2 = e.agg(
-      aggregate(
-        transform(
-          array_sort(collect_list(
-            struct(col("l_returnflag"), col("l_linestatus"),
-              col("contrib")))),
-          x => x.getField("contrib")),
-        lit(0.0d), (a, v) => a + v).as("chi2"),
-      count(lit(1)).as("n_cells"))
+  }
+
+  /** The sequential (flag, status)-ordered χ² fold over the cells —
+    * identical add order in both engines, so no rounding is needed. */
+  private[graft] def chisqFold: Column =
+    aggregate(
+      transform(
+        array_sort(collect_list(
+          struct(col("l_returnflag"), col("l_linestatus"),
+            col("contrib")))),
+        x => x.getField("contrib")),
+      lit(0.0d), (a, v) => a + v)
+
+  private def aggChisq: Q = (s, d) => {
+    val e = chisqCells(s, d)
+    val chi2 = e.agg(chisqFold.as("chi2"), count(lit(1)).as("n_cells"))
     e.select(col("l_returnflag"), col("l_linestatus"), col("o"),
         col("e"), col("contrib"))
       .crossJoin(broadcast(chi2))
       .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** CRAMÉR'S V — the [0, 1] effect size that makes [[aggChisq]]'s
+    * statistic comparable across table sizes (χ² grows with n even
+    * for a fixed association strength): V = √(χ² / (n·(min(r,c)−1))).
+    * Same cells, same sequential fold; the normalization is one more
+    * fixed IEEE chain (one division, one sqrt) over exact integers,
+    * mirrored token-for-token — no rounding anywhere. */
+  private def aggCramersv: Q = (s, d) => {
+    val e = chisqCells(s, d)
+    e.agg(
+        sum(col("o")).as("n"),
+        count_distinct(col("l_returnflag")).as("r"),
+        count_distinct(col("l_linestatus")).as("c"),
+        chisqFold.as("chi2"))
+      .select(col("n"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        col("chi2"),
+        sqrt(col("chi2") /
+          (col("n").cast("double") *
+            (least(col("r"), col("c")) - 1).cast("double")))
+          .as("cramers_v"))
+      .orderBy("n")
+  }
+
+  /** KENDALL τ-b rank correlation between order quantity and part
+    * size — the nonparametric monotone-association measure, tie-
+    * corrected (with 50×50 integer domains, ties are most of the
+    * data). The O(n²) pair space collapses onto the BOUNDED 2-D
+    * histogram (≤2500 cells — one combinable hash agg over the join;
+    * the [[aggMannwhitney]] domain discipline in two dimensions):
+    * concordant/discordant mass is a ≤2500²/2 CELL-pair join
+    * (c₁·c₂-weighted, constant at any corpus size), tie corrections
+    * come off the two marginal histograms, and everything rides
+    * DECIMAL(38,0) ↔ HUGEINT (pair products pass 2⁶³ around sf1).
+    * τ-b = 2·(C−D)/√(m₁·m₂) with m₁ = n(n−1) − Σt(t−1), m₂ likewise
+    * — kept DOUBLED so no integer ever halves — is ONE shared IEEE
+    * chain (two casts, one multiply, one sqrt, one division). */
+  private def aggKendall: Q = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val li = t(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("q"))
+    val p = t(s, d, "part")
+      .select(col("p_partkey"), col("p_size").cast("long").as("sz"))
+    val grid = li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("q", "sz").agg(count(lit(1)).cast(dec38).as("c"))
+    val a = grid.select(col("q").as("q1"), col("sz").as("s1"),
+      col("c").as("c1"))
+    val b = grid.select(col("q").as("q2"), col("sz").as("s2"),
+      col("c").as("c2"))
+    val zero = lit(0L).cast(dec38)
+    val cd = a.join(b, col("q1") < col("q2"))
+      .agg(
+        sum(when(col("s1") < col("s2"), col("c1") * col("c2"))
+          .otherwise(zero)).as("cc"),
+        sum(when(col("s1") > col("s2"), col("c1") * col("c2"))
+          .otherwise(zero)).as("dd"))
+    val tq = grid.groupBy("q").agg(sum(col("c")).as("t"))
+      .agg(sum(col("t") * (col("t") - 1)).as("tq2"))
+    val ts = grid.groupBy("sz").agg(sum(col("c")).as("t"))
+      .agg(sum(col("t") * (col("t") - 1)).as("ts2"))
+    val nt = grid.agg(sum(col("c")).as("n"))
+    def D(c: Column) = c.cast("double")
+    cd.crossJoin(broadcast(tq)).crossJoin(broadcast(ts))
+      .crossJoin(broadcast(nt))
+      .select(
+        col("n").cast("long").as("n"),
+        col("cc").cast("long").as("concordant"),
+        col("dd").cast("long").as("discordant"),
+        (lit(2.0d) * D(col("cc") - col("dd")) /
+          sqrt(D(col("n") * (col("n") - 1) - col("tq2")) *
+            D(col("n") * (col("n") - 1) - col("ts2")))).as("taub"))
+      .orderBy("n")
   }
 
   /** MANN–WHITNEY U rank-sum test (returned vs accepted quantities) —
@@ -3311,10 +3394,22 @@ object Relational {
     * tsTheilsen discipline, never data rows), and RSI = 100·G/(G+L)
     * is ONE division of exact ints (nulled when the window moved
     * nowhere), so the doubles exact-hash with no rounding. */
-  private def tsRsi: Q = (s, d) => {
-    val hourly = events(s, d)
+  private def tsRsi: Q = (s, d) => rsiOf(hourlyGrid(s, d))
+
+  /** The (event_type, hr, cnt) hourly grid both momentum keys reduce
+    * over — and the MERGEABLE state [[Streaming]]'s stream_rsi /
+    * stream_drawdown fold per micro-batch (hour counts merge by
+    * addition; state is grid-sized — ≤720 rows/series for the fixture
+    * month, retention-bounded in production — never row-scaled). */
+  private[graft] def hourlyGrid(s: SparkSession, d: String): DataFrame =
+    events(s, d)
       .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** RSI finalizer over an (event_type, hr, cnt) grid — shared by
+    * ts_rsi and the streaming twin (same diffs/windows/division, so
+    * the streamed fold provably shares ts_rsi's oracle). */
+  private[graft] def rsiOf(hourly: DataFrame): DataFrame = {
     val wl = Window.partitionBy("event_type").orderBy("hr")
     val diffs = hourly
       .withColumn("dv", col("cnt") - lag(col("cnt"), 1).over(wl))
@@ -3339,10 +3434,12 @@ object Relational {
     * hour; the worst hour is SELECTED (row_number over the (dd, hr)
     * total order — the tsMad selection discipline, no float
     * accumulation anywhere), so every double exact-hashes. */
-  private def tsDrawdown: Q = (s, d) => {
-    val hourly = events(s, d)
-      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
-      .agg(count(lit(1)).as("cnt"))
+  private def tsDrawdown: Q = (s, d) => drawdownOf(hourlyGrid(s, d))
+
+  /** Drawdown finalizer over an (event_type, hr, cnt) grid — shared
+    * by ts_drawdown and the streaming twin (oracle shared verbatim,
+    * the [[rsiOf]] discipline). */
+  private[graft] def drawdownOf(hourly: DataFrame): DataFrame = {
     val wrun = Window.partitionBy("event_type").orderBy("hr")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val dd = hourly
@@ -3478,6 +3575,8 @@ object Relational {
     "agg_mannwhitney" -> aggMannwhitney,
     "ts_rsi" -> tsRsi,
     "ts_drawdown" -> tsDrawdown,
+    "agg_cramersv" -> aggCramersv,
+    "agg_kendall" -> aggKendall,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4906,5 +5005,64 @@ object Relational {
          SELECT event_type, hr AS worst_hr, cnt AS worst_cnt,
                 peak AS peak_cnt, dd AS max_drawdown
          FROM p WHERE rn = 1 ORDER BY event_type""",
+    // Same cells and sequential fold as agg_chisq; the normalization
+    // is one more shared IEEE chain.
+    "agg_cramersv" ->
+      """WITH cells AS (
+           SELECT l_returnflag, l_linestatus, count(*) AS o
+           FROM lineitem GROUP BY 1, 2),
+         rm AS (SELECT l_returnflag, CAST(sum(o) AS BIGINT) AS rt
+                FROM cells GROUP BY 1),
+         cm AS (SELECT l_linestatus, CAST(sum(o) AS BIGINT) AS ct
+                FROM cells GROUP BY 1),
+         nt AS (SELECT CAST(sum(o) AS BIGINT) AS nt FROM cells),
+         e2 AS (
+           SELECT c.l_returnflag, c.l_linestatus, c.o,
+                  (c.o::DOUBLE - CAST(rt::HUGEINT * ct::HUGEINT AS DOUBLE)
+                    / nt::DOUBLE)
+                  * (c.o::DOUBLE - CAST(rt::HUGEINT * ct::HUGEINT AS DOUBLE)
+                    / nt::DOUBLE)
+                  / (CAST(rt::HUGEINT * ct::HUGEINT AS DOUBLE) / nt::DOUBLE)
+                    AS contrib
+           FROM cells c JOIN rm USING (l_returnflag)
+                JOIN cm USING (l_linestatus), nt),
+         a AS (
+           SELECT CAST(sum(o) AS BIGINT) AS n,
+                  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS r,
+                  CAST(count(DISTINCT l_linestatus) AS BIGINT) AS c,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    list(contrib ORDER BY l_returnflag, l_linestatus)),
+                    (x, y) -> x + y) AS chi2
+           FROM e2)
+         SELECT n, (r - 1) * (c - 1) AS dof, chi2,
+                sqrt(chi2 / (n::DOUBLE * (least(r, c) - 1)::DOUBLE))
+                  AS cramers_v
+         FROM a ORDER BY n""",
+    // Concordant/discordant mass off the bounded 2-D histogram; the
+    // doubled tie-corrected denominator keeps every integer integral.
+    "agg_kendall" ->
+      """WITH g AS (
+           SELECT q, sz, CAST(count(*) AS HUGEINT) AS c FROM (
+             SELECT CAST(l_quantity AS BIGINT) AS q,
+                    CAST(p_size AS BIGINT) AS sz
+             FROM lineitem JOIN part ON l_partkey = p_partkey)
+           GROUP BY 1, 2),
+         cd AS (
+           SELECT CAST(sum(CASE WHEN a.sz < b.sz THEN a.c * b.c
+                    ELSE 0::HUGEINT END) AS HUGEINT) AS cc,
+                  CAST(sum(CASE WHEN a.sz > b.sz THEN a.c * b.c
+                    ELSE 0::HUGEINT END) AS HUGEINT) AS dd
+           FROM g a JOIN g b ON a.q < b.q),
+         tq AS (SELECT CAST(sum(t * (t - 1)) AS HUGEINT) AS tq2 FROM (
+                  SELECT CAST(sum(c) AS HUGEINT) AS t FROM g GROUP BY q)),
+         ts AS (SELECT CAST(sum(t * (t - 1)) AS HUGEINT) AS ts2 FROM (
+                  SELECT CAST(sum(c) AS HUGEINT) AS t FROM g GROUP BY sz)),
+         nt AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM g)
+         SELECT CAST(n AS BIGINT) AS n, CAST(cc AS BIGINT) AS concordant,
+                CAST(dd AS BIGINT) AS discordant,
+                2.0 * CAST(cc - dd AS DOUBLE)
+                  / sqrt(CAST(n * (n - 1) - tq2 AS DOUBLE)
+                    * CAST(n * (n - 1) - ts2 AS DOUBLE)) AS taub
+         FROM cd, tq, ts, nt ORDER BY n""",
   )
 }

@@ -861,6 +861,94 @@ object Streaming {
     lastBatch
   }
 
+  /** STREAMING RSI maintenance — ts_rsi's streaming twin over the
+    * MERGEABLE HOURLY GRID: hour counts merge by addition exactly like
+    * [[streamMode]]'s value histogram (grid(A ∪ B) = grid(A) +
+    * grid(B)), so state is the (event_type, hr, cnt) table — grid-
+    * sized (≤720 rows/series for the fixture month; retention-bounded
+    * in production, where hours past the analysis window age out),
+    * never row-scaled — and diffs/windows/division re-derive per
+    * refresh via [[Relational.rsiOf]], the SAME finalizer as the
+    * batch key, so the streamed fold shares ts_rsi's oracle verbatim.
+    * This matters precisely because RSI is NOT itself algebraic (a
+    * diff spans neighboring hours, possibly across batch boundaries)
+    * — the fold keeps the algebraic PRE-IMAGE and finalizes late, the
+    * stream_winsorized discipline applied to a time grid. */
+  private def streamRsi: Q = (s, d) => {
+    val root = streamDir("stream_rsi/versions")
+    val last = runStreamHourly(s, d, root, streamDir("stream_rsi/ckpt"),
+      "stream_rsi")
+    Relational.rsiOf(s.read.parquet(s"$root/v$last"))
+  }
+
+  /** STREAMING MAX-DRAWDOWN maintenance — ts_drawdown's streaming
+    * twin over the SAME mergeable hourly-grid state as [[streamRsi]]
+    * (one fold shape, two finalizers — the [[streamMode]] /
+    * [[streamWinsorized]] pairing on the time axis). The running
+    * peak is prefix-dependent, so again the grid is the algebraic
+    * pre-image and [[Relational.drawdownOf]] finalizes per refresh —
+    * result row-identical to batch ts_drawdown, oracle shared. */
+  private def streamDrawdown: Q = (s, d) => {
+    val root = streamDir("stream_drawdown/versions")
+    val last = runStreamHourly(s, d, root,
+      streamDir("stream_drawdown/ckpt"), "stream_drawdown")
+    Relational.drawdownOf(s.read.parquet(s"$root/v$last"))
+  }
+
+  /** The shared hourly-grid fold of [[streamRsi]] / [[streamDrawdown]]
+    * — [[runStreamHist]]'s loop with the (event_type, hr) key: per
+    * batch, state' = state ⊎ grid(batch), a count-sum merge bounded by
+    * the grid (map-side combined); per-batch shuffle rows ∝ touched
+    * hours, state frozen at grid size. Source batches split by
+    * event_id mod 4 — deliberately NOT time-ordered — so the fold's
+    * arrival-order independence (addition commutes) is exercised, not
+    * assumed. Returns the last batch id. */
+  private[graft] def runStreamHourly(s: SparkSession, d: String,
+      root: String, ckpt: String, tag: String): Long = {
+    val src = s"$scratchRoot/stream_hourly_src/${Llm.Scratch.key(d)}"
+    Llm.Scratch.once(src) {
+      events(s, d)
+        .select(col("event_type"), col("event_id"),
+          expr("ts_us DIV 3600000000").as("hr"))
+        .withColumn("part", pmod(col("event_id"), lit(4)).cast("int"))
+        // range (not hash) on the 4 mod-classes: exactly one class per
+        // partition → exactly 4 source files → a deterministic 4-batch
+        // drain for the Faults/replay contract
+        .repartitionByRange(4, col("part"))
+        .write.mode("overwrite").parquet(src)
+    }
+    @volatile var lastBatch = -1L
+    val st = s.readStream
+      .schema(new StructType()
+        .add("event_type", org.apache.spark.sql.types.StringType)
+        .add("event_id", org.apache.spark.sql.types.LongType)
+        .add("hr", org.apache.spark.sql.types.LongType)
+        .add("part", org.apache.spark.sql.types.IntegerType))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    withStatePartitions(s) {
+      val q = st.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val part = batch.groupBy("event_type", "hr")
+            .agg(count(lit(1)).as("cnt"))
+          val merged =
+            if (batchId == 0L) part
+            else s.read.parquet(s"$root/v${batchId - 1}")
+              .unionByName(part)
+              .groupBy("event_type", "hr").agg(sum(col("cnt")).as("cnt"))
+          merged.coalesce(1).write.mode("overwrite")
+            .parquet(s"$root/v$batchId")
+          Faults.maybeFail(s"$tag:$batchId")
+          if (batchId > lastBatch) lastBatch = batchId
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    lastBatch
+  }
+
   /** STREAMING incremental SEQUENCE-PATTERN maintenance — seq_pattern's
     * streaming twin, and the interesting case of incremental MV logic:
     * the regex-over-path aggregate is NOT algebraic (a new event can
@@ -1503,6 +1591,8 @@ object Streaming {
     "stream_skyline" -> streamSkyline,
     "stream_mode" -> streamMode,
     "stream_winsorized" -> streamWinsorized,
+    "stream_rsi" -> streamRsi,
+    "stream_drawdown" -> streamDrawdown,
     "stream_markov" -> streamMarkov,
     "stream_seq" -> streamSeq,
     "stream_dedup_incremental" -> streamDedupIncremental,
@@ -1522,6 +1612,8 @@ object Streaming {
     // the batch statistics exactly — the oracles ARE the batch twins'.
     "stream_mode" -> Relational.oracles("agg_mode"),
     "stream_winsorized" -> Relational.oracles("agg_winsorized"),
+    "stream_rsi" -> Relational.oracles("ts_rsi"),
+    "stream_drawdown" -> Relational.oracles("ts_drawdown"),
     // Changed-keys-only recompute must land on the batch matrix
     // exactly — the oracle IS seq_markov's.
     "stream_markov" -> Relational.oracles("seq_markov"),

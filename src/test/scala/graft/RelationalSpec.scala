@@ -1276,6 +1276,49 @@ class RelationalSpec extends AnyFunSuite {
     assert(math.abs(z - num / den) < 1e-9)
   }
 
+  test("agg_cramersv agrees with agg_chisq's fold and sits in [0, 1]") {
+    val Array(v) = SparkEntry.queries("agg_cramersv")(spark, sf).collect()
+    val chisq = SparkEntry.queries("agg_chisq")(spark, sf).collect()
+    // one fold, two reporters: the χ² the effect size normalizes is
+    // EXACTLY the per-cell key's fold
+    assert(v.getDouble(2) === chisq.head.getDouble(5))
+    val n = v.getLong(0)
+    assert(n === chisq.map(_.getLong(2)).sum)
+    assert(v.getLong(1) === 2L) // (3−1)·(2−1)
+    val expV = math.sqrt(v.getDouble(2) / (n.toDouble * 1.0))
+    assert(v.getDouble(3) === expV)
+    assert(v.getDouble(3) >= 0.0 && v.getDouble(3) <= 1.0)
+  }
+
+  test("agg_kendall matches a driver histogram recompute of tau-b") {
+    import org.apache.spark.sql.functions._
+    val Array(row) = SparkEntry.queries("agg_kendall")(spark, sf).collect()
+    val grid = Tables.t(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("q"))
+      .join(Tables.t(spark, sf, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("q"), col("p_size").cast("long").as("sz"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var cc = BigInt(0); var dd = BigInt(0)
+    for ((q1, s1, c1) <- grid; (q2, s2, c2) <- grid if q1 < q2) {
+      if (s1 < s2) cc += BigInt(c1) * c2
+      else if (s1 > s2) dd += BigInt(c1) * c2
+    }
+    val n = BigInt(grid.map(_._3).sum)
+    def tie2(by: ((Long, Long, Long)) => Long): BigInt =
+      grid.groupBy(by).values
+        .map { g => val t = BigInt(g.map(_._3).sum); t * (t - 1) }.sum
+    val m1 = n * (n - 1) - tie2(_._1)
+    val m2 = n * (n - 1) - tie2(_._2)
+    assert(row.getLong(0) === n.toLong)
+    assert(row.getLong(1) === cc.toLong && row.getLong(2) === dd.toLong)
+    val taub = 2.0 * (cc - dd).toDouble /
+      math.sqrt(m1.toDouble * m2.toDouble)
+    assert(math.abs(row.getDouble(3) - taub) < 1e-12)
+    assert(row.getDouble(3) >= -1.0 && row.getDouble(3) <= 1.0)
+  }
+
   test("ts_rsi matches a driver window recompute and stays in [0, 100]") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("ts_rsi")(spark, sf).collect()

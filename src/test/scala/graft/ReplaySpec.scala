@@ -130,6 +130,36 @@ class ReplaySpec extends AnyFunSuite {
     assert(hist.count() <= 150L)
   }
 
+  test("stream_rsi/stream_drawdown replay: crash after grid-write before commit") {
+    // The hourly-grid fold shares the histogram discipline on the time
+    // axis: resume must land on the exact batch grid, so both
+    // finalizers equal their clean runs off one injected crash.
+    val cleanRsi = rows(SparkEntry.queries("stream_rsi")(spark, sf))
+    val cleanDd = rows(SparkEntry.queries("stream_drawdown")(spark, sf))
+    val root = fresh("hourly/versions")
+    val ckpt = fresh("hourly/ckpt")
+    ops.Streaming.Faults.arm("hourly:2")
+    val ex = intercept[Exception] {
+      ops.Streaming.runStreamHourly(spark, sf, root, ckpt, "hourly")
+    }
+    assert(injected(ex), ex.toString)
+    assert(new java.io.File(s"$root/v2").exists())
+    assert(!new java.io.File(s"$root/v3").exists())
+    val last = ops.Streaming.runStreamHourly(spark, sf, root, ckpt, "hourly")
+    assert(last === 3L, s"resume should finish the 4-file drain, got $last")
+    val grid = spark.read.parquet(s"$root/v$last")
+    assert(rows(ops.Relational.rsiOf(grid)) === cleanRsi)
+    assert(rows(ops.Relational.drawdownOf(grid)) === cleanDd)
+    // grid-state laws: the folded grid IS the batch hourly grid
+    // (addition merges commute across the event_id-mod-4 split), and
+    // its size is grid-bounded, never row-scaled
+    val batchGrid = ops.Relational.hourlyGrid(spark, sf)
+    assert(rows(grid.orderBy("event_type", "hr")) ===
+      rows(batchGrid.orderBy("event_type", "hr")))
+    assert(grid.count() === batchGrid.count())
+    assert(grid.count() <= 5L * 744)
+  }
+
   test("stream_markov replay: crash between event-dir write and MV write") {
     val clean = rows(SparkEntry.queries("stream_markov")(spark, sf))
     val root = fresh("markov/versions")
