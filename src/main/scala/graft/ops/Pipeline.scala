@@ -1367,6 +1367,86 @@ object Pipeline {
       .orderBy("n_name")
   }
 
+  /** CLOSED-FORM RIDGE REGRESSION per return flag — multivariate
+    * [[mlLinreg]]: fit price-kilodollars on (quantity, discount-cents)
+    * with an L2 penalty (λ = 10 on the feature diagonal, intercept
+    * unpenalized), solved by Cramer's rule on the 3×3 normal equations
+    * — the "fit a regularized model to 100 TB in ONE pass" shape: the
+    * data contributes ten exact integer power sums through a single
+    * combinable hash agg (map-side partial — O(groups) rows cross the
+    * shuffle), and ALL solver math runs on those sums in a fixed
+    * driver-free projection. No iterative solver, no second pass:
+    * even the training SSE comes off the same sums (‖y − Xβ‖² =
+    * Σy² − 2βᵀXᵀy + βᵀXᵀXβ). Exactness: kilodollar y keeps every sum
+    * < 2⁵³ to ~sf100 (the [[mlLinreg]] bound), each int64→double cast
+    * is correctly rounded in both engines, and the determinant /
+    * cofactor / SSE chains are mirrored PARENTHESIS-FOR-PARENTHESIS
+    * in the oracle so the doubles exact-hash with no rounding. */
+  private def mlRidge: Q = (s, d) => {
+    val lam = 10.0d
+    val li = t(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x1"),
+        (dec(col("l_discount")) * 100).cast("long").as("x2"),
+        floor(col("l_extendedprice") / 1000.0d).cast("long").as("y"))
+    val sums = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y") * col("y")).as("syy"))
+    def D(c: Column) = c.cast("double")
+    // symmetric M = [a b c; b dd e; c e f] (ridge on the diagonal),
+    // rhs = [p q r]
+    val m = sums
+      .withColumn("a", D(col("n"))).withColumn("b", D(col("s1")))
+      .withColumn("c", D(col("s2")))
+      .withColumn("dd", D(col("s11")) + lit(lam))
+      .withColumn("e", D(col("s12")))
+      .withColumn("f", D(col("s22")) + lit(lam))
+      .withColumn("p", D(col("sy"))).withColumn("q", D(col("s1y")))
+      .withColumn("r", D(col("s2y")))
+      // first-row cofactors and the Cramer numerator helpers
+      .withColumn("cof1", col("dd") * col("f") - col("e") * col("e"))
+      .withColumn("cof2", col("b") * col("f") - col("e") * col("c"))
+      .withColumn("cof3", col("b") * col("e") - col("dd") * col("c"))
+      .withColumn("t1", col("q") * col("f") - col("e") * col("r"))
+      .withColumn("t2", col("q") * col("e") - col("dd") * col("r"))
+      .withColumn("t3", col("b") * col("r") - col("q") * col("c"))
+      .withColumn("t4", col("dd") * col("r") - col("q") * col("e"))
+      .withColumn("det",
+        col("a") * col("cof1") - col("b") * col("cof2") +
+          col("c") * col("cof3"))
+      .withColumn("b0",
+        (col("p") * col("cof1") - col("b") * col("t1") +
+          col("c") * col("t2")) / col("det"))
+      .withColumn("b1",
+        (col("a") * col("t1") - col("p") * col("cof2") +
+          col("c") * col("t3")) / col("det"))
+      .withColumn("b2",
+        (col("a") * col("t4") - col("b") * col("t3") +
+          col("p") * col("cof3")) / col("det"))
+      .withColumn("lin",
+        col("b0") * col("p") + col("b1") * col("q") +
+          col("b2") * col("r"))
+      .withColumn("quad",
+        col("b0") * col("b0") * col("a") +
+          col("b1") * col("b1") * D(col("s11")) +
+          col("b2") * col("b2") * D(col("s22")) +
+          lit(2.0d) * col("b0") * col("b1") * col("b") +
+          lit(2.0d) * col("b0") * col("b2") * col("c") +
+          lit(2.0d) * col("b1") * col("b2") * col("e"))
+      .withColumn("sse", D(col("syy")) - lit(2.0d) * col("lin") +
+        col("quad"))
+    m.select(col("l_returnflag"), col("n"), lit(lam).as("lambda"),
+        col("b0"), col("b1"), col("b2"), col("sse"))
+      .orderBy("l_returnflag")
+  }
+
   /** k-NEAREST-NEIGHBOR CLASSIFICATION (k=5 majority vote) of a probe
     * batch against the labeled embedding corpus — the lazy-learner
     * baseline every ANN index (sim_ann_ivf/ivfpq) exists to
@@ -2101,6 +2181,7 @@ object Pipeline {
   val queries: Map[String, Q] = Map(
     "agg_theta" -> aggTheta,
     "ml_linreg" -> mlLinreg,
+    "ml_ridge" -> mlRidge,
     "ml_knn" -> mlKnn,
     "ml_naive_bayes" -> mlNaiveBayes,
     "ml_perceptron" -> mlPerceptron,
@@ -2600,6 +2681,55 @@ object Pipeline {
                  ($pred) = true_lang AS correct
           FROM g ORDER BY doc_id"""
     },
+    // Same ten integer power sums; Cramer / SSE chains mirrored
+    // parenthesis-for-parenthesis; every cast from BIGINT.
+    "ml_ridge" ->
+      """WITH li AS (
+           SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x1,
+                  (l_discount::DECIMAL(18,4) * 100)::BIGINT AS x2,
+                  floor(l_extendedprice / 1000.0)::BIGINT AS y
+           FROM lineitem),
+         s AS (
+           SELECT l_returnflag, count(*)::BIGINT AS n,
+                  CAST(sum(x1) AS BIGINT) AS s1,
+                  CAST(sum(x2) AS BIGINT) AS s2,
+                  CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x1 * x1) AS BIGINT) AS s11,
+                  CAST(sum(x2 * x2) AS BIGINT) AS s22,
+                  CAST(sum(x1 * x2) AS BIGINT) AS s12,
+                  CAST(sum(x1 * y) AS BIGINT) AS s1y,
+                  CAST(sum(x2 * y) AS BIGINT) AS s2y,
+                  CAST(sum(y * y) AS BIGINT) AS syy
+           FROM li GROUP BY 1),
+         m AS (
+           SELECT l_returnflag, n, s11, s22, syy,
+                  n::DOUBLE AS a, s1::DOUBLE AS b, s2::DOUBLE AS c,
+                  s11::DOUBLE + 10.0 AS dd, s12::DOUBLE AS e,
+                  s22::DOUBLE + 10.0 AS f,
+                  sy::DOUBLE AS p, s1y::DOUBLE AS q, s2y::DOUBLE AS r
+           FROM s),
+         k AS (
+           SELECT *, dd * f - e * e AS cof1, b * f - e * c AS cof2,
+                  b * e - dd * c AS cof3,
+                  q * f - e * r AS t1, q * e - dd * r AS t2,
+                  b * r - q * c AS t3, dd * r - q * e AS t4
+           FROM m),
+         dt AS (SELECT *, a * cof1 - b * cof2 + c * cof3 AS det FROM k),
+         bs AS (
+           SELECT *, (p * cof1 - b * t1 + c * t2) / det AS b0,
+                  (a * t1 - p * cof2 + c * t3) / det AS b1,
+                  (a * t4 - b * t3 + p * cof3) / det AS b2
+           FROM dt),
+         fin AS (
+           SELECT *, b0 * p + b1 * q + b2 * r AS lin,
+                  b0 * b0 * a + b1 * b1 * s11::DOUBLE
+                    + b2 * b2 * s22::DOUBLE
+                    + 2.0 * b0 * b1 * b + 2.0 * b0 * b2 * c
+                    + 2.0 * b1 * b2 * e AS quad
+           FROM bs)
+         SELECT l_returnflag, n, 10.0::DOUBLE AS lambda, b0, b1, b2,
+                syy::DOUBLE - 2.0 * lin + quad AS sse
+         FROM fin ORDER BY l_returnflag""",
     "ml_linreg" ->
       s"""WITH o AS (SELECT o_custkey,
                             (${duckUsS("o_orderdate")} - 788918400) // 86400

@@ -2482,6 +2482,45 @@ object Relational {
       .orderBy("event_type", "hr")
   }
 
+  /** ROLLING REGRESSION SLOPE — the trend VELOCITY of each event
+    * series: OLS slope (and intercept) of count-vs-hour over the
+    * trailing 24-hour ROWS frame, [[tsBollinger]]'s bivariate
+    * companion (bands say how wide the traffic wanders; the local
+    * slope says which way it's going — the load-forecast primitive).
+    * NOT the built-in regr_slope: its float accumulation order is
+    * engine-private, so the frame keeps exact integer power sums
+    * (n, Σx, Σy, Σx², Σxy on DECIMAL(20,0) — epoch-hour x ≈ 5·10⁵
+    * keeps 24·x² ≈ 6·10¹² exact) and slope = (nΣxy − ΣxΣy)/(nΣx² −
+    * (Σx)²) is ONE division of two exact ints < 2⁵³ (cast from
+    * BIGINT both sides — the correctly-rounded cast); intercept
+    * continues the same fixed chain. Null until the frame holds two
+    * points (den = 0 — nullif'd identically in the oracle). */
+  private def tsRegr: Q = (s, d) => {
+    val dec20 = org.apache.spark.sql.types.DecimalType(20, 0)
+    val hourly = hourlyGrid(s, d)
+    val w = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(-23, Window.currentRow)
+    def dc(c: Column) = c.cast(dec20)
+    val sums = hourly
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(dc(col("hr"))).over(w))
+      .withColumn("sy", sum(dc(col("cnt"))).over(w))
+      .withColumn("sxx", sum(dc(col("hr")) * dc(col("hr"))).over(w))
+      .withColumn("sxy", sum(dc(col("hr")) * dc(col("cnt"))).over(w))
+    def D(c: Column) = c.cast("double")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val slope = D(num) / D(nullif(den, lit(0L).cast(dec20)))
+    sums
+      .withColumn("slope24", slope)
+      .withColumn("icept24",
+        D(col("sy")) / D(col("n")) -
+          col("slope24") * (D(col("sx")) / D(col("n"))))
+      .select(col("event_type"), col("hr"), col("cnt"), col("n"),
+        col("slope24"), col("icept24"))
+      .orderBy("event_type", "hr")
+  }
+
   /** TOP-N REVENUE CONCENTRATION per market segment — "the top 10
     * customers carry what share": the win_lorenz question at entity
     * grain, the account-concentration number a sales dashboard wants.
@@ -3221,14 +3260,25 @@ object Relational {
     * SEQUENTIAL fold over the 6 cells in (flag, status) order — both
     * engines add the same doubles in the same order (the tok_encode
     * list_reduce discipline), so χ² exact-hashes with NO rounding. */
-  /** The (flag, status, o, e, contrib) contingency cells [[aggChisq]]
-    * reports and [[aggCramersv]] summarizes — one hash agg into the
-    * bounded 3×2 grid plus two marginal aggs over the cells. */
-  private[graft] def chisqCells(s: SparkSession, d: String): DataFrame = {
-    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val cells = t(s, d, "lineitem")
+  /** The raw (flag, status, o) contingency counts — the MERGEABLE
+    * pre-image of the χ² family (cells(A ∪ B) = cells(A) + cells(B)),
+    * which is what [[Streaming]]'s stream_chisq / stream_cramersv
+    * fold per micro-batch; ≤6 rows forever. */
+  private[graft] def contingencyOf(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("o"))
+
+  /** The (flag, status, o, e, contrib) contingency cells [[aggChisq]]
+    * reports and [[aggCramersv]] summarizes — one hash agg into the
+    * bounded 3×2 grid plus two marginal aggs over the cells. The
+    * marginal/expected algebra lives in [[chisqEnrich]] so the
+    * streaming twins can finalize the SAME way off folded cells. */
+  private[graft] def chisqCells(s: SparkSession, d: String): DataFrame =
+    chisqEnrich(contingencyOf(s, d))
+
+  private[graft] def chisqEnrich(cells: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val rm = cells.groupBy("l_returnflag").agg(sum(col("o")).as("rt"))
     val cm = cells.groupBy("l_linestatus").agg(sum(col("o")).as("ct"))
     val n = cells.agg(sum(col("o")).as("nt"))
@@ -3253,8 +3303,11 @@ object Relational {
         x => x.getField("contrib")),
       lit(0.0d), (a, v) => a + v)
 
-  private def aggChisq: Q = (s, d) => {
-    val e = chisqCells(s, d)
+  private def aggChisq: Q = (s, d) => chisqReport(chisqCells(s, d))
+
+  /** The per-cell χ² reporter — shared verbatim by the streaming twin
+    * (finalizing folded cells), so both provably share one oracle. */
+  private[graft] def chisqReport(e: DataFrame): DataFrame = {
     val chi2 = e.agg(chisqFold.as("chi2"), count(lit(1)).as("n_cells"))
     e.select(col("l_returnflag"), col("l_linestatus"), col("o"),
         col("e"), col("contrib"))
@@ -3268,8 +3321,11 @@ object Relational {
     * Same cells, same sequential fold; the normalization is one more
     * fixed IEEE chain (one division, one sqrt) over exact integers,
     * mirrored token-for-token — no rounding anywhere. */
-  private def aggCramersv: Q = (s, d) => {
-    val e = chisqCells(s, d)
+  private def aggCramersv: Q = (s, d) => cramersvReport(chisqCells(s, d))
+
+  /** Effect-size finalizer over enriched cells — shared by the
+    * streaming twin (the [[chisqReport]] discipline). */
+  private[graft] def cramersvReport(e: DataFrame): DataFrame = {
     e.agg(
         sum(col("o")).as("n"),
         count_distinct(col("l_returnflag")).as("r"),
@@ -3300,12 +3356,7 @@ object Relational {
     * chain (two casts, one multiply, one sqrt, one division). */
   private def aggKendall: Q = (s, d) => {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val li = t(s, d, "lineitem")
-      .select(col("l_partkey"), col("l_quantity").cast("long").as("q"))
-    val p = t(s, d, "part")
-      .select(col("p_partkey"), col("p_size").cast("long").as("sz"))
-    val grid = li.join(p, col("l_partkey") === col("p_partkey"))
-      .groupBy("q", "sz").agg(count(lit(1)).cast(dec38).as("c"))
+    val grid = qszGrid(s, d)
     val a = grid.select(col("q").as("q1"), col("sz").as("s1"),
       col("c").as("c1"))
     val b = grid.select(col("q").as("q2"), col("sz").as("s2"),
@@ -3332,6 +3383,119 @@ object Relational {
         (lit(2.0d) * D(col("cc") - col("dd")) /
           sqrt(D(col("n") * (col("n") - 1) - col("tq2")) *
             D(col("n") * (col("n") - 1) - col("ts2")))).as("taub"))
+      .orderBy("n")
+  }
+
+  /** The (quantity, size, count) 2-D histogram both rank-correlation
+    * keys reduce over — one combinable hash agg over the lineitem ⋈
+    * part join into ≤50×50 cells; counts on DECIMAL(38,0) so every
+    * downstream product is exact. */
+  private[graft] def qszGrid(s: SparkSession, d: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val li = t(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("q"))
+    val p = t(s, d, "part")
+      .select(col("p_partkey"), col("p_size").cast("long").as("sz"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("q", "sz").agg(count(lit(1)).cast(dec38).as("c"))
+  }
+
+  /** SPEARMAN ρ rank correlation (order quantity × part size),
+    * tie-corrected via average ranks — [[aggKendall]]'s companion
+    * (ρ weights how FAR ranks disagree; τ only whether). Ranks never
+    * touch data rows: each cell's DOUBLED average rank (2·cum_below +
+    * c + 1 — the [[aggMannwhitney]] integrality trick) comes off the
+    * ≤50-row marginal histograms joined back to the ≤2500-cell grid,
+    * and ρ is the count-weighted Pearson over cells. CENTERING IS
+    * EXACT: average-rank assignment preserves Σranks = N(N+1)/2, so
+    * the mean DOUBLED rank is the integer N+1 and the centered moments
+    * num = Σc·dx·dy, m2 = Σc·dx² stay exact integers of order N³ —
+    * inside int64 through the gate SFs, where BIGINT→DOUBLE is the
+    * one cast BOTH engines round correctly (int128→double in DuckDB
+    * is NOT correctly rounded — measured: ~0.7% of random 54-100-bit
+    * values, ~26% of rounding midpoints — which is why the un-centered
+    * N·Sxy − Sx·Sy form at ~4N⁴ would silently diverge). ρ is then
+    * ONE shared IEEE chain; past N³ ≈ 2⁶³ (~sf0.7) the ORACLE's
+    * BIGINT cast raises loudly while the engine's DECIMAL(38,0) stays
+    * exact to ~sf10⁴ — bounded-oracle class, never silent. */
+  private def aggSpearman: Q = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val grid = qszGrid(s, d)
+    val zero = lit(0L).cast(dec38)
+    def ranks(key: String, out: String) = {
+      val wcb = Window.orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grid.groupBy(key).agg(sum(col("c")).as("t"))
+        .withColumn("cb", coalesce(sum(col("t")).over(wcb), zero))
+        .select(col(key), (lit(2) * col("cb") + col("t") + lit(1))
+          .cast(dec38).as(out))
+    }
+    val nt = grid.agg(sum(col("c")).as("nn"))
+    val cells = grid
+      .join(broadcast(ranks("q", "rq")), "q")
+      .join(broadcast(ranks("sz", "rs")), "sz")
+      .crossJoin(broadcast(nt))
+      .withColumn("dx", col("rq") - col("nn") - lit(1))
+      .withColumn("dy", col("rs") - col("nn") - lit(1))
+    val a = cells.agg(
+      sum(col("c")).as("n"),
+      sum(col("c") * col("dx") * col("dy")).as("num"),
+      sum(col("c") * col("dx") * col("dx")).as("m2x"),
+      sum(col("c") * col("dy") * col("dy")).as("m2y"))
+    def D(c: Column) = c.cast("double")
+    a.select(
+        col("n").cast("long").as("n"),
+        (D(col("num")) / sqrt(D(col("m2x")) * D(col("m2y"))))
+          .as("rho"))
+      .orderBy("n")
+  }
+
+  /** ONE-WAY ANOVA F-test — does mean quantity differ across the
+    * three return flags: the parametric complement of the rank tests
+    * ([[aggMannwhitney]] compares two groups distribution-free; F
+    * asks about k means under normality). All variance algebra runs
+    * on exact integer power sums (n, Σq, Σq² per group — ONE
+    * combinable hash agg, map-side combined): per-group SS terms are
+    * n_i·SS forms kept integral in DECIMAL(38,0) (n·Σx² − (Σx)²
+    * never divides), each becomes a double in ONE division by n_i,
+    * and both SSW and the between-group Σ(Σxᵢ)²/nᵢ fold SEQUENTIALLY
+    * in flag order (the [[chisqFold]] discipline — identical add
+    * order both engines, no rounding). F = (SSB/(k−1))/(SSW/(N−k))
+    * continues the same fixed IEEE chain. */
+  private def aggAnova: Q = (s, d) => {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast(dec38).as("ni"),
+        sum(col("x")).cast(dec38).as("sx"),
+        sum(col("x") * col("x")).cast(dec38).as("sx2"))
+    def D(c: Column) = c.cast("double")
+    // per-group doubles from exact integers: ssw_i = Σx² − (Σx)²/n
+    // and t_i = (Σx)²/n, each ONE division
+    val per = g
+      .withColumn("ssw_i",
+        D(col("ni") * col("sx2") - col("sx") * col("sx")) / D(col("ni")))
+      .withColumn("t_i", D(col("sx") * col("sx")) / D(col("ni")))
+    def foldOf(field: String): Column =
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(col("l_returnflag"),
+            col(field).as("v")))),
+          x => x.getField("v")),
+        lit(0.0d), (a, v) => a + v)
+    val a = per.agg(
+      sum(col("ni")).as("n"), count(lit(1)).as("k"),
+      sum(col("sx")).as("sxt"),
+      foldOf("ssw_i").as("ssw"), foldOf("t_i").as("tsum"))
+    a.select(
+        col("n").cast("long").as("n"), col("k"),
+        col("ssw"),
+        (col("tsum") - D(col("sxt") * col("sxt")) / D(col("n")))
+          .as("ssb"))
+      .withColumn("f_stat",
+        (col("ssb") / D(col("k") - 1)) /
+          (col("ssw") / D(col("n") - col("k"))))
       .orderBy("n")
   }
 
@@ -3577,6 +3741,9 @@ object Relational {
     "ts_drawdown" -> tsDrawdown,
     "agg_cramersv" -> aggCramersv,
     "agg_kendall" -> aggKendall,
+    "agg_spearman" -> aggSpearman,
+    "agg_anova" -> aggAnova,
+    "ts_regr" -> tsRegr,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5064,5 +5231,104 @@ object Relational {
                   / sqrt(CAST(n * (n - 1) - tq2 AS DOUBLE)
                     * CAST(n * (n - 1) - ts2 AS DOUBLE)) AS taub
          FROM cd, tq, ts, nt ORDER BY n""",
+    // Centered doubled ranks off the marginal histograms; every final
+    // cast goes through BIGINT — the correctly-rounded int64 path.
+    "agg_spearman" ->
+      """WITH g AS (
+           SELECT q, sz, CAST(count(*) AS HUGEINT) AS c FROM (
+             SELECT CAST(l_quantity AS BIGINT) AS q,
+                    CAST(p_size AS BIGINT) AS sz
+             FROM lineitem JOIN part ON l_partkey = p_partkey)
+           GROUP BY 1, 2),
+         rq AS (
+           SELECT q, 2 * coalesce(sum(t) OVER (ORDER BY q
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0::HUGEINT) + t + 1 AS rq
+           FROM (SELECT q, CAST(sum(c) AS HUGEINT) AS t FROM g
+                 GROUP BY q)),
+         rs AS (
+           SELECT sz, 2 * coalesce(sum(t) OVER (ORDER BY sz
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0::HUGEINT) + t + 1 AS rs
+           FROM (SELECT sz, CAST(sum(c) AS HUGEINT) AS t FROM g
+                 GROUP BY sz)),
+         nt AS (SELECT CAST(sum(c) AS HUGEINT) AS nn FROM g),
+         cells AS (
+           SELECT c, rq - nn - 1 AS dx, rs - nn - 1 AS dy
+           FROM g JOIN rq USING (q) JOIN rs USING (sz), nt),
+         a AS (
+           SELECT CAST(sum(c) AS HUGEINT) AS n,
+                  CAST(sum(c * dx * dy) AS HUGEINT) AS num,
+                  CAST(sum(c * dx * dx) AS HUGEINT) AS m2x,
+                  CAST(sum(c * dy * dy) AS HUGEINT) AS m2y
+           FROM cells)
+         SELECT CAST(n AS BIGINT) AS n,
+                CAST(num AS BIGINT)::DOUBLE
+                  / sqrt(CAST(m2x AS BIGINT)::DOUBLE
+                    * CAST(m2y AS BIGINT)::DOUBLE) AS rho
+         FROM a ORDER BY n""",
+    // Same exact power sums, per-group single divisions, and the
+    // flag-ordered sequential double fold as the engine.
+    "agg_anova" ->
+      """WITH g AS (
+           SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS ni,
+                  CAST(sum(x) AS HUGEINT) AS sx,
+                  CAST(sum(x * x) AS HUGEINT) AS sx2
+           FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x
+                 FROM lineitem)
+           GROUP BY 1),
+         per AS (
+           SELECT l_returnflag, ni, sx,
+                  CAST(ni * sx2 - sx * sx AS BIGINT)::DOUBLE
+                    / CAST(ni AS BIGINT)::DOUBLE AS ssw_i,
+                  CAST(sx * sx AS BIGINT)::DOUBLE
+                    / CAST(ni AS BIGINT)::DOUBLE AS t_i
+           FROM g),
+         a AS (
+           SELECT CAST(sum(ni) AS HUGEINT) AS n,
+                  CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(sx) AS HUGEINT) AS sxt,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    list(ssw_i ORDER BY l_returnflag)),
+                    (x, y) -> x + y) AS ssw,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    list(t_i ORDER BY l_returnflag)),
+                    (x, y) -> x + y) AS tsum
+           FROM per)
+         SELECT CAST(n AS BIGINT) AS n, k, ssw,
+                tsum - CAST(sxt * sxt AS BIGINT)::DOUBLE
+                  / CAST(n AS BIGINT)::DOUBLE AS ssb,
+                ((tsum - CAST(sxt * sxt AS BIGINT)::DOUBLE
+                    / CAST(n AS BIGINT)::DOUBLE)
+                  / CAST(k - 1 AS DOUBLE))
+                  / (ssw / CAST(n - k AS BIGINT)::DOUBLE) AS f_stat
+         FROM a ORDER BY n""",
+    // Same 24-row integer power sums; numerator/denominator cast from
+    // BIGINT; intercept continues the identical chain.
+    "ts_regr" ->
+      s"""WITH hourly AS (
+           SELECT event_type, ${duckTsUs("ts")} // 3600000000 AS hr,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, hr, cnt,
+                  CAST(count(*) OVER w24 AS BIGINT) AS n,
+                  CAST(sum(hr) OVER w24 AS HUGEINT) AS sx,
+                  CAST(sum(cnt) OVER w24 AS HUGEINT) AS sy,
+                  CAST(sum(hr * hr) OVER w24 AS HUGEINT) AS sxx,
+                  CAST(sum(hr * cnt) OVER w24 AS HUGEINT) AS sxy
+           FROM hourly
+           WINDOW w24 AS (PARTITION BY event_type ORDER BY hr
+                          ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+         SELECT event_type, hr, cnt, n,
+                CAST(n * sxy - sx * sy AS BIGINT)::DOUBLE
+                  / nullif(CAST(n * sxx - sx * sx AS BIGINT),
+                    0)::DOUBLE AS slope24,
+                CAST(sy AS BIGINT)::DOUBLE / n::DOUBLE -
+                  (CAST(n * sxy - sx * sy AS BIGINT)::DOUBLE
+                    / nullif(CAST(n * sxx - sx * sx AS BIGINT),
+                      0)::DOUBLE)
+                  * (CAST(sx AS BIGINT)::DOUBLE / n::DOUBLE) AS icept24
+         FROM w ORDER BY event_type, hr""",
   )
 }

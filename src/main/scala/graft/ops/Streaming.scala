@@ -949,6 +949,81 @@ object Streaming {
     lastBatch
   }
 
+  /** STREAMING χ² maintenance — agg_chisq's streaming twin over the
+    * MERGEABLE CONTINGENCY CELLS (cells(A ∪ B) = cells(A) + cells(B),
+    * ≤6 rows of state forever — the smallest pre-image in the fold
+    * family): per refresh the marginal/expected/contribution algebra
+    * re-derives via [[Relational.chisqEnrich]] and the SAME
+    * [[Relational.chisqReport]] reporter as the batch key, so the
+    * streamed test statistic shares agg_chisq's oracle verbatim —
+    * an independence test maintained incrementally over an unbounded
+    * stream with six rows of state. */
+  private def streamChisq: Q = (s, d) => {
+    val root = streamDir("stream_chisq/versions")
+    val last = runStreamCells(s, d, root, streamDir("stream_chisq/ckpt"),
+      "stream_chisq")
+    Relational.chisqReport(
+      Relational.chisqEnrich(s.read.parquet(s"$root/v$last")))
+  }
+
+  /** STREAMING CRAMÉR'S V — agg_cramersv's streaming twin over the
+    * SAME ≤6-row contingency state as [[streamChisq]] (one fold, two
+    * finalizers — the [[streamMode]]/[[streamWinsorized]] pairing on
+    * the test-statistics family). */
+  private def streamCramersv: Q = (s, d) => {
+    val root = streamDir("stream_cramersv/versions")
+    val last = runStreamCells(s, d, root,
+      streamDir("stream_cramersv/ckpt"), "stream_cramersv")
+    Relational.cramersvReport(
+      Relational.chisqEnrich(s.read.parquet(s"$root/v$last")))
+  }
+
+  /** The shared contingency fold of [[streamChisq]] /
+    * [[streamCramersv]] — [[runStreamHist]]'s loop with the
+    * (l_returnflag, l_linestatus) key: per batch, state' = state ⊎
+    * cells(batch), a count-sum merge bounded by the 3×2 domain
+    * (map-side combined). Source reuses [[runStreamHist]]'s 4-file
+    * lineitem split logic on its own columns. Returns the last batch
+    * id of this invocation. */
+  private[graft] def runStreamCells(s: SparkSession, d: String,
+      root: String, ckpt: String, tag: String): Long = {
+    val src = s"$scratchRoot/stream_cells_src/${Llm.Scratch.key(d)}"
+    Llm.Scratch.once(src) {
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+    }
+    @volatile var lastBatch = -1L
+    val st = s.readStream
+      .schema(new StructType()
+        .add("l_returnflag", org.apache.spark.sql.types.StringType)
+        .add("l_linestatus", org.apache.spark.sql.types.StringType))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    withStatePartitions(s) {
+      val q = st.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val part = batch.groupBy("l_returnflag", "l_linestatus")
+            .agg(count(lit(1)).as("o"))
+          val merged =
+            if (batchId == 0L) part
+            else s.read.parquet(s"$root/v${batchId - 1}")
+              .unionByName(part)
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(sum(col("o")).as("o"))
+          merged.coalesce(1).write.mode("overwrite")
+            .parquet(s"$root/v$batchId")
+          Faults.maybeFail(s"$tag:$batchId")
+          if (batchId > lastBatch) lastBatch = batchId
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    lastBatch
+  }
+
   /** STREAMING incremental SEQUENCE-PATTERN maintenance — seq_pattern's
     * streaming twin, and the interesting case of incremental MV logic:
     * the regex-over-path aggregate is NOT algebraic (a new event can
@@ -1593,6 +1668,8 @@ object Streaming {
     "stream_winsorized" -> streamWinsorized,
     "stream_rsi" -> streamRsi,
     "stream_drawdown" -> streamDrawdown,
+    "stream_chisq" -> streamChisq,
+    "stream_cramersv" -> streamCramersv,
     "stream_markov" -> streamMarkov,
     "stream_seq" -> streamSeq,
     "stream_dedup_incremental" -> streamDedupIncremental,
@@ -1614,6 +1691,8 @@ object Streaming {
     "stream_winsorized" -> Relational.oracles("agg_winsorized"),
     "stream_rsi" -> Relational.oracles("ts_rsi"),
     "stream_drawdown" -> Relational.oracles("ts_drawdown"),
+    "stream_chisq" -> Relational.oracles("agg_chisq"),
+    "stream_cramersv" -> Relational.oracles("agg_cramersv"),
     // Changed-keys-only recompute must land on the batch matrix
     // exactly — the oracle IS seq_markov's.
     "stream_markov" -> Relational.oracles("seq_markov"),

@@ -329,6 +329,47 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ml_ridge: betas solve the ridge normal equations; sse matches a direct pass") {
+    val got = run("ml_ridge").collect()
+    assert(got.length === 3)
+    val rows = Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+        (Tables.dec(col("l_discount")) * 100).cast("long"),
+        floor(col("l_extendedprice") / 1000.0d).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    got.foreach { r =>
+      val flag = r.getString(0)
+      val (b0, b1, b2) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      val data = rows(flag)
+      assert(r.getLong(1) === data.length.toLong)
+      // independent check: the fitted betas must satisfy the ridge
+      // normal equations (Xᵀ X + λI')β = Xᵀy computed by plain folds
+      val lam = r.getDouble(2)
+      var (n, s1, s2, sy) = (0.0, 0.0, 0.0, 0.0)
+      var (s11, s22, s12, s1y, s2y) = (0.0, 0.0, 0.0, 0.0, 0.0)
+      data.foreach { case (_, x1, x2, y) =>
+        n += 1; s1 += x1; s2 += x2; sy += y
+        s11 += x1.toDouble * x1; s22 += x2.toDouble * x2
+        s12 += x1.toDouble * x2; s1y += x1.toDouble * y
+        s2y += x2.toDouble * y
+      }
+      val eq0 = n * b0 + s1 * b1 + s2 * b2
+      val eq1 = s1 * b0 + (s11 + lam) * b1 + s12 * b2
+      val eq2 = s2 * b0 + s12 * b1 + (s22 + lam) * b2
+      assert(math.abs(eq0 - sy) < 1e-6 * (1 + math.abs(sy)), s"$flag eq0")
+      assert(math.abs(eq1 - s1y) < 1e-6 * (1 + math.abs(s1y)), s"$flag eq1")
+      assert(math.abs(eq2 - s2y) < 1e-6 * (1 + math.abs(s2y)), s"$flag eq2")
+      // sse from the sums must equal the literal Σ(y − ŷ)² pass
+      val sse = data.foldLeft(0.0) { case (acc, (_, x1, x2, y)) =>
+        val e = y - (b0 + b1 * x1 + b2 * x2); acc + e * e
+      }
+      assert(math.abs(r.getDouble(6) - sse) < 1e-6 * (1 + sse), s"$flag sse")
+      assert(r.getDouble(6) >= 0.0)
+    }
+  }
+
   test("sim_ann_ivfpq: candidates honor the probe set; codes agree with ml_pq") {
     val ivfpq = run("sim_ann_ivfpq").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -1319,6 +1319,103 @@ class RelationalSpec extends AnyFunSuite {
     assert(row.getDouble(3) >= -1.0 && row.getDouble(3) <= 1.0)
   }
 
+  test("agg_spearman matches a driver rank recompute of rho") {
+    import org.apache.spark.sql.functions._
+    val Array(row) = SparkEntry.queries("agg_spearman")(spark, sf).collect()
+    val grid = Tables.t(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("q"))
+      .join(Tables.t(spark, sf, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("q"), col("p_size").cast("long").as("sz"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = BigInt(grid.map(_._3).sum)
+    // doubled average rank per marginal value: 2*cum_below + count + 1
+    def r2(by: ((Long, Long, Long)) => Long): Map[Long, BigInt] = {
+      val m = grid.groupBy(by).view.mapValues(g => BigInt(g.map(_._3).sum))
+        .toSeq.sortBy(_._1)
+      m.scanLeft((0L, BigInt(0), BigInt(0))) { case ((_, cum, _), (v, c)) =>
+        (v, cum + c, 2 * cum + c + 1)
+      }.drop(1).map(x => x._1 -> x._3).toMap
+    }
+    val (rq, rs) = (r2(_._1), r2(_._2))
+    var num = BigInt(0); var m2x = BigInt(0); var m2y = BigInt(0)
+    for ((q, sz, c) <- grid) {
+      val dx = rq(q) - n - 1; val dy = rs(sz) - n - 1
+      num += c * dx * dy; m2x += c * dx * dx; m2y += c * dy * dy
+    }
+    assert(row.getLong(0) === n.toLong)
+    val rho = num.toDouble / math.sqrt(m2x.toDouble * m2y.toDouble)
+    assert(math.abs(row.getDouble(1) - rho) < 1e-12)
+    assert(row.getDouble(1) >= -1.0 && row.getDouble(1) <= 1.0)
+    // Spearman and Kendall must agree on the association's SIGN
+    val Array(k) = SparkEntry.queries("agg_kendall")(spark, sf).collect()
+    assert(math.signum(row.getDouble(1)) === math.signum(k.getDouble(3)))
+  }
+
+  test("agg_anova matches a driver recompute of the F statistic") {
+    import org.apache.spark.sql.functions._
+    val Array(row) = SparkEntry.queries("agg_anova")(spark, sf).collect()
+    val g = Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("ni"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sx2")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val n = g.map(_._2).sum; val k = g.length
+    val ssw = g.map { case (_, ni, sx, sx2) =>
+      (BigInt(ni) * sx2 - BigInt(sx) * sx).toDouble / ni.toDouble
+    }.foldLeft(0.0)(_ + _)
+    val tsum = g.map { case (_, ni, sx, _) =>
+      (BigInt(sx) * sx).toDouble / ni.toDouble
+    }.foldLeft(0.0)(_ + _)
+    val sxt = g.map(_._3).sum
+    val ssb = tsum - (BigInt(sxt) * sxt).toDouble / n.toDouble
+    assert(row.getLong(0) === n && row.getLong(1) === k.toLong)
+    assert(math.abs(row.getDouble(2) - ssw) < 1e-6 * ssw)
+    assert(math.abs(row.getDouble(3) - ssb) < 1e-6 * math.abs(ssb) + 1e-9)
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(row.getDouble(4) - f) < 1e-9 * (1 + math.abs(f)))
+    assert(row.getDouble(2) > 0 && row.getDouble(4) >= 0)
+  }
+
+  test("ts_regr recovers an exact local trend and nulls singleton frames") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("ts_regr")(spark, sf).collect()
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = hourly.groupBy(_._1).toSeq.flatMap { case (et, xs) =>
+      val s = xs.sortBy(_._2)
+      s.zipWithIndex.map { case ((_, hr, cnt), i) =>
+        val win = s.slice(math.max(0, i - 23), i + 1)
+        val n = win.length.toLong
+        val sx = win.map(_._2).sum; val sy = win.map(_._3).sum
+        val sxx = win.map(w => BigInt(w._2) * w._2).sum
+        val sxy = win.map(w => BigInt(w._2) * w._3).sum
+        val den = n * sxx - BigInt(sx) * sx
+        val num = n * sxy - BigInt(sx) * sy
+        val slope = if (den == 0) Double.NaN
+                    else num.toDouble / den.toDouble
+        val icept = if (den == 0) Double.NaN
+                    else sy.toDouble / n - slope * (sx.toDouble / n)
+        (et, hr, cnt, n, slope, icept)
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(got.length === exp.length)
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g.getString(0) === e._1 && g.getLong(1) === e._2 &&
+        g.getLong(2) === e._3 && g.getLong(3) === e._4)
+      val gs = if (g.isNullAt(4)) Double.NaN else g.getDouble(4)
+      assert((gs.isNaN && e._5.isNaN) || math.abs(gs - e._5) < 1e-12,
+        s"slope at ${e._1}/${e._2}: $gs vs ${e._5}")
+      // a frame of one point has no slope
+      if (e._4 == 1L) assert(g.isNullAt(4) && g.isNullAt(5))
+    }
+  }
+
   test("ts_rsi matches a driver window recompute and stays in [0, 100]") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("ts_rsi")(spark, sf).collect()

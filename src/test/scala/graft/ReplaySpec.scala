@@ -160,6 +160,36 @@ class ReplaySpec extends AnyFunSuite {
     assert(grid.count() <= 5L * 744)
   }
 
+  test("stream_chisq/stream_cramersv replay: crash after cell-write before commit") {
+    // The contingency fold keeps ≤6 rows of state; resume must land on
+    // the exact batch cells, so both finalizers equal their clean runs
+    // off one injected crash.
+    val cleanChi = rows(SparkEntry.queries("stream_chisq")(spark, sf))
+    val cleanV = rows(SparkEntry.queries("stream_cramersv")(spark, sf))
+    val root = fresh("cells/versions")
+    val ckpt = fresh("cells/ckpt")
+    ops.Streaming.Faults.arm("cells:2")
+    val ex = intercept[Exception] {
+      ops.Streaming.runStreamCells(spark, sf, root, ckpt, "cells")
+    }
+    assert(injected(ex), ex.toString)
+    assert(new java.io.File(s"$root/v2").exists())
+    assert(!new java.io.File(s"$root/v3").exists())
+    val last = ops.Streaming.runStreamCells(spark, sf, root, ckpt, "cells")
+    assert(last === 3L, s"resume should finish the 4-file drain, got $last")
+    val cells = spark.read.parquet(s"$root/v$last")
+    assert(rows(ops.Relational.chisqReport(
+      ops.Relational.chisqEnrich(cells))) === cleanChi)
+    assert(rows(ops.Relational.cramersvReport(
+      ops.Relational.chisqEnrich(cells))) === cleanV)
+    // cell-state laws: the folded cells ARE the batch contingency
+    // table, and state is domain-bounded (3 flags × 2 statuses)
+    val batchCells = ops.Relational.contingencyOf(spark, sf)
+    assert(rows(cells.orderBy("l_returnflag", "l_linestatus")) ===
+      rows(batchCells.orderBy("l_returnflag", "l_linestatus")))
+    assert(cells.count() <= 6L)
+  }
+
   test("stream_markov replay: crash between event-dir write and MV write") {
     val clean = rows(SparkEntry.queries("stream_markov")(spark, sf))
     val root = fresh("markov/versions")
