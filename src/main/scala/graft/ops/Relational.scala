@@ -2521,6 +2521,58 @@ object Relational {
       .orderBy("event_type", "hr")
   }
 
+  /** SMA GOLDEN-CROSS detector per event series — where the 12-hour
+    * mean crosses the 24-hour mean (the classic momentum-shift
+    * signal, [[tsRegr]]'s discrete sibling): ZERO floats anywhere —
+    * "short mean > long mean" is the integer cross-multiplication
+    * s12·n24 > s24·n12 (the repo's cross-multiplied-threshold
+    * discipline), the cross itself is golden ≠ lag(golden), and every
+    * output column is an integer or boolean, so exact-hash needs no
+    * numeric care at all. Window sums ride the bounded hourly grid. */
+  private def tsCrossover: Q = (s, d) => {
+    val hourly = hourlyGrid(s, d)
+    val wl = Window.partitionBy("event_type").orderBy("hr")
+    def wn(k: Int) = wl.rowsBetween(-(k - 1), Window.currentRow)
+    val sums = hourly
+      .withColumn("n12", count(lit(1)).over(wn(12)))
+      .withColumn("s12", sum(col("cnt")).over(wn(12)))
+      .withColumn("n24", count(lit(1)).over(wn(24)))
+      .withColumn("s24", sum(col("cnt")).over(wn(24)))
+      .withColumn("golden",
+        col("s12") * col("n24") > col("s24") * col("n12"))
+    sums
+      .withColumn("crossed",
+        col("golden") =!= lag(col("golden"), 1).over(wl))
+      .select(col("event_type"), col("hr"), col("cnt"),
+        col("s12"), col("s24"), col("golden"), col("crossed"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** BENFORD FIRST-DIGIT screen over order totals — the classic
+    * fabricated-data / fraud smell test a data-quality layer runs on
+    * money columns: leading digit extracted from the EXACT cents
+    * STRING (no log10 bucketing of a float — substr of an integer is
+    * deterministic in any engine), counts per digit in one bounded
+    * hash agg, observed share ONE division, and only the Benford
+    * expectation log10(1+1/d) touches libm — rounded to 6 on both
+    * sides (the agg_entropy discipline) since glibc and DuckDB may
+    * legitimately differ in the last ulp. */
+  private def aggBenford: Q = (s, d) => {
+    val cents = (dec(col("o_totalprice")) * 100).cast("long")
+    val digits = t(s, d, "orders")
+      .select(substring(cents.cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("nt"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("nt").cast("double"))
+          .as("share"),
+        round(log10(lit(1.0d) + lit(1.0d) / col("digit").cast("double")),
+          6).as("benford_p"))
+      .orderBy("digit")
+  }
+
   /** TOP-N REVENUE CONCENTRATION per market segment — "the top 10
     * customers carry what share": the win_lorenz question at entity
     * grain, the account-concentration number a sales dashboard wants.
@@ -3744,6 +3796,8 @@ object Relational {
     "agg_spearman" -> aggSpearman,
     "agg_anova" -> aggAnova,
     "ts_regr" -> tsRegr,
+    "ts_crossover" -> tsCrossover,
+    "agg_benford" -> aggBenford,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5330,5 +5384,43 @@ object Relational {
                       0)::DOUBLE)
                   * (CAST(sx AS BIGINT)::DOUBLE / n::DOUBLE) AS icept24
          FROM w ORDER BY event_type, hr""",
+    // All-integer cross-multiplied means; cross = golden != lag.
+    "ts_crossover" ->
+      s"""WITH hourly AS (
+           SELECT event_type, ${duckTsUs("ts")} // 3600000000 AS hr,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, hr, cnt,
+                  CAST(count(*) OVER w12 AS BIGINT) AS n12,
+                  CAST(sum(cnt) OVER w12 AS BIGINT) AS s12,
+                  CAST(count(*) OVER w24 AS BIGINT) AS n24,
+                  CAST(sum(cnt) OVER w24 AS BIGINT) AS s24
+           FROM hourly
+           WINDOW w12 AS (PARTITION BY event_type ORDER BY hr
+                          ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+                  w24 AS (PARTITION BY event_type ORDER BY hr
+                          ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+         g AS (
+           SELECT event_type, hr, cnt, s12, s24,
+                  s12 * n24 > s24 * n12 AS golden
+           FROM w)
+         SELECT event_type, hr, cnt, s12, s24, golden,
+                golden != lag(golden) OVER (PARTITION BY event_type
+                  ORDER BY hr) AS crossed
+         FROM g ORDER BY event_type, hr""",
+    // Exact first digit off the cents string; only the Benford
+    // expectation touches libm, rounded to 6 on both sides.
+    "agg_benford" ->
+      """WITH d AS (
+           SELECT CAST(substr(CAST(
+                    (o_totalprice::DECIMAL(18,4) * 100)::BIGINT
+                    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           FROM orders),
+         c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c)
+         SELECT digit, n, n::DOUBLE / nt::DOUBLE AS share,
+                round(log10(1.0 + 1.0 / digit::DOUBLE), 6) AS benford_p
+         FROM c, t ORDER BY digit""",
   )
 }

@@ -1416,6 +1416,52 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_crossover flags exactly the hours where the SMA order flips") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("ts_crossover")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("ts_us DIV 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    got.groupBy(_.getString(0)).foreach { case (et, rows) =>
+      val s = rows.sortBy(_.getLong(1))
+      val grid = hourly(et)
+      s.zipWithIndex.foreach { case (r, i) =>
+        val w12 = grid.slice(math.max(0, i - 11), i + 1)
+        val w24 = grid.slice(math.max(0, i - 23), i + 1)
+        val (s12, n12) = (w12.map(_._3).sum, w12.length.toLong)
+        val (s24, n24) = (w24.map(_._3).sum, w24.length.toLong)
+        assert(r.getLong(3) === s12 && r.getLong(4) === s24)
+        // golden is the exact integer cross-multiplication claim
+        assert(r.getBoolean(5) === (s12 * n24 > s24 * n12),
+          s"$et hr ${r.getLong(1)}")
+        if (i == 0) assert(r.isNullAt(6), "first row has no prior state")
+        else assert(r.getBoolean(6) ===
+          (r.getBoolean(5) != s(i - 1).getBoolean(5)))
+      }
+      // the series must actually cross at least once on the fixture
+      assert(s.count(r => !r.isNullAt(6) && r.getBoolean(6)) >= 1)
+    }
+  }
+
+  test("agg_benford covers digits 1-9 with shares summing to one") {
+    val got = SparkEntry.queries("agg_benford")(spark, sf).collect()
+    assert(got.map(_.getInt(0)).toSeq === (1 to 9))
+    val totalOrders = Tables.t(spark, sf, "orders").count()
+    assert(got.map(_.getLong(1)).sum === totalOrders)
+    assert(math.abs(got.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    got.foreach { r =>
+      val exp = BigDecimal(math.log10(1.0 + 1.0 / r.getInt(0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === exp, s"digit ${r.getInt(0)}")
+    }
+    // Benford monotonicity: P(1) > P(2) > ... > P(9)
+    assert(got.map(_.getDouble(3)).toSeq === got.map(_.getDouble(3))
+      .sortBy(-_).toSeq)
+  }
+
   test("ts_rsi matches a driver window recompute and stays in [0, 100]") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("ts_rsi")(spark, sf).collect()
