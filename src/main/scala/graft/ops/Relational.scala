@@ -5134,8 +5134,10 @@ object Relational {
          nt AS (SELECT CAST(sum(o) AS BIGINT) AS nt FROM cells),
          ex AS (
            SELECT c.l_returnflag, c.l_linestatus, c.o,
-                  CAST(rt::HUGEINT * ct::HUGEINT AS DOUBLE)
-                    / nt::DOUBLE AS e
+                  -- via BIGINT: int128->double is not correctly rounded
+                  -- in DuckDB; past 2^63 (~sf100) this raises loudly
+                  CAST(CAST(rt::HUGEINT * ct::HUGEINT AS BIGINT)
+                    AS DOUBLE) / nt::DOUBLE AS e
            FROM cells c JOIN rm USING (l_returnflag)
                 JOIN cm USING (l_linestatus), nt),
          e2 AS (
@@ -5238,12 +5240,15 @@ object Relational {
                 FROM cells GROUP BY 1),
          nt AS (SELECT CAST(sum(o) AS BIGINT) AS nt FROM cells),
          e2 AS (
+           -- rt*ct via BIGINT: int128->double is not correctly rounded
+           -- in DuckDB; past 2^63 (~sf100) this raises loudly instead
            SELECT c.l_returnflag, c.l_linestatus, c.o,
-                  (c.o::DOUBLE - CAST(rt::HUGEINT * ct::HUGEINT AS DOUBLE)
-                    / nt::DOUBLE)
-                  * (c.o::DOUBLE - CAST(rt::HUGEINT * ct::HUGEINT AS DOUBLE)
-                    / nt::DOUBLE)
-                  / (CAST(rt::HUGEINT * ct::HUGEINT AS DOUBLE) / nt::DOUBLE)
+                  (c.o::DOUBLE - CAST(CAST(rt::HUGEINT * ct::HUGEINT
+                      AS BIGINT) AS DOUBLE) / nt::DOUBLE)
+                  * (c.o::DOUBLE - CAST(CAST(rt::HUGEINT * ct::HUGEINT
+                      AS BIGINT) AS DOUBLE) / nt::DOUBLE)
+                  / (CAST(CAST(rt::HUGEINT * ct::HUGEINT AS BIGINT)
+                      AS DOUBLE) / nt::DOUBLE)
                     AS contrib
            FROM cells c JOIN rm USING (l_returnflag)
                 JOIN cm USING (l_linestatus), nt),
@@ -5281,9 +5286,13 @@ object Relational {
          nt AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM g)
          SELECT CAST(n AS BIGINT) AS n, CAST(cc AS BIGINT) AS concordant,
                 CAST(dd AS BIGINT) AS discordant,
-                2.0 * CAST(cc - dd AS DOUBLE)
-                  / sqrt(CAST(n * (n - 1) - tq2 AS DOUBLE)
-                    * CAST(n * (n - 1) - ts2 AS DOUBLE)) AS taub
+                -- each cast via BIGINT (the correctly-rounded int64
+                -- path); past 2^63 (~sf500 pair mass) raises loudly
+                2.0 * CAST(CAST(cc - dd AS BIGINT) AS DOUBLE)
+                  / sqrt(CAST(CAST(n * (n - 1) - tq2 AS BIGINT)
+                      AS DOUBLE)
+                    * CAST(CAST(n * (n - 1) - ts2 AS BIGINT)
+                      AS DOUBLE)) AS taub
          FROM cd, tq, ts, nt ORDER BY n""",
     // Centered doubled ranks off the marginal histograms; every final
     // cast goes through BIGINT — the correctly-rounded int64 path.

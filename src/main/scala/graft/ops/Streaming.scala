@@ -817,37 +817,37 @@ object Streaming {
       .orderBy("l_returnflag")
   }
 
-  /** The shared histogram fold loop of [[streamMode]] /
-    * [[streamWinsorized]], caller-owned dirs (see [[runStreamMv]]).
-    * Per batch: state' = state ⊎ hist(batch), a count-sum merge on the
-    * bounded (l_returnflag, q) domain — per-batch shuffle rows bounded
-    * by the domain (map-side combined), state frozen at domain size.
-    * Returns the last batch id of this invocation. */
-  private[graft] def runStreamHist(s: SparkSession, d: String,
-      root: String, ckpt: String, tag: String): Long = {
-    val src = s"$scratchRoot/stream_hist_src/${Llm.Scratch.key(d)}"
-    Llm.Scratch.once(src) {
-      t(s, d, "lineitem")
-        .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
-        .repartition(4).write.mode("overwrite").parquet(src)
-    }
+  /** The ONE mergeable-count fold loop every algebraic streaming twin
+    * shares (stream_mode/stream_winsorized via [[runStreamHist]],
+    * stream_rsi/stream_drawdown via [[runStreamHourly]],
+    * stream_chisq/stream_cramersv via [[runStreamCells]]) — the
+    * exactly-once replay seam (state write → fault point → commit)
+    * lives in exactly one place. Per batch: state' = state ⊎
+    * counts(batch), a count-sum merge on the caller's DOMAIN-BOUNDED
+    * key (map-side combined; per-batch shuffle rows bounded by the
+    * domain, state frozen at domain size — which is why the
+    * state-write coalesce(1) is the O(1)-row exempt class, not the
+    * graph-checkpoint hazard). Returns the last batch id of this
+    * invocation. */
+  private[graft] def runStreamFold(s: SparkSession, root: String,
+      ckpt: String, tag: String, src: String, schema: StructType,
+      keys: Seq[String], cnt: String): Long = {
     @volatile var lastBatch = -1L
     val st = s.readStream
-      .schema(new StructType()
-        .add("l_returnflag", org.apache.spark.sql.types.StringType)
-        .add("q", org.apache.spark.sql.types.LongType))
+      .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
     withStatePartitions(s) {
       val q = st.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val part = batch.groupBy("l_returnflag", "q")
-            .agg(count(lit(1)).as("c"))
+          val part = batch.groupBy(keys.head, keys.tail: _*)
+            .agg(count(lit(1)).as(cnt))
           val merged =
             if (batchId == 0L) part
             else s.read.parquet(s"$root/v${batchId - 1}")
               .unionByName(part)
-              .groupBy("l_returnflag", "q").agg(sum(col("c")).as("c"))
+              .groupBy(keys.head, keys.tail: _*)
+              .agg(sum(col(cnt)).as(cnt))
           merged.coalesce(1).write.mode("overwrite")
             .parquet(s"$root/v$batchId")
           Faults.maybeFail(s"$tag:$batchId")
@@ -859,6 +859,23 @@ object Streaming {
       q.awaitTermination()
     }
     lastBatch
+  }
+
+  /** [[runStreamFold]] on the bounded (l_returnflag, q) value
+    * histogram — stream_mode/stream_winsorized's pre-image. */
+  private[graft] def runStreamHist(s: SparkSession, d: String,
+      root: String, ckpt: String, tag: String): Long = {
+    val src = s"$scratchRoot/stream_hist_src/${Llm.Scratch.key(d)}"
+    Llm.Scratch.once(src) {
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+    }
+    runStreamFold(s, root, ckpt, tag, src,
+      new StructType()
+        .add("l_returnflag", org.apache.spark.sql.types.StringType)
+        .add("q", org.apache.spark.sql.types.LongType),
+      Seq("l_returnflag", "q"), "c")
   }
 
   /** STREAMING RSI maintenance — ts_rsi's streaming twin over the
@@ -895,58 +912,32 @@ object Streaming {
     Relational.drawdownOf(s.read.parquet(s"$root/v$last"))
   }
 
-  /** The shared hourly-grid fold of [[streamRsi]] / [[streamDrawdown]]
-    * — [[runStreamHist]]'s loop with the (event_type, hr) key: per
-    * batch, state' = state ⊎ grid(batch), a count-sum merge bounded by
-    * the grid (map-side combined); per-batch shuffle rows ∝ touched
-    * hours, state frozen at grid size. Source batches split by
+  /** [[runStreamFold]] on the (event_type, hr) hourly grid —
+    * stream_rsi/stream_drawdown's pre-image. Source batches split by
     * event_id mod 4 — deliberately NOT time-ordered — so the fold's
     * arrival-order independence (addition commutes) is exercised, not
-    * assumed. Returns the last batch id. */
+    * assumed; each mod-class is written as its OWN single file
+    * (4 bounded scratch writes — structural, where a sampled
+    * repartitionByRange could merge two classes under a skewed
+    * event_id draw and break the 4-batch replay contract), and only
+    * the two columns the fold consumes are persisted. */
   private[graft] def runStreamHourly(s: SparkSession, d: String,
       root: String, ckpt: String, tag: String): Long = {
     val src = s"$scratchRoot/stream_hourly_src/${Llm.Scratch.key(d)}"
     Llm.Scratch.once(src) {
-      events(s, d)
-        .select(col("event_type"), col("event_id"),
-          expr("ts_us DIV 3600000000").as("hr"))
-        .withColumn("part", pmod(col("event_id"), lit(4)).cast("int"))
-        // range (not hash) on the 4 mod-classes: exactly one class per
-        // partition → exactly 4 source files → a deterministic 4-batch
-        // drain for the Faults/replay contract
-        .repartitionByRange(4, col("part"))
-        .write.mode("overwrite").parquet(src)
+      val ev = events(s, d)
+        .select(col("event_type"), expr("ts_us DIV 3600000000").as("hr"),
+          pmod(col("event_id"), lit(4)).cast("int").as("part"))
+      (0 until 4).foreach { i =>
+        ev.where(col("part") === i).drop("part").repartition(1)
+          .write.mode(if (i == 0) "overwrite" else "append").parquet(src)
+      }
     }
-    @volatile var lastBatch = -1L
-    val st = s.readStream
-      .schema(new StructType()
+    runStreamFold(s, root, ckpt, tag, src,
+      new StructType()
         .add("event_type", org.apache.spark.sql.types.StringType)
-        .add("event_id", org.apache.spark.sql.types.LongType)
-        .add("hr", org.apache.spark.sql.types.LongType)
-        .add("part", org.apache.spark.sql.types.IntegerType))
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
-    withStatePartitions(s) {
-      val q = st.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val part = batch.groupBy("event_type", "hr")
-            .agg(count(lit(1)).as("cnt"))
-          val merged =
-            if (batchId == 0L) part
-            else s.read.parquet(s"$root/v${batchId - 1}")
-              .unionByName(part)
-              .groupBy("event_type", "hr").agg(sum(col("cnt")).as("cnt"))
-          merged.coalesce(1).write.mode("overwrite")
-            .parquet(s"$root/v$batchId")
-          Faults.maybeFail(s"$tag:$batchId")
-          if (batchId > lastBatch) lastBatch = batchId
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    lastBatch
+        .add("hr", org.apache.spark.sql.types.LongType),
+      Seq("event_type", "hr"), "cnt")
   }
 
   /** STREAMING χ² maintenance — agg_chisq's streaming twin over the
@@ -978,13 +969,9 @@ object Streaming {
       Relational.chisqEnrich(s.read.parquet(s"$root/v$last")))
   }
 
-  /** The shared contingency fold of [[streamChisq]] /
-    * [[streamCramersv]] — [[runStreamHist]]'s loop with the
-    * (l_returnflag, l_linestatus) key: per batch, state' = state ⊎
-    * cells(batch), a count-sum merge bounded by the 3×2 domain
-    * (map-side combined). Source reuses [[runStreamHist]]'s 4-file
-    * lineitem split logic on its own columns. Returns the last batch
-    * id of this invocation. */
+  /** [[runStreamFold]] on the (l_returnflag, l_linestatus)
+    * contingency cells — stream_chisq/stream_cramersv's ≤6-row
+    * pre-image. */
   private[graft] def runStreamCells(s: SparkSession, d: String,
       root: String, ckpt: String, tag: String): Long = {
     val src = s"$scratchRoot/stream_cells_src/${Llm.Scratch.key(d)}"
@@ -993,35 +980,11 @@ object Streaming {
         .select(col("l_returnflag"), col("l_linestatus"))
         .repartition(4).write.mode("overwrite").parquet(src)
     }
-    @volatile var lastBatch = -1L
-    val st = s.readStream
-      .schema(new StructType()
+    runStreamFold(s, root, ckpt, tag, src,
+      new StructType()
         .add("l_returnflag", org.apache.spark.sql.types.StringType)
-        .add("l_linestatus", org.apache.spark.sql.types.StringType))
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
-    withStatePartitions(s) {
-      val q = st.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val part = batch.groupBy("l_returnflag", "l_linestatus")
-            .agg(count(lit(1)).as("o"))
-          val merged =
-            if (batchId == 0L) part
-            else s.read.parquet(s"$root/v${batchId - 1}")
-              .unionByName(part)
-              .groupBy("l_returnflag", "l_linestatus")
-              .agg(sum(col("o")).as("o"))
-          merged.coalesce(1).write.mode("overwrite")
-            .parquet(s"$root/v$batchId")
-          Faults.maybeFail(s"$tag:$batchId")
-          if (batchId > lastBatch) lastBatch = batchId
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    lastBatch
+        .add("l_linestatus", org.apache.spark.sql.types.StringType),
+      Seq("l_returnflag", "l_linestatus"), "o")
   }
 
   /** STREAMING incremental SEQUENCE-PATTERN maintenance — seq_pattern's

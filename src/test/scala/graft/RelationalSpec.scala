@@ -1411,6 +1411,10 @@ class RelationalSpec extends AnyFunSuite {
       val gs = if (g.isNullAt(4)) Double.NaN else g.getDouble(4)
       assert((gs.isNaN && e._5.isNaN) || math.abs(gs - e._5) < 1e-12,
         s"slope at ${e._1}/${e._2}: $gs vs ${e._5}")
+      val gi = if (g.isNullAt(5)) Double.NaN else g.getDouble(5)
+      assert((gi.isNaN && e._6.isNaN) ||
+        math.abs(gi - e._6) < 1e-9 * (1 + math.abs(e._6)),
+        s"intercept at ${e._1}/${e._2}: $gi vs ${e._6}")
       // a frame of one point has no slope
       if (e._4 == 1L) assert(g.isNullAt(4) && g.isNullAt(5))
     }
