@@ -746,4 +746,40 @@ class PlanSpec extends AnyFunSuite {
     for (i <- 0 until 4)
       assert(eOff.getDouble(i) === eOn.getDouble(i))
   }
+
+  test("rank-correlation keys broadcast their bounded sides — no SMJ anywhere") {
+    // agg_spearman: the two ≤50-row marginal rank tables and the 1-row
+    // total must all arrive via broadcast; the only shuffles are the
+    // grid hash aggs. agg_kendall likewise broadcasts its three
+    // 1-row correction tables onto the cell-pair join.
+    for (key <- Seq("agg_spearman", "agg_kendall")) {
+      val p = planOf(key)
+      assert("BroadcastHashJoin".r.findAllIn(p).size +
+        "BroadcastNestedLoopJoin".r.findAllIn(p).size >= 3, s"$key: $p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$key must never sort-merge a bounded side: " + p)
+    }
+  }
+
+  test("momentum keys window per-series — no global-order window") {
+    // ts_regr / ts_crossover run their ROWS frames partitioned by
+    // event_type over the bounded hourly grid; an unpartitioned window
+    // would serialize the grid through one task.
+    for (key <- Seq("ts_regr", "ts_crossover")) {
+      val p = planOf(key)
+      assert(p.contains("windowspecdefinition(event_type"), s"$key: $p")
+      assert(!p.contains("windowspecdefinition(hr"),
+        s"$key: no window may order globally by hr alone: " + p)
+    }
+  }
+
+  test("ml_ridge is one hash aggregate plus projection — no join, no window") {
+    val p = planOf("ml_ridge")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), "the solver is pure projection: " + p)
+    assert(!p.contains("Window"), p)
+    // partial aggregation must run map-side: two HashAggregates
+    // (partial + final) around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
