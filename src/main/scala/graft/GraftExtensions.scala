@@ -35,6 +35,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expr.DotProductF64].getName, "dot64"),
       (exprs: Seq[Expression]) =>
         graft.expr.DotProductF64(exprs.head, exprs(1))))
+    e.injectFunction((new FunctionIdentifier("sqdist_i64"),
+      new ExpressionInfo(classOf[graft.expr.SqDistI64].getName, "sqdist_i64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"sqdist_i64 expects 2 arguments, got ${exprs.length}")
+        graft.expr.SqDistI64(exprs.head, exprs(1))
+      }))
+    e.injectFunction((new FunctionIdentifier("isect_count_s64"),
+      new ExpressionInfo(classOf[graft.expr.IntersectCountSorted64].getName,
+        "isect_count_s64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"isect_count_s64 expects 2 arguments, got ${exprs.length}")
+        graft.expr.IntersectCountSorted64(exprs.head, exprs(1))
+      }))
     e.injectFunction((new FunctionIdentifier("dtw_dist"),
       new ExpressionInfo(classOf[graft.expr.DtwDist].getName, "dtw_dist"),
       (exprs: Seq[Expression]) => {

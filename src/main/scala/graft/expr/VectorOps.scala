@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native dot product over `ARRAY<DOUBLE>` — the kernel under every
   * cosine/norm in the similarity family (sim_cosine_topk, sim_ann_lsh,
@@ -85,5 +85,96 @@ object DotProductF64 {
       i += 1
     }
     java.lang.Double.valueOf(acc)
+  }
+}
+
+/** Native exact squared-L2 distance over `ARRAY<BIGINT>` — the
+  * per-candidate-pair kernel of ml_knn (and the integer-grid half of
+  * the ANN family: sample_kcenter/embed_pca vectors live on the 1e-6
+  * grid as longs).
+  *
+  * Why an Expression instead of
+  * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0L, _+_)`:
+  * same argument as [[DotProductF64]] — higher-order functions do not
+  * participate in whole-stage codegen, so the HOF chain pays an
+  * interpreted lambda dispatch per ELEMENT plus a materialized
+  * zip_with array per ROW. Worse, when the distance feeds a
+  * TypedImperativeAggregate (ml_knn's topk_pairs heap), CollapseProject
+  * folds the whole chain into the aggregate's interpreted
+  * `score.eval`, so every candidate pair re-walks the lambda chain
+  * over boxed elements (the r12 2.1 → 14.2 s regression). This is one
+  * static call per pair with a tight primitive loop, no allocation.
+  *
+  * Exactness: two's-complement long arithmetic via Math.*Exact — the
+  * identical integer fold the HOF performs under ANSI mode (Spark 4
+  * default), including THROWING on overflow where ANSI throws. On
+  * ml_knn's domain (64 dims × (2e6)² per term ≤ 2.6e14) no overflow
+  * is reachable; the *Exact intrinsics cost nothing and keep the
+  * adversarial behavior aligned with the chain this replaces
+  * (VectorOpsSpec pins bit-identity on real corpus pairs and the
+  * null/mismatch shapes).
+  *
+  * Null semantics replicate the HOF chain exactly: null array → null;
+  * length mismatch → null (zip_with pads with null, the squared term
+  * poisons the fold); null ELEMENT → null.
+  */
+case class SqDistI64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"sqdist_i64 requires (ARRAY<BIGINT>, ARRAY<BIGINT>), got " +
+          s"(${left.dataType}, ${right.dataType})")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SqDistI64.dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val d = ctx.freshName("sqdResult")
+      s"""
+        java.lang.Long $d = graft.expr.SqDistI64.dist($a, $b);
+        if ($d == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $d.longValue();
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sqdist_i64"
+}
+
+object SqDistI64 {
+  /** Exact integer Σ(a−b)²; null on length mismatch or null element
+    * (the HOF chain's exact semantics); throws on overflow exactly
+    * where the ANSI chain does. Called from generated code. */
+  def dist(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = Math.subtractExact(a.getLong(i), b.getLong(i))
+      acc = Math.addExact(acc, Math.multiplyExact(d, d))
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
   }
 }

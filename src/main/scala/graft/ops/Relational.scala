@@ -2491,10 +2491,14 @@ object Relational {
     * engine-private, so the frame keeps exact integer power sums
     * (n, Σx, Σy, Σx², Σxy on DECIMAL(20,0) — epoch-hour x ≈ 5·10⁵
     * keeps 24·x² ≈ 6·10¹² exact) and slope = (nΣxy − ΣxΣy)/(nΣx² −
-    * (Σx)²) is ONE division of two exact ints < 2⁵³ (cast from
-    * BIGINT both sides — the correctly-rounded cast); intercept
-    * continues the same fixed chain. Null until the frame holds two
-    * points (den = 0 — nullif'd identically in the oracle). */
+    * (Σx)²) is ONE division of two exact ints < 2⁵³. The ENGINE casts
+    * the DECIMAL operands straight to DOUBLE (correctly rounded for
+    * any in-domain value); the ORACLE routes them through BIGINT
+    * first, which raises loudly past 2⁶³ — the bounded-oracle
+    * asymmetry of the [[aggSpearman]] scaladoc, never a silent
+    * divergence. Intercept continues the same fixed chain. Null until
+    * the frame holds two points (den = 0 — nullif'd identically in
+    * the oracle). */
   private def tsRegr: Q = (s, d) => {
     val dec20 = org.apache.spark.sql.types.DecimalType(20, 0)
     val hourly = hourlyGrid(s, d)
@@ -3282,15 +3286,26 @@ object Relational {
     * function the engine admits (text_lm_score discipline): each term
     * is ln of an exact integer, and the final H and its ln(n_types)
     * normalization are rounded to 6 decimals on both sides to absorb
-    * the last-ulp libm wobble. */
+    * the last-ulp libm wobble. The Σc·ln(c) accumulation is a
+    * SEQUENTIAL fold over the ≤150 per-brand terms in p_type order
+    * (the [[chisqFold]] discipline, mirrored by the oracle's ordered
+    * list_reduce) — a plain double sum() would accumulate in
+    * partition-merge order, and the 6-decimal guard can flip when a
+    * value lands within ~1e-12 of a 0.5e-6 rounding boundary under a
+    * different partitioning (r12 advice). */
   private def aggEntropy: Q = (s, d) => {
     val hist = t(s, d, "part")
       .groupBy(col("p_brand"), col("p_type"))
       .agg(count(lit(1)).as("c"))
     hist.groupBy("p_brand")
       .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n"),
-        sum(col("c").cast("double") * log(col("c").cast("double")))
-          .as("sclnc"))
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("p_type"),
+              (col("c").cast("double") * log(col("c").cast("double")))
+                .as("term")))),
+            x => x.getField("term")),
+          lit(0.0d), (a, v) => a + v).as("sclnc"))
       .select(col("p_brand"), col("n_types"), col("n"),
         round(log(col("n").cast("double")) -
           col("sclnc") / col("n").cast("double"), 6).as("entropy"),
@@ -5106,7 +5121,9 @@ object Relational {
                 count(*) AS n_streaks, max(len) AS max_streak
          FROM st GROUP BY user_id ORDER BY user_id""",
     // ln of exact integers; final entropy rounded to 6 decimals both
-    // sides (the text_lm_score libm-ulp discipline).
+    // sides (the text_lm_score libm-ulp discipline). Σc·ln(c) is the
+    // p_type-ordered sequential fold (the agg_chisq list_reduce
+    // discipline), matching the engine's array_sort+aggregate fold.
     "agg_entropy" ->
       """WITH hist AS (
            SELECT p_brand, p_type, count(*) AS c
@@ -5114,7 +5131,9 @@ object Relational {
          g AS (
            SELECT p_brand, count(*) AS n_types,
                   CAST(sum(c) AS BIGINT) AS n,
-                  sum(c::DOUBLE * ln(c::DOUBLE)) AS sclnc
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    list(c::DOUBLE * ln(c::DOUBLE) ORDER BY p_type)),
+                    (a, b) -> a + b) AS sclnc
            FROM hist GROUP BY 1)
          SELECT p_brand, n_types, n,
                 round(ln(n::DOUBLE) - sclnc / n::DOUBLE, 6) AS entropy,
