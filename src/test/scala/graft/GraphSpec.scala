@@ -65,6 +65,32 @@ class GraphSpec extends AnyFunSuite {
     } finally Tables.deleteRecursively(dir)
   }
 
+  test("pagerank's contribute join reads bucketed edges: no exchange, no sort on the edge side (r12 item #6)") {
+    import ops.Graph
+    import org.apache.spark.sql.functions._
+    val e2 = Graph.copurchaseEdgesBucketed(spark, SharedSpark.sf)
+    // the bucketed artifact IS the plain artifact, co-located
+    assert(e2.count() === Graph.copurchaseEdges(spark, SharedSpark.sf).count())
+    val ranks = e2.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(1000000000L))
+    // Force the at-scale join (ranks too big to broadcast at 100 TB):
+    // the pin is that the EDGE side arrives pre-partitioned from the
+    // bucketed scan — exactly one exchange for the rank table plus one
+    // for the dst combine (the graph cut), never an O(E) edge shuffle.
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val step = Graph.prContribute(e2, ranks)
+      step.collect()
+      val p = step.queryExecution.executedPlan.toString()
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("Bucketed: true"),
+        "edge scan must report an exploited bucket layout: " + p)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+        "only the rank table and the dst combine may shuffle: " + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("graph_triangles matches a driver-side reference enumeration") {
     val edges = ops.Graph.repeatCopurchaseEdges(spark, SharedSpark.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
