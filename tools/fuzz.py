@@ -752,6 +752,109 @@ class Gen:
                 f'WHERE {cond}\nORDER BY {p}\n'
                 f'LIMIT {self.r.randint(10, 200)}')
 
+    def q_rangeties(self):
+        """RANGE frames ordered by a deliberately LOW-CARDINALITY
+        (tie-heavy) column, optionally alongside a ROWS frame in the
+        same select (r12 judge item #7: the new window/statistics keys'
+        tie handling rested on hand-written oracles only). RANGE frame
+        CONTENTS are value-determined — every peer of the current row's
+        order value is in or out together — so sums/min/max/count over
+        them are engine-invariant even under massive ties, precisely
+        the property this shape stresses (row_number over the same
+        order would NOT be portable, and is never emitted here). The
+        companion ROWS frame gets the usual pk-totalized order."""
+        t = self.pick(list(self.UNIQ))
+        pk = self.UNIQ[t]
+        cols = T[t]
+        pc, _ = self.pick([x for x in cols if x[1] in ('str', 'int')]
+                          or cols)
+        # tie-heavy numeric order key: int-typed columns (sizes, line
+        # numbers, nation keys) carry huge tie groups at sf1
+        tie = [x for x in cols
+               if x[0] not in (pc, pk) and x[1] == 'int']
+        oc, _ = self.pick(tie) if tie else (pk, 'key')
+        desc = ' DESC' if self.r.random() < 0.3 else ''
+        frame = self.pick([
+            'RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW',
+            'RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING',
+            f'RANGE BETWEEN {self.r.randint(1, 5)} PRECEDING AND CURRENT ROW',
+            f'RANGE BETWEEN CURRENT ROW AND {self.r.randint(1, 5)} FOLLOWING',
+            f'RANGE BETWEEN {self.r.randint(1, 3)} PRECEDING AND '
+            f'{self.r.randint(1, 3)} FOLLOWING',
+        ])
+        w = f'PARTITION BY {pc} ORDER BY {oc}{desc} {frame}'
+        ac, ak = self.pick([x for x in cols
+                            if x[0] != pk and x[1] in
+                            ('int', 'key', 'double')] or [(pk, 'key')])
+        roll = self.r.random()
+        if ak == 'double':
+            if roll < 0.5:
+                wv = (f'CAST(round(sum(CAST({ac} AS DECIMAL(18,4))) '
+                      f'OVER ({w}), 2) AS DOUBLE)')
+            else:
+                wv = f'{self.pick(["min", "max"])}({ac}) OVER ({w})'
+        elif roll < 0.4:
+            wv = f'CAST(sum({ac}) OVER ({w}) AS BIGINT)'
+        elif roll < 0.7:
+            wv = f'{self.pick(["min", "max"])}({ac}) OVER ({w})'
+        else:
+            wv = f'count(*) OVER ({w})'
+        extra = ''
+        if self.r.random() < 0.5:
+            # ROWS twin over the SAME partition, pk-totalized order —
+            # both frame species against one input in one plan
+            rw = (f'PARTITION BY {pc} ORDER BY {oc}{desc}, {pk} '
+                  f'ROWS BETWEEN {self.r.randint(1, 4)} PRECEDING '
+                  f'AND CURRENT ROW')
+            extra = f', count(*) OVER ({rw}) AS rv'
+        where = f'\nWHERE {self.pred(cols)}' if self.r.random() < 0.5 \
+            else ''
+        # oc degrades to the pk on int-less tables — emit it once
+        # (Spark rejects duplicate output names; DuckDB allows them)
+        sel = f'{pc}, {pk}' if oc == pk else f'{pc}, {pk}, {oc}'
+        return (f'SELECT {sel}, {wv} AS wv{extra}\n'
+                f'FROM {t}{where}')
+
+    def q_having_dec(self):
+        """Grouped aggregate FILTERED BY a decimal-sum HAVING (r12
+        judge item #7): the HAVING predicate compares the EXACT
+        DECIMAL(18,4) sum — not its rounded double projection — against
+        a decimal literal, so group survival is fold-order-free and
+        bit-agreed in both engines even when the sum lands within an
+        ulp of the cut. Output re-projects the discipline's rounded
+        cast. Optional second HAVING conjunct on count(*)."""
+        t = self.pick(['lineitem', 'orders', 'customer', 'part',
+                       'supplier', 'events'])
+        cols = T[t]
+        dbl = [x for x in cols if x[1] == 'double']
+        if not dbl:
+            return self.q_agg(t=t)
+        dc, _ = self.pick(dbl)
+        nk = self.r.randint(1, 2)
+        keys = []
+        seen = set()
+        for i in range(nk):
+            e, a = self.group_key(cols, i)
+            if a in seen:
+                continue
+            seen.add(a)
+            keys.append((e, a))
+        sel_keys = ', '.join(f'{e} AS {a}' if e != a else e
+                             for e, a in keys)
+        thr = f'{self.r.randint(1, 500) * 100}.{self.r.randint(0, 99):02d}'
+        op = self.pick(['>', '>=', '<'])
+        having = (f'sum(CAST({dc} AS DECIMAL(18,4))) {op} '
+                  f'CAST({thr} AS DECIMAL(18,4))')
+        if self.r.random() < 0.4:
+            having += f' AND count(*) > {self.r.randint(1, 4)}'
+        where = f'\nWHERE {self.pred(cols)}' if self.r.random() < 0.5 \
+            else ''
+        gb = ', '.join(str(i + 1) for i in range(len(keys)))
+        return (f'SELECT {sel_keys}, count(*) AS cnt, '
+                f'CAST(round(sum(CAST({dc} AS DECIMAL(18,4))), 2) '
+                f'AS DOUBLE) AS s\n'
+                f'FROM {t}{where}\nGROUP BY {gb}\nHAVING {having}')
+
     def query(self):
         roll = self.r.random()
         if roll < 0.08:
@@ -788,9 +891,13 @@ class Gen:
             return self.q_cte_union(), 'cte_union'
         if roll < 0.81:
             return self.q_nullorder(), 'nullorder'
-        if roll < 0.90:
+        if roll < 0.87:
             return self.q_winframe(), 'winframe'
-        if roll < 0.95:
+        if roll < 0.91:
+            return self.q_rangeties(), 'rangeties'
+        if roll < 0.94:
+            return self.q_having_dec(), 'having_dec'
+        if roll < 0.97:
             return self.q_setop_join(), 'setop_join'
         return self.q_scalar_where(), 'scalar_where'
 
