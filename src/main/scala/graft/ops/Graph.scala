@@ -160,6 +160,14 @@ object Graph {
       : org.apache.spark.sql.DataFrame = {
     val name = s"copurchase_b_${Llm.Scratch.key(d)}"
     val tbl = s"graft_graph.$name"
+    // Resolve the PLAIN artifact BEFORE entering the once-latch: both
+    // latches live in one ConcurrentHashMap, and a Scratch call nested
+    // inside another's computeIfAbsent throws IllegalStateException
+    // ("Recursive update") WHENEVER the two keys land in a colliding
+    // bin — a map-capacity-dependent transient that surfaced only
+    // under full-suite entry counts (round-13 lesson; ScratchSpec pins
+    // the nested shape directly).
+    val plain = copurchaseEdges(s, d)
     // Layout is an OPTIMIZATION, rows are the contract: if the
     // bucketed build or catalog lookup fails for any environmental
     // reason, degrade loudly to the plain-parquet artifact (identical
@@ -176,7 +184,7 @@ object Graph {
         val loc = new java.io.File(s"$warehouse/graft_graph.db/$name")
         if (loc.exists()) graft.Tables.deleteRecursively(loc)
         val nb = s.conf.get("spark.sql.shuffle.partitions").toInt
-        copurchaseEdges(s, d)
+        plain
           .repartition(nb, col("src"))
           .write.bucketBy(nb, "src").sortBy("src")
           .saveAsTable(tbl)

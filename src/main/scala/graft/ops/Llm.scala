@@ -238,8 +238,24 @@ object Llm {
     * so the next caller rebuilds instead of reading a partial file
     * (ADVICE r2). */
   private[graft] object Scratch {
-    private val built =
-      new java.util.concurrent.ConcurrentHashMap[String, String]()
+    // Latches are FUTURES installed with putIfAbsent, NOT values built
+    // inside computeIfAbsent: computeIfAbsent holds the map's bin lock
+    // for the whole build, so a build that itself touches Scratch (a
+    // derived artifact built FROM a base artifact) throws
+    // IllegalStateException("Recursive update") whenever the two paths
+    // hash into a colliding bin — a map-capacity-dependent TRANSIENT
+    // that surfaced only under full-suite entry counts (round 13: the
+    // bucketed pagerank edge build over the plain edge artifact failed
+    // one full Verify in five, then silently took its fallback in the
+    // full bench). With putIfAbsent the winner builds OUTSIDE any map
+    // lock; concurrent same-path callers block on the future (same
+    // blocking semantics as before); nested different-path builds are
+    // now simply legal. A failed build removes its latch, so the next
+    // caller rebuilds instead of reading a partial artifact (the
+    // original ADVICE-r2 property, preserved). ScratchSpec pins the
+    // nested shape at depth 64 and failure-retry.
+    private val built = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.CompletableFuture[String]]()
 
     /** Cumulative wall time spent INSIDE scratch builds, for Bench's
       * per-trial attribution (r11 judge item #3): a key whose trial-1
@@ -257,18 +273,30 @@ object Llm {
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(d.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
 
+    private def latch(path: String)(build: => Unit): Unit = {
+      val fresh = new java.util.concurrent.CompletableFuture[String]()
+      val prior = built.putIfAbsent(path, fresh)
+      if (prior == null) {
+        try { timed(build); fresh.complete(path): Unit }
+        catch {
+          case e: Throwable =>
+            built.remove(path, fresh): Unit
+            fresh.completeExceptionally(e): Unit
+            throw e
+        }
+      } else prior.join(): Unit
+    }
+
     def table(s: org.apache.spark.sql.SparkSession, path: String)(
         build: => org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame = {
-      built.computeIfAbsent(path,
-        _ => timed { build.write.mode("overwrite").parquet(path); path })
+      latch(path) { build.write.mode("overwrite").parquet(path) }
       s.read.parquet(path)
     }
 
     /** One-time side-effecting build (e.g. a partitioned fixture write
       * Scratch.table's plain-parquet writer can't express). */
-    def once(path: String)(build: => Unit): Unit =
-      built.computeIfAbsent(path, _ => timed { build; path }): Unit
+    def once(path: String)(build: => Unit): Unit = latch(path)(build)
   }
 
   private[ops] def minhashSigTable(s: org.apache.spark.sql.SparkSession,
