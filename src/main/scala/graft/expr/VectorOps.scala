@@ -137,18 +137,24 @@ case class SqDistI64(left: Expression, right: Expression)
         s"sqdist_i64 requires (ARRAY<BIGINT>, ARRAY<BIGINT>), got " +
           s"(${left.dataType}, ${right.dataType})")
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    SqDistI64.dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val d = SqDistI64.dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (d < 0L) null else d
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val d = ctx.freshName("sqdResult")
+      // Primitive static call (r13 ADVICE: the old helper returned a
+      // boxed java.lang.Long to signal null — one allocation per
+      // candidate pair in ml_knn's hottest loop). −1 is a safe NULL
+      // sentinel: see the helper's proof of non-negativity.
       s"""
-        java.lang.Long $d = graft.expr.SqDistI64.dist($a, $b);
-        if ($d == null) {
+        long $d = graft.expr.SqDistI64.dist($a, $b);
+        if ($d < 0L) {
           ${ev.isNull} = true;
         } else {
-          ${ev.value} = $d.longValue();
+          ${ev.value} = $d;
         }
       """
     })
@@ -161,20 +167,25 @@ case class SqDistI64(left: Expression, right: Expression)
 }
 
 object SqDistI64 {
-  /** Exact integer Σ(a−b)²; null on length mismatch or null element
-    * (the HOF chain's exact semantics); throws on overflow exactly
-    * where the ANSI chain does. Called from generated code. */
-  def dist(a: ArrayData, b: ArrayData): java.lang.Long = {
+  /** Exact integer Σ(a−b)²; −1 signals SQL NULL (length mismatch or
+    * null element — the HOF chain's exact semantics); throws on
+    * overflow exactly where the ANSI chain does. −1 is unreachable as
+    * a real distance: every term is a non-negative product
+    * (multiplyExact(d,d) either throws or is ≥ 0) and addExact of two
+    * non-negatives either throws or stays ≥ 0, so the accumulator is
+    * ≥ 0 on every exit — a primitive return with no per-pair boxing
+    * (r13 ADVICE). Called from generated code. */
+  def dist(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
-    if (n != b.numElements()) return null
+    if (n != b.numElements()) return -1L
     var acc = 0L
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      if (a.isNullAt(i) || b.isNullAt(i)) return -1L
       val d = Math.subtractExact(a.getLong(i), b.getLong(i))
       acc = Math.addExact(acc, Math.multiplyExact(d, d))
       i += 1
     }
-    java.lang.Long.valueOf(acc)
+    acc
   }
 }

@@ -498,6 +498,79 @@ class LlmSpec extends AnyFunSuite {
       4L -> ((6L, 6L, true))))  // doc 5 (<20 tokens) has no windows
   }
 
+  test("dedup_substring_remove excises exactly the duplicated windows and " +
+      "survivors are an in-order subsequence") {
+    // Same planted corpus as the flag test: the removal semantics are
+    // checkable by hand. A∩B share one 20-token span; C self-repeats
+    // (both halves duplicated → empty survivor); D/E verbatim copies
+    // (fully covered); F is too short for any window (verbatim pass).
+    val d = s"${Tables.scratchRoot}/substr_rm_fixture"
+    def w(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val aToks = w("a", 40)
+    val bToks = w("bpre", 10) ++ aToks.slice(4, 24) ++ w("bpost", 5)
+    val cToks = w("c", 20) ++ w("c", 20)
+    val dToks = w("d", 25)
+    val fToks = w("f", 5)
+    val docs = Seq(
+      (0L, aToks), (1L, bToks), (2L, cToks), (3L, dToks), (4L, dToks),
+      (5L, fToks))
+      .map { case (id, ts) =>
+        (id, ts.mkString(" "), "en", "src0", ts.mkString(" ").length.toLong)
+      }
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("dedup_substring_remove")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      // A: covered 5..24 → survivors a1-a4 ++ a25-a40
+      0L -> (((aToks.take(4) ++ aToks.drop(24)).mkString(" "), 40L, 20L)),
+      // B: covered 11..30 → the shared span vanishes, B's own text stays
+      1L -> (((bToks.take(10) ++ bToks.drop(30)).mkString(" "), 35L, 20L)),
+      // C: windows 1 and 21 duplicated → both halves covered → empty
+      2L -> (("", 40L, 40L)),
+      3L -> (("", 25L, 25L)), // verbatim copies: everything covered
+      4L -> (("", 25L, 25L)),
+      5L -> ((fToks.mkString(" "), 5L, 0L)))) // <20 tokens: untouched
+    // Corpus invariants at the gate sf: every flagged-window token is
+    // gone (n_removed > 0 ⟺ the flag query saw a dup window), survivors
+    // are an in-order subsequence, flag-free docs pass verbatim.
+    val rm = SparkEntry.queries("dedup_substring_remove")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val flags = SparkEntry.queries("dedup_substring")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val orig = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rm.keySet === orig.keySet, "removal emits every document")
+    for ((id, (clean, nTok, nRem)) <- rm) {
+      val toks = orig(id).split(" ", -1)
+      assert(nTok === toks.length.toLong)
+      flags.get(id) match {
+        case Some(nDup) => assert((nRem > 0) === (nDup > 0),
+          s"doc $id: removal ⟺ duplicated windows")
+        case None => assert(nRem === 0L,
+          s"doc $id: <k tokens must pass through") // no windows exist
+      }
+      if (nRem == 0L) assert(clean === orig(id), s"doc $id: verbatim pass")
+      else {
+        // survivors must be an in-order subsequence of the original
+        val kept = if (clean.isEmpty) Array.empty[String]
+          else clean.split(" ", -1)
+        assert(kept.length.toLong === nTok - nRem)
+        var i = 0
+        for (tok <- kept) {
+          while (i < toks.length && toks(i) != tok) i += 1
+          assert(i < toks.length, s"doc $id: '$tok' out of order")
+          i += 1
+        }
+      }
+    }
+  }
+
   test("dedup_semantic decisions: dup_of is a lower-id same-cluster vector at cos >= tau") {
     val rows = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),

@@ -55,6 +55,44 @@ class ScratchSpec extends AnyFunSuite {
     } finally Tables.deleteRecursively(dir)
   }
 
+  test("a waiter blocked on a FAILING build retries it instead of " +
+      "inheriting the winner's exception (r13 ADVICE)") {
+    val dir = tmp()
+    try {
+      val p = s"${dir.getPath}/retry"
+      val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+      val winnerIn = new java.util.concurrent.CountDownLatch(1)
+      val winner = new Thread(() => {
+        try Scratch.once(p) {
+          attempts.incrementAndGet()
+          winnerIn.countDown()
+          Thread.sleep(100)
+          sys.error("winner boom")
+        } catch { case _: Throwable => () }
+      })
+      winner.start()
+      winnerIn.await() // the waiter joins while the doomed build runs
+      Scratch.once(p) { attempts.incrementAndGet(): Unit } // must NOT throw
+      winner.join(10000)
+      assert(attempts.get() === 2)
+    } finally Tables.deleteRecursively(dir)
+  }
+
+  test("a reentrant build on the SAME path fails fast, not deadlocks") {
+    val dir = tmp()
+    try {
+      val p = s"${dir.getPath}/reent"
+      val e = intercept[IllegalStateException] {
+        Scratch.once(p) { Scratch.once(p) { () } }
+      }
+      assert(e.getMessage.contains("reentrant"))
+      // the failed outer build installed no latch: a clean retry works
+      val built = new java.util.concurrent.atomic.AtomicInteger(0)
+      Scratch.once(p) { built.incrementAndGet(): Unit }
+      assert(built.get() === 1)
+    } finally Tables.deleteRecursively(dir)
+  }
+
   test("concurrent same-path callers block on one build") {
     val dir = tmp()
     try {
