@@ -32,6 +32,46 @@ object Bench {
     (1 to 3).map(_ => once()).min
   }
 
+  /** Memory-bandwidth calibration under full thread fan-out (r14, for
+    * the dedup_ngram bimodality attribution): [[calibrateMs]] is
+    * register-only and measured the SLOW box as FASTER (gate 144 ms vs
+    * builder 167 ms) while the same box did 4–5× the task CPU on the
+    * inverted-index keys — which are memory-bound (byte hashing,
+    * primitive hash-set probes over shuffled postings). Core speed and
+    * loaded memory bandwidth are independent axes; this measures the
+    * second: N threads (N = the spark local parallelism) each sweep a
+    * private 32 MiB long array with a strided xor-sum — cache-defeating
+    * 256 MiB of resident traffic per pass, the same pressure N busy
+    * executor threads put on the memory controller. min of 3 passes
+    * (first pays page init). A box pair with equal calib_ms but 3×
+    * calib_mem_ms has named the dedup_ngram divergence. */
+  private def calibrateMemMs(threads: Int): Long = {
+    val n = (32 << 20) / 8 // 32 MiB of longs per thread
+    val arrays = Array.fill(threads)(new Array[Long](n))
+    // touch every page before timing
+    arrays.foreach { a => var i = 0; while (i < n) { a(i) = i; i += 4096 } }
+    def pass(): Long = {
+      val t0 = System.nanoTime()
+      val ts = arrays.map { a =>
+        val t = new Thread(() => {
+          var acc = 0L
+          var s = 0
+          while (s < 4) { // 4 strides ≈ sequential+strided mix
+            var i = s
+            val step = 1 + s * 16
+            while (i < n) { acc ^= a(i); i += step }
+            s += 1
+          }
+          calSink += acc
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1000000
+    }
+    (1 to 3).map(_ => pass()).min
+  }
+
   /** r9 driver-box calibration constant (BENCH_r09 ran on a box that
     * measures 149 ms on [[calibrateMs]]'s fixed work unit). The
     * contract line carries BOTH the raw total and
@@ -54,6 +94,23 @@ object Bench {
     unloadStateStoresM.foreach { case (mod, m) =>
       try m.invoke(mod): Unit catch { case _: Throwable => () }
     }
+
+  /** Flush the async listener bus so per-trial metric deltas read AFTER
+    * a query include all of that query's events (SparkListener,
+    * QueryExecutionListener and StreamingQueryListener all deliver
+    * through async queues; without this the r13 detail rows could lag
+    * a query end by a few events). `SparkContext.listenerBus` is
+    * private[spark] at the Scala level, public bytecode — same
+    * reflection pattern as [[unloadStateStores]]. Best-effort with a
+    * bounded wait: a stuck queue must not hang the bench. */
+  private def drainListenerBus(
+      sc: org.apache.spark.SparkContext): Unit =
+    try {
+      val bus = classOf[org.apache.spark.SparkContext]
+        .getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        .invoke(bus, java.lang.Long.valueOf(2000L)): Unit
+    } catch { case _: Throwable => () }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -142,7 +199,10 @@ object Bench {
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt.max(1)
     val gcBetween = sys.env.getOrElse("SPARK_GRAFT_GC_BETWEEN", "1") != "0"
     val calibMs = calibrateMs()
-    System.err.println(s"[bench] cpu calibration: $calibMs ms " +
+    val calibMemMs =
+      calibrateMemMs(math.min(32, math.max(1, cpus.toInt)))
+    System.err.println(s"[bench] cpu calibration: $calibMs ms, " +
+      s"mem calibration: $calibMemMs ms " +
       s"(sink=${java.lang.Long.toHexString(calSink)})")
     // Per-query attribution (round-8, judge item: instrument the
     // driver-vs-builder spread instead of re-asserting it): a listener
@@ -162,11 +222,28 @@ object Bench {
     // a slow PLAN from a slow driver. Reset before each trial.
     val spanMin = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
     val spanMax = new java.util.concurrent.atomic.AtomicLong(0L)
+    // Job INTERVALS (r13 judge item #2): stream_winsorized showed 4.4 s
+    // wall with 1.8 s attributed — the missing seconds sit BETWEEN jobs
+    // inside the task span (micro-batch scheduling, trigger waits,
+    // state-store open), which neither task_ms nor driver_ms (wall −
+    // span) can see. Recording each job's [submit, end] interval lets
+    // the trial compute the merged-union coverage of "some job was in
+    // flight" and therefore gap_ms = span − coverage: time inside the
+    // span when NO job existed — pure inter-job machinery. wall ==
+    // driver_ms + job_cover_ms + gap_ms by construction.
+    val jobIv = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          jobsC.incrementAndGet(): Unit
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobsC.incrementAndGet()
+          jobIv.put(j.jobId, Array(j.time, -1L)): Unit
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val iv = jobIv.get(j.jobId)
+          if (iv != null) iv(1) = j.time
+        }
         override def onTaskStart(
             t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
           if (t.taskInfo != null)
@@ -182,6 +259,96 @@ object Bench {
             taskGcMsC.addAndGet(t.taskMetrics.jvmGCTime): Unit
         }
       })
+    // Streaming-machinery attribution (r13 judge item #2): the batch
+    // attribution fields (task/driver/scratch/GC) cover the data plane
+    // but not the streaming engine — trigger scheduling, offset-log
+    // WAL, state-store commit, query start/stop. Sum each progress
+    // event's durationMs components plus wall-clock query lifetime
+    // (started → terminated, measured at the listener) per trial, so a
+    // streaming key's wall decomposes into named engine phases instead
+    // of reading as unattributed driver time.
+    val stTrig = new java.util.concurrent.atomic.AtomicLong
+    val stLife = new java.util.concurrent.atomic.AtomicLong
+    val stQueries = new java.util.concurrent.atomic.AtomicLong
+    val stDur = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
+    val stStarts = new java.util.concurrent.ConcurrentHashMap[
+      java.util.UUID, java.lang.Long]()
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = {
+          stQueries.incrementAndGet()
+          stStarts.put(e.runId, java.lang.Long.valueOf(
+            System.currentTimeMillis())): Unit
+        }
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          stTrig.incrementAndGet()
+          e.progress.durationMs.forEach((k, v) =>
+            stDur.computeIfAbsent(k,
+              _ => new java.util.concurrent.atomic.AtomicLong)
+              .addAndGet(v): Unit): Unit
+        }
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+          val s = stStarts.remove(e.runId)
+          if (s != null)
+            stLife.addAndGet(System.currentTimeMillis() - s.longValue()): Unit
+        }
+      })
+    // Executed-plan fingerprint (r13 judge item #1): dedup_ngram ran
+    // 2.5 s min-of-2 on one box and 16.4 s standalone on another with
+    // 4–5× the task_ms, zero GC, identical code + fixture — the two
+    // candidate causes (AQE plan flip vs raw environment) are only
+    // separable if the BENCH detail records what plan actually ran.
+    // For the inverted-index probe keys, every query execution's final
+    // plan is walked (descending into AQE's executedPlan and
+    // materialized query stages) and summarized as join nodes with
+    // their numOutputRows, shuffle/broadcast stages with runtime row
+    // counts + bytes, and AQE coalesced-read partition counts. Two
+    // boxes with matching fingerprints ran the same plan over the same
+    // rows — any residual wall delta is environment by elimination.
+    val planProbe = Set("dedup_ngram", "dedup_containment",
+      "dedup_minhash_recall", "dedup_semantic")
+    val planOn = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val planBuf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{
+          AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+        private def walk(p: SparkPlan,
+            out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+          if (out.size >= 48) return // bound the row for pathological plans
+          val nn = p.nodeName
+          if (nn.contains("Join"))
+            out += nn + ":" +
+              p.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+          p match {
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan, out)
+            case q: QueryStageExec =>
+              val st = q.getRuntimeStatistics
+              out += q.nodeName + ":r" +
+                st.rowCount.map(_.toString).getOrElse("?") +
+                ":b" + st.sizeInBytes
+              walk(q.plan, out)
+            case r: AQEShuffleReadExec =>
+              out += "AQERead:p" + r.partitionSpecs.length
+              r.children.foreach(walk(_, out))
+            case o => o.children.foreach(walk(_, out))
+          }
+        }
+        override def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            ns: Long): Unit =
+          if (planOn.get) try {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            walk(qe.executedPlan, out)
+            if (out.nonEmpty) planBuf.add(out.mkString(">")): Unit
+          } catch { case _: Throwable => () }
+        override def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      })
     import scala.jdk.CollectionConverters._
     def driverGcMs(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
@@ -195,6 +362,10 @@ object Bench {
         val (j0, t0c, tm0, tg0, dg0, sc0) =
           (jobsC.get, tasksC.get, taskMsC.get, taskGcMsC.get, driverGcMs(),
             ops.Llm.Scratch.buildMs.get)
+        val (st0q, st0trig, st0life) = (stQueries.get, stTrig.get, stLife.get)
+        val st0dur = stDur.asScala.map { case (k, v) => (k, v.get) }.toMap
+        jobIv.clear(); planBuf.clear()
+        planOn.set(planProbe.contains(name))
         spanMin.set(Long.MaxValue); spanMax.set(0L)
         val t0 = System.nanoTime()
         val ok =
@@ -204,6 +375,10 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        // Outside the timed window: flush async listener queues so the
+        // deltas below include all of THIS trial's events.
+        drainListenerBus(spark.sparkContext)
+        planOn.set(false)
         // driver_ms = wall − (first task launch → last task end): time
         // NO task was running — planning, driver-side broadcast
         // hashing, commit protocol. scratch_ms = wall spent inside
@@ -212,11 +387,51 @@ object Bench {
         val span = if (spanMax.get > spanMin.get) spanMax.get - spanMin.get
           else 0L
         val driverMs = math.max(0L, (dt * 1000).toLong - span)
+        // Merged-union job coverage inside the span window → gap_ms =
+        // span − coverage: inter-job machinery time (trigger waits,
+        // micro-batch scheduling) the r13 fields could not name.
+        val (coverMs, gapMs) = {
+          val sMin = spanMin.get; val sMax = spanMax.get
+          if (sMax > sMin) {
+            val ivs = jobIv.values.asScala.toSeq
+              .map(a => (math.max(a(0), sMin),
+                math.min(if (a(1) < 0) sMax else a(1), sMax)))
+              .filter { case (s, e) => e > s }
+              .sortBy(_._1)
+            var cov = 0L; var start = Long.MinValue; var end = Long.MinValue
+            for ((s, e) <- ivs) {
+              if (start == Long.MinValue) { start = s; end = e }
+              else if (s <= end) { if (e > end) end = e }
+              else { cov += end - start; start = s; end = e }
+            }
+            if (start != Long.MinValue) cov += end - start
+            (cov, math.max(0L, (sMax - sMin) - cov))
+          } else (0L, 0L)
+        }
+        val streamJson = {
+          val qD = stQueries.get - st0q
+          val trigD = stTrig.get - st0trig
+          if (qD > 0 || trigD > 0) {
+            val durs = stDur.asScala.toSeq
+              .map { case (k, v) => (k, v.get - st0dur.getOrElse(k, 0L)) }
+              .filter(_._2 > 0).sortBy(-_._2).take(8)
+              .map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
+            s""","stream":{"queries":$qD,"triggers":$trigD,""" +
+              s""""life_ms":${stLife.get - st0life}""" +
+              (if (durs.nonEmpty) "," + durs else "") + "}"
+          } else ""
+        }
+        val planJson =
+          if (planProbe.contains(name))
+            s""","plan":"${planBuf.asScala.mkString(";").take(1500)}""""
+          else ""
         detail += s"""{"q":"$name","trial":$trial,"wall_s":${(dt * 1000).round / 1000.0},""" +
           s""""jobs":${jobsC.get - j0},"tasks":${tasksC.get - t0c},""" +
           s""""task_ms":${taskMsC.get - tm0},"task_gc_ms":${taskGcMsC.get - tg0},""" +
           s""""driver_ms":$driverMs,"scratch_ms":${ops.Llm.Scratch.buildMs.get - sc0},""" +
-          s""""driver_gc_ms":${driverGcMs() - dg0},"heap_mb":${heapMb()}}"""
+          s""""job_cover_ms":$coverMs,"gap_ms":$gapMs,""" +
+          s""""driver_gc_ms":${driverGcMs() - dg0},"heap_mb":${heapMb()}""" +
+          streamJson + planJson + "}"
         // Unload state-store providers the query's streaming sinks left
         // behind: the provider pool otherwise GROWS across the 40+
         // streaming keys of the suite (r11: stream_tws 13.5 s in-suite
@@ -304,6 +519,12 @@ object Bench {
         // standalone inversion (pipeline_corpus_stream r12: 17.0 s
         // alone vs 5.2 s in-suite) is attributable from one BENCH file.
         val childFull = s"target/bench_standalone_$key.json"
+        // A stale per-key file from a PRIOR run must never be folded in
+        // as this run's attribution rows (r13 ADVICE): delete first,
+        // and skip the fold entirely when the child failed.
+        try java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(childFull)): Unit
+        catch { case _: Throwable => () }
         val standalone =
           try {
             val pb = new ProcessBuilder(cmd: _*)
@@ -326,11 +547,14 @@ object Bench {
           s""""insuite_s":${(insuite * 1000).round / 1000.0}}"""
         // fold the child's per-trial attribution rows in (best-effort:
         // a crashed child just contributes no rows)
-        try {
+        if (standalone >= 0) try {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(childFull)), "UTF-8")
+          // Depth-1 brace matcher: r14 detail rows can carry ONE level
+          // of nested objects ("stream":{...}) — the old [^}]* cut the
+          // row at the first inner brace, folding invalid JSON.
           val rowRe = ("\\{\"q\":\"" + java.util.regex.Pattern.quote(key) +
-            "\",\"trial\":[^}]*\\}").r
+            "\",\"trial\":(?:[^{}]|\\{[^{}]*\\})*\\}").r
           rowRe.findAllIn(txt).foreach { r =>
             detail += r.replaceFirst(
               "\"q\":\"" + java.util.regex.Pattern.quote(key) + "\"",
@@ -368,7 +592,7 @@ object Bench {
       // n + mean make rounds with different query counts comparable
       // (the suite grew 75 → 99 queries across rounds; the TOTAL alone
       // penalizes added coverage).
-      s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","n":${results.size},"mean_sec":${num("%.3f", mean)},"trials":$trials,"calib_ms":$calibMs,"calib_ref_ms":${CalibRefMs.toInt},"normalized_total":${num("%.2f", total * CalibRefMs / calibMs)},"fixture":$fixture,"queries":$qs$omitted,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","n":${results.size},"mean_sec":${num("%.3f", mean)},"trials":$trials,"calib_ms":$calibMs,"calib_mem_ms":$calibMemMs,"calib_ref_ms":${CalibRefMs.toInt},"normalized_total":${num("%.2f", total * CalibRefMs / calibMs)},"fixture":$fixture,"queries":$qs$omitted,"failed":$failed,"sf":"$sfDir"}"""
     }
     val budget = 1800
     val line = Iterator(render(2, results.size), render(1, results.size)) ++
@@ -388,7 +612,7 @@ object Bench {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullOut),
-      (s"""{"metric":"total","value":$total,"unit":"sec","calib_ms":$calibMs,"calib_ref_ms":${CalibRefMs.toInt},"normalized_total":${total * CalibRefMs / calibMs},"fixture":$fixture,"queries":$full,"failed":$failed,"sf":"$sfDir",""" +
+      (s"""{"metric":"total","value":$total,"unit":"sec","calib_ms":$calibMs,"calib_mem_ms":$calibMemMs,"cpus":"$cpus","procs":${Runtime.getRuntime.availableProcessors()},"calib_ref_ms":${CalibRefMs.toInt},"normalized_total":${total * CalibRefMs / calibMs},"fixture":$fixture,"queries":$full,"failed":$failed,"sf":"$sfDir",""" +
         s""""detail":[${detail.mkString(",")}]}""").getBytes("UTF-8"))
     spark.stop()
   }
