@@ -308,7 +308,7 @@ object Bench {
     // boxes with matching fingerprints ran the same plan over the same
     // rows — any residual wall delta is environment by elimination.
     val planProbe = Set("dedup_ngram", "dedup_containment",
-      "dedup_minhash_recall", "dedup_semantic")
+      "dedup_minhash_recall", "dedup_semantic", "graph_pagerank")
     val planOn = new java.util.concurrent.atomic.AtomicBoolean(false)
     val planBuf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.listenerManager.register(
@@ -355,6 +355,33 @@ object Bench {
     def heapMb(): Long = {
       val r = Runtime.getRuntime
       (r.totalMemory() - r.freeMemory()) / (1024 * 1024)
+    }
+    // Per-trial memory-bandwidth spot probe (r14): two CONSECUTIVE
+    // same-box full runs showed graph_pagerank at 5.3× the task CPU
+    // with zero GC and an identical plan, and the run-level
+    // calib_mem_ms read 42 vs 24 ms — the box's effective memory
+    // bandwidth VARIES OVER TIME (shared-host contention), which a
+    // single start-of-run calibration cannot localize. One thread
+    // sweeps a persistent 32 MiB array right after each trial
+    // (~3–10 ms, outside the timed window): the resulting per-trial
+    // series shows whether the box was slow WHEN a given key ran —
+    // the per-key analog of calib_mem_ms, and the direct test of the
+    // environment hypothesis for the r13 dedup_ngram bimodality.
+    val memProbeArr = new Array[Long]((32 << 20) / 8)
+    java.util.Arrays.fill(memProbeArr, 1L)
+    def memProbeMs(): Long = {
+      val n = memProbeArr.length
+      var acc = 0L
+      val t0 = System.nanoTime()
+      var s = 0
+      while (s < 4) {
+        var i = s
+        val step = 1 + s * 16
+        while (i < n) { acc ^= memProbeArr(i); i += step }
+        s += 1
+      }
+      calSink += acc
+      ((System.nanoTime() - t0) + 500000) / 1000000
     }
     val detail = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
@@ -430,7 +457,8 @@ object Bench {
           s""""task_ms":${taskMsC.get - tm0},"task_gc_ms":${taskGcMsC.get - tg0},""" +
           s""""driver_ms":$driverMs,"scratch_ms":${ops.Llm.Scratch.buildMs.get - sc0},""" +
           s""""job_cover_ms":$coverMs,"gap_ms":$gapMs,""" +
-          s""""driver_gc_ms":${driverGcMs() - dg0},"heap_mb":${heapMb()}""" +
+          s""""driver_gc_ms":${driverGcMs() - dg0},"heap_mb":${heapMb()},""" +
+          s""""mem_probe_ms":${memProbeMs()}""" +
           streamJson + planJson + "}"
         // Unload state-store providers the query's streaming sinks left
         // behind: the provider pool otherwise GROWS across the 40+
