@@ -72,6 +72,31 @@ object Bench {
     (1 to 3).map(_ => pass()).min
   }
 
+  /** Merged-union coverage of `ivs` (start, end) intervals clipped to
+    * [lo, hi] — the job-interval coverage behind gap_ms (gap = (hi −
+    * lo) − coverage). Factored out of the trial loop so BenchSpec can
+    * pin the merge against overlap/nesting/clipping/unfinished-job
+    * shapes (an off-by-one here silently mis-attributes every key's
+    * between-job time). Open intervals (end < 0 = job still running)
+    * clip to hi. */
+  private[graft] def mergedCoverage(
+      ivs: Seq[(Long, Long)], lo: Long, hi: Long): Long = {
+    if (hi <= lo) return 0L
+    val clipped = ivs
+      .map { case (s, e) => (math.max(s, lo),
+        math.min(if (e < 0) hi else e, hi)) }
+      .filter { case (s, e) => e > s }
+      .sortBy(_._1)
+    var cov = 0L; var start = Long.MinValue; var end = Long.MinValue
+    for ((s, e) <- clipped) {
+      if (start == Long.MinValue) { start = s; end = e }
+      else if (s <= end) { if (e > end) end = e }
+      else { cov += end - start; start = s; end = e }
+    }
+    if (start != Long.MinValue) cov += end - start
+    cov
+  }
+
   /** r9 driver-box calibration constant (BENCH_r09 ran on a box that
     * measures 149 ms on [[calibrateMs]]'s fixed work unit). The
     * contract line carries BOTH the raw total and
@@ -420,18 +445,8 @@ object Bench {
         val (coverMs, gapMs) = {
           val sMin = spanMin.get; val sMax = spanMax.get
           if (sMax > sMin) {
-            val ivs = jobIv.values.asScala.toSeq
-              .map(a => (math.max(a(0), sMin),
-                math.min(if (a(1) < 0) sMax else a(1), sMax)))
-              .filter { case (s, e) => e > s }
-              .sortBy(_._1)
-            var cov = 0L; var start = Long.MinValue; var end = Long.MinValue
-            for ((s, e) <- ivs) {
-              if (start == Long.MinValue) { start = s; end = e }
-              else if (s <= end) { if (e > end) end = e }
-              else { cov += end - start; start = s; end = e }
-            }
-            if (start != Long.MinValue) cov += end - start
+            val cov = mergedCoverage(
+              jobIv.values.asScala.toSeq.map(a => (a(0), a(1))), sMin, sMax)
             (cov, math.max(0L, (sMax - sMin) - cov))
           } else (0L, 0L)
         }
