@@ -306,9 +306,11 @@ object Llm {
           try { prior.join(): Unit; done = true }
           catch {
             // The winner failed (its latch is already uninstalled):
-            // loop and try to become the builder ourselves.
+            // loop and try to become the builder ourselves. Only the
+            // failure wrapper retries — a CancellationException (nobody
+            // cancels these futures; defensive) propagates rather than
+            // spin against a still-installed cancelled latch.
             case _: java.util.concurrent.CompletionException => ()
-            case _: java.util.concurrent.CancellationException => ()
           }
         }
       }
