@@ -47,7 +47,17 @@ object Bench {
     * calib_mem_ms has named the dedup_ngram divergence. */
   private def calibrateMemMs(threads: Int): Long = {
     val n = (32 << 20) / 8 // 32 MiB of longs per thread
-    val arrays = Array.fill(threads)(new Array[Long](n))
+    // Bound calibration memory independently of SPARK_GRAFT_CPUS (r14
+    // ADVICE): threads × 32 MiB live across all 3 passes is 1 GiB at
+    // the 32-thread cap — fine under the bench's fixed 12g heap, an
+    // OOM / full-GC hazard on a smaller -Xmx. Cap the sweepers at
+    // heapMb/128 (≤ ¼ of the heap in arrays); the probe measures
+    // loaded-bandwidth contention, which saturates at any thread count
+    // ≥ the memory channels, so the capped measurement names the same
+    // axis (and on the 12g bench heap the cap never binds: 96 > 32).
+    val heapMb = (Runtime.getRuntime.maxMemory() >> 20).toInt
+    val eff = math.max(1, math.min(threads, heapMb / 128))
+    val arrays = Array.fill(eff)(new Array[Long](n))
     // touch every page before timing
     arrays.foreach { a => var i = 0; while (i < n) { a(i) = i; i += 4096 } }
     def pass(): Long = {
@@ -106,6 +116,19 @@ object Bench {
     * re-attributing it by hand each round (the r8/r9 "identical
     * jobs/tasks, 2-8× task CPU" analysis, now one number). */
   private val CalibRefMs = 149.0
+
+  /** r14 gate-box memory-bandwidth reference ([[calibrateMemMs]] read
+    * 21 ms on the BENCH_r14 box of record). The r14 variance analysis
+    * proved core speed and loaded bandwidth are INDEPENDENT axes
+    * (equal calib_ms, 3–5× calib_mem_ms across windows), so the
+    * headline normalization is two-axis (r14 judge item #4):
+    * memory-bound keys (the plan-probe set — the inverted-index dedup
+    * family + pagerank, the keys the bimodality analysis attributed
+    * to bandwidth contention) normalize by the calib_mem ratio,
+    * everything else by the core ratio. `normalized_total_2ax` in the
+    * contract line is the result; the single-axis `normalized_total`
+    * stays for cross-round continuity. */
+  private val CalibMemRefMs = 21.0
 
   private lazy val unloadStateStoresM: Option[(Any, java.lang.reflect.Method)] =
     try {
@@ -295,6 +318,14 @@ object Bench {
     val stTrig = new java.util.concurrent.atomic.AtomicLong
     val stLife = new java.util.concurrent.atomic.AtomicLong
     val stQueries = new java.util.concurrent.atomic.AtomicLong
+    // Trial-window clamp for lifetime attribution (r14 ADVICE): a
+    // query spanning a trial boundary must charge only the current
+    // trial's share, not its whole lifetime, to the trial it happens
+    // to terminate in. (Queries still running at trial end contribute
+    // nothing until they terminate — every registered key drains its
+    // own queries via awaitTermination, so that shape doesn't occur
+    // on the measured path.)
+    val stTrialStart = new java.util.concurrent.atomic.AtomicLong(0L)
     val stDur = new java.util.concurrent.ConcurrentHashMap[
       String, java.util.concurrent.atomic.AtomicLong]()
     val stStarts = new java.util.concurrent.ConcurrentHashMap[
@@ -316,8 +347,11 @@ object Bench {
         }
         override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
           val s = stStarts.remove(e.runId)
-          if (s != null)
-            stLife.addAndGet(System.currentTimeMillis() - s.longValue()): Unit
+          if (s != null) {
+            val from = math.max(s.longValue(), stTrialStart.get())
+            stLife.addAndGet(
+              math.max(0L, System.currentTimeMillis() - from)): Unit
+          }
         }
       })
     // Executed-plan fingerprint (r13 judge item #1): dedup_ngram ran
@@ -409,6 +443,12 @@ object Bench {
       ((System.nanoTime() - t0) + 500000) / 1000000
     }
     val detail = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Keys that ran at least one streaming query (observed, not
+    // name-matched): their subtotal is ~80% trigger/commit machinery
+    // (the r14 listener decomposition), so the contract line reports
+    // it alongside the total — the streaming-floor-excluded remainder
+    // is the contention-comparable batch number.
+    val streamKeys = scala.collection.mutable.Set.empty[String]
     val results = selected.map { case (name, fn) =>
       val times = (1 to trials).map { trial =>
         val (j0, t0c, tm0, tg0, dg0, sc0) =
@@ -416,6 +456,7 @@ object Bench {
             ops.Llm.Scratch.buildMs.get)
         val (st0q, st0trig, st0life) = (stQueries.get, stTrig.get, stLife.get)
         val st0dur = stDur.asScala.map { case (k, v) => (k, v.get) }.toMap
+        stTrialStart.set(System.currentTimeMillis())
         jobIv.clear(); planBuf.clear()
         planOn.set(planProbe.contains(name))
         spanMin.set(Long.MaxValue); spanMax.set(0L)
@@ -453,6 +494,7 @@ object Bench {
         val streamJson = {
           val qD = stQueries.get - st0q
           val trigD = stTrig.get - st0trig
+          if (qD > 0 || trigD > 0) streamKeys += name: Unit
           if (qD > 0 || trigD > 0) {
             val durs = stDur.asScala.toSeq
               .map { case (k, v) => (k, v.get - st0dur.getOrElse(k, 0L)) }
@@ -624,6 +666,17 @@ object Bench {
       String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     // mean over an empty filtered run would be NaN — invalid JSON.
     val mean = if (results.isEmpty) 0.0 else total / results.size
+    // Two-axis normalization (r14 judge item #4): memory-bound keys by
+    // the bandwidth ratio, the rest by the core ratio — see
+    // [[CalibMemRefMs]]. planProbe IS the memory-bound set (that is
+    // why those keys carry plan fingerprints in the first place).
+    val total2ax = results.map { case (k, v) =>
+      val w = math.abs(v)
+      if (planProbe.contains(k)) w * CalibMemRefMs / math.max(1L, calibMemMs)
+      else w * CalibRefMs / math.max(1L, calibMs)
+    }.sum
+    val streamSub = results
+      .collect { case (k, v) if streamKeys.contains(k) => math.abs(v) }.sum
     def render(prec: Int, keep: Int): String = {
       val shown = results.sortBy { case (_, v) => -math.abs(v) }.take(keep)
         .sortBy(_._1)
@@ -635,7 +688,7 @@ object Bench {
       // n + mean make rounds with different query counts comparable
       // (the suite grew 75 → 99 queries across rounds; the TOTAL alone
       // penalizes added coverage).
-      s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","n":${results.size},"mean_sec":${num("%.3f", mean)},"trials":$trials,"calib_ms":$calibMs,"calib_mem_ms":$calibMemMs,"calib_ref_ms":${CalibRefMs.toInt},"normalized_total":${num("%.2f", total * CalibRefMs / calibMs)},"fixture":$fixture,"queries":$qs$omitted,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","n":${results.size},"mean_sec":${num("%.3f", mean)},"trials":$trials,"calib_ms":$calibMs,"calib_mem_ms":$calibMemMs,"calib_ref_ms":${CalibRefMs.toInt},"calib_mem_ref_ms":${CalibMemRefMs.toInt},"normalized_total":${num("%.2f", total * CalibRefMs / calibMs)},"normalized_total_2ax":${num("%.2f", total2ax)},"stream_sub":${num("%.2f", streamSub)},"fixture":$fixture,"queries":$qs$omitted,"failed":$failed,"sf":"$sfDir"}"""
     }
     val budget = 1800
     val line = Iterator(render(2, results.size), render(1, results.size)) ++
@@ -655,7 +708,7 @@ object Bench {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullOut),
-      (s"""{"metric":"total","value":$total,"unit":"sec","calib_ms":$calibMs,"calib_mem_ms":$calibMemMs,"cpus":"$cpus","procs":${Runtime.getRuntime.availableProcessors()},"calib_ref_ms":${CalibRefMs.toInt},"normalized_total":${total * CalibRefMs / calibMs},"fixture":$fixture,"queries":$full,"failed":$failed,"sf":"$sfDir",""" +
+      (s"""{"metric":"total","value":$total,"unit":"sec","calib_ms":$calibMs,"calib_mem_ms":$calibMemMs,"cpus":"$cpus","procs":${Runtime.getRuntime.availableProcessors()},"calib_ref_ms":${CalibRefMs.toInt},"calib_mem_ref_ms":${CalibMemRefMs.toInt},"normalized_total":${total * CalibRefMs / calibMs},"normalized_total_2ax":$total2ax,"stream_sub":$streamSub,"fixture":$fixture,"queries":$full,"failed":$failed,"sf":"$sfDir",""" +
         s""""detail":[${detail.mkString(",")}]}""").getBytes("UTF-8"))
     spark.stop()
   }

@@ -296,7 +296,15 @@ object Llm {
               built.remove(path, fresh): Unit
               fresh.completeExceptionally(e): Unit
               throw e
-          } finally building.remove(path): Unit
+          } finally
+            // Conditional on OUR thread (r14 ADVICE): after a failed
+            // build the catch above has already uninstalled the latch,
+            // so a retrying waiter may have installed itself as the NEW
+            // builder before this finally runs — an unconditional
+            // remove would delete the new builder's entry and silently
+            // disable the reentrant fail-fast guard exactly in the
+            // failure-retry window it coexists with.
+            building.remove(path, Thread.currentThread()): Unit
         } else if (building.get(path) eq Thread.currentThread()) {
           // Same thread, same path, build still in flight: joining our
           // own incomplete future would deadlock. Fail fast, named.
@@ -772,11 +780,19 @@ object Llm {
     * shuffle — text never moves); the removal side brings ONLY the
     * per-doc sorted list of duplicated window STARTS back to the
     * document row (an O(dup windows) array, not per-token rows), and
-    * token excision is a single array pass per document — covered(p) ⟺
-    * ∃ start ∈ [p−k+1, p] — so the cleaned text is produced where the
-    * text already lives. LlmSpec pins: flagged windows' tokens are all
-    * removed, survivors are an in-order subsequence of the original,
-    * and flag-free documents pass through verbatim. */
+    * token excision is LINEAR per document — the starts expand to
+    * their covered positions (≤ k per start) and one hash-set
+    * difference (`array_except` builds an OpenHashSet over the
+    * covered side) keeps the uncovered positions in order, O(tokens +
+    * k·dup-starts), with O(1) `element_at` lookups mapping survivors
+    * back to tokens. The r14 per-token `exists` over the starts array
+    * was the engine's only super-linear per-row lambda (O(tokens ×
+    * dup-starts): a long, heavily self-duplicated document went
+    * quadratic in one projection — the text_winnow class); LlmSpec
+    * pins the rewrite bit-identical to that formulation. Further
+    * pins: flagged windows' tokens are all removed, survivors are an
+    * in-order subsequence of the original, and flag-free documents
+    * pass through verbatim. */
   private def dedupSubstringRemove: Q = (s, d) => {
     val k = 20
     val docs = t(s, d, "documents")
@@ -794,17 +810,19 @@ object Llm {
     docs.join(dupStarts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("t"),
         coalesce(col("starts"), array().cast("array<int>")).as("starts"))
-      .select(col("doc_id"), col("t"), col("starts"),
-        filter(
-          zip_with(col("t"), sequence(lit(1), size(col("t"))),
-            (tok, p) => struct(tok.as("tok"), p.as("p"))),
-          z => !exists(col("starts"),
-            st => st <= z("p") && st >= z("p") - (k - 1))).as("kept"))
+      // covered = ∪ [st, st+k−1]; kept = positions ∖ covered (ordered).
+      .select(col("doc_id"), col("t"),
+        transform(
+          array_except(
+            sequence(lit(1), size(col("t"))),
+            flatten(transform(col("starts"),
+              st => sequence(st, st + (k - 1))))),
+          p => element_at(col("t"), p)).as("kept"),
+        size(col("t")).cast("long").as("n_tokens"))
       .select(col("doc_id"),
-        concat_ws(" ", transform(col("kept"), z => z("tok")))
-          .as("clean_text"),
-        size(col("t")).cast("long").as("n_tokens"),
-        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"))
+        concat_ws(" ", col("kept")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"))
       .orderBy("doc_id")
   }
 

@@ -199,6 +199,41 @@ object Streaming {
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Conf window for the TINY-FOLD foreachBatch loops (state ≤ a few
+    * hundred domain-bounded rows, no state stores): AQE materializes
+    * every shuffle stage as its own Spark job, so a two-agg fold body
+    * pays 3 job-scheduling round-trips per micro-batch to adaptively
+    * re-plan kilobytes — the r14 stream decomposition measured
+    * ~230 ms/batch of addBatch on folds whose task time is ~15 ms.
+    * Static planning (AQE off) runs each action as ONE job, and a
+    * 2-partition shuffle width matches the state size. Data-scaled
+    * streaming bodies (stream_seq / stream_markov / sdi / the corpus
+    * pipeline) keep AQE — their per-batch joins are the workload. */
+  private def withFoldConf[T](s: SparkSession)(body: => T): T = {
+    val prevP = s.conf.get("spark.sql.shuffle.partitions")
+    val prevA = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevP)
+      s.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
+  /** Staged-file count for the REGISTERED incremental-fold keys: 2
+    * files → one seed batch + one real merge batch — the incremental
+    * path (read v(b−1), fold, write v(b)) executes with its non-seed
+    * branch taken, at half the per-trigger machinery the r14 bench
+    * decomposition measured (~110 ms commit trio + ~230 ms addBatch
+    * per batch). ReplaySpec's crash-replay contract passes 4 so its
+    * arm-at-batch-2 / resume-to-batch-3 pins are unchanged, and the
+    * keys whose specs pin ≥4 versions (stream_mv, stream_seq,
+    * stream_skyline) keep 4-file staging. Batch COUNT is a fixture
+    * knob, not a semantics knob: every fold is proven batch-boundary-
+    * independent by the shared batch oracle. */
+  private val regFiles = 2
+
   /** Run a streaming DF to completion into an in-memory table and return
     * the final result (AvailableNow = the reference's cron-batch shape). */
   private def runToMemory(s: SparkSession, df: DataFrame, name: String,
@@ -542,11 +577,13 @@ object Streaming {
     * twice on the SAME dirs (crash, then resume from the checkpoint).
     * Returns the last batch id committed by THIS invocation. */
   private[graft] def runStreamMv(s: SparkSession, d: String,
-      mvRoot: String, ckpt: String): Long = {
-    val src = s"$scratchRoot/stream_mv_src/${Llm.Scratch.key(d)}"
+      mvRoot: String, ckpt: String, files: Int = 4): Long = {
+    // files defaults to 4 here (not regFiles): QueriesSpec pins the
+    // registered stream_mv at ≥4 versions.
+    val src = s"$scratchRoot/stream_mv_src/${Llm.Scratch.key(d)}_f$files"
     Llm.Scratch.once(src) {
       events(s, d).select(col("event_type"), col("value"))
-        .repartition(4).write.mode("overwrite").parquet(src)
+        .repartition(files).write.mode("overwrite").parquet(src)
     }
     @volatile var lastBatch = -1L
     val st = s.readStream
@@ -555,7 +592,7 @@ object Streaming {
         .add("value", org.apache.spark.sql.types.DoubleType))
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
-    withStatePartitions(s) {
+    withFoldConf(s) {
       val q = st.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val part = batch.groupBy("event_type")
@@ -625,12 +662,12 @@ object Streaming {
   /** The stream_theta run loop with caller-owned dirs (see
     * [[runStreamMv]]). Returns the last batch id of this invocation. */
   private[graft] def runStreamTheta(s: SparkSession, d: String,
-      root: String, ckpt: String): Long = {
+      root: String, ckpt: String, files: Int = regFiles): Long = {
     val k = 64
-    val src = s"$scratchRoot/stream_theta_src/${Llm.Scratch.key(d)}"
+    val src = s"$scratchRoot/stream_theta_src/${Llm.Scratch.key(d)}_f$files"
     Llm.Scratch.once(src) {
       events(s, d).select(col("user_id"))
-        .repartition(4).write.mode("overwrite").parquet(src)
+        .repartition(files).write.mode("overwrite").parquet(src)
     }
     @volatile var lastBatch = -1L
     val st = s.readStream
@@ -638,7 +675,7 @@ object Streaming {
         .add("user_id", org.apache.spark.sql.types.LongType))
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
-    withStatePartitions(s) {
+    withFoldConf(s) {
       val q = st.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val part = batch.select(col("user_id")).distinct()
@@ -687,11 +724,12 @@ object Streaming {
   /** The stream_skyline run loop with caller-owned dirs (see
     * [[runStreamMv]]). Returns the last batch id of this invocation. */
   private[graft] def runStreamSkyline(s: SparkSession, d: String,
-      root: String, ckpt: String): Long = {
-    val src = s"$scratchRoot/stream_skyline_src/${Llm.Scratch.key(d)}"
+      root: String, ckpt: String, files: Int = 4): Long = {
+    // files defaults to 4 (not regFiles): QueriesSpec pins ≥4 versions.
+    val src = s"$scratchRoot/stream_skyline_src/${Llm.Scratch.key(d)}_f$files"
     Llm.Scratch.once(src) {
       Relational.skylineInput(s, d)
-        .repartition(4).write.mode("overwrite").parquet(src)
+        .repartition(files).write.mode("overwrite").parquet(src)
     }
     @volatile var lastBatch = -1L
     val st = s.readStream
@@ -702,7 +740,7 @@ object Streaming {
         .add("size", org.apache.spark.sql.types.LongType))
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
-    withStatePartitions(s) {
+    withFoldConf(s) {
       val q = st.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val part = Relational.skylineOf(batch)
@@ -745,12 +783,12 @@ object Streaming {
   /** The stream_topk run loop with caller-owned dirs (see
     * [[runStreamMv]]). Returns the last batch id of this invocation. */
   private[graft] def runStreamTopk(s: SparkSession, d: String,
-      root: String, ckpt: String): Long = {
+      root: String, ckpt: String, files: Int = regFiles): Long = {
     val k = 25
-    val src = s"$scratchRoot/stream_topk_src/${Llm.Scratch.key(d)}"
+    val src = s"$scratchRoot/stream_topk_src/${Llm.Scratch.key(d)}_f$files"
     Llm.Scratch.once(src) {
       t(s, d, "documents").select(col("doc_id"), col("n_chars"))
-        .repartition(4).write.mode("overwrite").parquet(src)
+        .repartition(files).write.mode("overwrite").parquet(src)
     }
     @volatile var lastBatch = -1L
     val st = s.readStream
@@ -759,7 +797,7 @@ object Streaming {
         .add("n_chars", org.apache.spark.sql.types.LongType))
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
-    withStatePartitions(s) {
+    withFoldConf(s) {
       val q = st.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val part = batch.orderBy(col("n_chars").desc, col("doc_id"))
@@ -837,7 +875,7 @@ object Streaming {
       .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(src)
-    withStatePartitions(s) {
+    withFoldConf(s) {
       val q = st.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val part = batch.groupBy(keys.head, keys.tail: _*)
@@ -864,12 +902,13 @@ object Streaming {
   /** [[runStreamFold]] on the bounded (l_returnflag, q) value
     * histogram — stream_mode/stream_winsorized's pre-image. */
   private[graft] def runStreamHist(s: SparkSession, d: String,
-      root: String, ckpt: String, tag: String): Long = {
-    val src = s"$scratchRoot/stream_hist_src/${Llm.Scratch.key(d)}"
+      root: String, ckpt: String, tag: String,
+      files: Int = regFiles): Long = {
+    val src = s"$scratchRoot/stream_hist_src/${Llm.Scratch.key(d)}_f$files"
     Llm.Scratch.once(src) {
       t(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
-        .repartition(4).write.mode("overwrite").parquet(src)
+        .repartition(files).write.mode("overwrite").parquet(src)
     }
     runStreamFold(s, root, ckpt, tag, src,
       new StructType()
@@ -922,13 +961,14 @@ object Streaming {
     * event_id draw and break the 4-batch replay contract), and only
     * the two columns the fold consumes are persisted. */
   private[graft] def runStreamHourly(s: SparkSession, d: String,
-      root: String, ckpt: String, tag: String): Long = {
-    val src = s"$scratchRoot/stream_hourly_src/${Llm.Scratch.key(d)}"
+      root: String, ckpt: String, tag: String,
+      files: Int = regFiles): Long = {
+    val src = s"$scratchRoot/stream_hourly_src/${Llm.Scratch.key(d)}_f$files"
     Llm.Scratch.once(src) {
       val ev = events(s, d)
         .select(col("event_type"), expr("ts_us DIV 3600000000").as("hr"),
-          pmod(col("event_id"), lit(4)).cast("int").as("part"))
-      (0 until 4).foreach { i =>
+          pmod(col("event_id"), lit(files)).cast("int").as("part"))
+      (0 until files).foreach { i =>
         ev.where(col("part") === i).drop("part").repartition(1)
           .write.mode(if (i == 0) "overwrite" else "append").parquet(src)
       }
@@ -973,12 +1013,13 @@ object Streaming {
     * contingency cells — stream_chisq/stream_cramersv's ≤6-row
     * pre-image. */
   private[graft] def runStreamCells(s: SparkSession, d: String,
-      root: String, ckpt: String, tag: String): Long = {
-    val src = s"$scratchRoot/stream_cells_src/${Llm.Scratch.key(d)}"
+      root: String, ckpt: String, tag: String,
+      files: Int = regFiles): Long = {
+    val src = s"$scratchRoot/stream_cells_src/${Llm.Scratch.key(d)}_f$files"
     Llm.Scratch.once(src) {
       t(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"))
-        .repartition(4).write.mode("overwrite").parquet(src)
+        .repartition(files).write.mode("overwrite").parquet(src)
     }
     runStreamFold(s, root, ckpt, tag, src,
       new StructType()
@@ -1028,13 +1069,15 @@ object Streaming {
   /** The stream_seq run loop with caller-owned dirs (see
     * [[runStreamMv]]). Returns the last batch id of this invocation. */
   private[graft] def runStreamSeq(s: SparkSession, d: String,
-      root: String, ckpt: String): Long = {
-    val src = s"$scratchRoot/stream_seq_src/${Llm.Scratch.key(d)}"
+      root: String, ckpt: String, files: Int = 4): Long = {
+    // files defaults to 4 (not regFiles): QueriesSpec pins the
+    // registered stream_seq at ≥4 MV versions and ≥4 batch dirs.
+    val src = s"$scratchRoot/stream_seq_src/${Llm.Scratch.key(d)}_f$files"
     Llm.Scratch.once(src) {
       events(s, d)
         .select(col("event_id"), col("user_id"), col("ts_us"),
           substring(col("event_type"), 1, 1).as("ch"))
-        .repartition(4) // round-robin: 4 files, arrival order ≠ time order
+        .repartition(files) // round-robin: arrival order ≠ time order
         .write.mode("overwrite").parquet(src)
     }
     @volatile var lastBatch = -1L
@@ -1140,13 +1183,13 @@ object Streaming {
   /** The stream_markov run loop with caller-owned dirs (see
     * [[runStreamMv]]). Returns the last batch id of this invocation. */
   private[graft] def runStreamMarkov(s: SparkSession, d: String,
-      root: String, ckpt: String): Long = {
-    val src = s"$scratchRoot/stream_markov_src/${Llm.Scratch.key(d)}"
+      root: String, ckpt: String, files: Int = regFiles): Long = {
+    val src = s"$scratchRoot/stream_markov_src/${Llm.Scratch.key(d)}_f$files"
     Llm.Scratch.once(src) {
       events(s, d)
         .select(col("event_id"), col("user_id"), col("ts_us"),
           col("event_type"))
-        .repartition(4) // round-robin: arrival order ≠ time order
+        .repartition(files) // round-robin: arrival order ≠ time order
         .write.mode("overwrite").parquet(src)
     }
     @volatile var lastBatch = -1L
@@ -1213,7 +1256,7 @@ object Streaming {
   /** STREAMING incremental near-dup dedup — dedup_incremental's
     * streaming twin, and the shape a 100 TB corpus actually grows in:
     * the signature BAND INDEX is a stored artifact; new documents
-    * stream in (4 doc_id-ordered files drained 1 per micro-batch), and
+    * stream in (doc_id-ordered files drained 1 per micro-batch), and
     * each micro-batch computes its own MinHash signatures, probes the
     * CURRENT index (base evens + every previously-streamed batch) plus
     * its own lower-id rows via the band equi-join, emits keep/dup
@@ -1239,11 +1282,12 @@ object Streaming {
   /** The stream_dedup_incremental run loop with caller-owned dirs
     * (see [[runStreamMv]]). */
   private[graft] def runStreamDedupIncremental(s: SparkSession, d: String,
-      idxApp: String, resRoot: String, ckpt: String): Unit = {
+      idxApp: String, resRoot: String, ckpt: String,
+      files: Int = regFiles): Unit = {
     graft.expr.MinHashSketch.register(s)
     val sigT = Llm.minhashSigTable(s, d)
     // One-time stored artifacts (immutable per input dir): the base
-    // index = band rows of the even half, and the 4 staged new-doc
+    // index = band rows of the even half, and the staged new-doc
     // files. Strictly increasing mtimes pin the file source's drain
     // order to doc_id order (it sorts by modification time).
     val baseIdx = s"$scratchRoot/sdi_base/${Llm.Scratch.key(d)}"
@@ -1251,14 +1295,14 @@ object Streaming {
       Llm.bandRows(sigT.where(col("doc_id") % 2 === 0))
         .write.mode("overwrite").parquet(baseIdx)
     }
-    val srcDir = s"$scratchRoot/sdi_src/${Llm.Scratch.key(d)}"
+    val srcDir = s"$scratchRoot/sdi_src/${Llm.Scratch.key(d)}_f$files"
     Llm.Scratch.once(srcDir) {
       val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
       val odd = t(s, d, "documents").where(col("doc_id") % 2 === 1)
         .select(col("doc_id"), col("text"))
-        .withColumn("bucket", ntile(4).over(w))
+        .withColumn("bucket", ntile(files).over(w))
       new java.io.File(srcDir).mkdirs()
-      for (b <- 1 to 4) {
+      for (b <- 1 to files) {
         val tmp = s"$srcDir.tmp$b"
         odd.where(col("bucket") === b).drop("bucket")
           .coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -1348,14 +1392,14 @@ object Streaming {
     * O(batch), the digest index is append-only, and no state grows
     * with corpus size except the index itself. */
   private def streamPipelineCorpus: Q = (s, d) => {
-    val srcDir = s"$scratchRoot/spc_src/${Llm.Scratch.key(d)}"
+    val srcDir = s"$scratchRoot/spc_src/${Llm.Scratch.key(d)}_f$regFiles"
     Llm.Scratch.once(srcDir) {
       val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
-        .withColumn("bucket", ntile(4).over(w))
+        .withColumn("bucket", ntile(regFiles).over(w))
       new java.io.File(srcDir).mkdirs()
-      for (b <- 1 to 4) {
+      for (b <- 1 to regFiles) {
         val tmp = s"$srcDir.tmp$b"
         docs.where(col("bucket") === b).drop("bucket")
           .coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -571,6 +571,47 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_substring_remove linear excision is bit-identical to the " +
+      "per-token exists formulation") {
+    // r14 ADVICE/judge item: the registered plan's hash-set difference
+    // (array_except over expanded covered positions, O(tokens + k·starts))
+    // must reproduce the r14 per-token `exists` scan (O(tokens × starts))
+    // EXACTLY — same clean_text bytes, same counts, every document.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val k = 20
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val wins = docs.where(size(col("t")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => md5(concat_ws(" ", slice(col("t"), i, lit(k))))))
+          .as(Seq("i0", "h")))
+    val dupStarts = wins
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .where(col("cnt") >= 2).groupBy("doc_id")
+      .agg(sort_array(collect_set(col("i0") + 1)).as("starts"))
+    val old = docs.join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("t"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("doc_id"), col("t"), col("starts"),
+        filter(
+          zip_with(col("t"), sequence(lit(1), size(col("t"))),
+            (tok, p) => struct(tok.as("tok"), p.as("p"))),
+          z => !exists(col("starts"),
+            st => st <= z("p") && st >= z("p") - (k - 1))).as("kept"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("kept"), z => z("tok")))
+          .as("clean_text"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val got = SparkEntry.queries("dedup_substring_remove")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got === old)
+  }
+
   test("dedup_semantic decisions: dup_of is a lower-id same-cluster vector at cos >= tau") {
     val rows = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),

@@ -54,12 +54,12 @@ class ReplaySpec extends AnyFunSuite {
     val ckpt = fresh("theta/ckpt")
     ops.Streaming.Faults.arm("stream_theta:2")
     val ex = intercept[Exception] {
-      ops.Streaming.runStreamTheta(spark, sf, root, ckpt)
+      ops.Streaming.runStreamTheta(spark, sf, root, ckpt, files = 4)
     }
     assert(injected(ex), ex.toString)
     assert(new java.io.File(s"$root/v2").exists())
     assert(!new java.io.File(s"$root/v3").exists())
-    val last = ops.Streaming.runStreamTheta(spark, sf, root, ckpt)
+    val last = ops.Streaming.runStreamTheta(spark, sf, root, ckpt, files = 4)
     assert(last === 3L, s"resume should finish the 4-file drain, got $last")
     // identical final SKETCH ⇒ identical estimate row (recompute the
     // registered output shape from the resumed sketch)
@@ -83,12 +83,12 @@ class ReplaySpec extends AnyFunSuite {
     val ckpt = fresh("topk/ckpt")
     ops.Streaming.Faults.arm("stream_topk:2")
     val ex = intercept[Exception] {
-      ops.Streaming.runStreamTopk(spark, sf, root, ckpt)
+      ops.Streaming.runStreamTopk(spark, sf, root, ckpt, files = 4)
     }
     assert(injected(ex), ex.toString)
     assert(new java.io.File(s"$root/v2").exists())
     assert(!new java.io.File(s"$root/v3").exists())
-    val last = ops.Streaming.runStreamTopk(spark, sf, root, ckpt)
+    val last = ops.Streaming.runStreamTopk(spark, sf, root, ckpt, files = 4)
     assert(last === 3L, s"resume should finish the 4-file drain, got $last")
     val resumed = rows(spark.read.parquet(s"$root/v$last")
       .orderBy(col("n_chars").desc, col("doc_id")))
@@ -107,12 +107,12 @@ class ReplaySpec extends AnyFunSuite {
     val ckpt = fresh("hist/ckpt")
     ops.Streaming.Faults.arm("hist:2")
     val ex = intercept[Exception] {
-      ops.Streaming.runStreamHist(spark, sf, root, ckpt, "hist")
+      ops.Streaming.runStreamHist(spark, sf, root, ckpt, "hist", files = 4)
     }
     assert(injected(ex), ex.toString)
     assert(new java.io.File(s"$root/v2").exists())
     assert(!new java.io.File(s"$root/v3").exists())
-    val last = ops.Streaming.runStreamHist(spark, sf, root, ckpt, "hist")
+    val last = ops.Streaming.runStreamHist(spark, sf, root, ckpt, "hist", files = 4)
     assert(last === 3L, s"resume should finish the 4-file drain, got $last")
     val hist = spark.read.parquet(s"$root/v$last")
     val resumedMode = rows(ops.Relational.modeOf(hist)
@@ -140,12 +140,12 @@ class ReplaySpec extends AnyFunSuite {
     val ckpt = fresh("hourly/ckpt")
     ops.Streaming.Faults.arm("hourly:2")
     val ex = intercept[Exception] {
-      ops.Streaming.runStreamHourly(spark, sf, root, ckpt, "hourly")
+      ops.Streaming.runStreamHourly(spark, sf, root, ckpt, "hourly", files = 4)
     }
     assert(injected(ex), ex.toString)
     assert(new java.io.File(s"$root/v2").exists())
     assert(!new java.io.File(s"$root/v3").exists())
-    val last = ops.Streaming.runStreamHourly(spark, sf, root, ckpt, "hourly")
+    val last = ops.Streaming.runStreamHourly(spark, sf, root, ckpt, "hourly", files = 4)
     assert(last === 3L, s"resume should finish the 4-file drain, got $last")
     val grid = spark.read.parquet(s"$root/v$last")
     assert(rows(ops.Relational.rsiOf(grid)) === cleanRsi)
@@ -170,12 +170,12 @@ class ReplaySpec extends AnyFunSuite {
     val ckpt = fresh("cells/ckpt")
     ops.Streaming.Faults.arm("cells:2")
     val ex = intercept[Exception] {
-      ops.Streaming.runStreamCells(spark, sf, root, ckpt, "cells")
+      ops.Streaming.runStreamCells(spark, sf, root, ckpt, "cells", files = 4)
     }
     assert(injected(ex), ex.toString)
     assert(new java.io.File(s"$root/v2").exists())
     assert(!new java.io.File(s"$root/v3").exists())
-    val last = ops.Streaming.runStreamCells(spark, sf, root, ckpt, "cells")
+    val last = ops.Streaming.runStreamCells(spark, sf, root, ckpt, "cells", files = 4)
     assert(last === 3L, s"resume should finish the 4-file drain, got $last")
     val cells = spark.read.parquet(s"$root/v$last")
     assert(rows(ops.Relational.chisqReport(
@@ -196,12 +196,12 @@ class ReplaySpec extends AnyFunSuite {
     val ckpt = fresh("markov/ckpt")
     ops.Streaming.Faults.arm("stream_markov:2")
     val ex = intercept[Exception] {
-      ops.Streaming.runStreamMarkov(spark, sf, root, ckpt)
+      ops.Streaming.runStreamMarkov(spark, sf, root, ckpt, files = 4)
     }
     assert(injected(ex), ex.toString)
     assert(new java.io.File(s"$root/ev/batch=2").exists())
     assert(!new java.io.File(s"$root/mv_v2").exists())
-    val last = ops.Streaming.runStreamMarkov(spark, sf, root, ckpt)
+    val last = ops.Streaming.runStreamMarkov(spark, sf, root, ckpt, files = 4)
     assert(last === 3L, s"resume should finish the 4-file drain, got $last")
     // rebuild the registered output shape from the resumed per-user MV
     val perUser = spark.read.parquet(s"$root/mv_v$last")
@@ -251,14 +251,14 @@ class ReplaySpec extends AnyFunSuite {
     val ckpt = fresh("sdi/ckpt")
     ops.Streaming.Faults.arm("sdi:2")
     val ex = intercept[Exception] {
-      ops.Streaming.runStreamDedupIncremental(spark, sf, idx, res, ckpt)
+      ops.Streaming.runStreamDedupIncremental(spark, sf, idx, res, ckpt, files = 4)
     }
     assert(injected(ex), ex.toString)
     // decisions for batch 2 written, its index append missing: the
     // replay must re-probe the PRE-batch index epoch (b0, b1 only)
     assert(new java.io.File(s"$res/b2").exists())
     assert(!new java.io.File(s"$idx/b2").exists())
-    ops.Streaming.runStreamDedupIncremental(spark, sf, idx, res, ckpt)
+    ops.Streaming.runStreamDedupIncremental(spark, sf, idx, res, ckpt, files = 4)
     val resumed = rows(spark.read
       .option("recursiveFileLookup", "true").parquet(res)
       .orderBy("doc_id"))
