@@ -475,21 +475,26 @@ class LakeSpec extends AnyFunSuite {
 
   test("agg_hll_merge is self-auditing: rel_err ≤ 5%, sharded union == direct sketch") {
     import spark.implicits._
-    val rows = SparkEntry.queries("agg_hll_merge")(spark, sf).collect()
-    assert(rows.nonEmpty)
-    // the output embeds its own tolerance evidence (approx, exact, rel_err)
-    rows.foreach { r =>
-      assert(r.getAs[Double]("rel_err") <= 0.05,
-        s"${r.getString(0)}: rel_err ${r.getAs[Double]("rel_err")} > 5%")
-    }
-    // and the embedded exact column is honest vs an independent recompute
+    // Numeric tolerance on the production (audit-off) estimates; the
+    // gate (audit-on) output is the exact witness + corridor boolean
+    // the driver hash-checks — both must agree.
+    val prod = ops.Lake.aggHllMergePlan(spark, sf, audit = false).collect()
+    assert(prod.nonEmpty)
     val exact = Tables.t(spark, sf, "orders")
       .groupBy("o_orderpriority")
       .agg(countDistinct(col("o_custkey")).as("n"))
       .as[(String, Long)].collect().toMap
-    val approx = rows.map(r =>
+    val approx = prod.map(r =>
       r.getString(0) -> r.getAs[Long]("approx_customers")).toMap
-    rows.foreach { r =>
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e).toDouble / math.max(e, 1L) <= 0.05,
+        s"$k: rel_err ${math.abs(a - e).toDouble / e} > 5%")
+    }
+    val gate = SparkEntry.queries("agg_hll_merge")(spark, sf).collect()
+    assert(gate.nonEmpty)
+    gate.foreach { r =>
+      assert(r.getAs[Boolean]("within_tol"), s"${r.getString(0)}: corridor")
       assert(r.getAs[Long]("exact_customers") === exact(r.getString(0)))
     }
     // Mergeability: uniting 8 shard sketches must give the SAME

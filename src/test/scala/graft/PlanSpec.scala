@@ -205,12 +205,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Expand"), p)
   }
 
-  test("agg_approx ships a sketch-only plan: no Expand, no exact distinct") {
+  test("agg_approx production (audit-off) plan: no Expand, no exact distinct") {
     // The round-5 in-plan audit put two countDistincts next to the HLL
     // sketches — a multi-distinct Expand over the fact table, the exact
-    // anti-pattern the sketch exists to avoid. The audit now lives in
-    // RobustnessSpec; the shipped plan must stay sketch-only.
-    val p = planOf("agg_approx")
+    // anti-pattern the sketch exists to avoid. Since r15 the GATE plan
+    // (audit ON) deliberately carries the exact witness so the driver
+    // hash-checks the corridor booleans; the PRODUCTION plan (conf OFF)
+    // must stay sketch-only.
+    val p = ops.Relational.aggApproxPlan(spark, sf, audit = false)
+      .queryExecution.executedPlan.toString()
     assert(p.contains("approx_count_distinct"), p)
     assert(!p.contains("Expand"), p)
     assert(!p.contains("count(distinct"), p)
@@ -238,11 +241,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("agg_approx_quantile ships sketch-only: no exact percentile sort") {
-    val p = planOf("agg_approx_quantile")
+  test("agg_approx_quantile production (audit-off) plan: no exact percentile sort") {
+    // Gate plan (audit ON) carries exact percentiles for the corridor
+    // booleans since r15; the production plan must stay sketch-only.
+    val p = ops.Relational.aggApproxQuantilePlan(spark, sf, audit = false)
+      .queryExecution.executedPlan.toString()
     assert(p.contains("approx_percentile"), p)
     // exact `percentile(` (not approx_percentile) must not ride along
     assert("(?<!approx_)percentile\\(".r.findFirstIn(p).isEmpty, p)
+  }
+
+  test("agg_hll_merge production (audit-off) plan: sketch union only, no exact distinct") {
+    // Conf OFF is the 100 TB shape: shard sketches unioned, the exact
+    // audit join dropped entirely (since r15 it exists only under the
+    // gate's audit conf).
+    val p = ops.Lake.aggHllMergePlan(spark, sf, audit = false)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("hll_union_agg"), p)
+    assert(!p.contains("count(distinct"), p)
+    assert(!p.contains("Join"), p)
   }
 
   test("sql_lateral decorrelates the per-row LIMIT into a group-limit window") {

@@ -59,17 +59,25 @@ class RobustnessSpec extends AnyFunSuite {
   }
 
   test("agg_approx_quantile: approx percentiles within 1% of spec-side exact") {
-    // The shipped plan is sketch-only (no exact `percentile` sort rides
-    // along — round-6 slimming); the tolerance evidence lives HERE.
+    // The production (audit-off) plan is sketch-only (no exact
+    // `percentile` sort rides along); the numeric tolerance evidence
+    // lives HERE on its values. The gate (audit-on) output is the
+    // corridor booleans the driver hash-checks — assert they agree.
     import org.apache.spark.sql.functions._
     val sf = SharedSpark.sf
-    val out = SparkEntry.queries("agg_approx_quantile")(spark, sf)
+    val out = ops.Relational.aggApproxQuantilePlan(spark, sf, audit = false)
     // flat scalar schema (the driver gate sorts cells via pandas —
     // arrays would crash it, the r4 red row)
     assert(out.schema.fields.forall(f =>
       !f.dataType.typeName.startsWith("array")), "no array columns")
     val rows = out.collect()
     assert(rows.nonEmpty)
+    val gate = SparkEntry.queries("agg_approx_quantile")(spark, sf).collect()
+    assert(gate.nonEmpty)
+    gate.foreach { r =>
+      Seq("q25_ok", "q50_ok", "q90_ok").foreach(c =>
+        assert(r.getAs[Boolean](c), s"${r.getString(0)}.$c corridor miss"))
+    }
     val exact = Tables.t(spark, sf, "lineitem")
       .groupBy("l_returnflag")
       .agg(percentile(col("l_extendedprice"),
@@ -89,11 +97,20 @@ class RobustnessSpec extends AnyFunSuite {
 
   test("agg_approx: HLL estimates within 3×rsd of spec-side exact counts") {
     // rsd=0.01 is a STANDARD error — a pin at 1×rsd would be a coin
-    // flip; 3×rsd is the honest tolerance (ADVICE r5).
+    // flip; 3×rsd is the honest tolerance (ADVICE r5). Numeric audit
+    // runs on the production (audit-off) sketch values; the gate
+    // (audit-on) corridor booleans must agree.
     import org.apache.spark.sql.functions._
     val sf = SharedSpark.sf
-    val rows = SparkEntry.queries("agg_approx")(spark, sf).collect()
+    val rows = ops.Relational.aggApproxPlan(spark, sf, audit = false)
+      .collect()
     assert(rows.nonEmpty)
+    val gate = SparkEntry.queries("agg_approx")(spark, sf).collect()
+    assert(gate.nonEmpty)
+    gate.foreach { r =>
+      assert(r.getAs[Boolean]("parts_ok") && r.getAs[Boolean]("orders_ok"),
+        s"${r.getString(0)}: gate corridor boolean is false")
+    }
     val exact = Tables.t(spark, sf, "lineitem")
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("p"),
