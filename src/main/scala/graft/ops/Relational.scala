@@ -408,20 +408,30 @@ object Relational {
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
         count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")
-    else
-      base.agg(
+    else {
+      // The exact witness aggregates SEPARATELY and joins on the
+      // 3-row group key: sketches and countDistincts in ONE agg would
+      // route the HLL buffers through the multi-distinct Expand, and
+      // each expanded row then pays a full register-array merge —
+      // ~16k registers × 3× the fact table, the quadratic-ish blowup
+      // the r15 sf1 Verify leg caught live (a 10-minute single task
+      // at sf1 for a query that is sub-second at the gate SF).
+      val sk = base.agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
         count(lit(1)).as("n_rows"))
-        .select(col("l_returnflag"), col("exact_parts"),
+      val ex = t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+      sk.join(ex, sk("l_returnflag") <=> ex("l_returnflag"))
+        .select(sk("l_returnflag"), col("exact_parts"),
           col("exact_orders"), col("n_rows"),
           (abs(col("ap") - col("exact_parts")) <=
             col("exact_parts") * 0.03d).as("parts_ok"),
           (abs(col("ao") - col("exact_orders")) <=
             col("exact_orders") * 0.03d).as("orders_ok"))
-        .orderBy("l_returnflag")
+        .orderBy(sk("l_returnflag"))
+    }
   }
 
   /** Approximate quantiles (Greenwald-Khanna sketch) — the 100 TB
