@@ -559,7 +559,8 @@ object Bench {
     // PlanSpec-pinned. Emit it as extra detail rows so both numbers
     // are visible per round without a manual run. Headline map
     // untouched.
-    for (name <- Seq("agg_theta", "stream_theta")
+    for (name <- Seq("agg_theta", "stream_theta",
+           "agg_approx", "agg_approx_quantile", "agg_hll_merge")
          if SparkEntry.queries.contains(name) &&
            (args.isEmpty || args.exists(name.startsWith))) {
       spark.conf.set("spark.graft.audit", "false")

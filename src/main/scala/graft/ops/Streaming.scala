@@ -175,9 +175,15 @@ object Streaming {
     * each micro-batch pays a per-store checkpoint commit regardless of
     * state volume, so state partitioning is sized to the STATE, not to
     * the batch shuffle width (32 stores over kilobytes of state spends
-    * 4× the wall-clock of 8 doing pure commit overhead). On a real
-    * cluster this is the knob you'd raise with key cardinality. */
-  private val statePartitions = 8
+    * 4× the wall-clock of 8 doing pure commit overhead; r15 halved the
+    * default again — the fixture keys hold kilobytes). On a real
+    * cluster this is the knob you'd raise with key cardinality.
+    * stream_state_read pins 8 explicitly (its spec asserts the state
+    * is sharded across all 8 stores), and the data-scaled foreachBatch
+    * recompute loops (stream_seq / stream_markov / sdi / the corpus
+    * pipeline) keep 8 for their per-batch JOIN width — their cost is
+    * the workload, not store commits. */
+  private val statePartitions = 4
 
   /** User-hash bucket count for the changed-keys-only event stores
     * (stream_seq / stream_markov): each per-batch event dir is
@@ -364,7 +370,7 @@ object Streaming {
     * one partition per state shard — no driver collect). */
   private def streamStateRead: Q = (s, d) => {
     val ckpt = streamDir("stream_state_read/ckpt")
-    withStatePartitions(s) {
+    withStatePartitions(s, 8) {
       // single stateful operator → unambiguous operatorId 0
       val q = readEventStream(s, d)
         .select("event_id", "event_type")
@@ -1097,7 +1103,7 @@ object Streaming {
       .select(col("user_id"), col("path_len"),
         regexp_count(col("path"), lit("sv+c+p")).cast("long").as("n_runs"),
         (regexp_count(col("path"), lit("sv+c+p")) > 0).as("converted"))
-    withStatePartitions(s) {
+    withStatePartitions(s, 8) {
       val q = st.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val bev = batch.select("user_id", "ts_us", "ch")
@@ -1211,7 +1217,7 @@ object Streaming {
           col("next_type"))
         .agg(count(lit(1)).as("n"))
     }
-    withStatePartitions(s) {
+    withStatePartitions(s, 8) {
       val q = st.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val bev = batch.select("event_id", "user_id", "ts_us",
@@ -1324,7 +1330,7 @@ object Streaming {
         .add("text", org.apache.spark.sql.types.StringType))
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-    withStatePartitions(s) {
+    withStatePartitions(s, 8) {
       val q = st.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val sh = Llm.shingles(col("text"))
@@ -1426,7 +1432,7 @@ object Streaming {
         .add("text", org.apache.spark.sql.types.StringType))
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-    withStatePartitions(s) {
+    withStatePartitions(s, 8) {
       val q = st.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val toks = Pipeline.corpusToks(batch).persist()
