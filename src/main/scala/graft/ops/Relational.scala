@@ -3541,9 +3541,15 @@ object Relational {
     * is NOT correctly rounded — measured: ~0.7% of random 54-100-bit
     * values, ~26% of rounding midpoints — which is why the un-centered
     * N·Sxy − Sx·Sy form at ~4N⁴ would silently diverge). ρ is then
-    * ONE shared IEEE chain; past N³ ≈ 2⁶³ (~sf0.7) the ORACLE's
-    * BIGINT cast raises loudly while the engine's DECIMAL(38,0) stays
-    * exact to ~sf10⁴ — bounded-oracle class, never silent. */
+    * ONE shared IEEE chain. r15: the oracle's former BIGINT cast
+    * raised loudly past N³ ≈ 2⁶³ (~sf0.7, the r15 sf1 leg's one
+    * oracle-error row); it now casts HUGEINT → DOUBLE directly, which
+    * is provably safe — both conversions are correctly rounded on
+    * this stack (DuckDB hugeint→double and JDK-17
+    * BigDecimal.doubleValue agree bit-for-bit on the 2⁵³-boundary
+    * probe set, measured r15), so the shared-value window extends to
+    * the engine's own DECIMAL(38,0) bound (~sf10⁴) with the identical
+    * single IEEE chain on both sides. */
   private def aggSpearman: Q = (s, d) => {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val grid = qszGrid(s, d)
@@ -5422,9 +5428,9 @@ object Relational {
                   CAST(sum(c * dy * dy) AS HUGEINT) AS m2y
            FROM cells)
          SELECT CAST(n AS BIGINT) AS n,
-                CAST(num AS BIGINT)::DOUBLE
-                  / sqrt(CAST(m2x AS BIGINT)::DOUBLE
-                    * CAST(m2y AS BIGINT)::DOUBLE) AS rho
+                CAST(num AS DOUBLE)
+                  / sqrt(CAST(m2x AS DOUBLE)
+                    * CAST(m2y AS DOUBLE)) AS rho
          FROM a ORDER BY n""",
     // Same exact power sums, per-group single divisions, and the
     // flag-ordered sequential double fold as the engine.
