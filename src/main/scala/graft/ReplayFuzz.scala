@@ -49,6 +49,13 @@ object ReplayFuzz {
       rows: (SparkSession, String, Long) => Seq[String],
       evLaw: Boolean = false)
 
+  /** Highest batchId in a checkpoint's commit log (−1 if none): the
+    * on-disk truth of how far a query actually drained. */
+  private def lastCommitted(ckpt: String): Long =
+    Option(new java.io.File(s"$ckpt/commits").listFiles()).toSeq.flatten
+      .map(_.getName).filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).foldLeft(-1L)(math.max)
+
   private def sortedRows(s: SparkSession, path: String): Seq[String] = {
     val df = s.read.option("recursiveFileLookup", "true").parquet(path)
     df.orderBy(df.columns.map(col).toSeq: _*)
@@ -107,7 +114,11 @@ object ReplayFuzz {
         (s, d, b, f) => {
           S.runStreamDedupIncremental(s, d, s"$b/idx", s"$b/res",
             s"$b/ckpt", f)
-          (f - 1).toLong
+          // The drained-to batch is EVIDENCE from the checkpoint's
+          // commit log, never fabricated from the argument (ADVICE
+          // r15: the old `f - 1` return made the completeness check
+          // vacuous for this family).
+          lastCommitted(s"$b/ckpt")
         },
         (s, b, _) => sortedRows(s, s"$b/res")))
 
@@ -165,6 +176,10 @@ object ReplayFuzz {
         System.err.println(s"[replayfuzz] PASS $label")
       } catch {
         case e: Throwable =>
+          // A scenario whose injected fault never fired leaves the seam
+          // armed; disarm so it cannot contaminate later scenarios
+          // (ADVICE r15).
+          S.Faults.disarm()
           failures += s"$label: ${e.getMessage}"
           System.err.println(s"[replayfuzz] FAIL $label: ${e.getMessage}")
       }

@@ -3543,13 +3543,15 @@ object Relational {
     * N·Sxy − Sx·Sy form at ~4N⁴ would silently diverge). ρ is then
     * ONE shared IEEE chain. r15: the oracle's former BIGINT cast
     * raised loudly past N³ ≈ 2⁶³ (~sf0.7, the r15 sf1 leg's one
-    * oracle-error row); it now casts HUGEINT → DOUBLE directly, which
-    * is provably safe — both conversions are correctly rounded on
-    * this stack (DuckDB hugeint→double and JDK-17
-    * BigDecimal.doubleValue agree bit-for-bit on the 2⁵³-boundary
-    * probe set, measured r15), so the shared-value window extends to
-    * the engine's own DECIMAL(38,0) bound (~sf10⁴) with the identical
-    * single IEEE chain on both sides. */
+    * oracle-error row). r16 (ADVICE): the widened cast now routes
+    * HUGEINT → VARCHAR → DOUBLE — DuckDB's direct int128→double is a
+    * composed upper·2⁶⁴+lower double chain that DOUBLE-ROUNDS (probe:
+    * 131 / 20,092 random-plus-midpoint 54–100-bit values misround),
+    * while its decimal-string parse (fast_float) and JDK
+    * BigDecimal.doubleValue are both correctly rounded at EVERY
+    * magnitude (same probe: 0 / 20,092) — so the shared-value window
+    * extends to the engine's own DECIMAL(38,0) bound (~sf10⁴) with no
+    * residual 1-ulp risk and no guard needed. */
   private def aggSpearman: Q = (s, d) => {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val grid = qszGrid(s, d)
@@ -5428,9 +5430,9 @@ object Relational {
                   CAST(sum(c * dy * dy) AS HUGEINT) AS m2y
            FROM cells)
          SELECT CAST(n AS BIGINT) AS n,
-                CAST(num AS DOUBLE)
-                  / sqrt(CAST(m2x AS DOUBLE)
-                    * CAST(m2y AS DOUBLE)) AS rho
+                CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                  / sqrt(CAST(CAST(m2x AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(m2y AS VARCHAR) AS DOUBLE)) AS rho
          FROM a ORDER BY n""",
     // Same exact power sums, per-group single divisions, and the
     // flag-ordered sequential double fold as the engine.

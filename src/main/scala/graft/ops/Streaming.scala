@@ -143,6 +143,13 @@ object Streaming {
     private[graft] def arm(point: String): Unit = synchronized {
       armed = Some(point)
     }
+    /** Clear a pending fault that never fired — a fuzz scenario whose
+      * injection site was never reached must not leave the seam armed
+      * for a later scenario (ADVICE r15: one failed scenario would
+      * otherwise cascade). */
+    private[graft] def disarm(): Unit = synchronized {
+      armed = None
+    }
     private[graft] def maybeFail(point: String): Unit = synchronized {
       if (armed.contains(point)) {
         armed = None

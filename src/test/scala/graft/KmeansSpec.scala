@@ -16,25 +16,16 @@ class KmeansSpec extends AnyFunSuite {
         .as("p"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    val cbIds = Seq(11L, 47L, 97L, 151L)
     val byId = pts.toMap
-    def sub(p: Array[Long], s: Int): Array[Long] = p.slice(s * 16, s * 16 + 16)
-    def sq(a: Array[Long], b: Array[Long]): Long = {
-      var d = 0L; var i = 0
-      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
-      d
-    }
-    // Encode every vector; build per-query ADC tables; exact top-10.
-    val codes = pts.map { case (id, p) =>
-      id -> (0 until 4).map(s =>
-        cbIds.map(c => (sq(sub(p, s), sub(byId(c), s)), c)).min._2)
-    }.toMap
+    // Train the codebook with the PqRef driver-side Lloyd reference,
+    // encode every vector, build per-query ADC tables, exact top-10.
+    val cb = PqRef.train(byId)
+    val codes = PqRef.encode(byId, cb)
     val expected = (0L until 5L).flatMap { q =>
       val qp = byId(q)
-      val dt = (0 until 4).map(s =>
-        cbIds.map(c => c -> sq(sub(qp, s), sub(byId(c), s))).toMap)
+      def qd(s: Int, c: Long): Long = PqRef.sqd(PqRef.sub(qp, s), cb((s, c)))
       pts.filter(_._1 != q).map { case (id, _) =>
-        (q, id, (0 until 4).map(s => dt(s)(codes(id)(s))).sum)
+        (q, id, (0 until 4).map(s => qd(s, codes(id)(s))).sum)
       }.sortBy { case (_, id, ad) => (ad, id) }.take(10)
         .zipWithIndex.map { case ((qq, id, ad), i) => (qq, id, ad, i + 1) }
     }
@@ -47,29 +38,24 @@ class KmeansSpec extends AnyFunSuite {
 
   test("ml_pq retrieval is cluster-pure on clustered data") {
     // The corpus embeddings are uniform-random — distance concentration
-    // makes ANY compressed index near-random there (measured recall@10
-    // 0.06), so the retrieval QUALITY pin runs on data with cluster
-    // structure, where PQ is actually used: 4 well-separated centers
-    // (the codebook ids map onto them exactly), every other vector a
-    // small deterministic perturbation of its center. Each query's
-    // entire ADC top-10 must come from its own cluster, and the
-    // corpus-query correctness stays pinned by the reference-equality
-    // test above plus the DuckDB oracle.
-    val cbIds = Seq(11L, 47L, 97L, 151L)
+    // makes ANY compressed index near-random there, so the retrieval
+    // QUALITY pin runs on data with cluster structure, where PQ is
+    // actually used: 4 well-separated centers, every vector a small
+    // deterministic perturbation of its center, and the Lloyd-trained
+    // codebook must recover entries INSIDE the clusters (the 8 seeds
+    // cover all 4 clusters under (id/2) mod 4, so no entry's mean can
+    // straddle two clusters). Each query's entire ADC top-10 must come
+    // from its own cluster, and the corpus-query correctness stays
+    // pinned by the reference-equality test above plus the DuckDB
+    // oracle.
     def center(j: Int): Array[Double] =
       Array.tabulate(64)(k => ((k * 7 + j * 13) % 17) / 17.0 - 0.5)
-    def clusterOf(id: Long): Int =
-      cbIds.indexOf(id) match {
-        case -1 => (id % 4).toInt
-        case j => j
-      }
-    def vec(id: Long): Array[Double] =
-      if (cbIds.contains(id)) center(clusterOf(id))
-      else {
-        val c = center(clusterOf(id))
-        Array.tabulate(64)(k =>
-          c(k) + ((id * 31 + k * 7) % 11 - 5) / 1000.0)
-      }
+    def clusterOf(id: Long): Int = ((id / 2) % 4).toInt
+    def vec(id: Long): Array[Double] = {
+      val c = center(clusterOf(id))
+      Array.tabulate(64)(k =>
+        c(k) + ((id * 31 + k * 7) % 11 - 5) / 1000.0)
+    }
     val ids = (0L until 200L)
     val dir = s"${Tables.scratchRoot}/pq_fixture"
     val sp = spark

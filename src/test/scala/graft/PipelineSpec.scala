@@ -399,75 +399,88 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("sim_ann_recall: ivf misses are exactly the probe-set boundary; " +
-      "both algos match a driver recompute") {
+      "both algos match a driver recompute, per regime") {
     val got = run("sim_ann_recall").collect()
-      .map(r => ((r.getString(0), r.getInt(1), r.getLong(2)),
-        r.getLong(3))).toMap
-    assert(got.size === 2 * 4 * 5) // algos × nprobes × queries
+      .map(r => ((r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3)), r.getLong(4))).toMap
+    assert(got.size === 2 * 2 * 4 * 5) // regimes × algos × nprobes × qs
     // Independent driver-side recompute (pure Scala over the collected
     // 500×64 table — different mechanism from the distributed plan,
-    // the tok_encode spec discipline).
-    val emb = Tables.t(spark, sf, "embeddings")
+    // the tok_encode spec discipline), per regime, with the codebook
+    // trained by the PqRef Lloyd reference.
+    val embU = Tables.t(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .toMap
+    val ptsU = embU.map { case (k, v) =>
+      k -> v.map(x => math.floor((x + 1.0d) * 1000000.0d).toLong)
+    }
+    val nc = math.max(8L, embU.size.toLong / 11L)
+    val ptsC = ptsU.map { case (v, p) =>
+      v -> p.indices.map(k => 19L * ptsU(v % nc)(k) / 20L + p(k) / 20L)
+        .toArray
+    }
+    val embC = ptsC.map { case (v, p) => v -> p.map(_.toDouble) }
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0d; var i = 0
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
       acc
     }
-    val nrm = emb.map { case (k, v) => k -> math.sqrt(dot(v, v)) }
-    def cos(a: Long, b: Long): Double =
-      dot(emb(a), emb(b)) / (nrm(a) * nrm(b))
     val cents = Seq(7L, 29L, 83L, 131L, 173L, 211L, 307L, 401L)
-    def scoredOf(v: Long): Seq[Long] =
-      cents.map(c => (cos(v, c) * -1, c)).sorted.map(_._2)
-    val cell = emb.keys.map(v => v -> scoredOf(v).head).toMap
-    val pts = emb.map { case (k, v) =>
-      k -> v.map(x => math.floor((x + 1.0d) * 1000000.0d).toLong)
-    }
-    def sqd(a: Array[Long], b: Array[Long]): Long = {
-      var acc = 0L; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
-      acc
-    }
-    val cbIds = Seq(11L, 47L, 97L, 151L)
-    def sub(p: Array[Long], i: Int): Array[Long] = p.slice(i * 16, i * 16 + 16)
-    val code = pts.map { case (v, p) =>
-      v -> (0 until 4).map(i =>
-        cbIds.map(c => (sqd(sub(p, i), sub(pts(c), i)), c)).min._2)
-    }
-    def adist(q: Long, v: Long): Long =
-      (0 until 4).map(i => sqd(sub(pts(q), i), sub(pts(code(v)(i)), i))).sum
-    val others = emb.keys.toSeq.sorted
-    for (q <- 0L to 4L) {
-      val rest = others.filter(_ != q)
-      val truthCos = rest.map(v => (cos(q, v) * -1, v)).sorted.take(10)
-        .map(_._2).toSet
-      val truthL2 = rest.map(v => (sqd(pts(q), pts(v)), v)).sorted.take(10)
-        .map(_._2).toSet
-      var prevIvf = -1L
-      for (np <- Seq(1, 2, 4, 8)) {
-        val probed = scoredOf(q).take(np).toSet
-        val cands = rest.filter(v => probed(cell(v)))
-        // IVF ranks candidates by the EXACT metric, so its top-10 ∩
-        // truth is exactly the truth members whose cell was probed —
-        // a miss is PURELY the probe-set boundary.
-        val expIvf = truthCos.count(v => probed(cell(v))).toLong
-        assert(got(("ivf", np, q)) === expIvf,
-          s"q$q nprobe=$np: ivf hits must equal |truth ∩ probed cells|")
-        assert(expIvf >= prevIvf, s"q$q: ivf recall not monotone in nprobe")
-        prevIvf = expIvf
-        // IVFPQ re-ranks candidates by code distance: distortion can
-        // displace true neighbors, so recompute the full ADC top-10.
-        val expPq = cands.map(v => (adist(q, v), v)).sorted.take(10)
-          .map(_._2).count(truthL2).toLong
-        assert(got(("ivfpq", np, q)) === expPq,
-          s"q$q nprobe=$np: ivfpq hits must match the ADC recompute")
+    def checkRegime(regime: String, emb: Map[Long, Array[Double]],
+        pts: Map[Long, Array[Long]]): Unit = {
+      val nrm = emb.map { case (k, v) => k -> math.sqrt(dot(v, v)) }
+      def cos(a: Long, b: Long): Double =
+        dot(emb(a), emb(b)) / (nrm(a) * nrm(b))
+      def scoredOf(v: Long): Seq[Long] =
+        cents.map(c => (cos(v, c) * -1, c)).sorted.map(_._2)
+      val cell = emb.keys.map(v => v -> scoredOf(v).head).toMap
+      val cb = PqRef.train(pts)
+      val code = PqRef.encode(pts, cb)
+      def adist(q: Long, v: Long): Long =
+        (0 until 4).map(i =>
+          PqRef.sqd(PqRef.sub(pts(q), i), cb((i, code(v)(i))))).sum
+      val others = emb.keys.toSeq.sorted
+      for (q <- 0L to 4L) {
+        val rest = others.filter(_ != q)
+        val truthCos = rest.map(v => (cos(q, v) * -1, v)).sorted.take(10)
+          .map(_._2).toSet
+        val truthL2 = rest.map(v => (PqRef.sqd(pts(q), pts(v)), v)).sorted
+          .take(10).map(_._2).toSet
+        var prevIvf = -1L
+        for (np <- Seq(1, 2, 4, 8)) {
+          val probed = scoredOf(q).take(np).toSet
+          val cands = rest.filter(v => probed(cell(v)))
+          // IVF ranks candidates by the EXACT metric, so its top-10 ∩
+          // truth is exactly the truth members whose cell was probed —
+          // a miss is PURELY the probe-set boundary.
+          val expIvf = truthCos.count(v => probed(cell(v))).toLong
+          assert(got((regime, "ivf", np, q)) === expIvf,
+            s"$regime q$q nprobe=$np: ivf hits = |truth ∩ probed cells|")
+          assert(expIvf >= prevIvf,
+            s"$regime q$q: ivf recall not monotone in nprobe")
+          prevIvf = expIvf
+          // IVFPQ re-ranks candidates by code distance: distortion can
+          // displace true neighbors, so recompute the full ADC top-10.
+          val expPq = cands.map(v => (adist(q, v), v)).sorted.take(10)
+            .map(_._2).count(truthL2).toLong
+          assert(got((regime, "ivfpq", np, q)) === expPq,
+            s"$regime q$q nprobe=$np: ivfpq hits must match the ADC " +
+              "recompute")
+        }
+        assert(got((regime, "ivf", 8, q)) === 10L,
+          s"$regime q$q: probing all 8 cells must recover the exact " +
+            "top-10")
       }
-      assert(got(("ivf", 8, q)) === 10L,
-        s"q$q: probing all 8 cells must recover the exact top-10")
     }
+    checkRegime("uniform", embU, ptsU)
+    checkRegime("clustered", embC, ptsC)
+    // The clustered regime is the trained-PQ operating point: recall@10
+    // ≥ 0.8 at nprobe = 8 (measured 0.92 at the gate SF).
+    val pqClustered8 = (0L to 4L)
+      .map(q => got(("clustered", "ivfpq", 8, q))).sum
+    assert(pqClustered8 >= 40L,
+      s"clustered ivfpq recall@10 at nprobe=8 below 0.8: $pqClustered8/50")
   }
 
   test("ml_dbscan: all-noise at sparse SF, 5 pure planted clusters at gate SF") {
