@@ -569,6 +569,62 @@ class PlanSpec extends AnyFunSuite {
     assert(onRows.toSeq === off.collect().map(_.toSeq).toSeq)
   }
 
+  test("mv_rewrite_rollup: a SUBSET-group consumer re-aggregates the MV " +
+      "grid; conf-gated; result-invisible") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.functions._
+    // registers the grid MV (and pins correctness via the oracle gate)
+    SparkEntry.queries("mv_rewrite_rollup")(spark, sf).collect()
+    def cents(c: org.apache.spark.sql.Column) =
+      (Tables.dec(c) * 100).cast("long")
+    // a consumer that knows NOTHING about the MV and groups by a
+    // SUBSET of its grid — only the rollup lattice can match it
+    def consumer = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_linestatus") // the OTHER grid axis than the key uses
+      .agg(sum(cents(col("l_quantity"))).as("qty_c"),
+        max(cents(col("l_extendedprice"))).as("max_price_c"),
+        count(lit(1)).as("n"))
+      .orderBy("l_linestatus")
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case f: HadoopFsRelation => f.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+      }.flatten
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+    val (onPaths, onRows) = try {
+      val df = consumer
+      (scanPaths(df), df.collect().map(_.toSeq))
+    } finally spark.conf.unset("spark.graft.mv.rewrite")
+    assert(onPaths.exists(_.contains("/mv/rollup_")),
+      s"subset consumer must scan the MV grid: $onPaths")
+    assert(!onPaths.exists(_.contains("lineitem")),
+      s"subset consumer must NOT scan the base table: $onPaths")
+    val off = consumer
+    val offPaths = scanPaths(off)
+    assert(offPaths.exists(_.contains("lineitem")),
+      s"with the rule off the base table must be scanned: $offPaths")
+    assert(!offPaths.exists(_.contains("/mv/rollup_")), offPaths.toString)
+    // the rollup is result-INVISIBLE (exact integer algebra both ways)
+    assert(onRows.toSeq === off.collect().map(_.toSeq).toSeq)
+    // a FLOAT-sum definition must NOT join the lattice: the mv_rewrite
+    // MV (rounded double sums) is registered too, but a subset
+    // consumer of ITS grid keeps scanning lineitem
+    SparkEntry.queries("mv_rewrite")(spark, sf).collect()
+    def floatConsumer = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(sum(Tables.dec(col("l_quantity"))), 2).cast("double")
+        .as("sum_qty"))
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+    try {
+      val fp = scanPaths(floatConsumer)
+      assert(fp.exists(_.contains("lineitem")),
+        s"float sums must stay out of the rollup lattice: $fp")
+      assert(!fp.exists(_.contains("/mv/pricing_")), fp.toString)
+    } finally spark.conf.unset("spark.graft.mv.rewrite")
+  }
+
   test("ts_dtw's DP runs inside whole-stage codegen (native expression, not a HOF)") {
     val df = SparkEntry.queries("ts_dtw")(spark, sf)
     df.collect() // AQE: the inspected plan must be the FINAL one
