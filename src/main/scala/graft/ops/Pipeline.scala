@@ -1069,36 +1069,54 @@ object Pipeline {
       .select(col("vec_id"), transform(col("embedding"),
         x => floor((x.cast("double") + 1.0d) * 1000000.0d).cast("long"))
         .as("p"))
-    var cent = pts.where(col("vec_id") < K)
-      .select(col("vec_id").as("cl"), col("p").as("cp"))
+      // 5 consumers (seed collect + 3 Lloyd passes + report): checkpoint
+      // the micro-unit projection once (guide §5)
+      .localCheckpoint()
+    // Centroid state is 8×64 longs — driver control plane. Carrying it
+    // as LITERALS makes each Lloyd iteration ONE job: a map-side
+    // (dist, cl) argmin (bit-identical to the r15 crossJoin + window
+    // rn=1 tie-break) feeding a single partial-agg exchange of
+    // ≤ K×64 mean rows; the r15 shape paid a broadcast build, a
+    // full-width window shuffle and a parquet write+read per
+    // iteration (guide §2.4).
+    def bestCl(cent: Seq[(Long, Seq[Long])]): Column =
+      element_at(sort_array(transform(
+        array(cent.map { case (cl, cp) =>
+          struct(lit(cl).as("cl"), array(cp.map(lit): _*).as("cp"))
+        }: _*),
+        c => struct(aggregate(
+          zip_with(col("p"), c("cp"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("dist"), c("cl").as("cl")))),
+        1)("cl")
+    var cent: Seq[(Long, Seq[Long])] = pts.where(col("vec_id") < K)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
     var assigned: org.apache.spark.sql.DataFrame = null
-    val w = Window.partitionBy("vec_id").orderBy("dist", "cl")
-    for (i <- 1 to Iters) {
-      assigned = pts.crossJoin(broadcast(cent))
-        .withColumn("dist", aggregate(
-          zip_with(col("p"), col("cp"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v))
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    for (_ <- 1 to Iters) {
+      assigned = pts.withColumn("cl", bestCl(cent))
         .select(col("vec_id"), col("p"), col("cl"))
-      val upd = assigned
+      cent = assigned
         .select(col("cl"), posexplode(col("p")).as(Seq("dim", "v")))
         .groupBy("cl", "dim")
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
-        .select(col("cl"), col("dim"), expr("sv div n").as("c"))
-        .groupBy("cl")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-          x => x.getField("c")).as("cp"))
-      val path = s"$scratchRoot/kmeans/c_${Llm.Scratch.key(d)}_i$i"
-      upd.coalesce(1).write.mode("overwrite").parquet(path)
-      cent = s.read.parquet(path)
+        .agg(expr("sum(v) div count(1)").as("c"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+        .groupBy(_._1).toSeq
+        .map { case (cl, rows) =>
+          (cl, rows.map(_._2).sortBy(_._1).map(_._2).toSeq)
+        }
+        .sortBy(_._1)
     }
     // Report the LAST iteration: per-cluster population + id digest
     // from the assignment that produced the final centroids, plus the
     // final centroid's first coordinate (integer micro-units).
+    val c0 = element_at(
+      map(cent.flatMap { case (cl, cp) => Seq(lit(cl), lit(cp.head)) }: _*),
+      col("cl"))
     assigned.groupBy("cl")
       .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_digest"))
-      .join(cent.select(col("cl"), element_at(col("cp"), 1).as("c0")), "cl")
-      .select(col("cl").as("cluster"), col("n"), col("id_digest"), col("c0"))
+      .select(col("cl").as("cluster"), col("n"), col("id_digest"),
+        c0.as("c0"))
       .orderBy("cluster")
   }
 
@@ -1133,19 +1151,17 @@ object Pipeline {
 
   /** Train the PQ codebook with [[pqIters]] Lloyd iterations over the
     * sub-vector table `sv` (vec_id, sub, v: array<long>). Returns the
-    * broadcast-hinted codebook (cid, sub, cv: array<long>). Each
-    * iteration is one distributed pass (assign = broadcast-join argmin,
-    * means = map-side-combinable integer sums); the collected state is
-    * ≤ 8×4 rows per iteration — bounded control plane, like the IVF
-    * centroid list. */
-  private def pqTrainCodebook(s: SparkSession, sv: DataFrame): DataFrame = {
-    def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v)
-    val sp = s
-    import sp.implicits._
-    def toDf(cb: Seq[(Long, Int, Seq[Long])]): DataFrame =
-      cb.toDF("cid", "sub", "cv")
+    * codebook as a driver Seq (cid, sub, cv) — ≤ 8×4 rows of bounded
+    * control-plane state, like the IVF centroid list. Each iteration is
+    * ONE distributed job: the codebook state rides into the plan as a
+    * LITERAL array (the simAnnIvf centroid convention), so assignment
+    * is a map-side argmin — no broadcast exchange, no (vec_id, sub)
+    * shuffle — and the means collapse map-side to ≤ 8×4×16 partial rows
+    * before the single exchange (r16 guide §2.4/§2.3: the r15 shape
+    * paid 3 exchanges + a broadcast build per iteration to re-derive
+    * state that was driver-collected anyway). */
+  private def pqTrainCodebook(
+      s: SparkSession, sv: DataFrame): Seq[(Long, Int, Seq[Long])] = {
     var cb: Seq[(Long, Int, Seq[Long])] = sv
       .where(col("vec_id").isin(pqSeedIds: _*))
       .select(col("vec_id"), col("sub"), col("v"))
@@ -1153,25 +1169,52 @@ object Pipeline {
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
       .sortBy(x => (x._2, x._1)).toSeq
     for (_ <- 1 to pqIters) {
-      cb = sv.join(broadcast(toDf(cb)), Seq("sub"))
-        .withColumn("dist", sqDist(col("v"), col("cv")))
-        .groupBy("vec_id", "sub")
-        // (dist, cid) pairs are distinct per group (cid is unique), so
-        // the carried sub-vector never participates in the ordering
-        .agg(min(struct(col("dist"), col("cid"), col("v"))).as("m"))
-        .select(col("sub"), col("m.cid").as("cid"),
-          posexplode(col("m.v")).as(Seq("dim", "pv")))
+      cb = sv
+        .withColumn("cid", pqBestCid(cb))
+        .select(col("cid"), col("sub"),
+          posexplode(col("v")).as(Seq("dim", "pv")))
         .groupBy("cid", "sub", "dim")
         .agg(expr("sum(pv) div count(1)").as("cv"))
-        .groupBy("cid", "sub")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
-          x => x.getField("cv")).as("cv"))
         .collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
-        .sortBy(x => (x._2, x._1)).toSeq
+        .map(r => ((r.getLong(0), r.getInt(1)), (r.getInt(2), r.getLong(3))))
+        .groupBy(_._1).toSeq
+        .map { case ((cid, sub), rows) =>
+          (cid, sub, rows.map(_._2).sortBy(_._1).map(_._2).toSeq)
+        }
+        .sortBy(x => (x._2, x._1))
     }
-    broadcast(toDf(cb))
+    cb
   }
+
+  /** The codebook as a literal expression: per-subspace entry arrays,
+    * indexed by the row's `sub`. */
+  private def pqCbLit(cb: Seq[(Long, Int, Seq[Long])]): Column =
+    array((0 until pqSub).map { sub =>
+      array(cb.filter(_._2 == sub).sortBy(_._1).map { case (cid, _, cv) =>
+        struct(lit(cid).as("cid"), array(cv.map(lit): _*).as("cv"))
+      }: _*)
+    }: _*)
+
+  private def pqSqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Map-side nearest-entry id for a sub-vector row (sub, v): the
+    * (dist, cid) lexicographic argmin over the literal codebook —
+    * bit-identical to the r15 `min(struct(dist, cid))` aggregate,
+    * with zero exchange. */
+  private def pqBestCid(cb: Seq[(Long, Int, Seq[Long])]): Column =
+    element_at(sort_array(transform(
+      element_at(pqCbLit(cb), col("sub") + 1),
+      e => struct(pqSqDist(col("v"), e("cv")).as("dist"),
+        e("cid").as("cid")))), 1)("cid")
+
+  /** Per-query asymmetric distance table rows, map-side: explode the
+    * query row's subspace codebook entries to (sub, code, qd). */
+  private def pqDtabCol(cb: Seq[(Long, Int, Seq[Long])]): Column =
+    explode(transform(element_at(pqCbLit(cb), col("sub") + 1),
+      e => struct(e("cid").as("code"),
+        pqSqDist(col("qv"), e("cv")).as("qd"))))
 
   /** The [[pqTrainCodebook]] Lloyd loop unrolled to DuckDB CTEs over
     * the sub-vector table `sp` (vec_id, sub, dim, pv): identical
@@ -1208,23 +1251,23 @@ object Pipeline {
         slice(col("p"), i * pqSubDim + 1, pqSubDim).as("v"))): _*)
     val sv = pts.select(col("vec_id"), explode(subs).as("x"))
       .select(col("vec_id"), col("x.sub").as("sub"), col("x.v").as("v"))
+      // 5 consumers (3 Lloyd passes + encode + dtab): checkpoint the
+      // tiny sub-vector table once instead of re-scanning + re-exploding
+      // the embeddings per pass (guide §5: cheap lineage cut, in-query).
+      .localCheckpoint()
     val cb = pqTrainCodebook(s, sv)
-    def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v)
-    // Encode: nearest codebook entry per (vector, subspace) —
-    // min(struct) is the (dist, cid) lexicographic argmin.
-    val enc = sv.join(broadcast(cb), Seq("sub"))
-      .withColumn("dist", sqDist(col("v"), col("cv")))
-      .groupBy("vec_id", "sub")
-      .agg(min(struct(col("dist"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("sub"), col("m.cid").as("code"))
-    // Per-query subspace distance tables (4×4 exact ints per query).
+    // Encode: nearest codebook entry per (vector, subspace) — the
+    // map-side literal argmin (bit-identical to the r15 join+min(struct)
+    // chain, minus its broadcast build and (vec_id, sub) exchange).
+    val enc = sv.select(col("vec_id"), col("sub"),
+      pqBestCid(cb).as("code"))
+    // Per-query subspace distance tables (4×8 exact ints per query),
+    // map-side over the 20 query sub-vector rows.
     val dtab = sv.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("sub"), col("v").as("qv"))
-      .join(broadcast(cb), Seq("sub"))
-      .withColumn("qd", sqDist(col("qv"), col("cv")))
-      .select(col("qid"), col("sub"), col("cid").as("code"), col("qd"))
+      .select(col("qid"), col("sub"), pqDtabCol(cb).as("x"))
+      .select(col("qid"), col("sub"), col("x.code").as("code"),
+        col("x.qd").as("qd"))
     val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
     enc.join(broadcast(dtab), Seq("sub", "code"))
       .where(col("vec_id") =!= col("qid"))
@@ -1288,20 +1331,18 @@ object Pipeline {
         slice(col("p"), i * pqSubDim + 1, pqSubDim).as("v"))): _*)
     val sv = pts.select(col("vec_id"), explode(subs).as("x"))
       .select(col("vec_id"), col("x.sub").as("sub"), col("x.v").as("v"))
+      // 5 consumers (3 Lloyd passes + encode + dtab): checkpoint the
+      // tiny sub-vector table once instead of re-scanning + re-exploding
+      // the embeddings per pass (guide §5: cheap lineage cut, in-query).
+      .localCheckpoint()
     val cb = pqTrainCodebook(s, sv)
-    def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v)
-    val enc = sv.join(broadcast(cb), Seq("sub"))
-      .withColumn("dist", sqDist(col("v"), col("cv")))
-      .groupBy("vec_id", "sub")
-      .agg(min(struct(col("dist"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("sub"), col("m.cid").as("code"))
+    val enc = sv.select(col("vec_id"), col("sub"),
+      pqBestCid(cb).as("code"))
     val dtab = sv.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("sub"), col("v").as("qv"))
-      .join(broadcast(cb), Seq("sub"))
-      .withColumn("qd", sqDist(col("qv"), col("cv")))
-      .select(col("qid"), col("sub"), col("cid").as("code"), col("qd"))
+      .select(col("qid"), col("sub"), pqDtabCol(cb).as("x"))
+      .select(col("qid"), col("sub"), col("x.code").as("code"),
+        col("x.qd").as("qd"))
     // compose: candidates restricted to probed cells, scored on codes
     val cand = cells.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
@@ -1375,6 +1416,9 @@ object Pipeline {
           .as("p"))
       .withColumn("emb", expr("transform(p, x -> cast(x as double))"))
       .select(col("vec_id"), col("emb"), col("p"))
+      // consumed by the cells/pairs chain AND the PQ sub-vector table:
+      // checkpoint so the anchor join runs once, not per consumer
+      .localCheckpoint()
     // One full audit chain per regime over (vec_id, emb, p); uniform
     // keeps the raw float-origin doubles for cosine, clustered runs
     // cosine on the grid-as-double (self-consistent fixture).
@@ -1436,20 +1480,15 @@ object Pipeline {
           slice(col("p"), i * pqSubDim + 1, pqSubDim).as("v"))): _*)
       val sv = base0.select(col("vec_id"), explode(subs).as("x"))
         .select(col("vec_id"), col("x.sub").as("sub"), col("x.v").as("v"))
+        .localCheckpoint()
       val cb = pqTrainCodebook(s, sv)
-      def sqDist(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v)
-      val enc = sv.join(broadcast(cb), Seq("sub"))
-        .withColumn("dist", sqDist(col("v"), col("cv")))
-        .groupBy("vec_id", "sub")
-        .agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("sub"), col("m.cid").as("code"))
+      val enc = sv.select(col("vec_id"), col("sub"),
+        pqBestCid(cb).as("code"))
       val dtab = sv.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("sub"), col("v").as("qv"))
-        .join(broadcast(cb), Seq("sub"))
-        .withColumn("qd", sqDist(col("qv"), col("cv")))
-        .select(col("qid"), col("sub"), col("cid").as("code"), col("qd"))
+        .select(col("qid"), col("sub"), pqDtabCol(cb).as("x"))
+        .select(col("qid"), col("sub"), col("x.code").as("code"),
+          col("x.qd").as("qd"))
       val wAdcN = Window.partitionBy("qid", "nprobe")
         .orderBy(col("adist"), col("vec_id"))
       val pqTop = cand.select(col("qid"), col("nprobe"), col("vec_id"))
