@@ -331,6 +331,30 @@ object Llm {
       s.read.parquet(path)
     }
 
+    /** [[table]] with BYTE-based AQE partition coalescing for the
+      * build's final shuffle (parallelismFirst=false window): artifacts
+      * that iteration loops re-scan many times otherwise land as ~32
+      * near-empty files (AQE's parallelism-first default), and every
+      * loop pass pays the per-task floor × file count (r16 stage
+      * profile: 3×20 tasks × ~100 ms over a 7k-row edge artifact).
+      * Scale-adaptive by construction — at 100 TB the same conf yields
+      * advisory-sized (~64 MB) partitions, exactly the guide §2.2/§6
+      * sizing. Use for SMALL-to-medium control artifacts consumed by
+      * loops, not for fan-out sources whose consumers do per-row CPU
+      * work before any shuffle. */
+    def tableCoalesced(s: org.apache.spark.sql.SparkSession, path: String)(
+        build: => org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val k = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+      latch(path) {
+        val prev = s.conf.get(k, "true")
+        s.conf.set(k, "false")
+        try build.write.mode("overwrite").parquet(path)
+        finally s.conf.set(k, prev)
+      }
+      s.read.parquet(path)
+    }
+
     /** One-time side-effecting build (e.g. a partitioned fixture write
       * Scratch.table's plain-parquet writer can't express). */
     def once(path: String)(build: => Unit): Unit = latch(path)(build)
