@@ -2255,18 +2255,45 @@ object Pipeline {
           col("ky").as("by")), Seq("id2"))
         .select("ax", "ay", "bx", "by").distinct()
     }
+    // 4-HOP EDGE CLOSURE before the loop (r16): each propagation round
+    // is a fixed ~3-job floor (join + checkpoint + changed-count) over
+    // a kilobyte label table, so ROUND COUNT is the whole cost — and
+    // 1-hop min-label propagation needs O(cluster diameter in cells)
+    // rounds (~12 at the gate fixture). Squaring the symmetric cell
+    // adjacency twice (E ∪ E², then again) lets every round propagate
+    // 4 hops: same fixpoint (reachability unchanged — E⁴ ⊆ E*, and
+    // chg=0 still certifies per-component constancy because hop ⊇ E),
+    // quarter the rounds. Size stays cell-bounded: ≤ (2·4+1)² = 81
+    // neighbors per occupied cell. One-time scratch artifact, like
+    // nbr/cellEdges.
+    val hop = Llm.Scratch.tableCoalesced(s,
+        s"$scratchRoot/ml/dbscan_hop4_${Llm.Scratch.key(d)}") {
+      def sq(e: DataFrame): DataFrame = e.as("p")
+        .join(e.as("q"),
+          col("p.bx") === col("q.ax") && col("p.by") === col("q.ay"))
+        .select(col("p.ax").as("ax"), col("p.ay").as("ay"),
+          col("q.bx").as("bx"), col("q.by").as("by"))
+        .unionByName(e).distinct()
+      sq(sq(cellEdges))
+    }
     var labels = coreCell.groupBy("kx", "ky").agg(min(col("id")).as("lbl"))
     var changed = 1L
     var i = 0
     while (changed > 0) {
       i += 1
       require(i <= 32, s"dbscan label propagation past 32 rounds on $d")
-      val prop = cellEdges.join(labels,
+      // Both loop joins carry O(occupied cells) state — broadcast-hint
+      // them so a round's only exchange is the tiny neighbor-min
+      // groupBy (r16: AQE planned both as shuffle joins, and each
+      // extra exchange is an extra per-round job — guide §2.4/§3.1;
+      // at scale the label table is the rank-table analog and would
+      // shuffle, but its volume is cell-bounded, not row-bounded).
+      val prop = hop.join(broadcast(labels),
           col("ax") === col("kx") && col("ay") === col("ky"))
         .groupBy(col("bx"), col("by")).agg(min(col("lbl")).as("nlbl"))
       // the label table is O(occupied cells) — an eager localCheckpoint
       // truncates lineage without a parquet round trip per round
-      val cur = labels.join(prop,
+      val cur = labels.join(broadcast(prop),
           col("kx") === col("bx") && col("ky") === col("by"), "left")
         .select(col("kx"), col("ky"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),

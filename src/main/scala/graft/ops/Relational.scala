@@ -2436,12 +2436,19 @@ object Relational {
       .select(col("event_type"), col("h1"), col("h2"),
         ((col("c2") - col("c1")).cast("double") /
           (col("h2") - col("h1")).cast("double")).as("slope"))
-    val m = slopes.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
-    val w = Window.partitionBy("event_type").orderBy("slope", "h1", "h2")
-    slopes.withColumn("rn", row_number().over(w).cast("long"))
-      .join(broadcast(m), "event_type")
-      .where(col("rn") === expr("(n_pairs + 1) DIV 2"))
-      .select(col("event_type"), col("n_pairs"), col("slope").as("trend"))
+    // Median slope via percentile_disc (r16): the old full-row window
+    // sort ((slope, h1, h2) over n² pair rows, ONE task per event
+    // type) existed only to pick the rank-⌈n/2⌉ row, and the output
+    // emits just the slope VALUE — so the (h1, h2) tie-break never
+    // reaches the result and percentile_disc(0.5) (smallest value with
+    // cume ≥ 0.5 = the multiset's ⌈n/2⌉-th value, duplicates and all)
+    // is rank-identical, sorting an 8-byte double buffer per group
+    // instead of exchanging + sorting full pair rows (guide §2.3).
+    slopes.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)")
+          .as("trend"))
+      .select(col("event_type"), col("n_pairs"), col("trend"))
       .orderBy("event_type")
   }
 
@@ -2760,7 +2767,14 @@ object Relational {
 
   private def obsAccounting: Q = (s, d) => {
     val obs = new org.apache.spark.sql.Observation("graft_acct")
-    val li = t(s, d, "lineitem")
+    // fanOut BEFORE observe: the single-file gate fixture otherwise
+    // funnels the whole observed egress through ONE write task (~2 s
+    // single-threaded; r16 profile: 6 tasks / 4 jobs). At 100 TB the
+    // scan arrives pre-split and this is a no-op; the observed metrics
+    // are associative (counts + exact decimal sum),
+    // partition-independent. (Fan-out first — fanOut's .rdd partition
+    // probe must not touch a plan carrying the Observation node.)
+    val li = graft.Tables.fanOut(t(s, d, "lineitem"))
       .observe(obs,
         count(lit(1)).as("n_rows"),
         sum(dec(col("l_extendedprice"))).as("total_price"),

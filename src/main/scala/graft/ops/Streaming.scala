@@ -212,6 +212,29 @@ object Streaming {
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Conf window for the data-scaled foreachBatch RECOMPUTE loops
+    * (stream_seq / stream_markov / stream_dedup_incremental / the
+    * corpus pipeline): their per-batch bodies re-read the accumulated
+    * per-batch event/index dirs, and Spark's split packing targets
+    * `files.minPartitionNum` = default parallelism — so a 32-file
+    * kilobyte-sized history fans to 32 one-file tasks of pure
+    * per-task floor (r16 stage profile: 8/16/24/32 tasks × ~40 ms
+    * across stream_seq's four batches). minPartitionNum=1 restores
+    * BYTE-based packing (openCost + maxPartitionBytes), which at
+    * 100 TB yields the same splits as the default — the knob only
+    * matters when the bytes are tiny. State partitioning stays 8 for
+    * the per-batch join width (see [[withStatePartitions]]). */
+  private def withRecomputeConf[T](s: SparkSession)(body: => T): T = {
+    val k = "spark.sql.files.minPartitionNum"
+    val prev = s.conf.getOption(k)
+    s.conf.set(k, "1")
+    try withStatePartitions(s, 8)(body)
+    finally prev match {
+      case Some(v) => s.conf.set(k, v)
+      case None => s.conf.unset(k)
+    }
+  }
+
   /** Conf window for the TINY-FOLD foreachBatch loops (state ≤ a few
     * hundred domain-bounded rows, no state stores): AQE materializes
     * every shuffle stage as its own Spark job, so a two-agg fold body
@@ -1110,7 +1133,7 @@ object Streaming {
       .select(col("user_id"), col("path_len"),
         regexp_count(col("path"), lit("sv+c+p")).cast("long").as("n_runs"),
         (regexp_count(col("path"), lit("sv+c+p")) > 0).as("converted"))
-    withStatePartitions(s, 8) {
+    withRecomputeConf(s) {
       val q = st.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val bev = batch.select("user_id", "ts_us", "ch")
@@ -1224,7 +1247,7 @@ object Streaming {
           col("next_type"))
         .agg(count(lit(1)).as("n"))
     }
-    withStatePartitions(s, 8) {
+    withRecomputeConf(s) {
       val q = st.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val bev = batch.select("event_id", "user_id", "ts_us",
@@ -1337,7 +1360,7 @@ object Streaming {
         .add("text", org.apache.spark.sql.types.StringType))
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-    withStatePartitions(s, 8) {
+    withRecomputeConf(s) {
       val q = st.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val sh = Llm.shingles(col("text"))
@@ -1439,7 +1462,7 @@ object Streaming {
         .add("text", org.apache.spark.sql.types.StringType))
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-    withStatePartitions(s, 8) {
+    withRecomputeConf(s) {
       val q = st.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val toks = Pipeline.corpusToks(batch).persist()
