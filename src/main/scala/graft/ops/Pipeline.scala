@@ -123,7 +123,10 @@ object Pipeline {
     * top-20 sort is bit-identical in both engines; the c_ab ≥ 5
     * support floor is the usual noise bound. */
   private def textCooc: Q = (s, d) => {
-    val base = t(s, d, "documents")
+    // fanOut: the windowed pair generation is the CPU kernel and the
+    // single-file gate fixture otherwise runs it in ONE task (r16
+    // profile: 0.86 s single-task stage); no-op at scale.
+    val base = graft.Tables.fanOut(t(s, d, "documents"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val n2 = size(col("toks"))
     val pairsCol = flatten(transform(sequence(lit(1), n2 - 1), i =>
@@ -294,7 +297,13 @@ object Pipeline {
   private[graft] def sampleDsirRaw(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val bk = 1024L
-    val docs = t(s, d, "documents")
+    // fanOut: the single-file gate fixture otherwise runs the bigram
+    // explode + per-bigram md5 (the CPU-dense kernel) in ONE task
+    // (r16 profile: 0.9 s + 0.6 s single-task stages); no-op at scale.
+    // localCheckpoint: `inst` feeds BOTH the hash-bucket model counts
+    // and the per-doc score join — checkpoint so the md5 kernel runs
+    // once, not per consumer (guide §5).
+    val docs = graft.Tables.fanOut(t(s, d, "documents"))
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
     val inst = docs.select(col("doc_id"), col("lang"),
       explode(zip_with(
@@ -304,6 +313,7 @@ object Pipeline {
       .select(col("doc_id"), col("lang"),
         pmod(conv(substring(md5(col("bg")), 1, 8), 16, 10).cast("long"),
           lit(bk)).as("b"))
+      .localCheckpoint()
     val counts = inst.groupBy("b").agg(
       count(lit(1)).as("c_r"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
