@@ -1524,8 +1524,23 @@ object Pipeline {
           col("qid"), col("n_hits"),
           (col("n_hits").cast("double") / 10.0d).as("recall"))
     }
-    leg("uniform", raw).unionByName(leg("clustered", clusteredBase))
-      .orderBy("regime", "algo", "nprobe", "qid")
+    // The two regime legs are fully independent chains whose
+    // CONSTRUCTION runs bounded control-plane jobs (centroid collect,
+    // 3 Lloyd collects, the pairs checkpoint) — overlap them on two
+    // driver threads so one leg's collects back-fill the other's idle
+    // cores (guide §2.6). Results are unchanged: each leg is
+    // deterministic and they share no state.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fu = scala.concurrent.Future(leg("uniform", raw))
+      val fc = scala.concurrent.Future(leg("clustered", clusteredBase))
+      import scala.concurrent.duration._
+      val u = scala.concurrent.Await.result(fu, 600.seconds)
+      val cl = scala.concurrent.Await.result(fc, 600.seconds)
+      u.unionByName(cl).orderBy("regime", "algo", "nprobe", "qid")
+    } finally pool.shutdown()
   }
 
   /** Model-based quality filtering — the classifier stage of a real
