@@ -184,7 +184,11 @@ object Graph {
         val loc = new java.io.File(s"$warehouse/graft_graph.db/$name")
         if (loc.exists()) graft.Tables.deleteRecursively(loc)
         val nb = s.conf.get("spark.sql.shuffle.partitions").toInt
-        plain
+        // (src, dst) ONLY (r16): outdeg repeated on every edge row was
+        // a third of the per-iteration scan bytes for a value that is
+        // a function of src — the rank table carries it instead
+        // (guide §2.3 narrower types / project before the join).
+        plain.select(col("src"), col("dst"))
           .repartition(nb, col("src"))
           .write.bucketBy(nb, "src").sortBy("src")
           .saveAsTable(tbl)
@@ -196,13 +200,14 @@ object Graph {
           s"[graft] bucketed edge layout unavailable ($tbl): " +
             s"${e.getClass.getSimpleName}: ${e.getMessage} — " +
             "falling back to the plain edge artifact")
-        copurchaseEdges(s, d)
+        copurchaseEdges(s, d).select(col("src"), col("dst"))
     }
   }
 
-  /** One contribute step over a (src, dst, outdeg) edge table: the
-    * rank mass each dst receives, damped — shared by the loop and the
-    * GraphSpec plan pin (which asserts the edge side of this join
+  /** One contribute step over a (src, dst) edge table joined to a
+    * rank table carrying (node, pr, outdeg) — outdeg rides the O(V)
+    * rank side, not the O(E) edge rows (r16). Shared by the loop and
+    * the GraphSpec plan pin (which asserts the edge side of this join
     * arrives bucketed: no exchange, no sort). */
   private[graft] def prContribute(e2: org.apache.spark.sql.DataFrame,
       ranks: org.apache.spark.sql.DataFrame)
@@ -225,17 +230,26 @@ object Graph {
     // per-run edge scans were deg recomputations — guide §2.4).
     val deg = Llm.Scratch.tableCoalesced(s,
         s"$scratchRoot/graph/copurchase_deg_${Llm.Scratch.key(d)}") {
-      e2.select(col("src"), col("outdeg")).distinct()
+      // from the PLAIN artifact — the bucketed layout is (src, dst)
+      // only since the r16 narrow rewrite
+      copurchaseEdges(s, d).select(col("src"), col("outdeg")).distinct()
     }
     // Node count sizes every iteration's checkpoint write (the rank
     // table is one row per node, invariant across iterations) — one
     // cheap count over the scratch-backed artifact, reused 3×.
     val nNodes = deg.count()
-    var ranks = deg.select(col("src").as("node"), lit(Scale).as("pr"))
+    val degN = deg.select(col("src").as("node"), col("outdeg"))
+    var ranks = deg.select(col("src").as("node"), lit(Scale).as("pr"),
+      col("outdeg"))
     for (i <- 1 to Iters) {
+      // Re-attach outdeg to the new rank rows via the O(V) degree
+      // artifact (broadcast at test scale): every dst is also a src
+      // (symmetric distinct pairs), so the inner join keeps exactly
+      // the mass-receiving node set the r15 shape produced.
       val next = prContribute(e2, ranks)
         .select(col("dst").as("node"),
           (lit(Base) + expr("(85 * s) div 100")).as("pr"))
+        .join(degN, "node")
       // Materialize each iteration (one row per node) — without this
       // the loop's lineage nests, and iteration N's plan RE-RUNS
       // iterations 1..N−1 (measured 6 s → sub-second at sf0.1). Same
@@ -247,7 +261,7 @@ object Graph {
       val path = s"$scratchRoot/graph/pr_${Llm.Scratch.key(d)}_i$i"
       ranks = ckpt(s, next, path, nNodes)
     }
-    ranks.join(deg, col("node") === col("src"))
+    ranks
       .select(col("node"), col("outdeg").as("n_co"), col("pr"))
       .orderBy(col("pr").desc, col("node"))
       .limit(20)

@@ -73,6 +73,8 @@ class GraphSpec extends AnyFunSuite {
     assert(e2.count() === Graph.copurchaseEdges(spark, SharedSpark.sf).count())
     val ranks = e2.select(col("src").as("node")).distinct()
       .withColumn("pr", lit(1000000000L))
+      // outdeg rides the rank side since the r16 narrow edge layout
+      .withColumn("outdeg", lit(4L))
     // Force the at-scale join (ranks too big to broadcast at 100 TB):
     // the pin is that the EDGE side arrives pre-partitioned from the
     // bucketed scan — exactly one exchange for the rank table plus one
