@@ -2374,16 +2374,7 @@ object Llm {
       .distinct()
     val an = c.select(col("c_custkey").as("a_id"), col("c_name").as("a_name"))
     val bn = c.select(col("c_custkey").as("b_id"), col("c_name").as("b_name"))
-    // The levenshtein verify is COMPUTE-bound (O(|a|·|b|) per pair),
-    // but AQE sizes the post-distinct read by BYTES and coalesced the
-    // ~9 MB pair set to 8 partitions — 4.3 s of edit-distance on a
-    // quarter of the cores (r16 stage profile). Re-spread the skinny
-    // pair rows to full parallelism before the verify; at cluster
-    // scale defaultParallelism scales with the executors (guide §2.5:
-    // partition count must fit the work, not just the bytes).
-    cand.repartition(s.sparkContext.defaultParallelism,
-        col("a_id"), col("b_id"))
-      .join(an, "a_id").join(bn, "b_id")
+    cand.join(an, "a_id").join(bn, "b_id")
       .withColumn("dist",
         levenshtein(col("a_name"), col("b_name")).cast("long"))
       .where(col("dist") <= 1)
