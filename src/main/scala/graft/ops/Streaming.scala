@@ -344,11 +344,30 @@ object Streaming {
     // key writes the same rows in ≤ mods.size files. File→batch
     // composition may differ, which the fold is provably independent
     // of (shared batch oracle; the spec audits ROW counts per run).
-    def stage(mods: Seq[Int]): Unit =
+    def stage(mods: Seq[Int]): Unit = {
+      def nFiles = Option(new java.io.File(src)
+        .listFiles((_, n) => n.endsWith(".parquet"))).fold(0)(_.length)
+      val before = nFiles
+      // ROUND-ROBIN split into exactly mods.size files (ADVICE r16):
+      // the old repartition(n, pmod(...)) hash split gave no
+      // one-slice-per-partition guarantee — murmur3 in fact collides
+      // two of the four run-1 mod values TODAY (4 slices → 3 files,
+      // measured), so the multi-batch-per-run decomposition the
+      // restart test exercises rested on a hash accident. The fold is
+      // batch-boundary-independent (shared batch oracle) and the spec
+      // audits per-RUN row totals, so files never needed to be
+      // value-aligned — only COUNTED: keyless round-robin fills every
+      // partition deterministically (sortBeforeRepartition pins the
+      // row→partition map), and the assert fails loudly if a
+      // partitioner change ever merges files again.
       ev.where(pmod(col("event_id"), lit(6))
           .isin(mods.map(m => java.lang.Long.valueOf(m.toLong)): _*))
-        .repartition(mods.size, pmod(col("event_id"), lit(6)))
+        .repartition(mods.size)
         .write.mode("append").parquet(src)
+      val staged = nFiles - before
+      require(staged == mods.size,
+        s"stream_resume staging: expected ${mods.size} files, got $staged")
+    }
     val mvRoot = s"$root/versions"
     @volatile var lastBatch = -1L
     def drain(runName: String): Unit = withStatePartitions(s) {

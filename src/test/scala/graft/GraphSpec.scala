@@ -91,6 +91,18 @@ class GraphSpec extends AnyFunSuite {
       assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
         "only the rank table and the dst combine may shuffle: " + p)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    // dst ⊆ src invariant (ADVICE r16): graphPagerank's per-iteration
+    // inner join(degN, "node") silently drops any contribution-
+    // receiving node absent from the degree artifact — correctness
+    // rests on every dst also being a src. Pin it as an empty
+    // anti-join against the degree table, not just the comment.
+    val deg = ops.Graph.copurchaseEdges(spark, SharedSpark.sf)
+      .select(col("src"), col("outdeg")).distinct()
+    val orphanDst = e2.select(col("dst").as("node"))
+      .distinct()
+      .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+    assert(orphanDst.count() === 0L,
+      "a dst without a degree row would silently lose rank mass")
   }
 
   test("graph_triangles matches a driver-side reference enumeration") {

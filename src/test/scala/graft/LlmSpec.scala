@@ -787,6 +787,40 @@ class LlmSpec extends AnyFunSuite {
       "cap=1 must null every partner (no pairable shingles survive)")
   }
 
+  test("dedup_containment group-combine ≡ the r16 self-join pair kernel (r17)") {
+    // The r17 pair kernel (one exchange + per-shingle ordered-pair
+    // combine) must reproduce the OLD a⋈b self-join's symmetric
+    // (doc_id, partner, inter) multiset exactly — rebuilt here from
+    // the same postings definition, floor and cap included.
+    import org.apache.spark.sql.functions._
+    import graft.ops.Llm
+    val d = SharedSpark.sf
+    val sh = Tables.fanOut(Tables.t(spark, d, "documents"))
+      .select(col("doc_id"), explode(Llm.shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh_h"))
+    val dfTab = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= Llm.containmentDfCap)
+    val gk = sh.join(dfTab.select("sh_h"), Seq("sh_h"))
+    val a = gk.select(col("doc_id").as("a_id"), col("sh_h"))
+    val b = gk.select(col("doc_id").as("b_id"), col("sh_h"))
+    val pairs = a.join(b, Seq("sh_h"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id").as("da"), col("b_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .where(col("inter") >= Llm.containmentFloor)
+    val oldSym = pairs
+      .select(col("da").as("doc_id"), col("db").as("partner"), col("inter"))
+      .unionAll(pairs.select(col("db").as("doc_id"), col("da").as("partner"),
+        col("inter")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(oldSym.nonEmpty)
+    val got = Llm.containmentSymPairs(spark, gk, Llm.containmentFloor)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got === oldSym)
+  }
+
   test("rank_bm25 matches a from-first-principles driver recompute") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("rank_bm25")(spark, sf).collect()
