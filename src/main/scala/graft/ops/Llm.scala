@@ -517,9 +517,16 @@ object Llm {
     * half shared by both incremental twins. `newDocs` is
     * (doc_id, n_shingles) for the batch being decided. */
   private[ops] def incrementalDecisions(
-      est: org.apache.spark.sql.DataFrame,
+      est0: org.apache.spark.sql.DataFrame,
       newDocs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // est feeds TWO consumers (candidate counts + the best-partner
+    // window) and each re-ran the whole band-probe join — the r17
+    // stage profile showed the probe subtree duplicated per batch in
+    // stream_dedup_incremental (~0.5-0.7 s task × 2 per batch). One
+    // lineage cut runs it once; rows unchanged (guide §5, the
+    // sample_dsir inst.localCheckpoint discipline).
+    val est = est0.localCheckpoint()
     val candCnt = est.groupBy("b_id")
       .agg(count(lit(1)).as("n_candidates"))
     val w = Window.partitionBy("b_id")

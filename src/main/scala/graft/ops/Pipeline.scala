@@ -1196,6 +1196,29 @@ object Pipeline {
     cb
   }
 
+  /** Trained codebook as a TRAIN-ONCE index artifact (r17): the PQ
+    * codebook is index-build state — FAISS trains it once and serves
+    * every query from it, exactly like the ivfpq cells/probes scratch
+    * tables two paragraphs down. Before this, ml_pq, sim_ann_ivfpq
+    * and sim_ann_recall's uniform leg each re-ran the IDENTICAL
+    * 4-collect Lloyd chain (seed + 3 iterations, each a full
+    * sub-vector pass) on every invocation and every bench trial.
+    * Keyed by (dataset, regime tag); ≤ 8×4 rows of exact longs, so
+    * the artifact IS the training result bit-for-bit. Per-process
+    * scratch — a fresh JVM retrains (no cross-run persistence); the
+    * bench's scratch_ms attributes the trial-1 build. `sv` is by-name:
+    * a warm hit never evaluates it. */
+  private def pqCodebookCached(s: SparkSession, d: String, tag: String,
+      sv: => DataFrame): Seq[(Long, Int, Seq[Long])] = {
+    import s.implicits._
+    val t = Llm.Scratch.table(s,
+      s"$scratchRoot/ml/pq_cb_${tag}_${Llm.Scratch.key(d)}") {
+      pqTrainCodebook(s, sv).toDF("cid", "sub", "cv")
+    }
+    t.collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+      .sortBy(x => (x._2, x._1)).toSeq
+  }
+
   /** The codebook as a literal expression: per-subspace entry arrays,
     * indexed by the row's `sub`. */
   private def pqCbLit(cb: Seq[(Long, Int, Seq[Long])]): Column =
@@ -1265,7 +1288,7 @@ object Pipeline {
       // tiny sub-vector table once instead of re-scanning + re-exploding
       // the embeddings per pass (guide §5: cheap lineage cut, in-query).
       .localCheckpoint()
-    val cb = pqTrainCodebook(s, sv)
+    val cb = pqCodebookCached(s, d, "raw", sv)
     // Encode: nearest codebook entry per (vector, subspace) — the
     // map-side literal argmin (bit-identical to the r15 join+min(struct)
     // chain, minus its broadcast build and (vec_id, sub) exchange).
@@ -1345,7 +1368,7 @@ object Pipeline {
       // tiny sub-vector table once instead of re-scanning + re-exploding
       // the embeddings per pass (guide §5: cheap lineage cut, in-query).
       .localCheckpoint()
-    val cb = pqTrainCodebook(s, sv)
+    val cb = pqCodebookCached(s, d, "raw", sv)
     val enc = sv.select(col("vec_id"), col("sub"),
       pqBestCid(cb).as("code"))
     val dtab = sv.where(col("vec_id") < 5)
@@ -1468,6 +1491,13 @@ object Pipeline {
           (dot(col("qemb"), col("emb")) / (col("qnrm") * col("nrm")))
             .as("cos"),
           call_function("sqdist_i64", col("qp"), col("p")).as("l2"))
+        // (r17 note: checkpointing this PRE-PARTITIONED by qid so the
+        // four downstream rank windows skip their exchange was tried
+        // and does NOT work — under AQE the checkpointed RDD reports
+        // UnknownPartitioning(0) (measured in the plan dump), so every
+        // window re-exchanges regardless. The remaining exchanges are
+        // required clusterings; the wall win came from the train-once
+        // codebook artifact instead.)
         .localCheckpoint()
       val wCos = Window.partitionBy("qid")
         .orderBy(col("cos").desc, col("vec_id"))
@@ -1491,7 +1521,10 @@ object Pipeline {
       val sv = base0.select(col("vec_id"), explode(subs).as("x"))
         .select(col("vec_id"), col("x.sub").as("sub"), col("x.v").as("v"))
         .localCheckpoint()
-      val cb = pqTrainCodebook(s, sv)
+      // regime-trained, but the uniform leg's sub-vector table is the
+      // raw mlPq/simAnnIvfpq one row-for-row — share its artifact
+      val cb = pqCodebookCached(s, d,
+        if (regime == "uniform") "raw" else regime, sv)
       val enc = sv.select(col("vec_id"), col("sub"),
         pqBestCid(cb).as("code"))
       val dtab = sv.where(col("vec_id") < 5)
@@ -2288,26 +2321,26 @@ object Pipeline {
           col("ky").as("by")), Seq("id2"))
         .select("ax", "ay", "bx", "by").distinct()
     }
-    // 4-HOP EDGE CLOSURE before the loop (r16): each propagation round
-    // is a fixed ~3-job floor (join + checkpoint + changed-count) over
-    // a kilobyte label table, so ROUND COUNT is the whole cost — and
-    // 1-hop min-label propagation needs O(cluster diameter in cells)
-    // rounds (~12 at the gate fixture). Squaring the symmetric cell
-    // adjacency twice (E ∪ E², then again) lets every round propagate
-    // 4 hops: same fixpoint (reachability unchanged — E⁴ ⊆ E*, and
-    // chg=0 still certifies per-component constancy because hop ⊇ E),
-    // quarter the rounds. Size stays cell-bounded: ≤ (2·4+1)² = 81
-    // neighbors per occupied cell. One-time scratch artifact, like
-    // nbr/cellEdges.
+    // 8-HOP EDGE CLOSURE before the loop (r16 squared twice; r17 a
+    // third time): each propagation round is a fixed ~3-job floor
+    // (join + checkpoint + changed-count) over a kilobyte label table,
+    // so ROUND COUNT is the whole cost — and 1-hop min-label
+    // propagation needs O(cluster diameter in cells) rounds (~12 at
+    // the gate fixture; 3 at 4 hops, 2 at 8). Squaring the symmetric
+    // cell adjacency (E ∪ E², iterated) multiplies the hops per round:
+    // same fixpoint (reachability unchanged — E⁸ ⊆ E*, and chg=0
+    // still certifies per-component constancy because hop ⊇ E). Size
+    // stays cell-bounded: ≤ (2·8+1)² = 289 neighbors per occupied
+    // cell. One-time scratch artifact, like nbr/cellEdges.
     val hop = Llm.Scratch.tableCoalesced(s,
-        s"$scratchRoot/ml/dbscan_hop4_${Llm.Scratch.key(d)}") {
+        s"$scratchRoot/ml/dbscan_hop8_${Llm.Scratch.key(d)}") {
       def sq(e: DataFrame): DataFrame = e.as("p")
         .join(e.as("q"),
           col("p.bx") === col("q.ax") && col("p.by") === col("q.ay"))
         .select(col("p.ax").as("ax"), col("p.ay").as("ay"),
           col("q.bx").as("bx"), col("q.by").as("by"))
         .unionByName(e).distinct()
-      sq(sq(cellEdges))
+      sq(sq(sq(cellEdges)))
     }
     var labels = coreCell.groupBy("kx", "ky").agg(min(col("id")).as("lbl"))
     var changed = 1L

@@ -1186,9 +1186,19 @@ object Streaming {
           val prevMv =
             if (batchId == 0L) None
             else Some(s.read.parquet(s"$root/mv_v${batchId - 1}"))
-          val tb = touched
-            .select(pmod(col("user_id"), lit(evBuckets)).as("ub"))
-            .distinct().collect().map(_.getLong(0)).toSeq
+          // Touched-bucket set read OFF THE WRITE JUST MADE (r17): the
+          // partitionBy layout materializes exactly one ub=X dir per
+          // touched bucket, so listing the batch dir IS the set — the
+          // old touched.pmod.distinct().collect() re-read the batch
+          // source and paid ~2 more jobs of pure floor per batch.
+          // Replay-safe: the dir was overwritten by THIS attempt two
+          // statements up. (An Observation on the write was tried and
+          // measured WORSE — obs.get stalls ~5 s/batch inside
+          // foreachBatch waiting on the async listener bus.)
+          val tb = Option(new java.io.File(s"$root/ev/batch=$batchId")
+              .listFiles(f => f.isDirectory && f.getName.startsWith("ub=")))
+            .fold(Seq.empty[Long])(_.map(_.getName.stripPrefix("ub=")
+              .toLong).toSeq)
           val evNow = s.read.parquet(s"$root/ev")
             .where(col("batch") <= batchId && col("ub").isin(tb: _*))
           val changed = mvOf(
@@ -1291,9 +1301,12 @@ object Streaming {
           val prevMv =
             if (batchId == 0L) None
             else Some(s.read.parquet(s"$root/mv_v${batchId - 1}"))
-          val tb = touched
-            .select(pmod(col("user_id"), lit(evBuckets)).as("ub"))
-            .distinct().collect().map(_.getLong(0)).toSeq
+          // Touched buckets listed off the write just made — one fewer
+          // control-plane job per batch (see [[runStreamSeq]]).
+          val tb = Option(new java.io.File(s"$root/ev/batch=$batchId")
+              .listFiles(f => f.isDirectory && f.getName.startsWith("ub=")))
+            .fold(Seq.empty[Long])(_.map(_.getName.stripPrefix("ub=")
+              .toLong).toSeq)
           val evNow = s.read.parquet(s"$root/ev")
             .where(col("batch") <= batchId && col("ub").isin(tb: _*))
           val changed = countsOf(
