@@ -1162,30 +1162,34 @@ object Llm {
     * a user-numbered repartition at the session shuffle width (one
     * exchange total; AQE does not coalesce REPARTITION_BY_NUM; the
     * width is the session's scale knob, not a local[32] constant).
-    * Both pair directions come out of the same flatten — the old code
+    * Both pair directions come out of the same combine — the old code
     * computed the pair aggregate once per union branch, duplicating
     * the whole join subtree in the final plan. Per-shingle doc lists
     * are BOUNDED at dfCap by construction (only df ≤ dfCap shingles
-    * survive gk) — no unbounded collect_list at any scale. Pair
-    * multiset identical to the join's: the join emitted one row per
-    * (row_a, row_b) of a shingle group with a_id < b_id; positional
-    * pairs i < j over the SORTED list with a strict inequality filter
-    * enumerate exactly those, both directions. LlmSpec pins the
-    * equivalence against the r16 join shape directly. */
+    * survive gk) — no unbounded collect_list at any scale. The pair
+    * enumeration itself is two chained explodes + a value-inequality
+    * filter — whole-stage-codegen'd Generate nodes, no lambda
+    * interpretation, no struct allocation, no per-group sort (guide
+    * item 4: keep the hot path inside codegen; a nested
+    * transform/flatten/filter HOF chain A/B'd equal-within-noise on
+    * wall but with 0.8 s of combine-stage GC this version doesn't
+    * allocate — kept for the simpler, allocation-free kernel). Pair
+    * multiset identical to the join's: the
+    * join emitted each ordered pair of distinct-valued rows of a
+    * shingle group exactly once per (row_a, row_b) combination —
+    * i.e. multiplicity cnt(x)·cnt(y) per direction — and the double
+    * explode over the group list with doc_id ≠ partner enumerates
+    * precisely that. LlmSpec pins the equivalence against the r16
+    * join shape directly. */
   private[graft] def containmentSymPairs(s: SparkSession, gk: DataFrame,
       floor: Long): DataFrame =
     gk.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
         col("sh_h"))
       .groupBy("sh_h")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .select(explode(filter(
-        flatten(transform(col("ids"), (x, i) =>
-          flatten(transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-            y => array(
-              struct(x.as("doc_id"), y.as("partner")),
-              struct(y.as("doc_id"), x.as("partner"))))))),
-        p => p("doc_id") =!= p("partner"))).as("pq"))
-      .select(col("pq.doc_id").as("doc_id"), col("pq.partner").as("partner"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("doc_id"), col("ids"))
+      .select(col("doc_id"), explode(col("ids")).as("partner"))
+      .where(col("doc_id") =!= col("partner"))
       .groupBy("doc_id", "partner")
       .agg(count(lit(1)).as("inter"))
       .where(col("inter") >= floor)
