@@ -340,8 +340,8 @@ object Streaming {
       .select(col("event_id"), col("event_type"), dec(col("value")).as("v"))
     // One staging pass per call (r16): the old per-mod loop re-scanned
     // the 100k-row events table once PER SLICE (6 scans per
-    // invocation); a single filtered scan repartitioned by the mod
-    // key writes the same rows in ≤ mods.size files. File→batch
+    // invocation); a single filtered scan split round-robin (r17)
+    // writes the same rows in exactly mods.size files. File→batch
     // composition may differ, which the fold is provably independent
     // of (shared batch oracle; the spec audits ROW counts per run).
     def stage(mods: Seq[Int]): Unit = {
